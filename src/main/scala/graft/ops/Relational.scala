@@ -1,0 +1,467 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+import Num._
+
+/** Relational operator core (SURVEY.md §2.2–§2.6, §7.3 M1): scan, filter,
+  * project, equi/semi/anti/outer/cross joins, hash aggregation, distinct
+  * aggregation, rollup, window functions, sorts/limits/top-k, set ops,
+  * scalar string/date/math functions, scalar subqueries.
+  *
+  * Every query is expressed declaratively on the DataFrame API so Catalyst
+  * handles predicate pushdown, column pruning, and partial/final aggregation;
+  * small dimension tables are broadcast explicitly. Every query carries a
+  * deterministic total ORDER BY and decimal-exact aggregates (see [[Num]]) so
+  * the DuckDB oracle hash-matches bitwise.
+  */
+object Relational {
+
+  // ---- q1: TPC-H Q1-style pricing summary (scan → filter → hash agg) ------
+  // Reference analogue: partial/final SUM-and-AVG gather (SURVEY.md §2.4,
+  // calculate_average_reserves.py:27-35) generalized to grouped aggregation.
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * (dlit("1.00") - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(money(col("l_extendedprice")) * (dlit("1.00") - rate(col("l_discount")))
+          * (dlit("1.00") + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2))) * (1.00 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       |  ${sqlDavg("l_quantity")} AS avg_qty,
+       |  ${sqlDavg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q2: filter + projection (pushdown/pruning showcase) ----------------
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp_ntz"),
+          lit("1997-01-01").cast("timestamp_ntz"))
+          && col("l_discount") > 0.05 && col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount > 0.05 AND l_quantity < 25
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q3: TPC-H Q3-style 3-way join + top-k revenue ----------------------
+  // The small filtered customer side is broadcast (no shuffle for that join).
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(money(col("l_extendedprice")) * (dlit("1.00") - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  // ---- q4: star-schema rollup via broadcast dimension joins ---------------
+  def q4RegionAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_acctbal"),
+        davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy("r_name")
+
+  val q4Sql: String =
+    s"""SELECT r_name, COUNT(*) AS n_customers,
+       |  ${sqlDsum("c_acctbal")} AS total_acctbal,
+       |  ${sqlDavg("c_acctbal")} AS avg_acctbal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name
+       |ORDER BY r_name""".stripMargin
+
+  // ---- q5: left-semi join (EXISTS) ----------------------------------------
+  def q5SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45).select("l_orderkey")
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q5Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q6: left-anti join (NOT EXISTS) ------------------------------------
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q6Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---- q7: left-outer join + per-key aggregation --------------------------
+  def q7OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  val q7Sql: String =
+    s"""SELECT c_custkey, c_name, c_mktsegment,
+       |  COUNT(o_orderkey) AS n_orders,
+       |  COALESCE(${sqlDsum("o_totalprice")}, 0.0) AS total_spent
+       |FROM customer
+       |LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name, c_mktsegment
+       |ORDER BY c_custkey""".stripMargin
+
+  // ---- q8: ranking window functions (row_number/rank/dense_rank/ntile) ----
+  def q8WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val wTotal = Window.partitionBy("o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wVal = Window.partitionBy("o_orderpriority").orderBy(desc("o_totalprice"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        row_number().over(wTotal).as("rn"),
+        rank().over(wVal).as("rnk"),
+        dense_rank().over(wVal).as("drnk"),
+        ntile(4).over(wTotal).as("quartile"))
+      .filter(col("rn") <= 5)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val q8Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+      |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk,
+      |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+      |  FROM orders) sub
+      |WHERE rn <= 5
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---- q9: analytic window functions (running sum / lag / lead) -----------
+  // Running decimal sum is order-fixed by the frame, hence engine-exact.
+  def q9WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        sum(col("value").cast(DecimalType(18, 4)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        row_number().over(w).as("seq"))
+      .orderBy("user_id", "seq")
+  }
+
+  val q9Sql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq
+      |FROM events
+      |ORDER BY user_id, seq""".stripMargin
+
+  // ---- q10: distinct aggregation ------------------------------------------
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_suppkey")
+
+  val q10Sql: String =
+    """SELECT l_suppkey,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  // ---- q11: set operations (INTERSECT / EXCEPT / UNION) -------------------
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val op = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(op).withColumn("op", lit("both"))
+      .union(f.except(op).withColumn("op", lit("f_only")))
+      .union(f.union(op).distinct().withColumn("op", lit("any")))
+      .select("op", "o_custkey")
+      .orderBy("op", "o_custkey")
+  }
+
+  val q11Sql: String =
+    """SELECT 'both' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') a
+      |UNION ALL
+      |SELECT 'f_only' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+      |UNION ALL
+      |SELECT 'any' AS op, o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') c
+      |ORDER BY op, o_custkey""".stripMargin
+
+  // ---- q12: global top-k (orderBy + limit → TakeOrderedAndProject) --------
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+      .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(25)
+
+  val q12Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 25""".stripMargin
+
+  // ---- q13: scalar string/math functions ----------------------------------
+  def q13ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("tag"),
+        abs(col("p_retailprice") - lit(1000.0)).as("price_dev"),
+        round(money(col("p_retailprice")) * dlit("1.1"), 2).cast("double").as("bumped"),
+        (col("p_size") % 7).as("size_mod"),
+        greatest(col("p_size"), lit(25)).as("size_hi"))
+      .orderBy("p_partkey")
+
+  val q13Sql: String =
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  lower(p_type) AS type_l,
+      |  substr(p_name, 1, 8) AS name8,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  concat_ws('#', p_brand, p_type) AS tag,
+      |  abs(p_retailprice - 1000.0) AS price_dev,
+      |  CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE) AS bumped,
+      |  p_size % 7 AS size_mod,
+      |  greatest(p_size, 25) AS size_hi
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---- q14: date/time functions -------------------------------------------
+  def q14DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
+      .orderBy("o_orderkey")
+
+  val q14Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+      |  o_orderdate + INTERVAL 30 DAY AS plus30
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q15: HAVING (post-aggregation filter) ------------------------------
+  def q15Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_lines") >= 40)
+      .orderBy("l_partkey")
+
+  val q15Sql: String =
+    s"""SELECT l_partkey, COUNT(*) AS n_lines, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |HAVING COUNT(*) >= 40
+       |ORDER BY l_partkey""".stripMargin
+
+  // ---- q16: ROLLUP (multi-level grouping sets) ----------------------------
+  def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q16Sql: String =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---- q17: scalar subquery (filter vs. global aggregate) -----------------
+  // Spark side: the 1-row aggregate is broadcast, keeping the comparison
+  // distributed (no driver-side collect).
+  def q17ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val stats = l.agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    l.crossJoin(broadcast(stats))
+      .filter(col("l_quantity") > col("avg_qty") * 1.5)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q17Sql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity
+       |FROM lineitem
+       |WHERE l_quantity > (SELECT ${sqlDsum("l_quantity")} / COUNT(*) FROM lineitem) * 1.5
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q18: full-outer join -----------------------------------------------
+  def q18FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val sup = t(s, dir, "supplier")
+    n.join(sup, n("n_nationkey") === sup("s_nationkey"), "full_outer")
+      .select(col("n_name"), col("s_name"),
+        coalesce(col("s_acctbal"), lit(0.0)).as("bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("s_name"))
+  }
+
+  val q18Sql: String =
+    """SELECT n_name, s_name, COALESCE(s_acctbal, 0.0) AS bal
+      |FROM nation
+      |FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+      |ORDER BY n_name ASC NULLS FIRST, s_name ASC NULLS FIRST""".stripMargin
+
+  // ---- q19: cross join ----------------------------------------------------
+  def q19CrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  val q19Sql: String =
+    """SELECT r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_filter_project" -> q2FilterProject _,
+    "q3_top_revenue" -> q3TopRevenue _,
+    "q4_region_agg" -> q4RegionAgg _,
+    "q5_semi_join" -> q5SemiJoin _,
+    "q6_anti_join" -> q6AntiJoin _,
+    "q7_outer_join" -> q7OuterJoin _,
+    "q8_window_rank" -> q8WindowRank _,
+    "q9_window_running" -> q9WindowRunning _,
+    "q10_distinct_agg" -> q10DistinctAgg _,
+    "q11_set_ops" -> q11SetOps _,
+    "q12_top_k" -> q12TopK _,
+    "q13_scalar_funcs" -> q13ScalarFuncs _,
+    "q14_date_funcs" -> q14DateFuncs _,
+    "q15_having" -> q15Having _,
+    "q16_rollup" -> q16Rollup _,
+    "q17_scalar_subquery" -> q17ScalarSubquery _,
+    "q18_full_outer" -> q18FullOuter _,
+    "q19_cross_join" -> q19CrossJoin _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_top_revenue" -> q3Sql,
+    "q4_region_agg" -> q4Sql,
+    "q5_semi_join" -> q5Sql,
+    "q6_anti_join" -> q6Sql,
+    "q7_outer_join" -> q7Sql,
+    "q8_window_rank" -> q8Sql,
+    "q9_window_running" -> q9Sql,
+    "q10_distinct_agg" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_top_k" -> q12Sql,
+    "q13_scalar_funcs" -> q13Sql,
+    "q14_date_funcs" -> q14Sql,
+    "q15_having" -> q15Sql,
+    "q16_rollup" -> q16Sql,
+    "q17_scalar_subquery" -> q17Sql,
+    "q18_full_outer" -> q18Sql,
+    "q19_cross_join" -> q19Sql,
+  )
+}
