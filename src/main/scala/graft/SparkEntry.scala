@@ -17,11 +17,25 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++
+      actuarial.Actuarial.queries ++
+      ops.TextOps.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.Events.queries ++
+      ops.Multimodal.queries ++
+      streaming.EventStream.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++
+      actuarial.Actuarial.oracle ++
+      ops.TextOps.oracle ++
+      ops.Dedup.oracle ++
+      ops.Similarity.oracle ++
+      ops.Events.oracle ++
+      ops.Multimodal.oracle ++
+      streaming.EventStream.oracle
 }

@@ -1,0 +1,222 @@
+package graft.actuarial
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+import graft.ops.Num._
+
+/** A policy row — canonical input schema of the reference system
+  * (docker_files/src/main.rs:14-25): 9 columns, dates kept as strings,
+  * money as doubles, exactly as the reference parses them.
+  */
+case class Policy(
+    id: String,
+    age: Double,
+    gender: String,
+    smoking_status: String,
+    occupation: String,
+    policy_type: String,
+    effective_date: String,
+    term: Double,
+    premium: Double)
+
+/** A claim row — declared but dormant in the reference
+  * (docker_files/src/main.rs:27-32); a real capability here.
+  */
+case class Claim(policy_id: String, claim_amount: Double, claim_date: String)
+
+/** Actuarial reserve estimation — the reference's whole computation
+  * (SURVEY.md §0, §2.4) re-expressed as declarative Spark plans.
+  *
+  * Reference semantics: per file of policies, run `nSims` Monte Carlo
+  * trials; per policy-trial draw `n ~ floor(Exp(mean term/365))` claims
+  * (main.rs:67,70) each of severity `Normal(100, 10)` (main.rs:71); the
+  * per-file result is the over-trials average of the summed severities
+  * (main.rs:80), and the global result is the SUM of per-file averages —
+  * not a global average (calculate_average_reserves.py:27-35).
+  *
+  * Scale design: instead of exploding `trials × policies × claims` rows,
+  * the sum of n i.i.d. Normal(100,10) draws is sampled in closed form as
+  * Normal(100·n, 10·√n) — distribution-identical, removes the inner
+  * generator entirely (SURVEY.md §7.3 M5), and keeps the whole pipeline in
+  * whole-stage codegen. The trials dimension stays an `explode(sequence)`
+  * — a narrow 1→nSims generator with no shuffle.
+  */
+object Actuarial {
+
+  /** Reference work assignment (entrypoint.sh:4-11): files sorted, B =
+    * ceil(N/W), worker i takes `files[i·B, i·B+B)`. Trailing slices may be
+    * short or empty; slices partition the input exactly. In Spark this
+    * degenerates to file-split planning — kept as a library function (and
+    * property-tested) because it defines the reference's scan order contract.
+    */
+  def partitionPlan[T](files: Seq[T], workers: Int): Seq[Seq[T]] = {
+    require(workers > 0, "workers must be positive")
+    val b = if (files.isEmpty) 0 else (files.size + workers - 1) / workers
+    (0 until workers).map(i => files.slice(i * b, i * b + b))
+  }
+
+  /** Reference CSV schema (positional, header skipped — main.rs:49-53). */
+  val policySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("age", DoubleType),
+    StructField("gender", StringType),
+    StructField("smoking_status", StringType),
+    StructField("occupation", StringType),
+    StructField("policy_type", StringType),
+    StructField("effective_date", StringType),
+    StructField("term", DoubleType),
+    StructField("premium", DoubleType)))
+
+  /** CSV scan with the reference's fail-on-malformed stance (main.rs:51
+    * panics on a bad row; FAILFAST is the Spark equivalent).
+    */
+  def readPolicies(spark: SparkSession, path: String): Dataset[Policy] = {
+    import spark.implicits._
+    spark.read.schema(policySchema)
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(path).as[Policy]
+  }
+
+  /** Deterministic policy-shaped view over the driver testdata (FIXTURES.md
+    * §B): each order is a policy with a 1–10 year term derived from its key.
+    */
+  def policiesFromOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey").cast("string").as("id"),
+      col("o_orderpriority").as("policy_type"),
+      (lit(365.0) * (lit(1.0) + (col("o_orderkey") % 10).cast("double"))).as("term"),
+      col("o_totalprice").as("premium"))
+
+  /** Claims view over lineitem — the resurrected dormant claims table. */
+  def claimsFromLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      col("l_orderkey").cast("string").as("policy_id"),
+      (col("l_extendedprice") / 100.0).as("claim_amount"),
+      col("l_shipdate").cast("string").as("claim_date"))
+
+  /** Closed-form expected reserves per policy:
+    * E[Σ_{j=1..⌊Exp(mean m)⌋} N(100,10)] = 100·E[⌊Exp(m)⌋] = 100/(e^{1/m}−1)
+    * with m = term/365 (SURVEY.md §2.4 identity). A pure column expression —
+    * the deterministic oracle twin of the Monte Carlo simulation.
+    */
+  def expectedReservePerPolicy: org.apache.spark.sql.Column =
+    lit(100.0) / (exp(lit(365.0) / col("term")) - lit(1.0))
+
+  // ---- q20: expected reserves by policy type (deterministic twin) ---------
+  def q20ExpectedReserves(s: SparkSession, dir: String): DataFrame =
+    policiesFromOrders(s, dir)
+      .groupBy("policy_type")
+      .agg(
+        count(lit(1)).as("n_policies"),
+        dsum6(expectedReservePerPolicy).as("expected_reserves"))
+      .orderBy("policy_type")
+
+  val q20Sql: String =
+    s"""SELECT o_orderpriority AS policy_type, COUNT(*) AS n_policies,
+       |  ${sqlDsum6("100.0 / (EXP(365.0 / (365.0 * (1.0 + (o_orderkey % 10)))) - 1.0)")} AS expected_reserves
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY policy_type""".stripMargin
+
+  /** Seeded Monte Carlo reserve simulation (rows-only check — stochastic).
+    *
+    * Pipeline: policies ×(explode)× trials → per-trial closed-form claim
+    * total → partial/final agg per (type, sim) → avg over sims per type.
+    * No RDDs, no UDFs: `rand`/`randn`/`explode(sequence)` keep everything
+    * in codegen; Spark's HashAggregate partial/final split replaces the
+    * reference's worker/Lambda two-level gather.
+    */
+  def simulateReserves(policies: DataFrame, nSims: Int, seed: Long): DataFrame = {
+    val trials = policies.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
+    val perTrial = trials
+      // n ~ floor(Exp(mean term/365)) via inverse-CDF on rand (main.rs:67,70)
+      .withColumn("n_claims",
+        floor(-log(lit(1.0) - rand(seed)) * col("term") / lit(365.0)))
+      // Σ of n i.i.d. N(100,10) == N(100n, 10√n), sampled in closed form
+      .withColumn("reserves",
+        when(col("n_claims") > 0,
+          col("n_claims") * 100.0 + sqrt(col("n_claims")) * 10.0 * randn(seed + 1))
+          .otherwise(0.0))
+    perTrial
+      .groupBy("policy_type", "sim")
+      .agg(sum("reserves").as("trial_reserves"))
+      .groupBy("policy_type")
+      .agg((sum("trial_reserves") / nSims).as("mc_reserves"))
+  }
+
+  // ---- q21: Monte Carlo vs closed form by policy type (rows-only) ---------
+  def q21McReserves(s: SparkSession, dir: String): DataFrame = {
+    val p = policiesFromOrders(s, dir)
+    val mc = simulateReserves(p, nSims = 200, seed = 42L)
+    val ex = p.groupBy("policy_type")
+      .agg(sum(expectedReservePerPolicy).as("expected_reserves"))
+    mc.join(ex, "policy_type")
+      .select(col("policy_type"), col("mc_reserves"), col("expected_reserves"),
+        (abs(col("mc_reserves") - col("expected_reserves")) / col("expected_reserves"))
+          .as("rel_err"))
+      .orderBy("policy_type")
+  }
+
+  // ---- q22: policies ⋈ claims (the resurrected dead hash join) ------------
+  // The reference built a HashMap build side and never probed it
+  // (main.rs:56-59); here it is the real thing — policies are the small
+  // side, broadcast under the hood by the join below at realistic scales.
+  def q22PolicyClaims(s: SparkSession, dir: String): DataFrame = {
+    val p = policiesFromOrders(s, dir)
+    val c = claimsFromLineitem(s, dir)
+    c.join(p, c("policy_id") === p("id"))
+      .groupBy("policy_type")
+      .agg(
+        countDistinct(col("id")).as("n_policies"),
+        count(lit(1)).as("n_claims"),
+        dsum(col("claim_amount")).as("total_claims"),
+        davg(col("claim_amount")).as("avg_claim"))
+      .orderBy("policy_type")
+  }
+
+  val q22Sql: String =
+    s"""SELECT o_orderpriority AS policy_type,
+       |  COUNT(DISTINCT o_orderkey) AS n_policies,
+       |  COUNT(*) AS n_claims,
+       |  ${sqlDsum("l_extendedprice / 100.0")} AS total_claims,
+       |  ${sqlDavg("l_extendedprice / 100.0")} AS avg_claim
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY policy_type""".stripMargin
+
+  // ---- q23: two-level gather — SUM of per-group averages ------------------
+  // The reference's exact combine shape: per-file AVG in the worker, SUM of
+  // those averages in the Lambda (SURVEY.md §2.4 "naming trap": it is a sum
+  // of averages, NOT a global average). Groups stand in for files.
+  def q23GatherSumOfAvgs(s: SparkSession, dir: String): DataFrame =
+    policiesFromOrders(s, dir)
+      .groupBy("policy_type")
+      .agg((dsum6(expectedReservePerPolicy) / count(lit(1))).as("avg_reserves"))
+      .agg(
+        dsum6(col("avg_reserves")).as("total_reserves"),
+        count(lit(1)).as("n_groups"))
+
+  val q23Sql: String =
+    s"""SELECT ${sqlDsum6("avg_reserves")} AS total_reserves, COUNT(*) AS n_groups
+       |FROM (
+       |  SELECT ${sqlDsum6("100.0 / (EXP(365.0 / (365.0 * (1.0 + (o_orderkey % 10)))) - 1.0)")} / COUNT(*) AS avg_reserves
+       |  FROM orders
+       |  GROUP BY o_orderpriority) g""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_expected_reserves" -> q20ExpectedReserves _,
+    "q21_mc_reserves" -> q21McReserves _,
+    "q22_policy_claims_join" -> q22PolicyClaims _,
+    "q23_gather_sum_of_avgs" -> q23GatherSumOfAvgs _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_expected_reserves" -> q20Sql,
+    "q22_policy_claims_join" -> q22Sql,
+    "q23_gather_sum_of_avgs" -> q23Sql,
+  )
+}

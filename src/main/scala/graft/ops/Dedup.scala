@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Deduplication operators over `documents` — the dedup half of a
+  * training-data pipeline: exact (hash-groupBy), n-gram Jaccard
+  * (inverted-index self-join), MinHash+LSH (band-bucket join), and SimHash
+  * (bit-signature banding).
+  *
+  * Scale design: every variant is a shuffle-on-key plan, never an O(n²)
+  * cross join. The Jaccard path prunes high-document-frequency shingles
+  * (stop-shingles) before the self-join — at 100 TB that filter is what
+  * keeps the candidate-pair explosion bounded; MinHash/SimHash band joins
+  * bound it by construction.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per non-blank document. */
+  private[ops] def shingles(docs: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        explode(
+          when(size(col("ws")) >= 3,
+            transform(sequence(lit(1), size(col("ws")) - 2),
+              i => concat_ws(" ",
+                element_at(col("ws"), i),
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2))))
+            .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+      |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |          FROM documents WHERE length(trim(text)) > 0) words) sh""".stripMargin
+
+  // ---- q40: exact dedup (hash-groupBy on content) -------------------------
+  def q40DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash")
+
+  val q40Sql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY content_hash""".stripMargin
+
+  // ---- q41: n-gram Jaccard near-dup pairs (inverted-index join) -----------
+  // jaccard = |A∩B| / (|A|+|B|−|A∩B|) — all integers until one final double
+  // division, hence bitwise cross-engine deterministic.
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+    // stop-shingle pruning: drop shingles appearing in >100 docs
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("shingle")
+    val shf = sh.join(rare, "shingle")
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = shf.select(col("doc_id").as("id_a"), col("shingle"))
+    val b = shf.select(col("doc_id").as("id_b"), col("shingle"))
+    a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.8)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q41Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+       |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q42: MinHash + LSH near-dup pairs (rows-only: Spark hash fns) ------
+  // 16 permutations approximated by seeded xxhash64; 4 bands × 4 rows.
+  // Candidates = docs sharing any band bucket; then verified with true
+  // Jaccard. The band join is the 100 TB scale path: candidate volume is
+  // governed by band width, not corpus size².
+  def q42MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nPerm = 16
+    val rowsPerBand = 4
+    val sh = shingles(t(s, dir, "documents"))
+    val minhashes =
+      (0 until nPerm).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bands = (0 until nPerm / rowsPerBand).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${bnd * rowsPerBand + r}"))
+      mh.select(col("doc_id"),
+        lit(bnd).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- q43: SimHash near-dup pairs (rows-only: Spark hash fns) ------------
+  // 32-bit signature: bit b is the sign of Σ_tokens ±1 (per token-hash bit
+  // b); candidates share ≥1 of 4 signature bytes (pigeonhole guarantees
+  // recall for hamming ≤ 3), verified by exact hamming distance ≤ 1 (tight
+  // for a 32-bit signature over a small shared vocabulary).
+  def q43Simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toksDf = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .distinct()
+    val sig = toksDf
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .withColumn("contrib",
+        when(expr("(shiftright(xxhash64(token), b) & 1) = 1"), 1).otherwise(-1))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("contrib")).as("bit_sum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("bit_sum") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+    val bytes = (0 until 4).map { k =>
+      sig.select(col("doc_id"), col("simhash"),
+        lit(k).as("k"), expr(s"(shiftright(simhash, ${k * 8}) & 255)").as("byte"))
+    }.reduce(_ union _)
+    bytes.as("x").join(bytes.as("y"),
+        col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= 1)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> q40DedupExact _,
+    "q41_ngram_jaccard" -> q41NgramJaccard _,
+    "q42_minhash_lsh" -> q42MinhashLsh _,
+    "q43_simhash" -> q43Simhash _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Sql,
+    "q41_ngram_jaccard" -> q41Sql,
+  )
+}

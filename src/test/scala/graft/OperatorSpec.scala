@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity specs over sf0.001 (full cross-engine equivalence is
+  * the DuckDB oracle gate; these pin semantics and invariants).
+  */
+class OperatorSpec extends SparkSpec {
+
+  test("every declared query returns a readable non-degenerate DataFrame") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("q1 aggregates partition the filtered lineitem exactly") {
+    val df = ops.Relational.q1PricingSummary(spark, sf)
+    val total = df.agg(sum("count_order")).first().getLong(0)
+    val expected = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp_ntz")).count()
+    assert(total == expected)
+  }
+
+  test("semi + anti join partition orders' customers") {
+    val c = Tables.t(spark, sf, "customer")
+    val o = Tables.t(spark, sf, "orders").select("o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti == c.count())
+  }
+
+  test("exact dedup groups cover all documents") {
+    val df = ops.Dedup.q40DedupExact(spark, sf)
+    val covered = df.agg(sum("n_copies")).first().getLong(0)
+    assert(covered == Tables.t(spark, sf, "documents").count())
+  }
+
+  test("jaccard pairs are canonical (id_a < id_b) and within [0.8, 1]") {
+    val rows = ops.Dedup.q41NgramJaccard(spark, sf).collect()
+    assert(rows.nonEmpty, "expected planted near-dups")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("id_a")) < r.getLong(r.fieldIndex("id_b")))
+      val j = r.getDouble(r.fieldIndex("jaccard"))
+      assert(j >= 0.8 && j <= 1.0)
+    }
+  }
+
+  test("minhash-LSH candidates recover the high-jaccard exact pairs") {
+    val exact = ops.Dedup.q41NgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.Dedup.q42MinhashLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
+  }
+
+  test("brute-force ANN returns one best neighbor per query vector") {
+    val df = ops.Similarity.q51AnnBruteForce(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "self-match excluded")
+      val cos = r.getDouble(2)
+      assert(cos >= -1.0001 && cos <= 1.0001)
+    }
+  }
+
+  test("sessionize: session counts per user sum to user event counts") {
+    val sess = ops.Events.q62Sessionize(spark, sf)
+    val total = sess.agg(sum("n_events")).first().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("streaming hourly agg equals its batch twin") {
+    val stream = streaming.EventStream.q63StreamHourly(spark, sf)
+      .select("hour_start", "event_type", "n", "total_value")
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), ops.Num.dsum(col("value")).as("total_value"))
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("multimodal decode stub covers every document batch-wise") {
+    val n = ops.Multimodal.mediaRows(spark, sf).count()
+    assert(n == Tables.t(spark, sf, "documents").count())
+    val media = ops.Multimodal.q71DecodeStub(spark, sf)
+    assert(media.agg(sum("n_media")).first().getLong(0) == n)
+  }
+}
