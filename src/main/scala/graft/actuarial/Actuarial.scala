@@ -129,12 +129,19 @@ object Actuarial {
     * in codegen; Spark's HashAggregate partial/final split replaces the
     * reference's worker/Lambda two-level gather.
     */
-  def simulateReserves(policies: DataFrame, nSims: Int, seed: Long): DataFrame = {
+  def simulateReserves(
+      policies: DataFrame, nSims: Int, seed: Long,
+      nativeExpr: Boolean = true): DataFrame = {
     val trials = policies.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
+    // n ~ floor(Exp(rate 365/term)) (main.rs:67,70): either the native
+    // Catalyst sampler or its built-in inverse-CDF rewrite — statistically
+    // identical (SURVEY.md §2.8)
+    val expSample =
+      if (nativeExpr)
+        graft.functions.RandExponential.rand_exponential(lit(365.0) / col("term"), seed)
+      else -log(lit(1.0) - rand(seed)) * col("term") / lit(365.0)
     val perTrial = trials
-      // n ~ floor(Exp(mean term/365)) via inverse-CDF on rand (main.rs:67,70)
-      .withColumn("n_claims",
-        floor(-log(lit(1.0) - rand(seed)) * col("term") / lit(365.0)))
+      .withColumn("n_claims", floor(expSample))
       // Σ of n i.i.d. N(100,10) == N(100n, 10√n), sampled in closed form
       .withColumn("reserves",
         when(col("n_claims") > 0,

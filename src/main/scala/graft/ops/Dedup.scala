@@ -18,22 +18,42 @@ import graft.Tables.t
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per non-blank document. */
+  /** Distinct word 3-gram shingles per non-blank document, exploded to
+    * (doc_id, n_doc, shingle) rows. Dedup happens per-row via
+    * `array_distinct` — a narrow map, NOT a global `.distinct()` shuffle —
+    * and each row carries its document's shingle count so downstream
+    * consumers never re-join a sizes table. At 100 TB this removes one
+    * full-corpus shuffle and one join from every dedup variant.
+    */
   private[ops] def shingles(docs: DataFrame): DataFrame = {
     val ws = split(trim(lower(col("text"))), "\\s+")
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), ws.as("ws"))
+      // Exchange barrier: without it CollapseProject inlines the split()
+      // expression into the transform lambda below, and element_at(split,i)
+      // re-runs the regex split PER ELEMENT (≈3·|doc| regex evals per doc).
+      // Post-shuffle, `ws` is a materialized attribute — split runs once
+      // per doc, and every downstream consumer reuses this one exchange.
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(
+        array_distinct(
           when(size(col("ws")) >= 3,
             transform(sequence(lit(1), size(col("ws")) - 2),
               i => concat_ws(" ",
                 element_at(col("ws"), i),
                 element_at(col("ws"), i + 1),
                 element_at(col("ws"), i + 2))))
-            .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+            .otherwise(array().cast("array<string>"))).as("arr"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+      // explode into a `size(arr)>0 AND isnotnull(arr)` filter that predicate
+      // pushdown then substitutes straight through the exchange into the
+      // single-task scan stage — re-inlining this whole lambda expression
+      // (with split() re-run per element) and costing ~20s per branch at
+      // sf0.1. The outer variant infers nothing; the explicit isNotNull
+      // filter restores explode semantics above the Generate.
+      .select(col("doc_id"), size(col("arr")).as("n_doc"), explode_outer(col("arr")).as("shingle"))
+      .filter(col("shingle").isNotNull)
   }
 
   private val shinglesSql: String =
@@ -61,19 +81,23 @@ object Dedup {
   // division, hence bitwise cross-engine deterministic.
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents"))
-    // stop-shingle pruning: drop shingles appearing in >100 docs
+    // stop-shingle pruning: drop shingles appearing in >100 docs. NOTE:
+    // n_doc (jaccard denominator) stays the UNPRUNED per-doc size, so
+    // pruning only trims the candidate join, never the metric itself for
+    // pairs whose overlap survives.
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 100).select("shingle")
-    val shf = sh.join(rare, "shingle")
-    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = shf.select(col("doc_id").as("id_a"), col("shingle"))
-    val b = shf.select(col("doc_id").as("id_b"), col("shingle"))
+    // rare is a genuine small dim (distinct shingle strings) → broadcast;
+    // the corpus self-join must NEVER broadcast (parquet-size estimates lie
+    // after an explode) → force a shuffled hash join, which also lets the
+    // identical build/probe subplans reuse one exchange.
+    val shf = sh.join(broadcast(rare), "shingle")
+    val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
+    val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
     a.join(b, "shingle")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.8)
@@ -85,7 +109,7 @@ object Dedup {
     s"""WITH sh AS ($shinglesSql),
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
        |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -121,15 +145,14 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc_id").as("id_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    // verify candidates with exact Jaccard (n_doc carried with each row);
+    // the candidate pair list is small → broadcast the semi-join filter,
+    // corpus self-join stays shuffled
+    val common = sh.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
+      .join(sh.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b")), "shingle")
+      .join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.5)
@@ -146,8 +169,10 @@ object Dedup {
     val docs = t(s, dir, "documents")
     val toksDf = docs
       .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
+      .repartition(col("doc_id")) // materialize before explode (see shingles)
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
     val sig = toksDf
       .withColumn("b", explode(sequence(lit(0), lit(31))))
       .withColumn("contrib",

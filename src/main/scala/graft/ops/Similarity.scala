@@ -20,10 +20,10 @@ object Similarity {
   /** Quantized vector + its squared norm (exact integer arithmetic). */
   private def quantized(df: DataFrame): DataFrame =
     df.withColumn("qv", transform(col("embedding"), x => round(x.cast("double") * 1000)))
-      .withColumn("qnorm", aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+      .withColumn("qnorm", graft.functions.ArrayMath.dot_product(col("qv"), col("qv")))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dot_product(a, b)
 
   // ---- q50: per-vector features (dims, quantized norm) --------------------
   def q50EmbedNorm(s: SparkSession, dir: String): DataFrame =
@@ -110,8 +110,10 @@ object Similarity {
     val withSigs = emb.select(
       col("vec_id") +:
         (0 until nTables).map(tb => signature(tb).as(s"sig$tb")): _*)
+      .repartition(col("vec_id")) // materialize lambda-built sigs pre-explode
     val buckets = withSigs.select(col("vec_id"),
-      posexplode(array((0 until nTables).map(tb => col(s"sig$tb")): _*)).as(Seq("tbl", "sig")))
+      posexplode_outer(array((0 until nTables).map(tb => col(s"sig$tb")): _*)).as(Seq("tbl", "sig")))
+      .filter(col("sig").isNotNull)
 
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig")

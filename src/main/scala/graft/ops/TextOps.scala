@@ -57,7 +57,10 @@ object TextOps {
   def q31TokenFreq(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .filter(!isBlank)
-      .select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
+      .select(col("doc_id"), toks(lower(col("text"))).as("toks"))
+      .repartition(col("doc_id")) // materialize the token array pre-explode
+      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy("token")
       .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(desc("freq"), asc("token"))

@@ -1,0 +1,27 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into `private[sql]` surface needed by custom Catalyst
+  * expressions (the Expression↔Column constructors lost their public form
+  * in the Spark-Connect API split). Standard extension-library technique;
+  * everything else in this project stays on the public API.
+  */
+package object graftshim {
+
+  def exprToColumn(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def colToExpr(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
+  /** Register a builder under `name` in the session's function registry so
+    * the expression is callable from SQL text as well.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

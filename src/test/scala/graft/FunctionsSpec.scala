@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayMath, RandExponential}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product matches the built-in zip_with/aggregate composition") {
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val got = df.select(
+      ArrayMath.dot_product(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+    assert(got(0).getDouble(0) == 32.0)
+  }
+
+  test("dot_product null handling: null array → null, mismatched dims → prefix") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
+      (Some(Array(1.0, 2.0, 9.0)), Some(Array(3.0, 4.0))))
+      .toDF("a", "b")
+    val rows = df.select(ArrayMath.dot_product(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) == 11.0)
+  }
+
+  test("dot_product survives both codegen and interpreted eval") {
+    val df = spark.range(1000)
+      .select(transform(sequence(lit(0), lit(63)), i => (col("id") + i).cast("double")).as("v"))
+    val viaExpr = df.select(ArrayMath.dot_product(col("v"), col("v")).as("d"))
+    // force interpreted path too via filter on the value
+    assert(viaExpr.filter(col("d") > 0).count() == 1000)
+  }
+
+  test("dot_product is registered for SQL text") {
+    ArrayMath.register(spark)
+    val one = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .first().getDouble(0)
+    assert(one == 11.0)
+  }
+
+  test("rand_exponential has the right mean (CLT band, fixed seed)") {
+    val n = 200000
+    val mean = spark.range(n)
+      .select(RandExponential.rand_exponential(lit(2.0), seed = 11L).as("x"))
+      .agg(avg("x")).first().getDouble(0)
+    // Exp(rate 2) has mean 0.5, sd 0.5 → 5σ band = 5·0.5/√n ≈ 0.0056
+    assert(math.abs(mean - 0.5) < 0.006, s"mean=$mean")
+    val floorMean = spark.range(n)
+      .select(floor(RandExponential.rand_exponential(lit(1.0 / 10.0), seed = 12L)).as("k"))
+      .agg(avg("k")).first().getDouble(0)
+    // E[floor(Exp(mean 10))] = 1/(e^{1/10}−1) ≈ 9.5083 (SURVEY §2.4 identity)
+    val expect = 1.0 / (math.exp(0.1) - 1.0)
+    assert(math.abs(floorMean - expect) / expect < 0.02, s"floorMean=$floorMean vs $expect")
+  }
+
+  test("rand_exponential null rate → null sample") {
+    val rows = Seq((Some(2.0)), (None: Option[Double])).toDF("rate")
+      .select(RandExponential.rand_exponential(col("rate"), 5L)).collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+}

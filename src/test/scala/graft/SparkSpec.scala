@@ -12,6 +12,8 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // expensive lambda exprs must not be re-inlined into scan filters
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
