@@ -213,17 +213,54 @@ object Actuarial {
        |  FROM orders
        |  GROUP BY o_orderpriority) g""".stripMargin
 
+  // ---- q24: CSV round-trip through the reference's 9-column schema --------
+  // Exercises the reference's actual I/O format end-to-end: a full policy
+  // table is written as header CSV (the scalar-text/CSV sink family) and
+  // re-read via the FAILFAST positional scan, then aggregated. The oracle
+  // computes the same result straight from orders — equality proves the
+  // round trip is lossless (shortest-repr double writes parse back exact).
+  def q24CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val full = t(s, dir, "orders").select(
+      concat(lit("P-"), col("o_orderkey")).as("id"),
+      (lit(20.0) + (col("o_orderkey") % 50).cast("double")).as("age"),
+      when(col("o_orderkey") % 2 === 0, "F").otherwise("M").as("gender"),
+      when(col("o_orderkey") % 3 === 0, "smoker").otherwise("non-smoker").as("smoking_status"),
+      lit("engineer").as("occupation"),
+      col("o_orderpriority").as("policy_type"),
+      col("o_orderdate").cast("date").cast("string").as("effective_date"),
+      (lit(365.0) * (lit(1.0) + (col("o_orderkey") % 10).cast("double"))).as("term"),
+      col("o_totalprice").as("premium"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_policies_rt_").toString
+    full.write.mode("overwrite").option("header", "true").csv(tmp)
+    readPolicies(s, tmp).groupBy("policy_type")
+      .agg(
+        count(lit(1)).as("n_policies"),
+        dsum(col("premium")).as("total_premium"),
+        dsum6(expectedReservePerPolicy).as("expected_reserves"))
+      .orderBy("policy_type")
+  }
+
+  val q24Sql: String =
+    s"""SELECT o_orderpriority AS policy_type, COUNT(*) AS n_policies,
+       |  ${sqlDsum("o_totalprice")} AS total_premium,
+       |  ${sqlDsum6("100.0 / (EXP(365.0 / (365.0 * (1.0 + (o_orderkey % 10)))) - 1.0)")} AS expected_reserves
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY policy_type""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_expected_reserves" -> q20ExpectedReserves _,
     "q21_mc_reserves" -> q21McReserves _,
     "q22_policy_claims_join" -> q22PolicyClaims _,
     "q23_gather_sum_of_avgs" -> q23GatherSumOfAvgs _,
+    "q24_csv_roundtrip" -> q24CsvRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
     "q20_expected_reserves" -> q20Sql,
     "q22_policy_claims_join" -> q22Sql,
     "q23_gather_sum_of_avgs" -> q23Sql,
+    "q24_csv_roundtrip" -> q24Sql,
   )
 }

@@ -173,15 +173,20 @@ object Dedup {
       .repartition(col("doc_id")) // materialize before explode (see shingles)
       .select(col("doc_id"), explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
+    // 32 per-bit contributions as COLUMNS of the token row (not an
+    // explode×32 row blowup): one shuffle of |tokens| rows with 32 ints,
+    // then the signature folds from the per-bit sums.
+    val contribs = (0 until 32).map { b =>
+      sum(when(expr(s"(shiftright(xxhash64(token), $b) & 1) = 1"), 1).otherwise(-1))
+        .as(s"bit$b")
+    }
     val sig = toksDf
-      .withColumn("b", explode(sequence(lit(0), lit(31))))
-      .withColumn("contrib",
-        when(expr("(shiftright(xxhash64(token), b) & 1) = 1"), 1).otherwise(-1))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("contrib")).as("bit_sum"))
       .groupBy("doc_id")
-      .agg(sum(when(col("bit_sum") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(contribs.head, contribs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map { b =>
+          when(col(s"bit$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
     val bytes = (0 until 4).map { k =>
       sig.select(col("doc_id"), col("simhash"),
         lit(k).as("k"), expr(s"(shiftright(simhash, ${k * 8}) & 255)").as("byte"))

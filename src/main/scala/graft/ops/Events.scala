@@ -99,16 +99,48 @@ object Events {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  // ---- q65: semi-structured JSON column (from_json) -----------------------
+  // `props` is a JSON string; Spark parses it with a typed schema
+  // (from_json), the oracle extracts the same field by regex — equal
+  // results prove the parse.
+  def q65EventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q65Sql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT) AS k
+      |      FROM events) j
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
     "q61_events_sliding" -> q61Sliding _,
     "q62_sessionize" -> q62Sessionize _,
+    "q65_events_json" -> q65EventsJson _,
   )
 
   val oracle: Map[String, String] = Map(
     "q60_events_hourly" -> q60Sql,
     "q61_events_sliding" -> q61Sql,
     "q62_sessionize" -> q62Sql,
+    "q65_events_json" -> q65Sql,
   )
 }

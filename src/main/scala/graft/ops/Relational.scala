@@ -420,6 +420,56 @@ object Relational {
       |FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  // ---- q25: pivot (cross-tab counts) --------------------------------------
+  def q25Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val q25Sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q26: exact percentiles + decimal-exact variance --------------------
+  // percentile() sorts and linearly interpolates — identical arithmetic on
+  // identical inputs in both engines; variance is computed from exact
+  // decimal sums (Σx, Σx²), not a streaming accumulator, so it is
+  // order-independent and engine-exact.
+  def q26Percentile(s: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1))
+    val sx = dsum(col("l_quantity"))
+    val sxx = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+      .cast("double")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        ((sxx - sx * sx / n) / (n - lit(1))).as("var_qty"),
+        n.as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q26Sql: String =
+    s"""SELECT l_returnflag,
+       |  quantile_cont(l_quantity, 0.5) AS median_qty,
+       |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+       |  (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+       |    - ${sqlDsum("l_quantity")} * ${sqlDsum("l_quantity")} / COUNT(*))
+       |    / (COUNT(*) - 1) AS var_qty,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -441,6 +491,8 @@ object Relational {
     "q17_scalar_subquery" -> q17ScalarSubquery _,
     "q18_full_outer" -> q18FullOuter _,
     "q19_cross_join" -> q19CrossJoin _,
+    "q25_pivot" -> q25Pivot _,
+    "q26_percentile" -> q26Percentile _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -463,5 +515,7 @@ object Relational {
     "q17_scalar_subquery" -> q17Sql,
     "q18_full_outer" -> q18Sql,
     "q19_cross_join" -> q19Sql,
+    "q25_pivot" -> q25Sql,
+    "q26_percentile" -> q26Sql,
   )
 }

@@ -1,11 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.GroupState
 import org.apache.spark.sql.types._
 
 import graft.ops.Num._
+
+/** Event with µs-epoch time, the stateful-op wire format. */
+case class UserEvent(user_id: Long, ts_us: Long, cents: Long)
+
+/** Open-session state carried across micro-batches. */
+case class OpenSession(start_us: Long, last_us: Long, n: Long, cents: Long)
+
+/** A closed session emitted by the stateful sessionizer. */
+case class ClosedSession(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long, cents: Long)
 
 /** Structured Streaming over the `events` table (SURVEY.md §2.7: the
   * reference is pure batch; this is the streaming surface the new engine
@@ -79,11 +92,102 @@ object EventStream {
        |GROUP BY 1, 2
        |ORDER BY hour_start, event_type""".stripMargin
 
+  /** Gap-based sessionization as a custom stateful streaming operator
+    * (`flatMapGroupsWithState` — SURVEY.md's M4 custom-state surface).
+    * Within each invocation the group's new events are sorted and merged
+    * into the open-session state; sessions closed by a gap are emitted,
+    * the trailing open session stays in state across micro-batches.
+    * Money accumulates in integer cents, so results are engine-exact.
+    */
+  def sessionize(events: Dataset[UserEvent], gapUs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          val evs = it.toIndexedSeq.sortBy(_.ts_us)
+          var cur = state.getOption
+          val out = mutable.Buffer[ClosedSession]()
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                cur = Some(s.copy(last_us = e.ts_us, n = s.n + 1, cents = s.cents + e.cents))
+              case Some(s) =>
+                out += ClosedSession(uid, s.start_us, s.last_us, s.n, s.cents)
+                cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.cents))
+              case None =>
+                cur = Some(OpenSession(e.ts_us, e.ts_us, 1, e.cents))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Events stream → µs/cents wire rows. */
+  def userEvents(events: DataFrame): Dataset[UserEvent] = {
+    import events.sparkSession.implicits._
+    events.select(
+      col("user_id"),
+      expr("unix_micros(ts)").as("ts_us"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[UserEvent]
+  }
+
+  /** Driver-contract runner: sessionize the events stream; emitted rows are
+    * every session CLOSED by a later event (each user's trailing open
+    * session stays in state — mirrored in the oracle by dropping each
+    * user's last session).
+    */
+  def q64StreamSessions(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val events = eventsStream(s, dir)
+    val q = sessionize(userEvents(events), gapUs = 30L * 60 * 1000000)
+      .toDF()
+      .select(col("user_id"),
+        expr("timestamp_micros(start_us)").cast("timestamp_ntz").as("session_start"),
+        expr("timestamp_micros(end_us)").cast("timestamp_ntz").as("session_end"),
+        col("n_events"),
+        (col("cents") / 100.0).as("total_value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
+  val q64Sql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM (
+      |    SELECT user_id, value, ts,
+      |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |        CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM events) flagged) numbered
+      |  GROUP BY user_id, session_id)
+      |SELECT user_id, session_start, session_end, n_events, total_value
+      |FROM (SELECT *, MAX(session_id) OVER (PARTITION BY user_id) AS max_sid FROM sess) s
+      |WHERE session_id < max_sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q63_stream_hourly" -> (q63StreamHourly _)
+    "q63_stream_hourly" -> (q63StreamHourly _),
+    "q64_stream_sessions" -> (q64StreamSessions _),
   )
 
   val oracle: Map[String, String] = Map(
     "q63_stream_hourly" -> q63Sql,
+    "q64_stream_sessions" -> q64Sql,
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{EventStream, UserEvent}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionizer state survives across micro-batches") {
+    // two parquet files + maxFilesPerTrigger=1 → two micro-batches; events
+    // of the same user span both, so open sessions must carry over.
+    val staged = Files.createTempDirectory("graft_stream_2batch_")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    // split by time so batch 2 continues batch 1's open sessions
+    val cut = ev.agg(expr("percentile(ts_us, 0.5)")).first().getDouble(0).toLong
+    ev.filter(col("ts_us") <= cut).coalesce(1).write.parquet(s"$staged/b1")
+    ev.filter(col("ts_us") > cut).coalesce(1).write.parquet(s"$staged/b2")
+    // flatten into one dir (file source lists recursively only with glob)
+    val flat = Files.createTempDirectory("graft_stream_flat_")
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$staged/b1")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, flat.resolve("a_" + p.getFileName.toString))
+    }
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$staged/b2")).forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.copy(p, flat.resolve("b_" + p.getFileName.toString))
+    }
+    // the file source orders micro-batches by modification time — make the
+    // ordering deterministic (b1 strictly before b2)
+    var t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    java.nio.file.Files.list(flat).sorted().forEach { p =>
+      Files.setLastModifiedTime(p, t)
+      t = java.nio.file.attribute.FileTime.fromMillis(t.toMillis + 60000)
+    }
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+      .as[UserEvent]
+    val name = "sessions_2batch"
+    val q = EventStream.sessionize(stream, gapUs = 30L * 60 * 1000000)
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select("user_id", "start_us", "end_us", "n_events", "cents")
+
+    // batch truth: all sessions minus each user's trailing open one
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+    val batchSessions = ev
+      .withColumn("prev", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ts_us") - col("prev") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"),
+        count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val closed = batchSessions
+      .withColumn("max_sid", max("sid").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter(col("sid") < col("max_sid"))
+      .select("user_id", "start_us", "end_us", "n_events", "cents")
+
+    assert(streamed.exceptAll(closed).isEmpty && closed.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch-closed=${closed.count()}")
+    assert(streamed.count() > 0)
+  }
+}
