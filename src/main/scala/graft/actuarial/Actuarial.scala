@@ -132,7 +132,11 @@ object Actuarial {
   def simulateReserves(
       policies: DataFrame, nSims: Int, seed: Long,
       nativeExpr: Boolean = true): DataFrame = {
-    val trials = policies.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
+    // term ≤ 0 panics the reference worker (main.rs:67, Exp::new of a
+    // non-positive rate); here such rows are excluded up front — an
+    // analysis-level guard instead of a runtime crash (SURVEY.md §7.5).
+    val valid = policies.filter(col("term") > 0)
+    val trials = valid.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
     // n ~ floor(Exp(rate 365/term)) (main.rs:67,70): either the native
     // Catalyst sampler or its built-in inverse-CDF rewrite — statistically
     // identical (SURVEY.md §2.8)

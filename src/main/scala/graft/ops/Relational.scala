@@ -470,6 +470,32 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q27: salted two-phase aggregation (skew-defense pattern) -----------
+  // A hot grouping key at scale overloads one reducer; salting splits each
+  // key across `nSalts` partial groups, aggregates, then combines. Partial
+  // sums are exact decimals, so the result is bit-identical to the unsalted
+  // aggregation — which is exactly what the oracle computes.
+  def q27SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    t(s, dir, "lineitem")
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts)))
+      .groupBy("l_returnflag", "salt")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 4))).as("part_qty"),
+        count(lit(1)).as("part_n"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("part_qty")).cast("double").as("total_qty"),
+        sum(col("part_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q27Sql: String =
+    s"""SELECT l_returnflag, ${sqlDsum("l_quantity")} AS total_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -493,6 +519,7 @@ object Relational {
     "q19_cross_join" -> q19CrossJoin _,
     "q25_pivot" -> q25Pivot _,
     "q26_percentile" -> q26Percentile _,
+    "q27_salted_agg" -> q27SaltedAgg _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -517,5 +544,6 @@ object Relational {
     "q19_cross_join" -> q19Sql,
     "q25_pivot" -> q25Sql,
     "q26_percentile" -> q26Sql,
+    "q27_salted_agg" -> q27Sql,
   )
 }

@@ -11,6 +11,7 @@ object Profile {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.length > 2 && args(2) == "explain"
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       // expensive lambda exprs must not be re-inlined into scan filters

@@ -67,6 +67,18 @@ class ActuarialSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("term <= 0 policies are excluded, not a crash (reference panics)") {
+    import spark.implicits._
+    val p = Seq(
+      ("P-1", "t", 3650.0, 1.0),
+      ("P-2", "t", 0.0, 1.0), // reference: Exp::new panics
+      ("P-3", "t", -10.0, 1.0))
+      .toDF("id", "policy_type", "term", "premium")
+    val out = Actuarial.simulateReserves(p, nSims = 10, seed = 1L).collect()
+    assert(out.length == 1) // only the valid policy's group
+    assert(out(0).getDouble(1) >= 0.0)
+  }
+
   test("N < W leaves trailing workers empty (entrypoint.sh edge)") {
     val plan = Actuarial.partitionPlan(Seq("a", "b", "c"), 5)
     assert(plan.take(3).forall(_.length == 1) && plan.drop(3).forall(_.isEmpty))

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
