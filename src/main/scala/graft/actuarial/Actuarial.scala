@@ -252,6 +252,50 @@ object Actuarial {
        |GROUP BY o_orderpriority
        |ORDER BY policy_type""".stripMargin
 
+  /** The reference's gather-stage source (calculate_average_reserves.py:
+    * 28-34): read every `*.txt` object under a prefix, skip empty ones,
+    * parse each as one float. Non-txt and zero-byte files are filtered
+    * exactly as the Lambda does.
+    */
+  def readPartials(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("pathGlobFilter", "*.txt")
+      .text(dir)
+      .filter(length(trim(col("value"))) > 0)
+      .select(trim(col("value")).cast("double").as("partial"))
+
+  // ---- q28: scalar-text gather round-trip (reference entry point C) ------
+  // Per-group average reserves are written one-scalar-per-file (the
+  // worker's sink format, main.rs:81), decoy files are planted (zero-byte
+  // .txt, a non-txt file — both must be skipped, py:29-31), then the gather
+  // source reads the partials back and sums them. The oracle computes the
+  // same sum directly — equality proves sink, filters, and source.
+  def q28TextGather(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = policiesFromOrders(s, dir)
+      .groupBy("policy_type")
+      .agg((dsum6(expectedReservePerPolicy) / count(lit(1))).as("avg_reserves"))
+      .collect() // 1 row per group — the reference's file-per-partial layout
+    val out = java.nio.file.Files.createTempDirectory("graft_partials_")
+    perGroup.foreach { r =>
+      java.nio.file.Files.writeString(
+        out.resolve(s"${r.getString(0).replace(' ', '_')}.txt"),
+        r.getDouble(1).toString) // no newline, like main.rs:81
+    }
+    java.nio.file.Files.writeString(out.resolve("empty.txt"), "") // must be skipped
+    java.nio.file.Files.writeString(out.resolve("decoy.csv"), "999999") // must be skipped
+    readPartials(s, out.toString)
+      .agg(
+        dsum6(col("partial")).as("total_reserves"),
+        count(lit(1)).as("n_partials"))
+  }
+
+  val q28Sql: String =
+    s"""SELECT ${sqlDsum6("avg_reserves")} AS total_reserves, COUNT(*) AS n_partials
+       |FROM (
+       |  SELECT ${sqlDsum6("100.0 / (EXP(365.0 / (365.0 * (1.0 + (o_orderkey % 10)))) - 1.0)")} / COUNT(*) AS avg_reserves
+       |  FROM orders
+       |  GROUP BY o_orderpriority) g""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_expected_reserves" -> q20ExpectedReserves _,
@@ -259,6 +303,7 @@ object Actuarial {
     "q22_policy_claims_join" -> q22PolicyClaims _,
     "q23_gather_sum_of_avgs" -> q23GatherSumOfAvgs _,
     "q24_csv_roundtrip" -> q24CsvRoundtrip _,
+    "q28_text_gather" -> q28TextGather _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -266,5 +311,6 @@ object Actuarial {
     "q22_policy_claims_join" -> q22Sql,
     "q23_gather_sum_of_avgs" -> q23Sql,
     "q24_csv_roundtrip" -> q24Sql,
+    "q28_text_gather" -> q28Sql,
   )
 }

@@ -175,12 +175,15 @@ object Dedup {
       .filter(col("token").isNotNull)
     // 32 per-bit contributions as COLUMNS of the token row (not an
     // explode×32 row blowup): one shuffle of |tokens| rows with 32 ints,
-    // then the signature folds from the per-bit sums.
+    // then the signature folds from the per-bit sums. The token hash is
+    // computed ONCE into an attribute — referencing xxhash64(token) in all
+    // 32 contribution columns would inline and re-hash 32× per row.
+    val hashed = toksDf.withColumn("h", xxhash64(col("token")))
+      .select("doc_id", "h")
     val contribs = (0 until 32).map { b =>
-      sum(when(expr(s"(shiftright(xxhash64(token), $b) & 1) = 1"), 1).otherwise(-1))
-        .as(s"bit$b")
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"bit$b")
     }
-    val sig = toksDf
+    val sig = hashed
       .groupBy("doc_id")
       .agg(contribs.head, contribs.tail: _*)
       .select(col("doc_id"),

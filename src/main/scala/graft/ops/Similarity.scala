@@ -92,7 +92,10 @@ object Similarity {
     val nTables = 8
     val bitsPerTable = 12 // 4096 buckets/table keeps candidate pairs ≈ n²/2^bits
     val dim = 64 // embedding dimensionality of the testdata tables
+    // barrier: qv/qnorm become attributes, otherwise the quantization
+    // transform is re-inlined into every one of the 48 signature planes
     val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+      .repartition(col("vec_id"))
 
     // plane vectors are literal arrays (computed once on the driver), so the
     // per-row work is just nTables·bits dot products — not per-row hashing
