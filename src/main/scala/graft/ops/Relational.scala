@@ -470,6 +470,24 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q29: CUBE + grouping_id (full grouping-sets lattice) ---------------
+  def q29Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(asc("gid"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q29Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ---- q27: salted two-phase aggregation (skew-defense pattern) -----------
   // A hot grouping key at scale overloads one reducer; salting splits each
   // key across `nSalts` partial groups, aggregates, then combines. Partial
@@ -520,6 +538,7 @@ object Relational {
     "q25_pivot" -> q25Pivot _,
     "q26_percentile" -> q26Percentile _,
     "q27_salted_agg" -> q27SaltedAgg _,
+    "q29_cube" -> q29Cube _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -545,5 +564,6 @@ object Relational {
     "q25_pivot" -> q25Sql,
     "q26_percentile" -> q26Sql,
     "q27_salted_agg" -> q27Sql,
+    "q29_cube" -> q29Sql,
   )
 }

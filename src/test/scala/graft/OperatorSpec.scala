@@ -92,6 +92,16 @@ class OperatorSpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("approx_count_distinct (HLL) lands within 5% of exact") {
+    val row = Tables.t(spark, sf, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx"))
+      .first()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("multimodal decode stub covers every document batch-wise") {
     val n = ops.Multimodal.mediaRows(spark, sf).count()
     assert(n == Tables.t(spark, sf, "documents").count())
