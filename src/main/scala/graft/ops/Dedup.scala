@@ -145,11 +145,15 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard (n_doc carried with each row);
-    // the candidate pair list is small → broadcast the semi-join filter,
-    // corpus self-join stays shuffled
-    val common = sh.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
-      .join(sh.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b")), "shingle")
+    // verify candidates with exact Jaccard (n_doc carried with each row).
+    // Crucially the corpus is narrowed to candidate docs BEFORE the pair
+    // join: the verification cost scales with |candidates|, not corpus² —
+    // the property that makes LSH verification viable at 100 TB.
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id"))).distinct()
+    val shCand = sh.join(broadcast(candDocs), "doc_id")
+    val common = shCand.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
+      .join(shCand.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b")), "shingle")
       .join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
       .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
     common
