@@ -157,16 +157,83 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- q54: IVF coarse index — per-cell centroids (oracle-checked) --------
+  // The label column stands in for a k-means cell assignment; centroids are
+  // element-wise means of the quantized vectors. Integer sums are exact in
+  // any order, so the centroid table is engine-deterministic.
+  def q54IvfCentroids(s: SparkSession, dir: String): DataFrame =
+    quantized(t(s, dir, "embeddings"))
+      .repartition(col("vec_id")) // materialize qv before the explode
+      .select(col("label"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy("label", "pos")
+      .agg(
+        (sum(col("v")) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label", "pos")
+
+  val q54Sql: String =
+    """SELECT label, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS centroid,
+      |  COUNT(*) AS n_vectors
+      |FROM (SELECT label,
+      |        unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))) AS v,
+      |        generate_subscripts(embedding, 1) - 1 AS pos
+      |      FROM embeddings) u
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  // ---- q55: IVF ANN search (rows-only: full probe path) -------------------
+  // Route each query vector to its nearest centroid cell, then search only
+  // that cell — the coarse-quantization scale path: probe cost is
+  // |cells probed| · |cell|, not corpus size.
+  def q55IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+      .repartition(col("vec_id"))
+    // centroid arrays per cell (tiny: one row per label)
+    val centroids = q54IvfCentroids(s, dir)
+      .groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        e => e.getField("centroid")).as("cv"))
+      .withColumn("cnorm", dot(col("cv"), col("cv")))
+      .filter(col("cnorm") > 0)
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"), col("qnorm").as("qn_q"))
+    // route: nearest centroid per query (broadcast the handful of cells)
+    val wRoute = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("ccos"), asc("label"))
+    val routed = queries.join(broadcast(centroids))
+      .withColumn("ccos", dot(col("qv_q"), col("cv")) / sqrt(col("qn_q") * col("cnorm")))
+      .withColumn("rn", row_number().over(wRoute))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("qv_q"), col("qn_q"), col("label"))
+    // probe: exact cosine within the routed cell only
+    val cell = emb.select(col("vec_id").as("cand_id"), col("label"),
+      col("qv").as("qv_c"), col("qnorm").as("qn_c"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    routed.join(cell, Seq("label"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label"), col("cand_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id")
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
     "q51_ann_brute_force" -> q51AnnBruteForce _,
     "q52_ann_lsh" -> q52AnnLsh _,
     "q53_embed_dedup" -> q53EmbedDedup _,
+    "q54_ivf_centroids" -> q54IvfCentroids _,
+    "q55_ivf_ann" -> q55IvfAnn _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_embed_norm" -> q50Sql,
     "q51_ann_brute_force" -> q51Sql,
+    "q54_ivf_centroids" -> q54Sql,
   )
 }

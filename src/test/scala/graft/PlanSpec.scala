@@ -1,0 +1,56 @@
+package graft
+
+/** Plan-shape regression specs: the physical plans the engine is designed
+  * to produce (pushdown, broadcast dims, top-k without global sort, no
+  * accidental cartesian products) must not silently regress.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"), p.take(2000))
+  }
+
+  test("q2: all predicates pushed, projection pruned") {
+    val p = planOf("q2_filter_project")
+    // plan strings truncate long PushedFilters lists — check the data
+    // filters (same predicates, attribute-id suffixed) instead
+    assert(p.contains("> 0.05)") && p.contains("< 25.0)")
+      && p.contains("PushedFilters: [GreaterThanOrEqual(l_shipdate"), p.take(2000))
+    assert(!p.contains("l_partkey"), "scan must not read unprojected columns")
+  }
+
+  test("q3/q4: dimension sides are broadcast, top-k avoids a global sort") {
+    assert(planOf("q3_top_revenue").contains("TakeOrderedAndProject"))
+    assert(planOf("q4_region_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q12: global top-k is TakeOrderedAndProject") {
+    assert(planOf("q12_top_k").contains("TakeOrderedAndProject"))
+  }
+
+  test("no dedup/similarity query degenerates to a cartesian product") {
+    // q55 is excluded from the NLJ check: its query→centroid routing is an
+    // intentional broadcast cross against ~|cells| rows
+    Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
+      "q52_ann_lsh", "q53_embed_dedup").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+    assert(!planOf("q55_ivf_ann").contains("CartesianProduct"))
+  }
+
+  test("q41: the lambda-built shingle expression stays out of scan filters") {
+    val p = planOf("q41_ngram_jaccard")
+    val scanSection = p.split("Scan parquet").drop(1).mkString
+    assert(!p.contains("lambdafunction") ||
+      !p.split("\\+- (?:\\*\\(\\d+\\) )?Filter").exists(s =>
+        s.contains("lambdafunction") && s.contains("Scan parquet")),
+      "shingle lambda re-inlined below the exchange")
+    assert(scanSection.nonEmpty)
+  }
+}
