@@ -177,23 +177,13 @@ object Dedup {
       .repartition(col("doc_id")) // materialize before explode (see shingles)
       .select(col("doc_id"), explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
-    // 32 per-bit contributions as COLUMNS of the token row (not an
-    // explode×32 row blowup): one shuffle of |tokens| rows with 32 ints,
-    // then the signature folds from the per-bit sums. The token hash is
-    // computed ONCE into an attribute — referencing xxhash64(token) in all
-    // 32 contribution columns would inline and re-hash 32× per row.
-    val hashed = toksDf.withColumn("h", xxhash64(col("token")))
-      .select("doc_id", "h")
-    val contribs = (0 until 32).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"bit$b")
-    }
-    val sig = hashed
+    // one custom TypedImperativeAggregate holds all 32 signed bit counters
+    // in a fixed 128-byte buffer with partial/final merge — one shuffle of
+    // (doc_id, tokenHash) rows, no 32-column agg and no 32× row blowup
+    val sig = toksDf
+      .select(col("doc_id"), xxhash64(col("token")).as("h"))
       .groupBy("doc_id")
-      .agg(contribs.head, contribs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map { b =>
-          when(col(s"bit$b") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
     val bytes = (0 until 4).map { k =>
       sig.select(col("doc_id"), col("simhash"),
         lit(k).as("k"), expr(s"(shiftright(simhash, ${k * 8}) & 255)").as("byte"))

@@ -129,12 +129,60 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- q66: as-of join (composed from union + window) ---------------------
+  // For each event, the customer's most recent order at or before the
+  // event time. Spark lacks a native as-of join; rather than a custom
+  // SparkPlan, this composes built-ins (preference (a) of the build
+  // brief): tag both sides, union, and carry the last order attributes
+  // forward with an ignore-nulls window — one shuffle by key, no range
+  // explosion, scales as a plain keyed sort. Orders are deduped per
+  // (custkey, date) first so ties can't make the match nondeterministic.
+  // The DuckDB oracle is its native ASOF JOIN.
+  def q66AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val oTagged = o.select(
+      col("o_custkey").as("k"), col("o_orderdate").as("t"),
+      lit(0).as("src"), col("o_orderkey"), col("o_orderdate"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val e = Tables.events(s, dir)
+    val eTagged = e.select(
+      col("user_id").as("k"), col("ts").as("t"),
+      lit(1).as("src"), lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp_ntz").as("o_orderdate"),
+      col("event_id"), col("value"))
+    // at equal t the order sorts first (src 0 < 1) → "at or before" matches
+    val w = Window.partitionBy("k").orderBy("t", "src")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.union(eTagged)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("asof_orderkey"), col("asof_orderdate"),
+        datediff(col("t").cast("date"), col("asof_orderdate").cast("date")).as("days_since_order"))
+      .orderBy("event_id")
+  }
+
+  val q66Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+      |  CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS INT) AS days_since_order
+      |FROM events e
+      |ASOF JOIN o ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
     "q61_events_sliding" -> q61Sliding _,
     "q62_sessionize" -> q62Sessionize _,
     "q65_events_json" -> q65EventsJson _,
+    "q66_asof_join" -> q66AsofJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,5 +190,6 @@ object Events {
     "q61_events_sliding" -> q61Sql,
     "q62_sessionize" -> q62Sql,
     "q65_events_json" -> q65Sql,
+    "q66_asof_join" -> q66Sql,
   )
 }
