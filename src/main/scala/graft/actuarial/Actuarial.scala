@@ -252,6 +252,35 @@ object Actuarial {
        |GROUP BY o_orderpriority
        |ORDER BY policy_type""".stripMargin
 
+  /** Claims CSV scan — the dormant claims table (main.rs:27-32) as a real
+    * source, same FAILFAST positional contract as policies.
+    */
+  def readClaims(spark: SparkSession, path: String): Dataset[Claim] = {
+    import spark.implicits._
+    spark.read
+      .schema(StructType(Seq(
+        StructField("policy_id", StringType),
+        StructField("claim_amount", DoubleType),
+        StructField("claim_date", StringType))))
+      .option("header", "true").option("mode", "FAILFAST")
+      .csv(path).as[Claim]
+  }
+
+  /** The worker's idempotent partial sink (entrypoint.sh:24-28): write one
+    * scalar per name under `dir`, skipping names whose output already
+    * exists — a rerun never rewrites completed work units.
+    * Returns the names actually written.
+    */
+  def writePartials(partials: Seq[(String, Double)], dir: java.nio.file.Path): Seq[String] =
+    partials.flatMap { case (name, v) =>
+      val target = dir.resolve(s"$name.txt")
+      if (java.nio.file.Files.exists(target)) None // idempotent skip
+      else {
+        java.nio.file.Files.writeString(target, v.toString)
+        Some(name)
+      }
+    }
+
   /** The reference's gather-stage source (calculate_average_reserves.py:
     * 28-34): read every `*.txt` object under a prefix, skip empty ones,
     * parse each as one float. Non-txt and zero-byte files are filtered

@@ -53,10 +53,10 @@ object Similarity {
       .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("cand_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id")
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
   }
 
   val q51Sql: String =
@@ -68,11 +68,11 @@ object Similarity {
       |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
       |    list_dot_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm) AS cos
       |  FROM n a JOIN n b ON a.vec_id < 50 AND a.vec_id <> b.vec_id)
-      |SELECT query_id, cand_id AS neighbor_id, cos FROM (
+      |SELECT query_id, CAST(rn AS INT) AS rank, cand_id AS neighbor_id, cos FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
       |  FROM pairs) r
-      |WHERE rn = 1
-      |ORDER BY query_id""".stripMargin
+      |WHERE rn <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   // ---- q52: LSH-bucketed approximate top-1 (rows-only: scale path) --------
   // 8 tables × 6 random hyperplanes; hyperplane signs derived from seeded

@@ -32,6 +32,10 @@ object TextOps {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(length(regexp_replace(col("text"), "\\s+", "")).cast("double")
             / col("n_tokens")).as("avg_token_len"),
+        // BPE-ish pre-tokenizer count: letter runs / digit runs / single
+        // non-space symbols — the GPT-2-style split shape
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tokens_bpe"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
           .as("n_punct"),
         (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
@@ -46,6 +50,7 @@ object TextOps {
       |  CASE WHEN length(trim(text)) = 0 THEN 0.0
       |       ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
       |            / length(regexp_split_to_array(trim(text), '\s+')) END AS avg_token_len,
+      |  CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens_bpe,
       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits
       |FROM documents

@@ -67,6 +67,28 @@ class ActuarialSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("claims CSV scan parses the dormant reference schema (FIXTURES A.2)") {
+    val dir = Files.createTempDirectory("graft_claims_")
+    Files.writeString(dir.resolve("claims.csv"),
+      "policy_id,claim_amount,claim_date\nP-0001,120.50,2021-03-01\nP-0002,88.25,2021-04-02\n")
+    val rows = Actuarial.readClaims(spark, dir.toString).collect().sortBy(_.policy_id)
+    assert(rows.length == 2 && rows(0).claim_amount == 120.5
+      && rows(1).claim_date == "2021-04-02")
+  }
+
+  test("writePartials skips existing outputs (idempotent rerun, entrypoint.sh:24-28)") {
+    val dir = Files.createTempDirectory("graft_partials_idem_")
+    val first = Actuarial.writePartials(Seq("a" -> 1.5, "b" -> 2.5), dir)
+    assert(first == Seq("a", "b"))
+    Files.writeString(dir.resolve("a.txt"), "999.0") // simulate completed work
+    val rerun = Actuarial.writePartials(Seq("a" -> 1.5, "b" -> 2.5, "c" -> 3.5), dir)
+    assert(rerun == Seq("c"), "existing outputs must be skipped, new ones written")
+    assert(Files.readString(dir.resolve("a.txt")) == "999.0", "skip must not rewrite")
+    val total = Actuarial.readPartials(spark, dir.toString)
+      .agg(org.apache.spark.sql.functions.sum("partial")).first().getDouble(0)
+    assert(total == 999.0 + 2.5 + 3.5)
+  }
+
   test("term <= 0 policies are excluded, not a crash (reference panics)") {
     import spark.implicits._
     val p = Seq(

@@ -66,13 +66,19 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
   }
 
-  test("brute-force ANN returns one best neighbor per query vector") {
-    val df = ops.Similarity.q51AnnBruteForce(spark, sf)
-    val rows = df.collect()
-    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  test("brute-force ANN returns ranked top-k neighbors per query vector") {
+    val rows = ops.Similarity.q51AnnBruteForce(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { g =>
+      assert(g.length <= 5)
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to g.length), "ranks 1..k")
+      // cos non-increasing with rank
+      val sorted = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
     rows.foreach { r =>
-      assert(r.getLong(0) != r.getLong(1), "self-match excluded")
-      val cos = r.getDouble(2)
+      assert(r.getLong(0) != r.getLong(2), "self-match excluded")
+      val cos = r.getDouble(3)
       assert(cos >= -1.0001 && cos <= 1.0001)
     }
   }
