@@ -176,6 +176,42 @@ object Events {
       |ASOF JOIN o ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // ---- q67: range/interval join -------------------------------------------
+  // Events within 3 days after each of the customer's first 3 orders —
+  // an equi-join on the key FIRST (bounding the pair count), then the
+  // range predicate; never a pure range cross-product. The 2024-vs-2001
+  // testdata time ranges would make the natural version empty, so event
+  // times are projected onto the order-date era deterministically.
+  def q67RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables.t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        // deterministic projection into 1995–2001: day index from event id
+        (lit("1995-01-01").cast("timestamp_ntz")
+          + make_dt_interval(pmod(col("event_id"), lit(2400)).cast("int"))).as("ts2"))
+    e.join(o, col("user_id") === col("o_custkey")
+        && col("ts2") >= col("o_orderdate")
+        && col("ts2") < col("o_orderdate") + expr("INTERVAL 3 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_events"), min(col("ts2")).as("first_event"))
+      .orderBy("o_orderkey")
+  }
+
+  val q67Sql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_events, MIN(ts2) AS first_event
+      |FROM (
+      |  SELECT event_id, user_id,
+      |    TIMESTAMP '1995-01-01 00:00:00' + INTERVAL (event_id % 2400) DAY AS ts2
+      |  FROM events) e
+      |JOIN (SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderkey % 10 = 0) o
+      |  ON e.user_id = o.o_custkey
+      | AND e.ts2 >= o.o_orderdate
+      | AND e.ts2 < o.o_orderdate + INTERVAL 3 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
@@ -183,6 +219,7 @@ object Events {
     "q62_sessionize" -> q62Sessionize _,
     "q65_events_json" -> q65EventsJson _,
     "q66_asof_join" -> q66AsofJoin _,
+    "q67_range_join" -> q67RangeJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -191,5 +228,6 @@ object Events {
     "q62_sessionize" -> q62Sql,
     "q65_events_json" -> q65Sql,
     "q66_asof_join" -> q66Sql,
+    "q67_range_join" -> q67Sql,
   )
 }
