@@ -27,6 +27,13 @@ case class Policy(
   */
 case class Claim(policy_id: String, claim_amount: Double, claim_date: String)
 
+/** Derived policy view row (the testdata-backed policy shape). */
+case class PolicyLite(id: String, policy_type: String, term: Double, premium: Double)
+
+/** Per-type stats produced by the typed mapGroups path. */
+case class PolicyTypeStats(
+    policy_type: String, n: Long, min_term: Double, max_term: Double, avg_term: Double)
+
 /** Actuarial reserve estimation — the reference's whole computation
   * (SURVEY.md §0, §2.4) re-expressed as declarative Spark plans.
   *
@@ -325,6 +332,41 @@ object Actuarial {
        |  FROM orders
        |  GROUP BY o_orderpriority) g""".stripMargin
 
+  // ---- q69: the typed Dataset surface (groupByKey + mapGroups) ------------
+  // Compile-time-checked row types and an imperative per-group kernel —
+  // the KeyValueGroupedDataset API. Term days are whole numbers, so the
+  // Long accumulation is exact in any iteration order and the result stays
+  // oracle-deterministic despite the imperative fold.
+  def q69TypedGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    policiesFromOrders(s, dir).as[PolicyLite]
+      .groupByKey(_.policy_type)
+      .mapGroups { (k, it) =>
+        var n = 0L
+        var mn = Double.MaxValue
+        var mx = Double.MinValue
+        var sumDays = 0L
+        it.foreach { p =>
+          n += 1
+          mn = math.min(mn, p.term)
+          mx = math.max(mx, p.term)
+          sumDays += p.term.toLong
+        }
+        PolicyTypeStats(k, n, mn, mx, sumDays.toDouble / n)
+      }
+      .toDF()
+      .orderBy("policy_type")
+  }
+
+  val q69Sql: String =
+    """SELECT o_orderpriority AS policy_type, COUNT(*) AS n,
+      |  MIN(365.0 * (1.0 + (o_orderkey % 10))) AS min_term,
+      |  MAX(365.0 * (1.0 + (o_orderkey % 10))) AS max_term,
+      |  CAST(SUM(CAST(365.0 * (1.0 + (o_orderkey % 10)) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_term
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY policy_type""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_expected_reserves" -> q20ExpectedReserves _,
@@ -333,6 +375,7 @@ object Actuarial {
     "q23_gather_sum_of_avgs" -> q23GatherSumOfAvgs _,
     "q24_csv_roundtrip" -> q24CsvRoundtrip _,
     "q28_text_gather" -> q28TextGather _,
+    "q69_typed_groups" -> q69TypedGroups _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -341,5 +384,6 @@ object Actuarial {
     "q23_gather_sum_of_avgs" -> q23Sql,
     "q24_csv_roundtrip" -> q24Sql,
     "q28_text_gather" -> q28Sql,
+    "q69_typed_groups" -> q69Sql,
   )
 }

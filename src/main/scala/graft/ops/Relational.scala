@@ -514,6 +514,26 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q68: the SQL text surface (spark.sql over temp views) --------------
+  // IN-subquery (→ semi join) + scalar subquery + join + agg, written as
+  // SQL and executed by the same Catalyst pipeline; the oracle is the
+  // identical statement, so this checks the SQL front-end end-to-end.
+  def q68SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q68Sql)
+  }
+
+  val q68Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |  AND o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -539,6 +559,7 @@ object Relational {
     "q26_percentile" -> q26Percentile _,
     "q27_salted_agg" -> q27SaltedAgg _,
     "q29_cube" -> q29Cube _,
+    "q68_sql_surface" -> q68SqlSurface _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -565,5 +586,6 @@ object Relational {
     "q26_percentile" -> q26Sql,
     "q27_salted_agg" -> q27Sql,
     "q29_cube" -> q29Sql,
+    "q68_sql_surface" -> q68Sql,
   )
 }
