@@ -131,15 +131,19 @@ object Dedup {
     val nPerm = 16
     val rowsPerBand = 4
     val sh = shingles(t(s, dir, "documents"))
-    val minhashes =
-      (0 until nPerm).map(j => min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    val mh = sh.groupBy("doc_id").agg(minhashes.head, minhashes.tail: _*)
-    val bands = (0 until nPerm / rowsPerBand).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => col(s"h${bnd * rowsPerBand + r}"))
-      mh.select(col("doc_id"),
-        lit(bnd).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ union _)
+    // one custom MinHashAgg buffer holds all 16 permutation minima
+    // (vs. 16 separate min(hash_j) aggregate columns)
+    val mh = sh
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashAgg.minhash_agg(col("h"), nPerm).as("sig"))
+    // all bands in one pass (posexplode), not a 4-way union re-running the agg
+    val bucketCols = (0 until nPerm / rowsPerBand).map { bnd =>
+      xxhash64((0 until rowsPerBand)
+        .map(r => element_at(col("sig"), bnd * rowsPerBand + r + 1)): _*)
+    }
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bucketCols: _*)).as(Seq("band", "bucket")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))

@@ -97,25 +97,16 @@ object Similarity {
     val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
       .repartition(col("vec_id"))
 
-    // plane vectors are literal arrays (computed once on the driver), so the
-    // per-row work is just nTables·bits dot products — not per-row hashing
-    def signature(table: Int): Column = {
-      val bits = (0 until bitsPerTable).map { p =>
-        val plane = typedLit((0 until dim).map(i => planeSign(table, p, i)))
-        val proj = aggregate(zip_with(col("qv"), plane, (x, h) => x * h), lit(0.0), (a, x) => a + x)
-        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }
-
-    // all tables' signatures in ONE scan, then 1→nTables generator; buckets
-    // carry only ids — vectors are joined back just once per deduped pair
-    val withSigs = emb.select(
-      col("vec_id") +:
-        (0 until nTables).map(tb => signature(tb).as(s"sig$tb")): _*)
-      .repartition(col("vec_id")) // materialize lambda-built sigs pre-explode
+    // all 48 hyperplane projections fused into ONE custom expression (one
+    // generated loop nest, one pass over qv); planes are deterministic
+    // driver-side constants shipped as a codegen reference object
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, bitsPerTable, dim)((tb, p, i) => planeSign(tb, p, i))
+    val withSigs = emb.select(col("vec_id"),
+      graft.functions.HyperplaneSignatures.hyperplane_signatures(col("qv"), planes).as("sigs"))
+      .repartition(col("vec_id")) // materialize signatures pre-explode
     val buckets = withSigs.select(col("vec_id"),
-      posexplode_outer(array((0 until nTables).map(tb => col(s"sig$tb")): _*)).as(Seq("tbl", "sig")))
+      posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
       .filter(col("sig").isNotNull)
 
     val cand = buckets.as("x").join(buckets.as("y"),
