@@ -81,17 +81,17 @@ object Dedup {
   // division, hence bitwise cross-engine deterministic.
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents"))
-    // stop-shingle pruning: drop shingles appearing in >100 docs. NOTE:
+    // stop-shingle pruning: drop shingles appearing in >100 docs, computed
+    // as a COUNT window over the shingle partitioning rather than a
+    // groupBy + join — the filter, and then the self-join below, all run
+    // on one exchange + one sort, reused across both join sides. NOTE:
     // n_doc (jaccard denominator) stays the UNPRUNED per-doc size, so
     // pruning only trims the candidate join, never the metric itself for
     // pairs whose overlap survives.
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("shingle")
-    // rare is a genuine small dim (distinct shingle strings) → broadcast;
-    // the corpus self-join must NEVER broadcast (parquet-size estimates lie
-    // after an explode) → force a shuffled hash join, which also lets the
-    // identical build/probe subplans reuse one exchange.
-    val shf = sh.join(broadcast(rare), "shingle")
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val shf = sh
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= 100)
     val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
     val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
     a.join(b, "shingle")
