@@ -332,6 +332,46 @@ object Actuarial {
        |  FROM orders
        |  GROUP BY o_orderpriority) g""".stripMargin
 
+  /** Expected reserves as a user-facing typed Aggregator (§2.8's
+    * `Aggregator[IN, BUF, OUT]` surface). The buffer is exact micro-units
+    * (each per-policy value rounded to 6 decimals via the same BigDecimal
+    * path Spark's round() uses, then summed as Long), so the result is
+    * merge-order-independent and equals the SQL `dsum6` oracle bitwise.
+    */
+  object ExpectedReservesAgg
+      extends org.apache.spark.sql.expressions.Aggregator[PolicyLite, Long, Double] {
+    override def zero: Long = 0L
+    override def reduce(micros: Long, p: PolicyLite): Long = {
+      val expected = 100.0 / (math.exp(365.0 / p.term) - 1.0)
+      micros + java.math.BigDecimal.valueOf(expected)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    }
+    override def merge(a: Long, b: Long): Long = a + b
+    override def finish(micros: Long): Double = micros.toDouble / 1e6
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  // ---- q35: typed Aggregator over a KeyValueGroupedDataset ----------------
+  def q35TypedAggregator(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    policiesFromOrders(s, dir).as[PolicyLite]
+      .groupByKey(_.policy_type)
+      .agg(ExpectedReservesAgg.toColumn.name("expected_reserves"))
+      .toDF("policy_type", "expected_reserves")
+      .orderBy("policy_type")
+  }
+
+  val q35Sql: String =
+    s"""SELECT o_orderpriority AS policy_type,
+       |  ${sqlDsum6("100.0 / (EXP(365.0 / (365.0 * (1.0 + (o_orderkey % 10)))) - 1.0)")} AS expected_reserves
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY policy_type""".stripMargin
+
   // ---- q69: the typed Dataset surface (groupByKey + mapGroups) ------------
   // Compile-time-checked row types and an imperative per-group kernel —
   // the KeyValueGroupedDataset API. Term days are whole numbers, so the
@@ -375,6 +415,7 @@ object Actuarial {
     "q23_gather_sum_of_avgs" -> q23GatherSumOfAvgs _,
     "q24_csv_roundtrip" -> q24CsvRoundtrip _,
     "q28_text_gather" -> q28TextGather _,
+    "q35_typed_aggregator" -> q35TypedAggregator _,
     "q69_typed_groups" -> q69TypedGroups _,
   )
 
@@ -384,6 +425,7 @@ object Actuarial {
     "q23_gather_sum_of_avgs" -> q23Sql,
     "q24_csv_roundtrip" -> q24Sql,
     "q28_text_gather" -> q28Sql,
+    "q35_typed_aggregator" -> q35Sql,
     "q69_typed_groups" -> q69Sql,
   )
 }
