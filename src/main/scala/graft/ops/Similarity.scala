@@ -128,20 +128,32 @@ object Similarity {
       .orderBy("query_id")
   }
 
-  // ---- q53: embedding near-dup clusters (rows-only) -----------------------
-  // Candidate pairs from the LSH tables, kept when cosine ≥ 0.45; each doc
-  // reports its minimum-id cluster representative (exact dedup-by-embedding
-  // would union-find; min-id over direct pairs is the one-pass variant).
+  // ---- q53: embedding near-dup pairs (rows-only) --------------------------
+  // True LSH blocking: candidate pairs share a hyperplane-signature bucket
+  // in ≥1 of 8 tables (coarser 4-bit signatures than q52's 12-bit routing —
+  // dedup wants recall), then exact quantized cosine keeps pairs ≥ 0.45.
+  // Exact dedup-by-embedding would union-find the surviving pairs; the
+  // canonical (id_a < id_b) pair list is the one-pass variant.
   def q53EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val nTables = 8
+    val bitsPerTable = 4
+    val dim = 64
     val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
+      .repartition(col("vec_id"))
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(nTables, bitsPerTable, dim)((tb, p, i) => planeSign(1000 + tb, p, i))
+    val buckets = emb.select(col("vec_id"),
+        graft.functions.HyperplaneSignatures.hyperplane_signatures(col("qv"), planes).as("sigs"))
+      .select(col("vec_id"), posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
+      .filter(col("sig").isNotNull)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
     val a = emb.select(col("vec_id").as("id_a"), col("qv").as("qv_a"), col("qnorm").as("qn_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("qv").as("qv_b"), col("qnorm").as("qn_b"))
-    // corpus is small relative to its 64-dim space; block on label to bound
-    // the pair count (stand-in for the LSH blocking above)
-    val lbl = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
-    a.join(lbl.withColumnRenamed("vec_id", "id_a"), "id_a")
-      .join(b.join(lbl.withColumnRenamed("vec_id", "id_b").withColumnRenamed("label", "label_b"), "id_b"),
-        col("label") === col("label_b") && col("id_a") < col("id_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .withColumn("cos", dot(col("qv_a"), col("qv_b")) / sqrt(col("qn_a") * col("qn_b")))
       .filter(col("cos") >= 0.45)
       .select(col("id_a"), col("id_b"), col("cos"))
