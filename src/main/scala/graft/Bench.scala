@@ -26,15 +26,35 @@ object Bench {
     import org.apache.spark.sql.functions.broadcast
     val wr = spark.range(1000)
     wr.join(broadcast(spark.range(100)), "id").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (time, Option[error]) per query — a failing query must NOT read as a
+    // fast success: it is reported as -1 in `queries` and named in `failures`.
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) secs else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fails = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.count(_._3.nonEmpty)},"failures":$fails,"sf":"$sfDir"}"""
+    // stdout line (raw — build.sbt pins run/outputStrategy to StdoutOutput
+    // so no sbt log prefix corrupts it) + a file copy the driver can read
+    // regardless of log formatting.
+    println(json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
+    }
     spark.stop()
   }
 }

@@ -9,14 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** 32-bit SimHash signature as a single custom aggregate — the
+/** 64-bit SimHash signature as a single custom aggregate — the
   * `TypedImperativeAggregate` (mutable-buffer UDAF) surface.
   *
-  * Input: a 64-bit token hash per row. Buffer: 32 signed bit counters
+  * Input: a 64-bit token hash per row. Buffer: 64 signed bit counters
   * (+1 when the token hash has bit b set, −1 otherwise). Final value: the
   * signature long whose bit b is set iff counter b ≥ 0 — identical to the
-  * 32-column `sum(when(...))` formulation it replaces, but one aggregate
-  * with one fixed 128-byte buffer, partial/final merged by vector add.
+  * 64-column `sum(when(...))` formulation it replaces, but one aggregate
+  * with one fixed 256-byte buffer, partial/final merged by vector add.
+  * 64 bits (vs 32) keeps per-band bucket counts growing with corpus size:
+  * 16-bit bands give 65k buckets/band, so candidate pairs stay ≈ n²/65k
+  * per band instead of saturating at 256 buckets.
   */
 case class SimHashAgg(
     child: Expression,
@@ -24,7 +27,7 @@ case class SimHashAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Int]] {
 
-  private val nBits = 32
+  private val nBits = 64
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

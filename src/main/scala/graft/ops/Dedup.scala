@@ -81,17 +81,21 @@ object Dedup {
   // division, hence bitwise cross-engine deterministic.
   def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents"))
-    // stop-shingle pruning: drop shingles appearing in >100 docs, computed
-    // as a COUNT window over the shingle partitioning rather than a
-    // groupBy + join — the filter, and then the self-join below, all run
-    // on one exchange + one sort, reused across both join sides. NOTE:
-    // n_doc (jaccard denominator) stays the UNPRUNED per-doc size, so
-    // pruning only trims the candidate join, never the metric itself for
-    // pairs whose overlap survives.
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val shf = sh
-      .withColumn("df", count(lit(1)).over(byShingle))
-      .filter(col("df") <= 100)
+    // Stop-shingle pruning: drop shingles appearing in >100 docs. Document
+    // frequency comes from a groupBy — partial (map-side) aggregation
+    // collapses a hot shingle to one row per task BEFORE the shuffle, so a
+    // shingle in half the corpus never lands on a single reducer. Only the
+    // HOT list (df > 100 — small by construction: ≤ |corpus shingles|/100
+    // distinct values) survives, gets broadcast, and is anti-joined away.
+    // A COUNT window over partitionBy(shingle) would instead ship every
+    // occurrence of the hottest key to one task — the exact skew this
+    // filter exists to defend against. NOTE: n_doc (jaccard denominator)
+    // stays the UNPRUNED per-doc size, so pruning only trims the candidate
+    // join, never the metric itself for pairs whose overlap survives.
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100)
+      .select("shingle")
+    val shf = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
     val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
     a.join(b, "shingle")
@@ -153,12 +157,17 @@ object Dedup {
     // Crucially the corpus is narrowed to candidate docs BEFORE the pair
     // join: the verification cost scales with |candidates|, not corpus² —
     // the property that makes LSH verification viable at 100 TB.
+    // No broadcast() hints here: candDocs/cand GROW WITH THE CORPUS, and a
+    // forced broadcast both OOMs at scale and removes AQE's ability to fall
+    // back to a shuffle join. AQE still broadcasts them at small sf when the
+    // runtime size estimate clears the threshold — the semi-joins are
+    // correct either way.
     val candDocs = cand.select(col("id_a").as("doc_id"))
       .union(cand.select(col("id_b").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), "doc_id")
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val common = shCand.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
       .join(shCand.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b")), "shingle")
-      .join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
       .groupBy("id_a", "id_b", "n_a", "n_b").agg(count(lit(1)).as("n_common"))
     common
       .withColumn("jaccard",
@@ -169,37 +178,43 @@ object Dedup {
   }
 
   // ---- q43: SimHash near-dup pairs (rows-only: Spark hash fns) ------------
-  // 32-bit signature: bit b is the sign of Σ_tokens ±1 (per token-hash bit
-  // b); candidates share ≥1 of 4 signature bytes (pigeonhole guarantees
-  // recall for hamming ≤ 3), verified by exact hamming distance ≤ 1 (tight
-  // for a 32-bit signature over a small shared vocabulary).
+  // 64-bit signature over word-3-gram SHINGLES (not tokens: every doc in a
+  // shared vocabulary has a similar token distribution, so token-level
+  // simhash barely separates near-dups from background — shingle sets are
+  // discriminative). Bit b of the signature is the sign of Σ_shingles ±1
+  // (per shingle-hash bit b).
+  //
+  // Candidate blocking is the Manku block-combination scheme: the 64 bits
+  // split into 8 blocks of 8; each of the C(8,2)=28 block PAIRS is a
+  // 16-bit bucket key (65k buckets — bucket count grows with key width,
+  // never saturating the way a single 8-bit band's 256 buckets would).
+  // A pair within hamming ≤ 6 has ≥2 clean blocks, hence shares ≥1 of the
+  // 28 keys — guaranteed recall; ham 7-10 needs its dirty bits to hit ≥7
+  // distinct blocks to escape (P < 0.02 per extra bit pattern). Survivors
+  // are verified by exact hamming ≤ 10 — selective because unrelated docs
+  // share ~no shingles, so their signatures sit at the ham≈32 mode.
+  // All 28 keys come from ONE posexplode pass over the signature relation.
   def q43Simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val toksDf = docs
-      .filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), array_distinct(split(trim(lower(col("text"))), "\\s+")).as("toks"))
-      .repartition(col("doc_id")) // materialize before explode (see shingles)
-      .select(col("doc_id"), explode_outer(col("toks")).as("token"))
-      .filter(col("token").isNotNull)
-    // one custom TypedImperativeAggregate holds all 32 signed bit counters
-    // in a fixed 128-byte buffer with partial/final merge — one shuffle of
-    // (doc_id, tokenHash) rows, no 32-column agg and no 32× row blowup
-    val sig = toksDf
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
+    val sh = shingles(t(s, dir, "documents"))
+    // one custom TypedImperativeAggregate holds all 64 signed bit counters
+    // in a fixed 256-byte buffer with partial/final merge — one shuffle of
+    // (doc_id, shingleHash) rows, no 64-column agg and no 64× row blowup
+    val sig = sh
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy("doc_id")
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
-    val bytes = (0 until 4).map { k =>
-      sig.select(col("doc_id"), col("simhash"),
-        lit(k).as("k"), expr(s"(shiftright(simhash, ${k * 8}) & 255)").as("byte"))
-    }.reduce(_ union _)
-    bytes.as("x").join(bytes.as("y"),
-        col("x.k") === col("y.k") && col("x.byte") === col("y.byte")
+    val keyCols = (for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+      expr(s"(((shiftright(simhash, ${i * 8}) & 255) * 256) + (shiftright(simhash, ${j * 8}) & 255))")).toSeq
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(keyCols: _*)).as(Seq("k", "band")))
+    bands.as("x").join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.band") === col("y.band")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
-      .filter(col("hamming") <= 1)
+      .filter(col("hamming") <= 10)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }

@@ -66,6 +66,19 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("simhash candidates recover the high-jaccard exact pairs") {
+    val exact = ops.Dedup.q41NgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = ops.Dedup.q43Simhash(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.intersect(sh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
   test("brute-force ANN returns ranked top-k neighbors per query vector") {
     val rows = ops.Similarity.q51AnnBruteForce(spark, sf).collect()
     val byQuery = rows.groupBy(_.getLong(0))

@@ -44,6 +44,27 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q55_ivf_ann").contains("CartesianProduct"))
   }
 
+  test("q41: stop-shingle df is a partial-agg groupBy, not a window") {
+    // A COUNT window over partitionBy(shingle) ships every occurrence of a
+    // hot shingle to one task before the df filter can drop it — the exact
+    // skew the filter defends against. The de-skewed plan computes df with
+    // a (map-side partial) HashAggregate and anti-joins the tiny hot list.
+    val p = planOf("q41_ngram_jaccard")
+    assert(!p.contains("Window"), "df must not be computed as a window")
+    assert(p.contains("HashAggregate"), "df needs a partial hash aggregate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot stop-shingles must be broadcast-anti-joined away")
+  }
+
+  test("q42: no corpus-derived relation is forced broadcast") {
+    // candDocs/cand grow with the corpus; an explicit broadcast() hint
+    // would OOM at scale and blocks AQE's shuffle-join fallback. (AQE may
+    // still choose a broadcast at runtime from actual sizes — that's fine
+    // and invisible in this pre-execution plan string.)
+    val p = planOf("q42_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
