@@ -96,6 +96,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recovers the exact top-1 neighbor for most queries") {
+    val exact = ops.Similarity.q51AnnBruteForce(spark, sf)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ivf = ops.Similarity.q55IvfAnn(spark, sf)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    val recall = if (exact.isEmpty) 1.0 else hits.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF top-1 recall $recall over ${exact.size} queries")
+  }
+
   test("sessionize: session counts per user sum to user event counts") {
     val sess = ops.Events.q62Sessionize(spark, sf)
     val total = sess.agg(sum("n_events")).first().getLong(0)
