@@ -109,15 +109,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val q41Sql: String =
-    s"""WITH sh AS ($shinglesSql),
+  /** Shared CTE chain producing the deterministic jaccard pair list —
+    * reused by the q41 oracle and (as the edge list) by the q44 cluster
+    * oracle.
+    */
+  private val pairBaseCtes: String =
+    s"""sh AS ($shinglesSql),
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
        |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
        |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val q41Sql: String =
+    s"""WITH $pairBaseCtes
        |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
        |FROM pairs
@@ -125,6 +132,39 @@ object Dedup {
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q44: dedup cluster formation (connected components) ----------------
+  // Near-dup PAIRS (q41) become per-document cluster assignments: connected
+  // components over the pair list, keep-id = the component's minimum
+  // doc_id. The component computation is the alternating large-star/
+  // small-star contraction (Graph.connectedComponents) — O(log n) rounds
+  // of shuffle-on-key aggregation, no driver-side union-find.
+  def q44DedupClusters(s: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+        q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
+      .select(col("u").as("doc_id"), col("root").as("keep_id"))
+      .orderBy("doc_id")
+
+  /** Oracle twin: transitive closure by recursive CTE over the same
+    * deterministic pair list, min reachable id per node.
+    */
+  val q44Sql: String =
+    s"""WITH RECURSIVE $pairBaseCtes,
+       |jp AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM jp
+       |  UNION SELECT id_b, id_a FROM jp),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+       |SELECT u AS doc_id, MIN(r) AS keep_id FROM reach
+       |GROUP BY u
+       |ORDER BY doc_id""".stripMargin
 
   // ---- q42: MinHash + LSH near-dup pairs (rows-only: Spark hash fns) ------
   // 16 permutations approximated by seeded xxhash64; 4 bands × 4 rows.
@@ -225,10 +265,12 @@ object Dedup {
     "q41_ngram_jaccard" -> q41NgramJaccard _,
     "q42_minhash_lsh" -> q42MinhashLsh _,
     "q43_simhash" -> q43Simhash _,
+    "q44_dedup_clusters" -> q44DedupClusters _,
   )
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
     "q41_ngram_jaccard" -> q41Sql,
+    "q44_dedup_clusters" -> q44Sql,
   )
 }

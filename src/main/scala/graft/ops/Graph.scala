@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators as DataFrame programs.
+  *
+  * Connected components uses the alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14): every round is two shuffle-on-key aggregations, the
+  * edge set only shrinks toward per-component stars, and convergence takes
+  * O(log n) rounds even on pathological chains — the property that makes
+  * it the 100 TB choice over naive min-label propagation (O(diameter)
+  * rounds) or anything driver-side.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list (cols `u`, `v`, any
+    * integral type). Returns one row per distinct vertex: (u, root) where
+    * root is the component's minimum vertex id — deterministic, so the
+    * result is oracle-checkable against a transitive-closure twin.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+
+    // large-star: for each u, m = min(Γ(u) ∪ {u}); connect every LARGER
+    // neighbor to m. Operates on both edge directions.
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = b.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      b.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: orient every edge (larger → smaller); for each u,
+    // m = min of its smaller neighbors; connect u and all its smaller
+    // neighbors to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val d = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = d.groupBy("u").agg(min(col("v")).as("m"))
+      d.join(m, "u")
+        .select(col("v").as("x"), col("m"))
+        .union(m.select(col("u").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    var e = edges.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).persist()
+      // fixpoint test on canonicalized sets (both sides are (larger,
+      // smaller)-oriented and distinct): set equality ⇔ same count AND
+      // empty difference — two cheap actions per round on a shrinking set
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    // converged edge set is a star forest: (member, root) with root = the
+    // component min; roots map to themselves
+    e.select(col("u"), col("v").as("root"))
+      .union(e.select(col("v").as("u"), col("v").as("root")))
+      .distinct()
+  }
+}

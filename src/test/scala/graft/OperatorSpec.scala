@@ -66,6 +66,27 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
   }
 
+  test("dedup clusters match a driver-side union-find of the pair list") {
+    val pairs = ops.Dedup.q41NgramJaccard(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "expected planted near-dup pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = ops.Dedup.q44DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"clusters differ: ${got.size} vs ${expected.size} nodes")
+  }
+
   test("simhash candidates recover the high-jaccard exact pairs") {
     val exact = ops.Dedup.q41NgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
