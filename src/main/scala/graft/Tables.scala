@@ -19,10 +19,13 @@ object Tables {
     * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor to
     * microseconds as TIMESTAMP_NTZ — identical to DuckDB's ns→µs cast, so
     * oracle comparisons line up.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at construction in Verify/Bench/tests). Deliberately NOT set
+    * here: mutating session conf as a read side effect leaks the legacy
+    * behavior into every later parquet read in the session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-  }
 }

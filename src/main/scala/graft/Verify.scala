@@ -13,6 +13,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // expensive lambda exprs must not be re-inlined into scan filters
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

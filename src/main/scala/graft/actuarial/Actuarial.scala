@@ -178,6 +178,30 @@ object Actuarial {
       .orderBy("policy_type")
   }
 
+  /** The reference's own workload size (main.rs:10): NUM_SIMULATIONS =
+    * 10_000 trials per policy.
+    */
+  val referenceNumSimulations: Int = 10000
+
+  // ---- q36: Monte Carlo at the REFERENCE trial count (rows-only) ----------
+  // Identical pipeline to q21 but at the reference's 10,000 trials — the
+  // configuration the original system actually ran. The trials dimension
+  // is a narrow explode(sequence) generator, so 50× more trials is 50×
+  // more codegen'd rows through the same partial/final agg: no new
+  // shuffle, no driver involvement, which is why the reference scale is
+  // just a parameter here and not a different plan.
+  def q36McReferenceScale(s: SparkSession, dir: String): DataFrame = {
+    val p = policiesFromOrders(s, dir)
+    val mc = simulateReserves(p, nSims = referenceNumSimulations, seed = 42L)
+    val ex = p.groupBy("policy_type")
+      .agg(sum(expectedReservePerPolicy).as("expected_reserves"))
+    mc.join(ex, "policy_type")
+      .select(col("policy_type"), col("mc_reserves"), col("expected_reserves"),
+        (abs(col("mc_reserves") - col("expected_reserves")) / col("expected_reserves"))
+          .as("rel_err"))
+      .orderBy("policy_type")
+  }
+
   // ---- q22: policies ⋈ claims (the resurrected dead hash join) ------------
   // The reference built a HashMap build side and never probed it
   // (main.rs:56-59); here it is the real thing — policies are the small
@@ -241,7 +265,7 @@ object Actuarial {
       col("o_orderdate").cast("date").cast("string").as("effective_date"),
       (lit(365.0) * (lit(1.0) + (col("o_orderkey") % 10).cast("double"))).as("term"),
       col("o_totalprice").as("premium"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_policies_rt_").toString
+    val tmp = graft.TempDirs.staged(s"csv_roundtrip:$dir")().toString
     full.write.mode("overwrite").option("header", "true").csv(tmp)
     readPolicies(s, tmp).groupBy("policy_type")
       .agg(
@@ -311,7 +335,9 @@ object Actuarial {
       .groupBy("policy_type")
       .agg((dsum6(expectedReservePerPolicy) / count(lit(1))).as("avg_reserves"))
       .collect() // 1 row per group — the reference's file-per-partial layout
-    val out = java.nio.file.Files.createTempDirectory("graft_partials_")
+    // one staged dir per sf dir per JVM; partial writes below overwrite,
+    // so reruns are self-consistent and nothing accumulates
+    val out = graft.TempDirs.staged(s"text_gather:$dir")()
     perGroup.foreach { r =>
       java.nio.file.Files.writeString(
         out.resolve(s"${r.getString(0).replace(' ', '_')}.txt"),
@@ -416,6 +442,7 @@ object Actuarial {
     "q24_csv_roundtrip" -> q24CsvRoundtrip _,
     "q28_text_gather" -> q28TextGather _,
     "q35_typed_aggregator" -> q35TypedAggregator _,
+    "q36_mc_reference_scale" -> q36McReferenceScale _,
     "q69_typed_groups" -> q69TypedGroups _,
   )
 

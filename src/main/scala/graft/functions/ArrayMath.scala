@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, registerFunction}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, registerFunction, AbstractDataType}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native dot product over two `array<double>` columns.
@@ -17,26 +17,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * scalar from the build brief: a Catalyst `Expression` with `doGenCode`,
   * not a UDF.
   *
-  * Null semantics: null if either array is null; null array *elements*
-  * contribute 0 (matches `zip_with` multiply-by-null → null dropped by our
-  * callers' non-null quantized inputs; documented rather than load-bearing).
-  * Arrays of different lengths dot over the common prefix.
+  * Null semantics MATCH the built-in composition exactly — this is what
+  * makes [[RewriteDotProduct]] a semantics-preserving optimizer rule:
+  * null if either array is null, if the arrays differ in length (zip_with
+  * null-pads the short side, and null×x poisons the sum), or if any
+  * element is null. `ExpectsInputTypes` rejects non-array<double> inputs
+  * at analysis time instead of a runtime ClassCastException.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  // can produce null from non-null children (length mismatch/null element)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
-        acc += xs.getDouble(i) * ys.getDouble(i)
-      }
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
       i += 1
     }
     acc
@@ -48,14 +54,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($xs.numElements(), $ys.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$xs.isNullAt($i) && !$ys.isNullAt($i)) {
+         |int $n = $xs.numElements();
+         |if ($n != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += $xs.getDouble($i) * $ys.getDouble($i);
          |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

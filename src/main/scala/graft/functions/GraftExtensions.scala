@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * the preference-order (c) integration point (Rule + extensions) from the
   * build brief, applied where it pays: higher-order functions are
   * interpreted per element, DotProduct is one codegen loop.
+  *
+  * Semantics-preserving: [[DotProduct]] reproduces the composition's null
+  * behavior exactly (null on null array, length mismatch, or null
+  * element), so the rewrite never changes a result — pinned by
+  * FunctionsSpec's equivalence tests over those edge inputs.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -59,7 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => DotProduct(a, b)
+        case _ => throw new IllegalArgumentException(
+          "dot_product(a, b) takes exactly 2 arguments")
+      }))
     e.injectFunction((
       FunctionIdentifier("rand_exponential"),
       new ExpressionInfo(classOf[RandExponential].getName, "rand_exponential"),

@@ -514,6 +514,24 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q34: approx count-distinct (HyperLogLog++) -------------------------
+  // The sketch-based twin of q10: per-group approximate distinct counts at
+  // an explicit 2% relative standard deviation (the default 5% rsd leaves
+  // no slack under a 5% accuracy contract — a 1σ+ excursion fails it).
+  // rows-only (no oracle: DuckDB's approx_distinct is a different sketch
+  // with different seeds); the contract — every group within 5% of exact
+  // — is pinned by an OperatorSpec test. This is the 100 TB path for
+  // distinct counting: a fixed-size HLL buffer with partial/final merge
+  // instead of q10's Expand + exact shuffle of every distinct value.
+  def q34ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
   // ---- q68: the SQL text surface (spark.sql over temp views) --------------
   // IN-subquery (→ semi join) + scalar subquery + join + agg, written as
   // SQL and executed by the same Catalyst pipeline; the oracle is the
@@ -559,6 +577,7 @@ object Relational {
     "q26_percentile" -> q26Percentile _,
     "q27_salted_agg" -> q27SaltedAgg _,
     "q29_cube" -> q29Cube _,
+    "q34_approx_distinct" -> q34ApproxDistinct _,
     "q68_sql_surface" -> q68SqlSurface _,
   )
 

@@ -38,15 +38,19 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream of events with µs TIMESTAMP_NTZ `ts`. */
+  /** File-source stream of events with µs TIMESTAMP_NTZ `ts`. Requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session construction
+    * (see [[graft.Tables.events]]).
+    */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source monitors a DIRECTORY; the testdata table is
-    // a single read-only file, so stage a temp dir with a symlink to it.
-    val staged = java.nio.file.Files.createTempDirectory("graft_events_stream_")
-    java.nio.file.Files.createSymbolicLink(
-      staged.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // a single read-only file, so stage a dir with a symlink to it — one
+    // staged dir per source table per JVM (TempDirs), not per call.
+    val staged = graft.TempDirs.staged(s"events_stream:$dir") { p =>
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
     spark.readStream
       .schema(rawSchema)
       .parquet(staged.toString)
@@ -181,13 +185,69 @@ object EventStream {
       |WHERE session_id < max_sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` operator —
+    * the native twin of [[sessionize]]'s custom state machine. Engine
+    * semantics differ from q64 in two documented ways: the window end is
+    * `last event + gap` (not the last event itself), and every session is
+    * emitted (complete mode — no open trailing session is withheld).
+    * Merge boundary: a new event extends a session iff it starts STRICTLY
+    * before current_end + gap, so the oracle flags a new session at
+    * `diff >= gap` (q64's custom operator merges on `<=`).
+    */
+  def q72StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_session_window_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, dir)
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"),
+        (col("cents") / 100.0).as("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
+  val q72Sql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  FROM (
+      |    SELECT user_id, value, ts,
+      |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |        CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |             OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM events) flagged) numbered
+      |  GROUP BY user_id, session_id)
+      |SELECT user_id, session_start,
+      |  session_end + INTERVAL 30 MINUTE AS session_end, n_events, total_value
+      |FROM sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
+    "q72_stream_session_window" -> (q72StreamSessionWindow _),
   )
 
   val oracle: Map[String, String] = Map(
     "q63_stream_hourly" -> q63Sql,
     "q64_stream_sessions" -> q64Sql,
+    "q72_stream_session_window" -> q72Sql,
   )
 }

@@ -16,6 +16,8 @@ object Profile {
       .config("spark.sql.shuffle.partitions", "32")
       // expensive lambda exprs must not be re-inlined into scan filters
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -9,6 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 package object graftshim {
 
+  /** Public alias for the `private[sql]` type family so custom expressions
+    * outside org.apache.spark.sql can implement `ExpectsInputTypes`.
+    */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
+
   def exprToColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 

@@ -47,6 +47,19 @@ class ActuarialSpec extends SparkSpec {
       s"mc=$mc exact=$exact relerr=${math.abs(mc - exact) / exact}")
   }
 
+  test("reference-scale 10k-trial Monte Carlo tightens to a 1% CLT band") {
+    // main.rs:10 pins NUM_SIMULATIONS = 10_000 — the workload size the
+    // reference actually ran. Error ∝ 1/√nSims: the 300-trial spec above
+    // uses 5%; 10k trials supports ~5σ at 1%.
+    val p = Actuarial.policiesFromOrders(spark, sf)
+    val mc = Actuarial.simulateReserves(
+        p, nSims = Actuarial.referenceNumSimulations, seed = 7L)
+      .agg(sum("mc_reserves")).first().getDouble(0)
+    val exact = p.agg(sum(Actuarial.expectedReservePerPolicy)).first().getDouble(0)
+    assert(math.abs(mc - exact) / exact < 0.01,
+      s"mc=$mc exact=$exact relerr=${math.abs(mc - exact) / exact}")
+  }
+
   test("sum-of-averages gather is NOT a global average (SURVEY §2.4 trap)") {
     val df = Actuarial.q23GatherSumOfAvgs(spark, sf)
     val sumOfAvgs = df.first().getDouble(0)

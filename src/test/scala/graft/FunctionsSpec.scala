@@ -22,14 +22,35 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 32.0)
   }
 
-  test("dot_product null handling: null array → null, mismatched dims → prefix") {
+  test("dot_product null handling matches the builtin on every edge input") {
+    // null array, length mismatch, null element: the builtin composition
+    // yields NULL on all three (zip_with null-pads, null poisons the sum);
+    // DotProduct must agree or RewriteDotProduct silently changes results.
     val df = Seq(
-      (Some(Array(1.0, 2.0)), None: Option[Array[Double]]),
-      (Some(Array(1.0, 2.0, 9.0)), Some(Array(3.0, 4.0))))
+      (Some(Seq(Some(1.0), Some(2.0))), None: Option[Seq[Option[Double]]]),
+      (Some(Seq(Some(1.0), Some(2.0), Some(9.0))), Some(Seq(Some(3.0), Some(4.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))),
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0)))))
       .toDF("a", "b")
-    val rows = df.select(ArrayMath.dot_product(col("a"), col("b"))).collect()
-    assert(rows(0).isNullAt(0))
-    assert(rows(1).getDouble(0) == 11.0)
+    val rows = df.select(
+      ArrayMath.dot_product(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null divergence: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+    assert(rows(3).getDouble(0) == 11.0)
+  }
+
+  test("dot_product rejects non-array inputs at analysis time") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("a", "b")).toDF("a", "b")
+        .select(ArrayMath.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 
   test("dot_product survives both codegen and interpreted eval") {

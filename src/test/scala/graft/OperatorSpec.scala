@@ -155,6 +155,25 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
   }
 
+  test("q34: every group's HLL estimate is within 5% of its exact count") {
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_orderkey")).as("orders"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = ops.Relational.q34ApproxDistinct(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (ep, eo) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - ep).toDouble / ep < 0.05,
+        s"${r.getString(0)} parts ${r.getLong(1)} vs $ep")
+      assert(math.abs(r.getLong(2) - eo).toDouble / eo < 0.05,
+        s"${r.getString(0)} orders ${r.getLong(2)} vs $eo")
+    }
+  }
+
   test("multimodal decode stub covers every document batch-wise") {
     val n = ops.Multimodal.mediaRows(spark, sf).count()
     assert(n == Tables.t(spark, sf, "documents").count())

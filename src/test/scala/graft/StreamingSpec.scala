@@ -77,4 +77,25 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.count()} batch-closed=${closed.count()}")
     assert(streamed.count() > 0)
   }
+
+  test("native session_window agrees with the custom-state sessionizer") {
+    // Align the two surfaces' documented semantic differences:
+    //  * q72 emits every session (complete mode); q64 withholds each
+    //    user's trailing open session → drop each user's last q72 row;
+    //  * q72's window end = last event + gap → subtract the 30-min gap.
+    // Boundary events (diff exactly = gap) would legitimately split in
+    // q72 and merge in q64; the testdata has none (asserted by equality).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val native = EventStream.q72StreamSessionWindow(spark, sf)
+      .withColumn("max_start", max("session_start").over(w))
+      .filter(col("session_start") < col("max_start"))
+      .select(col("user_id"), col("session_start"),
+        (col("session_end") - expr("INTERVAL 30 MINUTE")).as("session_end"),
+        col("n_events"), col("total_value"))
+    val custom = EventStream.q64StreamSessions(spark, sf)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    assert(native.exceptAll(custom).isEmpty && custom.exceptAll(native).isEmpty,
+      s"native=${native.count()} custom=${custom.count()}")
+    assert(custom.count() > 0)
+  }
 }
