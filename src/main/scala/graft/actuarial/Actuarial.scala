@@ -142,7 +142,16 @@ object Actuarial {
     // term ≤ 0 panics the reference worker (main.rs:67, Exp::new of a
     // non-positive rate); here such rows are excluded up front — an
     // analysis-level guard instead of a runtime crash (SURVEY.md §7.5).
-    val valid = policies.filter(col("term") > 0)
+    //
+    // Generator-expansion-aware partitioning: the 1→nSims explode
+    // multiplies rows ×10⁴, but Spark plans scan splits from INPUT bytes —
+    // a policy table that fits one parquet split would run the entire
+    // post-explode pipeline (draws + partial agg) on ONE task. Spread the
+    // small pre-explode side across the session's shuffle parallelism
+    // first (measured at sf0.1/10k sims: 80 s single-task → seconds).
+    val par = try policies.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable => policies.sparkSession.sparkContext.defaultParallelism }
+    val valid = policies.filter(col("term") > 0).repartition(par)
     val trials = valid.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
     // n ~ floor(Exp(rate 365/term)) (main.rs:67,70): either the native
     // Catalyst sampler or its built-in inverse-CDF rewrite — statistically
@@ -151,16 +160,22 @@ object Actuarial {
       if (nativeExpr)
         graft.functions.RandExponential.rand_exponential(lit(365.0) / col("term"), seed)
       else -log(lit(1.0) - rand(seed)) * col("term") / lit(365.0)
-    val perTrial = trials
+    // Two nested normal sums collapse in closed form (both distribution-
+    // identical, by normal additivity):
+    //  * per policy-trial, Σ of n i.i.d. N(100,10) severities == N(100n, 10√n)
+    //    — removes the per-claim generator (SURVEY §7.3 M5);
+    //  * per (type, sim), Σ_p [100·n_p + 10·√n_p·z_p] over independent z_p
+    //    == 100·Σn_p + 10·√(Σn_p)·z — ONE gaussian draw per (type, sim)
+    //    group instead of one per policy-trial row. At 10k trials × 150k
+    //    policies that removes 1.5 G nextGaussian calls; the only per-row
+    //    work left is the exponential claim-count draw, and the n_claims
+    //    sum partial-aggregates map-side before the (type, sim) shuffle.
+    trials
       .withColumn("n_claims", floor(expSample))
-      // Σ of n i.i.d. N(100,10) == N(100n, 10√n), sampled in closed form
-      .withColumn("reserves",
-        when(col("n_claims") > 0,
-          col("n_claims") * 100.0 + sqrt(col("n_claims")) * 10.0 * randn(seed + 1))
-          .otherwise(0.0))
-    perTrial
       .groupBy("policy_type", "sim")
-      .agg(sum("reserves").as("trial_reserves"))
+      .agg(sum("n_claims").as("tot_n"))
+      .withColumn("trial_reserves",
+        col("tot_n") * 100.0 + sqrt(col("tot_n")) * 10.0 * randn(seed + 1))
       .groupBy("policy_type")
       .agg((sum("trial_reserves") / nSims).as("mc_reserves"))
   }

@@ -53,20 +53,32 @@ object Graph {
         .distinct()
     }
 
+    // Lineage truncation is load-bearing: each star phase references `e`
+    // four times (both directions + the min side of its join), so without
+    // truncation the logical plan grows ~16× PER ROUND — measured 24 MB of
+    // plan / 1200 repeated scan leaves after two rounds, with every action
+    // paying tens of seconds of driver-side analysis over it. Eager
+    // localCheckpoint materializes the round's edges and replaces the plan
+    // with a leaf, keeping per-round driver cost constant — the standard
+    // iterative-DataFrame discipline (MLlib does the same). On a real
+    // cluster a reliable `checkpoint` (HDFS-backed) would be used so
+    // executor loss cannot drop blocks; local mode has no such loss.
     var e = edges.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .persist()
+      .localCheckpoint(true)
+    var eCount = e.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).persist()
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint test on canonicalized sets (both sides are (larger,
       // smaller)-oriented and distinct): set equality ⇔ same count AND
-      // empty difference — two cheap actions per round on a shrinking set
-      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
-      e.unpersist()
+      // empty difference; the exceptAll runs only on count-stable rounds.
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     // converged edge set is a star forest: (member, root) with root = the
