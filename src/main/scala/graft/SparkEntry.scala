@@ -21,6 +21,7 @@ object SparkEntry {
       actuarial.Actuarial.queries ++
       ops.TextOps.queries ++
       ops.Dedup.queries ++
+      ops.Curation.queries ++
       ops.Similarity.queries ++
       ops.Events.queries ++
       ops.Multimodal.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       actuarial.Actuarial.oracle ++
       ops.TextOps.oracle ++
       ops.Dedup.oracle ++
+      ops.Curation.oracle ++
       ops.Similarity.oracle ++
       ops.Events.oracle ++
       ops.Multimodal.oracle ++

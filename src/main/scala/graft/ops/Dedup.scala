@@ -113,7 +113,7 @@ object Dedup {
     * reused by the q41 oracle and (as the edge list) by the q44 cluster
     * oracle.
     */
-  private val pairBaseCtes: String =
+  private[ops] val pairBaseCtes: String =
     s"""sh AS ($shinglesSql),
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
        |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),

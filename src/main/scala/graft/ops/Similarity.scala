@@ -336,6 +336,17 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ---- q56: embedding dedup clusters (rows-only) --------------------------
+  // q53's near-dup pairs → connected components → one keep-id per cluster:
+  // the same large-star/small-star operator as q44, over the
+  // hash-seeded LSH pair list (hence rows-only; pinned by a union-find
+  // spec instead of an oracle).
+  def q56EmbedDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+        q53EmbedDedup(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
+      .select(col("u").as("vec_id"), col("root").as("keep_id"))
+      .orderBy("vec_id")
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -344,6 +355,7 @@ object Similarity {
     "q53_embed_dedup" -> q53EmbedDedup _,
     "q54_ivf_centroids" -> q54IvfCentroids _,
     "q55_ivf_ann" -> q55IvfAnn _,
+    "q56_embed_dedup_clusters" -> q56EmbedDedupClusters _,
   )
 
   val oracle: Map[String, String] = Map(

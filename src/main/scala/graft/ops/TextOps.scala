@@ -16,9 +16,9 @@ object TextOps {
   /** Whitespace tokens of the trimmed text; [''] for blank docs in both
     * engines, so guard counts with a blank check.
     */
-  private def toks(c: Column): Column = split(trim(c), "\\s+")
+  private[ops] def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  private val isBlank: Column = length(trim(col("text"))) === 0
+  private[ops] val isBlank: Column = length(trim(col("text"))) === 0
 
   // ---- q30: per-document token/quality statistics -------------------------
   def q30TextStats(s: SparkSession, dir: String): DataFrame =
@@ -89,7 +89,7 @@ object TextOps {
     size(regexp_extract_all(concat(lit(" "), lower(col("text")), lit(" ")),
       lit(pattern), lit(0)))
 
-  private val langScores: Seq[(String, String)] = Seq(
+  private[ops] val langScores: Seq[(String, String)] = Seq(
     "en" -> " (the|and|of|to|is) ",
     "de" -> " (der|die|das|und|ist) ",
     "fr" -> " (le|la|les|et|est) ",

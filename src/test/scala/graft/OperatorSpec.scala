@@ -87,6 +87,44 @@ class OperatorSpec extends SparkSpec {
     assert(got == expected, s"clusters differ: ${got.size} vs ${expected.size} nodes")
   }
 
+  test("embedding dedup clusters match a union-find of the q53 pair list") {
+    val pairs = ops.Similarity.q53EmbedDedup(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = ops.Similarity.q56EmbedDedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("curation keeps only gated, deduped, representative documents") {
+    val out = ops.Curation.q45CurateCorpus(spark, sf).collect()
+    assert(out.nonEmpty, "curated corpus must not be empty")
+    val total = Tables.t(spark, sf, "documents").count()
+    assert(out.length < total, "curation must drop something")
+    // no surviving doc may be a non-representative member of a cluster
+    val keep = ops.Dedup.q44DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(keep.get(id).forall(_ == id), s"doc $id is a non-representative dup")
+      assert(r.getDouble(3) >= 0.5 && r.getInt(2) >= 10)
+    }
+    // fingerprints unique after exact dedup
+    val fps = out.map(_.getString(4))
+    assert(fps.distinct.length == fps.length)
+  }
+
   test("simhash candidates recover the high-jaccard exact pairs") {
     val exact = ops.Dedup.q41NgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.9)
