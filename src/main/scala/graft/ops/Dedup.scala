@@ -139,11 +139,19 @@ object Dedup {
   // doc_id. The component computation is the alternating large-star/
   // small-star contraction (Graph.connectedComponents) — O(log n) rounds
   // of shuffle-on-key aggregation, no driver-side union-find.
+  //
+  // Deterministic, and the CC loop runs eagerly (its result is a tiny
+  // checkpointed leaf) — memoized per (session, dir) so q45's reuse
+  // doesn't pay the q41 + contraction cost twice.
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def q44DedupClusters(s: SparkSession, dir: String): DataFrame =
-    Graph.connectedComponents(
-        q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
-      .select(col("u").as("doc_id"), col("root").as("keep_id"))
-      .orderBy("doc_id")
+    ccCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+      Graph.connectedComponents(
+          q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
+        .select(col("u").as("doc_id"), col("root").as("keep_id"))
+        .orderBy("doc_id"))
 
   /** Oracle twin: transitive closure by recursive CTE over the same
     * deterministic pair list, min reachable id per node.

@@ -162,12 +162,70 @@ object TextOps {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q46: token-window chunking (sequence packing) ----------------------
+  // Each document splits into overlapping 64-token windows on a 48-token
+  // stride — the chunk/pack step feeding a training tokenizer. A narrow
+  // 1→k generator per doc (explode of the window starts); no shuffle at
+  // all until the output sort. Chunk starts, slices, and joins behave
+  // identically in DuckDB (generate_series / list slicing), so the op is
+  // fully oracle-checked including chunk text.
+  private val chunkLen = 64
+  private val chunkStride = 48
+
+  def q46ChunkDocuments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ws"))
+      .repartition(col("doc_id")) // materialize the token array pre-explode
+      .select(col("doc_id"), col("ws"),
+        explode_outer(sequence(lit(1), size(col("ws")), lit(chunkStride))).as("start"))
+      .filter(col("start").isNotNull)
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / chunkStride).cast("int").as("chunk_id"),
+        size(slice(col("ws"), col("start"), lit(chunkLen))).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("ws"), col("start"), lit(chunkLen))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q46Sql: String =
+    s"""SELECT doc_id,
+       |  CAST((start - 1) / $chunkStride AS INT) AS chunk_id,
+       |  CAST(length(ws[start : least(start + ${chunkLen - 1}, len(ws))]) AS INT) AS n_chunk_tokens,
+       |  array_to_string(ws[start : least(start + ${chunkLen - 1}, len(ws))], ' ') AS chunk_text
+       |FROM (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0) d,
+       |  unnest(generate_series(1, len(ws), $chunkStride)) AS u(start)
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- q37: deterministic hash sampling -----------------------------------
+  // ~10% Bernoulli sample that is REPRODUCIBLE ACROSS ENGINES: keep rows
+  // whose md5 of the primary key starts below 0x1a (26/256 ≈ 10.2%).
+  // Unlike rand()-based TABLESAMPLE, the sample is a pure function of the
+  // data — stable under reruns, partitioning, and engine — which is what
+  // a training-data pipeline needs for resumable subset builds. Pushdown-
+  // friendly: the predicate is a scan-level filter, no shuffle.
+  def q37HashSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .filter(md5(concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string")).cast("binary")) < "1a")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q37Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |WHERE md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) < '1a'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> q30TextStats _,
     "q31_token_freq" -> q31TokenFreq _,
     "q32_lang_id" -> q32LangId _,
     "q33_fingerprint" -> q33Fingerprint _,
+    "q37_hash_sample" -> q37HashSample _,
+    "q46_chunk_documents" -> q46ChunkDocuments _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,5 +233,7 @@ object TextOps {
     "q31_token_freq" -> q31Sql,
     "q32_lang_id" -> q32Sql,
     "q33_fingerprint" -> q33Sql,
+    "q37_hash_sample" -> q37Sql,
+    "q46_chunk_documents" -> q46Sql,
   )
 }
