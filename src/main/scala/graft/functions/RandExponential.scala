@@ -27,28 +27,40 @@ case class RandExponential(child: Expression, seed: Long)
 
   override def dataType: DataType = DoubleType
 
-  @transient private var rng: java.util.Random = _
+  // xorshift64* stream, seeded per partition through one splitmix64 mix —
+  // plain long arithmetic with no allocation and no CAS (java.util.Random
+  // serializes every draw through an AtomicLong; at 10⁹ draws per task
+  // that is measurable). Same generator family Spark's own RDG uses.
+  @transient private var state: Long = _
 
   override protected def initializeInternal(partitionIndex: Int): Unit =
-    rng = new java.util.Random(seed + partitionIndex)
+    state = RandExponential.mixSeed(seed + partitionIndex)
 
   override protected def evalInternal(input: InternalRow): Any = {
     val r = child.eval(input)
     if (r == null) null
-    else -math.log(1.0 - rng.nextDouble()) / r.asInstanceOf[Double]
+    else {
+      var s = state
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      state = s
+      val u = ((s * 0x2545F4914F6CDD1DL) >>> 11) * RandExponential.DoubleUnit
+      -math.log(1.0 - u) / r.asInstanceOf[Double]
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val rngTerm = ctx.addMutableState("java.util.Random", "graftExpRng")
+    val st = ctx.addMutableState("long", "graftExpState")
     ctx.addPartitionInitializationStatement(
-      s"$rngTerm = new java.util.Random(${seed}L + partitionIndex);")
+      s"$st = graft.functions.RandExponential.mixSeed(${seed}L + partitionIndex);")
     val childGen = child.genCode(ctx)
     ev.copy(code = code"""
       ${childGen.code}
       boolean ${ev.isNull} = ${childGen.isNull};
       double ${ev.value} = 0.0;
       if (!${ev.isNull}) {
-        ${ev.value} = -java.lang.Math.log(1.0 - $rngTerm.nextDouble()) / ${childGen.value};
+        $st ^= $st >>> 12; $st ^= $st << 25; $st ^= $st >>> 27;
+        ${ev.value} = -java.lang.Math.log(1.0 -
+          (($st * 0x2545F4914F6CDD1DL) >>> 11) * ${RandExponential.DoubleUnit}) / ${childGen.value};
       }""")
   }
 
@@ -57,6 +69,20 @@ case class RandExponential(child: Expression, seed: Long)
 }
 
 object RandExponential {
+  /** 2⁻⁵³ — scales a 53-bit mantissa draw into [0, 1). */
+  final val DoubleUnit: Double = 1.0 / (1L << 53)
+
+  /** splitmix64 finalizer: decorrelates per-partition streams and maps the
+    * pathological zero seed away (xorshift state must be non-zero).
+    */
+  def mixSeed(raw: Long): Long = {
+    var s = raw + 0x9E3779B97F4A7C15L
+    s = (s ^ (s >>> 30)) * 0xBF58476D1CE4E5B9L
+    s = (s ^ (s >>> 27)) * 0x94D049BB133111EBL
+    s ^= s >>> 31
+    if (s == 0L) 1L else s
+  }
+
   /** Column API: exponential sample with the given per-row rate. */
   def rand_exponential(rate: Column, seed: Long): Column =
     exprToColumn(RandExponential(colToExpr(rate), seed))
