@@ -93,13 +93,85 @@ object Multimodal {
       .orderBy("media_type")
   }
 
+  // ---- q73: letterbox-resize planning (oracle-checkable) ------------------
+  // The resize STAGE of an image pipeline: given source dims, compute the
+  // letterboxed target geometry (scale to fit 224×224, preserve aspect,
+  // pad the short side). The actual pixel resample would sit inside the
+  // q71 partition-batched kernel; the geometry planning here is what the
+  // engine itself owes the pipeline — pure per-row arithmetic, no
+  // shuffle. Source dims derive from payload length alone (codec-less
+  // container), so the whole stage is DuckDB-oracled.
+  def q73ResizePlan(s: SparkSession, dir: String): DataFrame = {
+    val n = length(col("text").cast("binary"))
+    // Spark's `/` on ints is DOUBLE division — floor() recovers DuckDB's
+    // `//` integer-division semantics (exact for these magnitudes)
+    val w = (lit(16) + n % 64).cast("double")
+    val h = (lit(16) + floor(n / lit(64)) % 64).cast("double")
+    val scale = least(lit(224.0) / w, lit(224.0) / h)
+    val outW = greatest(lit(1L), floor(w * scale))
+    val outH = greatest(lit(1L), floor(h * scale))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      w.cast("int").as("src_w"), h.cast("int").as("src_h"),
+      outW.as("out_w"), outH.as("out_h"),
+      ((lit(224L) - outW) / 2).cast("long").as("pad_x"),
+      ((lit(224L) - outH) / 2).cast("long").as("pad_y"))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """SELECT doc_id, src_w, src_h, out_w, out_h,
+      |  (224 - out_w) // 2 AS pad_x,
+      |  (224 - out_h) // 2 AS pad_y
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(16 + n % 64 AS INT) AS src_w,
+      |    CAST(16 + (n // 64) % 64 AS INT) AS src_h,
+      |    CAST(greatest(1, floor((16 + n % 64) * sc)) AS BIGINT) AS out_w,
+      |    CAST(greatest(1, floor((16 + (n // 64) % 64) * sc)) AS BIGINT) AS out_h
+      |  FROM (
+      |    SELECT doc_id, octet_length(encode(text)) AS n,
+      |      least(224.0 / (16 + octet_length(encode(text)) % 64),
+      |            224.0 / (16 + (octet_length(encode(text)) // 64) % 64)) AS sc
+      |    FROM documents) d) o
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q74: frame sampling (generator shape, oracle-checkable) ------------
+  // The frame-sample STAGE of a video pipeline: 1 media row → k frame
+  // rows, every 5th frame at 30 fps. The explode(sequence) generator is
+  // the real engine surface (same 1→k shape as the Monte Carlo trials);
+  // frame counts derive from payload length (codec-less container).
+  def q74FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = (floor(length(col("text").cast("binary")) / lit(1000)) + 1).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), nFrames.as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+      .withColumn("frame_ts", round(col("frame_idx") / 30.0, 6))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q74Sql: String =
+    """SELECT doc_id, n_frames, CAST(f AS INT) AS frame_idx,
+      |  round(f / 30.0, 6) AS frame_ts
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) // 1000 + 1 AS INT) AS n_frames
+      |  FROM documents) d,
+      |  unnest(generate_series(0, n_frames - 1, 5)) AS u(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_binary_meta" -> q70BinaryMeta _,
     "q71_decode_stub" -> q71DecodeStub _,
+    "q73_resize_plan" -> q73ResizePlan _,
+    "q74_frame_sample" -> q74FrameSample _,
   )
 
   val oracle: Map[String, String] = Map(
     "q70_binary_meta" -> q70Sql,
+    "q73_resize_plan" -> q73Sql,
+    "q74_frame_sample" -> q74Sql,
   )
 }
