@@ -239,15 +239,64 @@ object EventStream {
       |FROM sess
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Stream-stream interval join — the two-sided stateful surface: each
+    * click joins purchases by the same user within the following 30
+    * minutes. Both sides carry watermarks and the join condition bounds
+    * event-time distance, which is what lets the engine evict join state;
+    * under AvailableNow the result equals the batch interval join, so the
+    * oracle is the plain SQL self-join.
+    */
+  def q75StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_ss_join_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+        col("value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q75Sql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  p.value
+      |FROM events c
+      |JOIN events p ON c.user_id = p.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
     "q72_stream_session_window" -> (q72StreamSessionWindow _),
+    "q75_stream_stream_join" -> (q75StreamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "q63_stream_hourly" -> q63Sql,
     "q64_stream_sessions" -> q64Sql,
     "q72_stream_session_window" -> q72Sql,
+    "q75_stream_stream_join" -> q75Sql,
   )
 }
