@@ -532,6 +532,34 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("l_returnflag")
 
+  // ---- q38: GROUPING SETS (the general form of rollup/cube) ---------------
+  // An explicit, non-hierarchical set list — (status, priority), (priority)
+  // alone, and the grand total — something neither ROLLUP nor CUBE can
+  // express, via the Dataset.groupingSets API (Spark 4). grouping_id()
+  // disambiguates the null-as-subtotal rows exactly as in q16/q29.
+  def q38GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")),
+          Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(asc("gid"),
+        asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q38Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+       |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---- q68: the SQL text surface (spark.sql over temp views) --------------
   // IN-subquery (→ semi join) + scalar subquery + join + agg, written as
   // SQL and executed by the same Catalyst pipeline; the oracle is the
@@ -578,6 +606,7 @@ object Relational {
     "q27_salted_agg" -> q27SaltedAgg _,
     "q29_cube" -> q29Cube _,
     "q34_approx_distinct" -> q34ApproxDistinct _,
+    "q38_grouping_sets" -> q38GroupingSets _,
     "q68_sql_surface" -> q68SqlSurface _,
   )
 
@@ -605,6 +634,7 @@ object Relational {
     "q26_percentile" -> q26Sql,
     "q27_salted_agg" -> q27Sql,
     "q29_cube" -> q29Sql,
+    "q38_grouping_sets" -> q38Sql,
     "q68_sql_surface" -> q68Sql,
   )
 }

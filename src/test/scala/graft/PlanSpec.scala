@@ -44,6 +44,14 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q55_ivf_ann").contains("CartesianProduct"))
   }
 
+  test("curation and chunking stay free of degenerate joins") {
+    Seq("q45_curate_corpus", "q46_chunk_documents").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
   test("q41: stop-shingle df is a partial-agg groupBy, not a window") {
     // A COUNT window over partitionBy(shingle) ships every occurrence of a
     // hot shingle to one task before the df filter can drop it — the exact
