@@ -560,6 +560,98 @@ object Relational {
        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
        |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---- q39: LATERAL correlated subquery (top-2 orders per customer) -------
+  // The lateral-join surface: a per-row correlated subquery with its own
+  // ORDER BY + LIMIT, decorrelated by Catalyst into a ranked window join.
+  // SQL-text form (the DataFrame API has no lateral builder in this
+  // Spark line); the oracle is the identical statement.
+  def q39LateralTopK(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q39Sql)
+  }
+
+  val q39Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey
+      |  LIMIT 2) t
+      |WHERE c_custkey <= 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  // ---- q47: bucketed co-located join (shuffle-free join path) -------------
+  // THE 100 TB technique the relational surface still owed a demo: both
+  // sides written bucketed+sorted on the join key, so the join needs NO
+  // exchange on either side — at scale this converts every repeated
+  // fact-fact join on the same key from a full-corpus shuffle into a
+  // per-bucket merge. PlanSpec asserts the shuffle-free shape; the oracle
+  // computes the same aggregate from the raw tables (bucketing must not
+  // change results).
+  def q47BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — drop both layers before (re)writing
+    def reset(table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = java.nio.file.Paths.get(
+        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      if (java.nio.file.Files.exists(loc))
+        java.nio.file.Files.walk(loc)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { val _ = java.nio.file.Files.deleteIfExists(p) })
+    }
+    reset("graft_orders_bkt")
+    reset("graft_lineitem_bkt")
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .format("parquet").saveAsTable("graft_orders_bkt")
+    t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .format("parquet").saveAsTable("graft_lineitem_bkt")
+    // MERGE hint: at test scale the planner would broadcast the small
+    // side (which ignores bucketing); the hint pins the sort-merge path
+    // the bucket layout exists for — at 100 TB neither side broadcasts
+    // and this is the plan the optimizer picks unaided.
+    s.table("graft_orders_bkt").hint("merge")
+      .join(s.table("graft_lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q47Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q48: correlated EXISTS / NOT EXISTS --------------------------------
+  // Decorrelates to a semi join and an anti join in one statement.
+  def q48Exists(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(q48Sql)
+  }
+
+  val q48Sql: String =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- q68: the SQL text surface (spark.sql over temp views) --------------
   // IN-subquery (→ semi join) + scalar subquery + join + agg, written as
   // SQL and executed by the same Catalyst pipeline; the oracle is the
@@ -607,6 +699,9 @@ object Relational {
     "q29_cube" -> q29Cube _,
     "q34_approx_distinct" -> q34ApproxDistinct _,
     "q38_grouping_sets" -> q38GroupingSets _,
+    "q39_lateral_topk" -> q39LateralTopK _,
+    "q47_bucketed_join" -> q47BucketedJoin _,
+    "q48_exists" -> q48Exists _,
     "q68_sql_surface" -> q68SqlSurface _,
   )
 
@@ -635,6 +730,9 @@ object Relational {
     "q27_salted_agg" -> q27Sql,
     "q29_cube" -> q29Sql,
     "q38_grouping_sets" -> q38Sql,
+    "q39_lateral_topk" -> q39Sql,
+    "q47_bucketed_join" -> q47Sql,
+    "q48_exists" -> q48Sql,
     "q68_sql_surface" -> q68Sql,
   )
 }

@@ -44,6 +44,21 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q55_ivf_ann").contains("CartesianProduct"))
   }
 
+  test("q47: the bucketed join needs no exchange on either side") {
+    // both sides bucketed+sorted on the join key → the only exchanges in
+    // the plan belong to the FINAL agg/sort, never to the join inputs.
+    // Unbucketed, this plan carries two extra hashpartitioning exchanges
+    // (one per join side).
+    val p = planOf("q47_bucketed_join")
+    val joinSide = p.split("SortMergeJoin|ShuffledHashJoin")
+    assert(joinSide.length > 1, "expected a non-broadcast equi join")
+    // everything below the join operator (its children) must be
+    // exchange-free; plan strings indent children after the join node
+    val belowJoin = joinSide.last
+    assert(!belowJoin.contains("Exchange hashpartitioning"),
+      "bucketed join sides must not reshuffle")
+  }
+
   test("curation and chunking stay free of degenerate joins") {
     Seq("q45_curate_corpus", "q46_chunk_documents").foreach { q =>
       val p = planOf(q)
