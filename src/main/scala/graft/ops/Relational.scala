@@ -634,6 +634,33 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q49: partitioned write + partition-pruned scan ---------------------
+  // Hive-style partition layout: orders written partitionBy(status), then
+  // read back filtered to ONE status — the scan must prune to that
+  // partition directory (PlanSpec asserts PartitionFilters), which at
+  // 100 TB is the difference between reading one directory and the whole
+  // table. The oracle computes the same aggregate from the raw table:
+  // layout must never change results.
+  def q49PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.TempDirs.staged(s"orders_partitioned:$dir")()
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(out.toString)
+    s.read.parquet(out.toString)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q49Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total_price
+       |FROM orders
+       |WHERE o_orderstatus = 'F'
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   // ---- q48: correlated EXISTS / NOT EXISTS --------------------------------
   // Decorrelates to a semi join and an anti join in one statement.
   def q48Exists(s: SparkSession, dir: String): DataFrame = {
@@ -702,6 +729,7 @@ object Relational {
     "q39_lateral_topk" -> q39LateralTopK _,
     "q47_bucketed_join" -> q47BucketedJoin _,
     "q48_exists" -> q48Exists _,
+    "q49_partition_pruning" -> q49PartitionPruning _,
     "q68_sql_surface" -> q68SqlSurface _,
   )
 
@@ -733,6 +761,7 @@ object Relational {
     "q39_lateral_topk" -> q39Sql,
     "q47_bucketed_join" -> q47Sql,
     "q48_exists" -> q48Sql,
+    "q49_partition_pruning" -> q49Sql,
     "q68_sql_surface" -> q68Sql,
   )
 }

@@ -59,6 +59,12 @@ class PlanSpec extends SparkSpec {
       "bucketed join sides must not reshuffle")
   }
 
+  test("q49: the scan prunes to the selected partition directory") {
+    val p = planOf("q49_partition_pruning")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      "status filter must prune partitions, not scan rows")
+  }
+
   test("curation and chunking stay free of degenerate joins") {
     Seq("q45_curate_corpus", "q46_chunk_documents").foreach { q =>
       val p = planOf(q)
