@@ -80,5 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "rand_exponential(rate[, seed]) takes 1 or 2 arguments")
       }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -679,6 +679,29 @@ object Relational {
       |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- q76: per-group top-k via the custom physical operator --------------
+  // The full custom-operator path (logical node → strategy → SparkPlan,
+  // graft.plans.TopKPerGroup): top-3 orders per priority by price, with
+  // bounded per-group heap state instead of a full window sort. The
+  // oracle is the row_number formulation — same rows, different physics.
+  def q76TopKCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.topKPerGroup(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        k = 3)
+      .orderBy(asc("o_orderpriority"), desc("o_totalprice"), asc("o_orderkey"))
+
+  val q76Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM (
+      |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) r
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ---- q68: the SQL text surface (spark.sql over temp views) --------------
   // IN-subquery (→ semi join) + scalar subquery + join + agg, written as
   // SQL and executed by the same Catalyst pipeline; the oracle is the
@@ -731,6 +754,7 @@ object Relational {
     "q48_exists" -> q48Exists _,
     "q49_partition_pruning" -> q49PartitionPruning _,
     "q68_sql_surface" -> q68SqlSurface _,
+    "q76_topk_custom" -> q76TopKCustom _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -763,5 +787,6 @@ object Relational {
     "q48_exists" -> q48Sql,
     "q49_partition_pruning" -> q49Sql,
     "q68_sql_surface" -> q68Sql,
+    "q76_topk_custom" -> q76Sql,
   )
 }

@@ -20,6 +20,11 @@ package object graftshim {
   def colToExpr(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom LogicalPlan as a DataFrame (runs the analyzer). */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a builder under `name` in the session's function registry so
     * the expression is callable from SQL text as well.
     */

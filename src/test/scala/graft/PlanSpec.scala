@@ -59,6 +59,14 @@ class PlanSpec extends SparkSpec {
       "bucketed join sides must not reshuffle")
   }
 
+  test("q76: the custom per-group top-k physical operator is planned") {
+    // no Window/Sort-of-everything: the injected TopKStrategy must map the
+    // logical node to TopKPerGroupExec (bounded heap state per group)
+    val p = planOf("q76_topk_custom")
+    assert(p.contains("TopKPerGroup"), "custom operator not planned")
+    assert(!p.contains("Window"), "must not fall back to a window sort")
+  }
+
   test("q49: the scan prunes to the selected partition directory") {
     val p = planOf("q49_partition_pruning")
     assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
