@@ -33,3 +33,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The driver parses Bench's final JSON line from the last 2000 chars of the
+// log; sbt's closing "[success] Total time" banner eats ~75 of those chars.
+Global / showSuccess := false

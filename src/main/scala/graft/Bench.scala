@@ -50,13 +50,33 @@ object Bench {
     val total = results.collect { case (_, v, None) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.count(_._3.nonEmpty)},"failures":$fails,"sf":"$sfDir"}"""
-    // stdout line (raw — build.sbt pins run/outputStrategy to StdoutOutput
-    // so no sbt log prefix corrupts it) + a file copy the driver can read
-    // regardless of log formatting.
-    println(json)
+    // Full-precision, full-name JSON goes to files (and an early stdout
+    // line for humans). The driver, however, captures only the LAST 2000
+    // chars of the build log and parses the JSON line it finds there —
+    // BENCH_r01/r02 both came back "parsed": null because the full line
+    // (~2.6 KB at 73 queries) overflowed that window from the front. So
+    // the FINAL stdout line is a compact variant guaranteed to fit: query
+    // keys shortened to their "qNN" prefix, times rounded to 10 ms.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"), json)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json)
     }
+    println(json)
     spark.stop()
+    def short(k: String): String = k.indexOf('_') match {
+      case -1 => k
+      case i  => k.substring(0, i)
+    }
+    val collide = results.groupBy(r => short(r._1)).collect { case (_, g) if g.size > 1 => g }
+      .flatten.map(_._1).toSet
+    def key(k: String): String = if (collide(k)) k else short(k)
+    def r2(v: Double): String = if (v < 0) "-1" else (math.rint(v * 100) / 100).toString
+    val qsShort = results.map { case (k, v, _) => jstr(key(k)) + ":" + r2(v) }
+      .mkString("{", ",", "}")
+    val failShort = results.collect { case (k, _, Some(_)) => jstr(key(k)) }
+      .mkString("[", ",", "]")
+    val compact =
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
+    println(compact)
   }
 }

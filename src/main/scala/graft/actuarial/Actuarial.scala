@@ -281,6 +281,12 @@ object Actuarial {
       (lit(365.0) * (lit(1.0) + (col("o_orderkey") % 10).cast("double"))).as("term"),
       col("o_totalprice").as("premium"))
     val tmp = graft.TempDirs.staged(s"csv_roundtrip:$dir")().toString
+    // Measured sf0.1 note: writing through a repartition(32) (file-per-core
+    // layout) costs MORE here than the single-split write+parse — the
+    // shuffle plus 32-file task overhead dominates a ~10 MB table, and the
+    // steady-state single-split round-trip is ~1 s. At real scale the
+    // source table arrives in many parquet splits and the same code writes
+    // file-per-task with no repartition needed.
     full.write.mode("overwrite").option("header", "true").csv(tmp)
     readPolicies(s, tmp).groupBy("policy_type")
       .agg(

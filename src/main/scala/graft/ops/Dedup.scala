@@ -143,11 +143,10 @@ object Dedup {
   // Deterministic, and the CC loop runs eagerly (its result is a tiny
   // checkpointed leaf) — memoized per (session, dir) so q45's reuse
   // doesn't pay the q41 + contraction cost twice.
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ccCache = new graft.SessionCache[DataFrame]()
 
   def q44DedupClusters(s: SparkSession, dir: String): DataFrame =
-    ccCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ =>
+    ccCache.getOrCompute(s, dir)(
       Graph.connectedComponents(
           q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
         .select(col("u").as("doc_id"), col("root").as("keep_id"))

@@ -81,6 +81,14 @@ object Graph {
       eCount = nextCount
       rounds += 1
     }
+    // A round-capped exit would silently emit PARTIAL components (the
+    // star-forest extraction below assumes a fixpoint) — fail loudly
+    // instead. O(log n) convergence makes the default cap generous: 25
+    // rounds covers component chains far beyond any real corpus.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          s"($eCount edges remain); raise maxRounds")
     // converged edge set is a star forest: (member, root) with root = the
     // component min; roots map to themselves
     e.select(col("u"), col("v").as("root"))

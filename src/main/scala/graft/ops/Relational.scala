@@ -590,33 +590,41 @@ object Relational {
   // computes the same aggregate from the raw tables (bucketing must not
   // change results).
   def q47BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // per-input-dir table names: fixed global names would collide across
+    // concurrent sessions (or runs on different sf dirs) sharing a
+    // warehouse
+    val run = java.util.UUID.nameUUIDFromBytes(
+      dir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString.take(8)
+    val ordersTbl = s"graft_orders_bkt_$run"
+    val lineitemTbl = s"graft_lineitem_bkt_$run"
     // the in-memory catalog forgets tables between JVMs but their
-    // warehouse directories persist — drop both layers before (re)writing
+    // warehouse directories persist — drop both layers before (re)writing.
+    // The location is resolved with Hadoop Path (handles file: URIs,
+    // spaces, and remote filesystems — java.net.URI parsing throws on
+    // unencoded characters) and deleted through the table's FileSystem.
     def reset(table: String): Unit = {
       s.sql(s"DROP TABLE IF EXISTS $table")
-      val loc = java.nio.file.Paths.get(
-        new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, table)
-      if (java.nio.file.Files.exists(loc))
-        java.nio.file.Files.walk(loc)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { val _ = java.nio.file.Files.deleteIfExists(p) })
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { val _ = fs.delete(loc, true) }
     }
-    reset("graft_orders_bkt")
-    reset("graft_lineitem_bkt")
+    reset(ordersTbl)
+    reset(lineitemTbl)
     t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .format("parquet").saveAsTable("graft_orders_bkt")
+      .format("parquet").saveAsTable(ordersTbl)
     t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .format("parquet").saveAsTable("graft_lineitem_bkt")
+      .format("parquet").saveAsTable(lineitemTbl)
     // MERGE hint: at test scale the planner would broadcast the small
     // side (which ignores bucketing); the hint pins the sort-merge path
     // the bucket layout exists for — at 100 TB neither side broadcasts
     // and this is the plan the optimizer picks unaided.
-    s.table("graft_orders_bkt").hint("merge")
-      .join(s.table("graft_lineitem_bkt"),
+    s.table(ordersTbl).hint("merge")
+      .join(s.table(lineitemTbl),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderpriority")
       .agg(

@@ -200,14 +200,14 @@ object Similarity {
   // dir, k, iters) — q54 and q55 share one build instead of each paying
   // the Lloyd loop.
   private val kmeansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(Int, Array[Double])], DataFrame)]()
+    new graft.SessionCache[(Seq[(Int, Array[Double])], DataFrame)]()
 
   /** Runs the k-means build; returns the final centroids and the final
     * per-vector assignment (lazy DataFrame).
     */
   private[ops] def kmeans(s: SparkSession, dir: String,
       k: Int = kCells, iters: Int = kmIters): (Seq[(Int, Array[Double])], DataFrame) =
-    kmeansCache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir:$k:$iters", _ => {
+    kmeansCache.getOrCompute(s, s"$dir:$k:$iters") {
       val emb = quantized(t(s, dir, "embeddings"))
         .repartition(col("vec_id")) // materialize qv once (see q52)
         .select(col("vec_id"), col("qv"), col("qnorm"))
@@ -241,7 +241,7 @@ object Similarity {
         it += 1
       }
       (cents, assignCells(emb, cents))
-    })
+    }
 
   def q54IvfCentroids(s: SparkSession, dir: String): DataFrame =
     kmeans(s, dir)._2

@@ -55,7 +55,33 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      val ord = RowOrdering.create(ordering, childOutput)
+      val sortOrd = RowOrdering.create(ordering, childOutput)
+      // Rows equal under `ordering` are tie-broken on their full UnsafeRow
+      // bytes, making the comparison a TOTAL order over distinct rows:
+      // without it, which of two order-equal rows survives a full heap
+      // depends on scan/partition order and the operator's output would be
+      // nondeterministic whenever orderCols don't form a per-group total
+      // order. (Byte layout is a pure function of the row's values, so the
+      // tiebreak is stable across partitionings.)
+      val tieProjA = UnsafeProjection.create(childOutput, childOutput)
+      val tieProjB = UnsafeProjection.create(childOutput, childOutput)
+      def compareBytes(x: UnsafeRow, y: UnsafeRow): Int = {
+        val bx = x.getBytes; val by = y.getBytes
+        val n = math.min(bx.length, by.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Integer.compare(bx(i) & 0xff, by(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(bx.length, by.length)
+      }
+      val ord = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = {
+          val c = sortOrd.compare(a, b)
+          if (c != 0) c else compareBytes(tieProjA(a), tieProjB(b))
+        }
+      }
       // per group: a worst-first heap of the k best rows seen so far
       val worstFirst = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = -ord.compare(a, b)

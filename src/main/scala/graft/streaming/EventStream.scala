@@ -167,7 +167,7 @@ object EventStream {
     """WITH sess AS (
       |  SELECT user_id, session_id, COUNT(*) AS n_events,
       |    MIN(ts) AS session_start, MAX(ts) AS session_end,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |  FROM (
       |    SELECT user_id, value, ts,
       |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -221,7 +221,7 @@ object EventStream {
     """WITH sess AS (
       |  SELECT user_id, session_id, COUNT(*) AS n_events,
       |    MIN(ts) AS session_start, MAX(ts) AS session_end,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
       |  FROM (
       |    SELECT user_id, value, ts,
       |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
