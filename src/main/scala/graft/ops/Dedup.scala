@@ -56,7 +56,7 @@ object Dedup {
       .filter(col("shingle").isNotNull)
   }
 
-  private val shinglesSql: String =
+  private[ops] val shinglesSql: String =
     """SELECT DISTINCT doc_id, shingle FROM (
       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle

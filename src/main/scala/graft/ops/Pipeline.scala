@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables.t
+
+/** Training-data pipeline operators beyond dedup/similarity: benchmark
+  * decontamination, repetition-based quality gating, cross-document
+  * sequence packing, stratified sampling, temperature-based mixture
+  * weighting, and PII redaction.
+  *
+  * Every query here is deterministic (integer counting, IEEE-exact sqrt,
+  * md5 ordering) and DuckDB-oracled; scale shapes are shuffle-on-key
+  * aggregations and per-stratum windows — never a global single-partition
+  * window and never a driver-side loop.
+  */
+object Pipeline {
+
+  // ---- q77: benchmark decontamination (n-gram overlap) --------------------
+  // The train/eval split is deterministic (eval = doc_id % 97 == 0 — the
+  // stand-in for a held-out benchmark suite). A training document is
+  // contaminated when it shares word-3-gram shingles with ANY eval
+  // document; the overlap fraction is |doc ∩ evalSet| / |doc| on DISTINCT
+  // shingles. This is the standard n-gram decontamination pass (the
+  // GPT-3/PaLM recipe, with 3-grams standing in for their 8-13-grams at
+  // this document length).
+  //
+  // Scale shape: the eval shingle set is |eval docs| · |shingles/doc| —
+  // small relative to the corpus (held-out suites are fixed-size), and
+  // AQE broadcasts it when estimates allow; the train side never
+  // self-joins. Counting is per (train doc × distinct shared shingle):
+  // one shuffle on shingle, one partial-agged groupBy(doc_id).
+  def q77Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(t(s, dir, "documents"))
+    val evalShingles = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(evalShingles, "shingle") // shingles are per-doc distinct already
+      .groupBy("doc_id", "n_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") / col("n_doc"), 6))
+      .filter(col("overlap_frac") >= 0.5)
+      .select("doc_id", "n_doc", "n_shared", "overlap_frac")
+      .orderBy("doc_id")
+  }
+
+  val q77Sql: String =
+    s"""WITH sh AS (${Dedup.shinglesSql}),
+       |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_doc FROM sh GROUP BY doc_id)
+       |SELECT sh.doc_id, sizes.n_doc, COUNT(*) AS n_shared,
+       |  ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.n_doc, 6) AS overlap_frac
+       |FROM sh JOIN ev USING (shingle) JOIN sizes ON sizes.doc_id = sh.doc_id
+       |WHERE sh.doc_id % 97 <> 0
+       |GROUP BY sh.doc_id, sizes.n_doc
+       |HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.n_doc, 6) >= 0.5
+       |ORDER BY sh.doc_id""".stripMargin
+
+  // ---- q78: repetition-based quality gate (Gopher-style) ------------------
+  // Per document: top-word mass fraction and duplicate-bigram fraction —
+  // the two cheapest repetition signals from the Gopher quality rules
+  // (Rae et al. 2021 §A1.1). All counting is integer; the two fractions
+  // are single final divisions, so the gate is bit-deterministic.
+  //
+  // Scale shape: two exploded aggregations (words, bigrams), each a
+  // partial-agged groupBy keyed by (doc_id, term) then (doc_id) — the
+  // explode is a narrow 1→k generator and nothing ever groups by a bare
+  // hot term, so there is no skew amplification at corpus scale.
+  def q78RepetitionQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ws.as("ws"))
+      .repartition(col("doc_id")) // materialize split once (see Dedup.shingles)
+    val words = docs
+      .select(col("doc_id"), explode_outer(col("ws")).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), max("c").as("top_word_n"),
+        count(lit(1)).as("n_distinct_words"))
+    val bigrams = docs
+      .select(col("doc_id"),
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+          .otherwise(array().cast("array<string>")).as("bg"))
+      .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
+        explode_outer(array_distinct(col("bg"))).as("b"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(count(col("b")).as("n_distinct_bigrams"))
+    words.join(bigrams, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round(col("top_word_n").cast("double") / col("n_words"), 6).as("top_word_frac"),
+        when(col("n_bigrams") > 0,
+          round((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
+            / col("n_bigrams"), 6)).otherwise(0.0).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= 0.2 && col("dup_bigram_frac") <= 0.4)
+      .orderBy("doc_id")
+  }
+
+  val q78Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |words AS (
+      |  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_n,
+      |    COUNT(*) AS n_distinct_words
+      |  FROM (SELECT doc_id, w, COUNT(*) AS c
+      |        FROM d, unnest(ws) AS u(w) GROUP BY doc_id, w) wc
+      |  GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, greatest(len(ws) - 1, 0) AS n_bigrams,
+      |    CASE WHEN len(ws) >= 2 THEN count(DISTINCT b) ELSE 0 END AS n_distinct_bigrams
+      |  FROM d LEFT JOIN LATERAL (
+      |    SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS b) x ON TRUE
+      |  GROUP BY doc_id, len(ws))
+      |SELECT words.doc_id, n_words, n_distinct_words,
+      |  ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+      |  CASE WHEN n_bigrams > 0
+      |    THEN ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+      |    ELSE 0.0 END AS dup_bigram_frac,
+      |  (ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) <= 0.2 AND
+      |   CASE WHEN n_bigrams > 0
+      |     THEN ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+      |     ELSE 0.0 END <= 0.4) AS keep
+      |FROM words JOIN bg ON words.doc_id = bg.doc_id
+      |ORDER BY words.doc_id""".stripMargin
+
+  // ---- q79: cross-document sequence packing -------------------------------
+  // GPT-style packing: within each source shard, documents are laid out in
+  // doc_id order on one token stream and cut into fixed 256-token training
+  // sequences; a document spans sequences [first_seq, last_seq]. The
+  // running offset is a window sum PARTITIONED BY SOURCE — per-shard
+  // packing is how real pipelines keep this scalable (a single global
+  // token stream would serialize the window into one partition).
+  private val seqLen = 256
+
+  def q79PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val nTok = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(lower(col("text"))), "\\s+")))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), nTok.as("n_tokens"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("start_off") / seqLen).as("first_seq"),
+        floor((col("end_off") - 1) / seqLen).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .orderBy("source", "doc_id")
+  }
+
+  val q79Sql: String =
+    s"""WITH offs AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+       |    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END)
+       |      OVER (PARTITION BY source ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+       |  FROM documents)
+       |SELECT source, doc_id, n_tokens,
+       |  CAST((end_off - n_tokens) AS BIGINT) // $seqLen AS first_seq,
+       |  CAST((end_off - 1) AS BIGINT) // $seqLen AS last_seq,
+       |  CAST((end_off - 1) AS BIGINT) // $seqLen
+       |    - CAST((end_off - n_tokens) AS BIGINT) // $seqLen + 1 AS n_seqs
+       |FROM offs WHERE n_tokens > 0
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---- q80: stratified sampling with exact per-stratum quotas -------------
+  // Exactly min(quota, |stratum|) documents per language, chosen by the
+  // deterministic md5 order (the q37 cross-engine hash-sampling basis) —
+  // reproducible across engines, reruns, and partitionings. Shape: one
+  // window rank per stratum (shuffle on lang), no global sort until the
+  // bounded output.
+  private val strataQuota = 40
+
+  def q80StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= strataQuota)
+      .select("lang", "doc_id", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  val q80Sql: String =
+    s"""SELECT lang, doc_id, rk FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents) r
+       |WHERE rk <= $strataQuota
+       |ORDER BY lang, rk""".stripMargin
+
+  // ---- q81: temperature-scaled mixture weights ----------------------------
+  // Per (lang, source) corpus shard: sampling weight ∝ n_tokens^0.5 — the
+  // standard temperature reweighting (multilingual LM mixing, T=2 ⇔
+  // exponent 1/2), computed with IEEE-exact sqrt (correctly rounded, so
+  // cross-engine identical — unlike pow/exp) and an order-independent
+  // decimal sum for the normalizer.
+  def q81MixingWeights(s: SparkSession, dir: String): DataFrame = {
+    val nTok = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(lower(col("text"))), "\\s+")))
+    val shards = t(s, dir, "documents")
+      .select(col("lang"), col("source"), nTok.as("n_tokens"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")).cast(DecimalType(28, 10)))
+    // normalizer via broadcast cross join (stays lazy, no driver collect);
+    // the decimal sum is order-independent, and the final division runs in
+    // IEEE doubles (deterministic) rather than engine-specific decimal
+    // division scales
+    val tot = shards.agg(sum("w").as("tot"))
+    shards.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("w").cast("double") / col("tot").cast("double"), 6))
+      .select("lang", "source", "n_docs", "n_tokens", "weight")
+      .orderBy("lang", "source")
+  }
+
+  val q81Sql: String =
+    """WITH shards AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) AS n_tokens
+      |  FROM documents GROUP BY lang, source),
+      |ws AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
+      |       FROM shards)
+      |SELECT lang, source, n_docs, n_tokens,
+      |  ROUND(CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM ws) AS DOUBLE), 6) AS weight
+      |FROM ws
+      |ORDER BY lang, source""".stripMargin
+
+  // ---- q85: PII redaction -------------------------------------------------
+  // Regex scrubbing of emails and long digit runs — the compliance pass
+  // every assembled corpus goes through. The testdata carries no PII, so
+  // each document is first decorated with a DETERMINISTIC synthetic
+  // contact line (derived from doc_id); the redaction (the operator under
+  // test) then strips it. Narrow per-row map, no shuffle; patterns stay in
+  // the portable regex subset both engines compile identically.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val numRe = "[0-9]{5,}"
+
+  def q85PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com id "),
+      (col("doc_id") * 7919 + 10007).cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), decorated.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("raw"), lit(numRe)).as("n_long_nums"),
+        md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          numRe, "<NUM>").cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q85Sql: String =
+    s"""SELECT doc_id,
+       |  length(regexp_extract_all(raw, '$emailRe')) AS n_emails,
+       |  length(regexp_extract_all(raw, '$numRe')) AS n_long_nums,
+       |  md5(regexp_replace(regexp_replace(raw, '$emailRe', '<EMAIL>', 'g'),
+       |      '$numRe', '<NUM>', 'g')) AS redacted_md5
+       |FROM (SELECT doc_id,
+       |        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |        '@example.com id ' || CAST(doc_id * 7919 + 10007 AS VARCHAR) AS raw
+       |      FROM documents) d
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_decontaminate" -> q77Decontaminate _,
+    "q78_repetition_quality" -> q78RepetitionQuality _,
+    "q79_pack_sequences" -> q79PackSequences _,
+    "q80_stratified_sample" -> q80StratifiedSample _,
+    "q81_mixing_weights" -> q81MixingWeights _,
+    "q85_pii_redact" -> q85PiiRedact _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q77_decontaminate" -> q77Sql,
+    "q78_repetition_quality" -> q78Sql,
+    "q79_pack_sequences" -> q79Sql,
+    "q80_stratified_sample" -> q80Sql,
+    "q81_mixing_weights" -> q81Sql,
+    "q85_pii_redact" -> q85Sql,
+  )
+}
