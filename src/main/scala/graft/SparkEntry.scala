@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.Events.queries ++
       ops.Multimodal.queries ++
+      ops.Pipeline.queries ++
       streaming.EventStream.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.Similarity.oracle ++
       ops.Events.oracle ++
       ops.Multimodal.oracle ++
+      ops.Pipeline.oracle ++
       streaming.EventStream.oracle
 }
