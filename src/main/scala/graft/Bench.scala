@@ -30,13 +30,23 @@ object Bench {
     wr.join(broadcast(spark.range(100)), "id").count()
     // (time, Option[error]) per query — a failing query must NOT read as a
     // fast success: it is reported as -1 in `queries` and named in `failures`.
+    // Each query is timed SPARK_GRAFT_BENCH_REPS times (default 2) and the
+    // MINIMUM is reported: round 3's only perf signal was poisoned by
+    // machine contention during a single-shot run (untouched queries "slowed"
+    // 3-7×), and min-of-N is the standard defense — the minimum is the run
+    // least disturbed by external load.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) secs else -1.0, err)
+      val attempts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val ok = attempts.collect { case (secs, None) => secs }
+      if (ok.nonEmpty) (name, ok.min, None)
+      else (name, -1.0, attempts.head._2)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -266,6 +266,94 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- q83: incremental dedup (new batch vs indexed corpus) ---------------
+  // The operational 100 TB dedup shape: a standing corpus is already
+  // deduplicated and INDEXED (content fingerprints + shingle inverted
+  // index); each incoming batch is checked against the index only — never
+  // re-deduplicating the whole corpus. Split is deterministic
+  // (index = doc_id % 10 < 8, batch = the rest, a stand-in for
+  // "yesterday's corpus" vs "today's crawl").
+  //
+  // Per batch document:
+  //   is_exact_dup — its content hash already exists in the index
+  //                  (left-semi join on md5, the q40 fingerprint);
+  //   is_near_dup  — some indexed doc has shingle-Jaccard ≥ 0.5 with it,
+  //                  tested as the integer comparison 3·n_common ≥ n_new
+  //                  + n_idx (no double rounding anywhere);
+  //   keep         — neither ⇒ the doc enters the corpus.
+  //
+  // Scale shape: the pair join is batch-shingles × index-shingles on
+  // shingle — cost ∝ |batch|·avg-postings, NOT corpus²; both sides are
+  // pruned by the broadcast stop-shingle list (document frequency computed
+  // on the INDEX side — the side that is big and already known); index ×
+  // index is never joined (already deduped) and batch × batch dups are
+  // handled when the batch is promoted into the index.
+  def q83IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idx = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    // exact: content-fingerprint membership in the standing index
+    val idxFp = idx.select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val exactIds = batch
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(idxFp, Seq("fp"), "left_semi")
+      .select(col("doc_id"))
+    // near: inverted-index join against the indexed side only
+    val shIdxAll = shingles(idx)
+    val hot = shIdxAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100)
+      .select("shingle")
+    val shIdx = shIdxAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val shNew = shingles(batch).join(broadcast(hot), Seq("shingle"), "left_anti")
+    val nearIds = shNew
+      .select(col("shingle"), col("doc_id").as("id_new"), col("n_doc").as("n_new"))
+      .join(shIdx.select(col("shingle"), col("doc_id").as("id_idx"), col("n_doc").as("n_idx")),
+        "shingle")
+      .groupBy("id_new", "id_idx", "n_new", "n_idx")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * 3 >= col("n_new") + col("n_idx"))
+      .select(col("id_new").as("doc_id")).distinct()
+    batch.select("doc_id")
+      .join(exactIds.withColumn("e", lit(1)), Seq("doc_id"), "left_outer")
+      .join(nearIds.withColumn("nr", lit(1)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        col("e").isNotNull.as("is_exact_dup"),
+        col("nr").isNotNull.as("is_near_dup"))
+      .withColumn("keep", !col("is_exact_dup") && !col("is_near_dup"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+       |idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+       |exact AS (
+       |  SELECT DISTINCT b.doc_id FROM bat b JOIN idx i ON md5(b.text) = md5(i.text)),
+       |hot AS (
+       |  SELECT shingle FROM sh WHERE doc_id % 10 < 8
+       |  GROUP BY shingle HAVING COUNT(*) > 100),
+       |shi AS (SELECT * FROM sh WHERE doc_id % 10 < 8
+       |        AND shingle NOT IN (SELECT shingle FROM hot)),
+       |shn AS (SELECT * FROM sh WHERE doc_id % 10 >= 8
+       |        AND shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |near AS (
+       |  SELECT DISTINCT p.id_new AS doc_id FROM (
+       |    SELECT a.doc_id AS id_new, b.doc_id AS id_idx, COUNT(*) AS n_common
+       |    FROM shn a JOIN shi b ON a.shingle = b.shingle
+       |    GROUP BY 1, 2) p
+       |  JOIN sizes sn ON sn.doc_id = p.id_new
+       |  JOIN sizes si ON si.doc_id = p.id_idx
+       |  WHERE p.n_common * 3 >= sn.n + si.n)
+       |SELECT bat.doc_id,
+       |  (exact.doc_id IS NOT NULL) AS is_exact_dup,
+       |  (near.doc_id IS NOT NULL) AS is_near_dup,
+       |  (exact.doc_id IS NULL AND near.doc_id IS NULL) AS keep
+       |FROM bat
+       |LEFT JOIN exact ON exact.doc_id = bat.doc_id
+       |LEFT JOIN near ON near.doc_id = bat.doc_id
+       |ORDER BY bat.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact _,
@@ -273,11 +361,13 @@ object Dedup {
     "q42_minhash_lsh" -> q42MinhashLsh _,
     "q43_simhash" -> q43Simhash _,
     "q44_dedup_clusters" -> q44DedupClusters _,
+    "q83_incremental_dedup" -> q83IncrementalDedup _,
   )
 
   val oracle: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
     "q41_ngram_jaccard" -> q41Sql,
     "q44_dedup_clusters" -> q44Sql,
+    "q83_incremental_dedup" -> q83Sql,
   )
 }

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables.t
 
@@ -12,10 +11,13 @@ import graft.Tables.t
   * sequence packing, stratified sampling, temperature-based mixture
   * weighting, and PII redaction.
   *
-  * Every query here is deterministic (integer counting, IEEE-exact sqrt,
-  * md5 ordering) and DuckDB-oracled; scale shapes are shuffle-on-key
-  * aggregations and per-stratum windows — never a global single-partition
-  * window and never a driver-side loop.
+  * Every query here is deterministic AND engine-version-proof: hashed
+  * outputs are integers/booleans/md5 strings only (integer counting,
+  * fixed-point ppm weights, integer threshold comparisons, md5 ordering) —
+  * never a rounded double, which round 4 proved diverges across DuckDB
+  * builds. Scale shapes are shuffle-on-key aggregations and per-stratum
+  * windows — never a global single-partition window and never a
+  * driver-side loop.
   */
 object Pipeline {
 
@@ -23,10 +25,14 @@ object Pipeline {
   // The train/eval split is deterministic (eval = doc_id % 97 == 0 — the
   // stand-in for a held-out benchmark suite). A training document is
   // contaminated when it shares word-3-gram shingles with ANY eval
-  // document; the overlap fraction is |doc ∩ evalSet| / |doc| on DISTINCT
+  // document; the overlap test is |doc ∩ evalSet| / |doc| ≥ 5% on DISTINCT
   // shingles. This is the standard n-gram decontamination pass (the
   // GPT-3/PaLM recipe, with 3-grams standing in for their 8-13-grams at
-  // this document length).
+  // this document length). The threshold test is the INTEGER comparison
+  // 20·n_shared ≥ n_doc and the output is integer-only — no double
+  // rounding anywhere, so the result is bit-identical across engines and
+  // engine versions (r4 lesson: round(x,6) of integer ratios diverged in
+  // the driver's DuckDB).
   //
   // Scale shape: the eval shingle set is |eval docs| · |shingles/doc| —
   // small relative to the corpus (held-out suites are fixed-size), and
@@ -41,10 +47,8 @@ object Pipeline {
       .join(evalShingles, "shingle") // shingles are per-doc distinct already
       .groupBy("doc_id", "n_doc")
       .agg(count(lit(1)).as("n_shared"))
-      .withColumn("overlap_frac",
-        round(col("n_shared").cast("double") / col("n_doc"), 6))
-      .filter(col("overlap_frac") >= 0.5)
-      .select("doc_id", "n_doc", "n_shared", "overlap_frac")
+      .filter(col("n_shared") * 20 >= col("n_doc"))
+      .select("doc_id", "n_doc", "n_shared")
       .orderBy("doc_id")
   }
 
@@ -52,19 +56,23 @@ object Pipeline {
     s"""WITH sh AS (${Dedup.shinglesSql}),
        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_doc FROM sh GROUP BY doc_id)
-       |SELECT sh.doc_id, sizes.n_doc, COUNT(*) AS n_shared,
-       |  ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.n_doc, 6) AS overlap_frac
+       |SELECT sh.doc_id, sizes.n_doc, COUNT(*) AS n_shared
        |FROM sh JOIN ev USING (shingle) JOIN sizes ON sizes.doc_id = sh.doc_id
        |WHERE sh.doc_id % 97 <> 0
        |GROUP BY sh.doc_id, sizes.n_doc
-       |HAVING ROUND(CAST(COUNT(*) AS DOUBLE) / sizes.n_doc, 6) >= 0.5
+       |HAVING COUNT(*) * 20 >= sizes.n_doc
        |ORDER BY sh.doc_id""".stripMargin
 
   // ---- q78: repetition-based quality gate (Gopher-style) ------------------
-  // Per document: top-word mass fraction and duplicate-bigram fraction —
-  // the two cheapest repetition signals from the Gopher quality rules
-  // (Rae et al. 2021 §A1.1). All counting is integer; the two fractions
-  // are single final divisions, so the gate is bit-deterministic.
+  // Per document: top-word mass and duplicate-bigram counts — the two
+  // cheapest repetition signals from the Gopher quality rules (Rae et al.
+  // 2021 §A1.1). The output is the exact integer numerators/denominators
+  // plus the gate verdict; the gate thresholds (top-word mass ≤ 0.2,
+  // dup-bigram fraction ≤ 0.4) are evaluated as the INTEGER comparisons
+  // 5·top_word_n ≤ n_words and 5·(n_bigrams − n_distinct) ≤ 2·n_bigrams.
+  // Nothing in the hashed output is a double (r4 lesson: round(x,6) of
+  // integer ratios diverged in the driver's DuckDB build), so the result
+  // is bit-identical across engines and engine versions.
   //
   // Scale shape: two exploded aggregations (words, bigrams), each a
   // partial-agged groupBy keyed by (doc_id, term) then (doc_id) — the
@@ -89,18 +97,16 @@ object Pipeline {
           transform(sequence(lit(1), size(col("ws")) - 1),
             i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
           .otherwise(array().cast("array<string>")).as("bg"))
-      .select(col("doc_id"), size(col("bg")).as("n_bigrams"),
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
         explode_outer(array_distinct(col("bg"))).as("b"))
       .groupBy(col("doc_id"), col("n_bigrams"))
       .agg(count(col("b")).as("n_distinct_bigrams"))
     words.join(bigrams, "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
-        round(col("top_word_n").cast("double") / col("n_words"), 6).as("top_word_frac"),
-        when(col("n_bigrams") > 0,
-          round((col("n_bigrams") - col("n_distinct_bigrams")).cast("double")
-            / col("n_bigrams"), 6)).otherwise(0.0).as("dup_bigram_frac"))
+        col("top_word_n"), col("n_bigrams"), col("n_distinct_bigrams"))
       .withColumn("keep",
-        col("top_word_frac") <= 0.2 && col("dup_bigram_frac") <= 0.4)
+        col("top_word_n") * 5 <= col("n_words") &&
+          (col("n_bigrams") - col("n_distinct_bigrams")) * 5 <= col("n_bigrams") * 2)
       .orderBy("doc_id")
   }
 
@@ -109,27 +115,24 @@ object Pipeline {
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
       |  FROM documents WHERE length(trim(text)) > 0),
       |words AS (
-      |  SELECT doc_id, SUM(c) AS n_words, MAX(c) AS top_word_n,
-      |    COUNT(*) AS n_distinct_words
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |    CAST(MAX(c) AS BIGINT) AS top_word_n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_words
       |  FROM (SELECT doc_id, w, COUNT(*) AS c
       |        FROM d, unnest(ws) AS u(w) GROUP BY doc_id, w) wc
       |  GROUP BY doc_id),
       |bg AS (
-      |  SELECT doc_id, greatest(len(ws) - 1, 0) AS n_bigrams,
-      |    CASE WHEN len(ws) >= 2 THEN count(DISTINCT b) ELSE 0 END AS n_distinct_bigrams
+      |  SELECT doc_id, CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(CASE WHEN len(ws) >= 2 THEN count(DISTINCT b) ELSE 0 END AS BIGINT)
+      |      AS n_distinct_bigrams
       |  FROM d LEFT JOIN LATERAL (
       |    SELECT unnest(list_transform(range(1, greatest(len(ws), 1)),
       |      i -> ws[i] || ' ' || ws[i+1])) AS b) x ON TRUE
       |  GROUP BY doc_id, len(ws))
-      |SELECT words.doc_id, n_words, n_distinct_words,
-      |  ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
-      |  CASE WHEN n_bigrams > 0
-      |    THEN ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
-      |    ELSE 0.0 END AS dup_bigram_frac,
-      |  (ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) <= 0.2 AND
-      |   CASE WHEN n_bigrams > 0
-      |     THEN ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
-      |     ELSE 0.0 END <= 0.4) AS keep
+      |SELECT words.doc_id, n_words, n_distinct_words, top_word_n,
+      |  n_bigrams, n_distinct_bigrams,
+      |  (top_word_n * 5 <= n_words AND
+      |   (n_bigrams - n_distinct_bigrams) * 5 <= n_bigrams * 2) AS keep
       |FROM words JOIN bg ON words.doc_id = bg.doc_id
       |ORDER BY words.doc_id""".stripMargin
 
@@ -208,41 +211,103 @@ object Pipeline {
   // ---- q81: temperature-scaled mixture weights ----------------------------
   // Per (lang, source) corpus shard: sampling weight ∝ n_tokens^0.5 — the
   // standard temperature reweighting (multilingual LM mixing, T=2 ⇔
-  // exponent 1/2), computed with IEEE-exact sqrt (correctly rounded, so
-  // cross-engine identical — unlike pow/exp) and an order-independent
-  // decimal sum for the normalizer.
-  def q81MixingWeights(s: SparkSession, dir: String): DataFrame = {
+  // exponent 1/2). The weight is materialized as the FIXED-POINT integer
+  // `weight_ppm` (parts-per-million of the mix):
+  //   w_fp       = floor(sqrt(n_tokens) · 10⁶)          — a long
+  //   weight_ppm = (w_fp · 10⁶) div Σ w_fp              — integer division
+  // Every step is cross-engine exact: sqrt and the 10⁶ multiply are
+  // correctly-rounded IEEE-754 double ops (bit-identical in any engine),
+  // floor is exact, and the normalizer is an order-independent INTEGER
+  // sum with an integer division. No double ever reaches the hashed
+  // output (r4 lesson: a sqrt→decimal→double→round(…,6) chain diverged in
+  // the driver's DuckDB build — decimal casts and rounding are
+  // engine-version-specific; fixed-point integers are not).
+  private[ops] def mixtureShards(s: SparkSession, dir: String): DataFrame = {
     val nTok = when(length(trim(col("text"))) === 0, lit(0))
       .otherwise(size(split(trim(lower(col("text"))), "\\s+")))
     val shards = t(s, dir, "documents")
       .select(col("lang"), col("source"), nTok.as("n_tokens"))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .withColumn("w", sqrt(col("n_tokens").cast("double")).cast(DecimalType(28, 10)))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)))
     // normalizer via broadcast cross join (stays lazy, no driver collect);
-    // the decimal sum is order-independent, and the final division runs in
-    // IEEE doubles (deterministic) rather than engine-specific decimal
-    // division scales
-    val tot = shards.agg(sum("w").as("tot"))
+    // the integer sum is order-independent
+    val tot = shards.agg(sum("w_fp").as("tot"))
     shards.crossJoin(broadcast(tot))
-      .withColumn("weight",
-        round(col("w").cast("double") / col("tot").cast("double"), 6))
-      .select("lang", "source", "n_docs", "n_tokens", "weight")
-      .orderBy("lang", "source")
+      .withColumn("weight_ppm", expr("(w_fp * CAST(1000000 AS BIGINT)) DIV tot"))
+      .select("lang", "source", "n_docs", "n_tokens", "weight_ppm")
   }
 
-  val q81Sql: String =
-    """WITH shards AS (
+  def q81MixingWeights(s: SparkSession, dir: String): DataFrame =
+    mixtureShards(s, dir).orderBy("lang", "source")
+
+  /** Shared CTE chain for the fixed-point mixture weights — reused by the
+    * q84 materializer oracle.
+    */
+  private[ops] val mixtureCtes: String =
+    """shards AS (
       |  SELECT lang, source, COUNT(*) AS n_docs,
-      |    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-      |        ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) AS n_tokens
+      |    CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+      |        ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) AS BIGINT)
+      |      AS n_tokens
       |  FROM documents GROUP BY lang, source),
-      |ws AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS w
-      |       FROM shards)
-      |SELECT lang, source, n_docs, n_tokens,
-      |  ROUND(CAST(w AS DOUBLE) / CAST((SELECT SUM(w) FROM ws) AS DOUBLE), 6) AS weight
-      |FROM ws
-      |ORDER BY lang, source""".stripMargin
+      |ws AS (SELECT *,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_fp
+      |       FROM shards),
+      |mix AS (
+      |  SELECT lang, source, n_docs, n_tokens,
+      |    CAST((w_fp * 1000000) // CAST((SELECT SUM(w_fp) FROM ws) AS BIGINT) AS BIGINT)
+      |      AS weight_ppm
+      |  FROM ws)""".stripMargin
+
+  val q81Sql: String =
+    s"""WITH $mixtureCtes
+       |SELECT lang, source, n_docs, n_tokens, weight_ppm FROM mix
+       |ORDER BY lang, source""".stripMargin
+
+  // ---- q84: weighted-sample materializer ----------------------------------
+  // Consumes q81's fixed-point mixture weights and materializes an actual
+  // training-mix manifest: per (lang, source) shard, quota =
+  // (weight_ppm · budget) div 10⁶ documents, picked in deterministic
+  // md5(doc_id) order (the q80 cross-engine sampling basis). Integer
+  // quotas + hash ordering ⇒ fully oracle-checkable.
+  //
+  // Scale shape: the quota table is k shards (tiny — broadcast by AQE);
+  // ranking is one row_number window per shard (shuffle on (lang,
+  // source)), never a global sort; the budget bound makes the output
+  // constant-size regardless of corpus size.
+  private val mixBudget = 500
+
+  def q84WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val quotas = mixtureShards(s, dir)
+      .withColumn("quota", expr(s"(weight_ppm * CAST($mixBudget AS BIGINT)) DIV 1000000"))
+      .select("lang", "source", "quota")
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy("lang", "source").orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .join(quotas, Seq("lang", "source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"), col("quota"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  val q84Sql: String =
+    s"""WITH $mixtureCtes,
+       |quotas AS (
+       |  SELECT lang, source, CAST((weight_ppm * $mixBudget) // 1000000 AS BIGINT) AS quota
+       |  FROM mix),
+       |ranked AS (
+       |  SELECT lang, source, doc_id,
+       |    row_number() OVER (PARTITION BY lang, source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT r.lang, r.source, r.doc_id, r.rk, q.quota
+       |FROM ranked r JOIN quotas q USING (lang, source)
+       |WHERE rk <= quota
+       |ORDER BY lang, source, rk""".stripMargin
 
   // ---- q85: PII redaction -------------------------------------------------
   // Regex scrubbing of emails and long digit runs — the compliance pass
@@ -287,6 +352,7 @@ object Pipeline {
     "q79_pack_sequences" -> q79PackSequences _,
     "q80_stratified_sample" -> q80StratifiedSample _,
     "q81_mixing_weights" -> q81MixingWeights _,
+    "q84_weighted_sample" -> q84WeightedSample _,
     "q85_pii_redact" -> q85PiiRedact _,
   )
 
@@ -296,6 +362,7 @@ object Pipeline {
     "q79_pack_sequences" -> q79Sql,
     "q80_stratified_sample" -> q80Sql,
     "q81_mixing_weights" -> q81Sql,
+    "q84_weighted_sample" -> q84Sql,
     "q85_pii_redact" -> q85Sql,
   )
 }

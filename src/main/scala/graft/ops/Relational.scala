@@ -470,6 +470,24 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q82: approx percentile (sketch twin of q26) ------------------------
+  // approx_percentile replaces q26's exact percentile() with a mergeable
+  // bounded-memory quantile sketch — the same exact→sketch relationship as
+  // q10→q34 for count-distinct. At 100 TB the exact version materializes
+  // and sorts every value per group inside the aggregate buffer; the
+  // sketch's partial-agg buffers are O(accuracy), merge associatively
+  // map-side, and never hold the data. Rows-only (sketch contents are
+  // implementation-specific); OperatorSpec pins ≤1% relative error vs the
+  // exact q26 values.
+  def q82ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   // ---- q29: CUBE + grouping_id (full grouping-sets lattice) ---------------
   def q29Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -763,6 +781,7 @@ object Relational {
     "q49_partition_pruning" -> q49PartitionPruning _,
     "q68_sql_surface" -> q68SqlSurface _,
     "q76_topk_custom" -> q76TopKCustom _,
+    "q82_approx_percentile" -> q82ApproxPercentile _,
   )
 
   val oracle: Map[String, String] = Map(

@@ -240,7 +240,14 @@ object Similarity {
         cents = next
         it += 1
       }
-      (cents, assignCells(emb, cents))
+      // Materialize the converged assignment ONCE (localCheckpoint is
+      // eager): without it the memoized DataFrame is lazy and each
+      // consumer (q54's aggregate, q55's probe — twice, once per join
+      // branch) re-runs the assignment map over the persisted corpus.
+      // Checkpointed, consumers read k+3 narrow columns from local blocks.
+      val assigned = assignCells(emb, cents).localCheckpoint()
+      emb.unpersist()
+      (cents, assigned)
     }
 
   def q54IvfCentroids(s: SparkSession, dir: String): DataFrame =

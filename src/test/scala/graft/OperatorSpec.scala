@@ -212,6 +212,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q82: every group's sketch percentile lands within 1% of exact (q26)") {
+    val exact = ops.Relational.q26Percentile(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("median_qty"), r.getAs[Double]("p90_price"))).toMap
+    val approx = ops.Relational.q82ApproxPercentile(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (em, ep) = exact(r.getString(0))
+      val (am, ap) = (r.getAs[Double]("median_qty"), r.getAs[Double]("p90_price"))
+      assert(math.abs(am - em) / em <= 0.01, s"${r.getString(0)} median $am vs $em")
+      assert(math.abs(ap - ep) / ep <= 0.01, s"${r.getString(0)} p90 $ap vs $ep")
+    }
+  }
+
+  test("q84: manifest respects every shard quota and the total budget") {
+    val out = ops.Pipeline.q84WeightedSample(spark, sf).collect()
+    assert(out.nonEmpty)
+    // rk never exceeds the shard quota, and the manifest never exceeds
+    // the configured budget (quotas are floors of ppm shares)
+    assert(out.forall(r => r.getAs[Int]("rk") <= r.getAs[Long]("quota")))
+    assert(out.length <= 500)
+  }
+
   test("multimodal decode stub covers every document batch-wise") {
     val n = ops.Multimodal.mediaRows(spark, sf).count()
     assert(n == Tables.t(spark, sf, "documents").count())

@@ -102,6 +102,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q77: the eval shingle set is AQE-decided, never hint-forced broadcast") {
+    // the eval set is small TODAY, but a broadcast() hint would hard-code
+    // that assumption and block AQE's shuffle fallback if a benchmark
+    // suite ever grows; the hint marker must not appear in the plan
+    val df = SparkEntry.queries("q77_decontaminate")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("strategy=broadcast"), "eval-set join is hint-forced")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q79: the packing window is per-shard, never a global token stream") {
+    // a window without the source partition key serializes the whole
+    // corpus's running offset into ONE task — the packing anti-pattern
+    val p = planOf("q79_pack_sequences")
+    assert(p.contains("windowspecdefinition(source"),
+      "running offset must partition by source")
+  }
+
+  test("q80/q84: per-stratum rank windows need no global sort below them") {
+    // the only global Sort allowed is the bounded final output ordering
+    // ABOVE the window; below it, sorts are per-partition (global=false)
+    Seq("q80_stratified_sample", "q84_weighted_sample").foreach { q =>
+      val below = planOf(q).split("Window", 2).last
+      assert(!below.contains("], true, "), s"$q: global sort below the rank window")
+    }
+  }
+
+  test("q83: incremental dedup joins stay indexed, hot shingles pruned") {
+    val p = planOf("q83_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftAnti"), "stop-shingle anti-join missing")
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
