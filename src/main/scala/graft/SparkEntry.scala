@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Multimodal.queries ++
       ops.Pipeline.queries ++
+      sources.Formats.queries ++
       streaming.EventStream.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
       ops.Events.oracle ++
       ops.Multimodal.oracle ++
       ops.Pipeline.oracle ++
+      sources.Formats.oracle ++
       streaming.EventStream.oracle
 }

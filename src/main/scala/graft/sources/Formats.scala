@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.t
+
+/** Source-format breadth beyond parquet/CSV/scalar-text: JSON-lines and
+  * ORC round-trips through real files. Each query WRITES the format from
+  * the parquet table (once per JVM — [[graft.TempDirs]]), reads it back
+  * with an EXPLICIT schema (schema inference is a full extra pass over
+  * the data at scale — never rely on it), and emits a row-level fidelity
+  * digest the DuckDB oracle computes from the original parquet. A lossy
+  * writer, reader, or type mapping fails the hash compare.
+  *
+  * Scale: both formats are splittable here (JSON-lines by newline, ORC by
+  * stripe), so reads parallelize per file-split exactly like parquet;
+  * writes shard one file per task. Hashed outputs are integer/string/md5
+  * only (see ops/Pipeline.scala on engine-version-proof outputs).
+  */
+object Formats {
+
+  private val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  // ---- q87: JSON-lines source round-trip ----------------------------------
+  // JSON string escaping must preserve the document text byte-for-byte —
+  // proven by md5 against the oracle's read of the original parquet.
+  def q87JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"json_roundtrip:$dir") { p =>
+      t(s, dir, "documents").write.mode("overwrite")
+        .json(p.resolve("docs").toString)
+    }
+    s.read.schema(docSchema).json(s"$staged/docs")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q87Sql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val ordersSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_orderdate", DateType),
+    StructField("o_orderpriority", StringType)))
+
+  // ---- q88: ORC source round-trip -----------------------------------------
+  // Long/string/date columns survive the ORC type mapping; the projection
+  // is pruned at the ORC reader exactly as at parquet scans.
+  def q88OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"orc_roundtrip:$dir") { p =>
+      // o_orderdate is a midnight-valued TIMESTAMP_NTZ in the parquet
+      // (TESTDATA) and ORC has no NTZ type — materialize it as a true
+      // DATE column in the ORC layout
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").orc(p.resolve("orders").toString)
+    }
+    s.read.schema(ordersSchema).orc(s"$staged/orders")
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        min("o_orderdate").as("first_date"), max("o_orderdate").as("last_date"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val q88Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_date,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_json_roundtrip" -> q87JsonRoundtrip _,
+    "q88_orc_roundtrip" -> q88OrcRoundtrip _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q87_json_roundtrip" -> q87Sql,
+    "q88_orc_roundtrip" -> q88Sql,
+  )
+}

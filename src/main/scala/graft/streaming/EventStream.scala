@@ -286,11 +286,63 @@ object EventStream {
       |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Stream-STATIC join — the remaining streaming join class (q75 covers
+    * stream-stream): a re-delivered document feed is checked against the
+    * STATIC content-fingerprint index of the already-ingested corpus
+    * (doc_id % 10 < 8, the q83 split). Docs the index already holds are
+    * flagged `already_ingested` — idempotent re-ingestion, the streaming
+    * twin of q83's exact path. The static side is re-read per micro-batch
+    * by the engine (no watermark/state needed: the join is stateless on
+    * the stream side), and at scale the fingerprint index is a broadcast
+    * or bucketed dimension — never stream state.
+    */
+  private val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def q86StreamIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"documents_stream:$dir") { p =>
+      java.nio.file.Files.createSymbolicLink(
+        p.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    }
+    val feed = s.readStream
+      .schema(docSchema)
+      .parquet(staged.toString)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val index = graft.Tables.t(s, dir, "documents")
+      .filter(col("doc_id") % 10 < 8)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      .withColumn("indexed", lit(1))
+    val name = s"stream_ingest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = feed.join(index, Seq("fp"), "left_outer")
+      .select(col("doc_id"), col("indexed").isNotNull.as("already_ingested"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    """SELECT d.doc_id, (i.fp IS NOT NULL) AS already_ingested
+      |FROM (SELECT doc_id, md5(text) AS fp FROM documents) d
+      |LEFT JOIN (SELECT DISTINCT md5(text) AS fp FROM documents
+      |           WHERE doc_id % 10 < 8) i ON d.fp = i.fp
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
     "q72_stream_session_window" -> (q72StreamSessionWindow _),
     "q75_stream_stream_join" -> (q75StreamStreamJoin _),
+    "q86_stream_ingest_dedup" -> (q86StreamIngestDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -298,5 +350,6 @@ object EventStream {
     "q64_stream_sessions" -> q64Sql,
     "q72_stream_session_window" -> q72Sql,
     "q75_stream_stream_join" -> q75Sql,
+    "q86_stream_ingest_dedup" -> q86Sql,
   )
 }
