@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Multimodal.queries ++
       ops.Pipeline.queries ++
+      ops.Warehouse.queries ++
       sources.Formats.queries ++
       streaming.EventStream.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.Events.oracle ++
       ops.Multimodal.oracle ++
       ops.Pipeline.oracle ++
+      ops.Warehouse.oracle ++
       sources.Formats.oracle ++
       streaming.EventStream.oracle
 }

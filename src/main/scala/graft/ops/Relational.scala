@@ -144,9 +144,16 @@ object Relational {
        |ORDER BY o_orderpriority""".stripMargin
 
   // ---- q6: left-anti join (NOT EXISTS) ------------------------------------
+  // Customers with no single order above 300k — the right side is
+  // FILTERED so the anti-join has real survivors at every test scale
+  // (every customer has SOME order in the testdata, so the unfiltered
+  // variant passed vacuously on 0 rows — the q77 round-4 lesson applied
+  // here).
   def q6AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
-    val o = t(s, dir, "orders").select("o_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
@@ -156,7 +163,8 @@ object Relational {
   val q6Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_customers
       |FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 

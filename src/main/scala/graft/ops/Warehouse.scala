@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Warehouse-maintenance operators: MERGE/upsert semantics and
+  * slowly-changing-dimension (SCD2) interval construction. Spark core has
+  * no MERGE INTO statement (that lives in table formats like Delta/
+  * Iceberg), but the SEMANTICS are a single relational expansion — which
+  * is exactly how those formats execute it underneath: a full-outer join
+  * on the merge key with per-row matched/not-matched actions.
+  *
+  * Hashed outputs are integers/strings/timestamps only (exact values,
+  * never rounded doubles — see ops/Pipeline.scala).
+  */
+object Warehouse {
+
+  // ---- q89: MERGE / upsert via full-outer join ----------------------------
+  // The standing corpus receives a deterministic revision batch: every
+  // doc_id % 3 == 0 document arrives re-crawled with more content
+  // (update), and every doc_id % 50 == 0 document spawns a new derived
+  // key (insert). MERGE semantics: matched → take the batch row,
+  // not-matched-by-source → keep, not-matched-by-target → insert; each
+  // output row is tagged with the action applied.
+  //
+  // Scale shape: one shuffle-on-key full-outer join (AQE broadcasts a
+  // small batch side at runtime); at 100 TB the same plan co-locates via
+  // bucketing on the merge key — nothing here pins a strategy.
+  def q89MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val docs = t(s, dir, "documents")
+    val updates = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") + lit(1000L)).as("n_chars"))
+      .unionAll(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("lang"), col("source"), col("n_chars")))
+    base.as("b").join(updates.as("u"),
+        col("b.doc_id") === col("u.doc_id"), "full_outer")
+      .select(
+        coalesce(col("u.doc_id"), col("b.doc_id")).as("doc_id"),
+        coalesce(col("u.lang"), col("b.lang")).as("lang"),
+        coalesce(col("u.source"), col("b.source")).as("source"),
+        coalesce(col("u.n_chars"), col("b.n_chars")).as("n_chars"),
+        when(col("b.doc_id").isNull, "insert")
+          .when(col("u.doc_id").isNull, "keep")
+          .otherwise("update").as("op"))
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String =
+    """WITH upd AS (
+      |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT COALESCE(u.doc_id, b.doc_id) AS doc_id,
+      |  COALESCE(u.lang, b.lang) AS lang,
+      |  COALESCE(u.source, b.source) AS source,
+      |  COALESCE(u.n_chars, b.n_chars) AS n_chars,
+      |  CASE WHEN b.doc_id IS NULL THEN 'insert'
+      |       WHEN u.doc_id IS NULL THEN 'keep'
+      |       ELSE 'update' END AS op
+      |FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q90: SCD2 interval build from a change log -------------------------
+  // Per user, collapse the event stream into type-change intervals: a row
+  // per run of consecutive identical event_types, valid [valid_from,
+  // valid_to), open-ended for the current state — the standard
+  // slowly-changing-dimension (type 2) construction from an append-only
+  // log. Two windows, both partitioned by user_id (shuffle once on the
+  // dimension key, never a global sort): lag() flags change rows, lead()
+  // over the surviving change rows closes each interval. Current rows
+  // carry the standard 9999-12-31 end sentinel, not NULL — SCD2 range
+  // predicates (`BETWEEN valid_from AND valid_to`) then need no null
+  // branch, and null timestamps (NaT) don't survive a hash compare.
+  def q90Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes
+      .withColumn("change_seq", row_number().over(wc))
+      .withColumn("valid_to",
+        coalesce(lead("ts", 1).over(wc),
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz")))
+      .select(col("user_id"), col("change_seq"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "change_seq")
+  }
+
+  val q90Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(event_type, 1) OVER w AS prev_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |changes AS (
+      |  SELECT * FROM flagged
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS INT) AS change_seq, event_type,
+      |  ts AS valid_from,
+      |  COALESCE(lead(ts, 1) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, change_seq""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_merge_upsert" -> q89MergeUpsert _,
+    "q90_scd2_intervals" -> q90Scd2Intervals _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q89_merge_upsert" -> q89Sql,
+    "q90_scd2_intervals" -> q90Sql,
+  )
+}

@@ -130,6 +130,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q89/q90: merge is a keyed full-outer, SCD2 windows are per-user") {
+    val merge = planOf("q89_merge_upsert")
+    assert(!merge.contains("CartesianProduct") && !merge.contains("BroadcastNestedLoopJoin"),
+      "merge must stay a keyed join")
+    val scd2 = planOf("q90_scd2_intervals")
+    assert(scd2.contains("windowspecdefinition(user_id"),
+      "SCD2 windows must partition by the dimension key")
+    val belowWindow = scd2.split("Window", 2).last
+    assert(!belowWindow.contains("], true, "), "global sort below the SCD2 windows")
+  }
+
   test("q83: incremental dedup joins stay indexed, hot shingles pruned") {
     val p = planOf("q83_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
