@@ -343,6 +343,42 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ---- q91: higher-order-function cosine (built-ins-only twin of q51) -----
+  // The same quantized dot product as the custom codegen expression, but
+  // composed ONLY from built-in higher-order functions (`zip_with` +
+  // `aggregate`) — the path a library user takes when they cannot ship a
+  // custom Expression. Scores every vector against the fixed reference
+  // vector (vec_id = 0), broadcast as a one-row relation. Values are
+  // exact-integer products in f64 plus one IEEE sqrt/division per row, so
+  // the doubles are bit-identical cross-engine (the proven q51 regime).
+  // FunctionsSpec pins HOF ≡ custom-expression equivalence; the custom
+  // expr stays the hot-path choice (one generated loop, no lambda
+  // closure per element).
+  def q91HofCosine(s: SparkSession, dir: String): DataFrame = {
+    val emb = quantized(t(s, dir, "embeddings"))
+    val ref = emb.filter(col("vec_id") === 0)
+      .select(col("qv").as("ref_qv"), col("qnorm").as("ref_n"))
+    emb.filter(col("vec_id") =!= 0 && col("qnorm") > 0)
+      .crossJoin(broadcast(ref))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, ref_qv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .select(col("vec_id"), col("dot"),
+        (col("dot") / sqrt(col("qnorm") * col("ref_n"))).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val q91Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+      |r AS (SELECT qv AS ref_qv, nrm AS ref_n FROM n WHERE vec_id = 0)
+      |SELECT n.vec_id, list_dot_product(n.qv, r.ref_qv) AS dot,
+      |  list_dot_product(n.qv, r.ref_qv) / sqrt(n.nrm * r.ref_n) AS cos
+      |FROM n, r
+      |WHERE n.vec_id <> 0 AND n.nrm > 0
+      |ORDER BY n.vec_id""".stripMargin
+
   // ---- q56: embedding dedup clusters (rows-only) --------------------------
   // q53's near-dup pairs → connected components → one keep-id per cluster:
   // the same large-star/small-star operator as q44, over the
@@ -363,11 +399,13 @@ object Similarity {
     "q54_ivf_centroids" -> q54IvfCentroids _,
     "q55_ivf_ann" -> q55IvfAnn _,
     "q56_embed_dedup_clusters" -> q56EmbedDedupClusters _,
+    "q91_hof_cosine" -> q91HofCosine _,
   )
 
   val oracle: Map[String, String] = Map(
     "q50_embed_norm" -> q50Sql,
     "q51_ann_brute_force" -> q51Sql,
     "q54_ivf_centroids" -> q54Sql,
+    "q91_hof_cosine" -> q91Sql,
   )
 }

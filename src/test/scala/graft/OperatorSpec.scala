@@ -235,6 +235,25 @@ class OperatorSpec extends SparkSpec {
     assert(out.length <= 500)
   }
 
+  test("q91: HOF cosine equals the custom-expression dot product on the corpus") {
+    import graft.functions.ArrayMath
+    val q = Tables.t(spark, sf, "embeddings")
+      .withColumn("qv", transform(col("embedding"), x => round(x.cast("double") * 1000)))
+      .withColumn("n2", ArrayMath.dot_product(col("qv"), col("qv")))
+    val ref = q.filter(col("vec_id") === 0).select(col("qv").as("rqv"))
+    val expect = q.filter(col("vec_id") =!= 0 && col("n2") > 0)
+      .crossJoin(broadcast(ref))
+      .select(col("vec_id"), ArrayMath.dot_product(col("qv"), col("rqv")).as("dot"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = ops.Similarity.q91HofCosine(spark, sf).collect()
+    assert(got.nonEmpty && got.length == expect.size)
+    got.foreach { r =>
+      assert(r.getDouble(1) == expect(r.getLong(0)),
+        s"vec ${r.getLong(0)}: HOF ${r.getDouble(1)} vs expr ${expect(r.getLong(0))}")
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+  }
+
   test("multimodal decode stub covers every document batch-wise") {
     val n = ops.Multimodal.mediaRows(spark, sf).count()
     assert(n == Tables.t(spark, sf, "documents").count())
