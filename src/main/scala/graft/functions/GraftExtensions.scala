@@ -79,6 +79,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "rand_exponential(rate[, seed]) takes 1 or 2 arguments")
       }))
+    // Spark's own bloom-filter expressions exist only in Catalyst's
+    // internal registry (runtime shuffle-join filtering); expose them as
+    // SQL functions so the explicit build/probe membership-sketch path
+    // (see functions.BloomMembership) also works from SQL text.
+    e.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[aggregate.BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new aggregate.BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new aggregate.BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(itemHash[, nItems[, nBits]]) takes 1-3 arguments")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[BloomFilterMightContain].getName, "might_contain"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(bloom, item) => BloomFilterMightContain(bloom, item)
+        case _ => throw new IllegalArgumentException(
+          "might_contain(bloom, itemHash) takes exactly 2 arguments")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

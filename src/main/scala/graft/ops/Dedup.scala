@@ -354,6 +354,39 @@ object Dedup {
        |LEFT JOIN near ON near.doc_id = bat.doc_id
        |ORDER BY bat.doc_id""".stripMargin
 
+  // ---- q92: bloom-prefiltered membership (semi-join reduction) ------------
+  // The q86 re-ingestion check with the 100 TB semi-join-reduction shape
+  // made explicit: build ONE bloom filter over the index's content
+  // fingerprints (a mergeable sketch aggregate — one small binary reaches
+  // the driver, like the k-means centroids), ship it back as a plan
+  // literal, and drop feed rows in a narrow codegen `might_contain`
+  // filter BEFORE the exact semi join. The bloom has no false negatives,
+  // so prefilter + exact confirm ≡ exact semi join — which is precisely
+  // what the oracle checks (bloom false positives are removed by the
+  // confirm join and never observable). At real scale the filter discards
+  // the non-member bulk before it ever reaches the shuffle; the exact
+  // join then touches only candidate rows.
+  def q92BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val idxFp = docs.filter(col("doc_id") % 10 < 8)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val bloom: Array[Byte] = idxFp
+      .agg(graft.functions.BloomMembership
+        .bloom_filter_agg(xxhash64(col("fp")), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .filter(graft.functions.BloomMembership.might_contain(bloom, xxhash64(col("fp"))))
+      .join(idxFp, Seq("fp"), "left_semi") // exact confirm: kills bloom FPs
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  val q92Sql: String =
+    """SELECT doc_id FROM documents d
+      |WHERE EXISTS (SELECT 1 FROM documents i
+      |              WHERE i.doc_id % 10 < 8 AND md5(i.text) = md5(d.text))
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact _,
@@ -362,6 +395,7 @@ object Dedup {
     "q43_simhash" -> q43Simhash _,
     "q44_dedup_clusters" -> q44DedupClusters _,
     "q83_incremental_dedup" -> q83IncrementalDedup _,
+    "q92_bloom_prefilter" -> q92BloomPrefilter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,5 +403,6 @@ object Dedup {
     "q41_ngram_jaccard" -> q41Sql,
     "q44_dedup_clusters" -> q44Sql,
     "q83_incremental_dedup" -> q83Sql,
+    "q92_bloom_prefilter" -> q92Sql,
   )
 }

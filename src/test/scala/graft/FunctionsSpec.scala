@@ -68,6 +68,31 @@ class FunctionsSpec extends SparkSpec {
     assert(one == 11.0)
   }
 
+  test("bloom membership has no false negatives and bounded false positives") {
+    import graft.functions.BloomMembership
+    val members = spark.range(0, 2000)
+      .select(xxhash64(concat(lit("k"), col("id"))).as("h"))
+    val bloom = members
+      .agg(BloomMembership.bloom_filter_agg(col("h"), 10000L, 80000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // every member must pass (no false negatives — the semi-join-reduction
+    // correctness condition)
+    val hits = members.filter(BloomMembership.might_contain(bloom, col("h"))).count()
+    assert(hits == 2000, s"false negatives: ${2000 - hits}")
+    // non-members mostly fail (10k capacity / 80k bits → fpp ~< a few %)
+    val fp = spark.range(2000, 12000)
+      .select(xxhash64(concat(lit("k"), col("id"))).as("h"))
+      .filter(BloomMembership.might_contain(bloom, col("h"))).count()
+    assert(fp < 1000, s"false-positive count $fp out of 10000")
+  }
+
+  test("bloom functions are registered for SQL text via extensions") {
+    val bf = spark.sql(
+      "SELECT bloom_filter_agg(xxhash64(cast(id AS string)), 100L, 800L) AS bf FROM range(50)")
+      .head().getAs[Array[Byte]]("bf")
+    assert(bf != null && bf.nonEmpty)
+  }
+
   test("rand_exponential has the right mean (CLT band, fixed seed)") {
     val n = 200000
     val mean = spark.range(n)

@@ -141,6 +141,24 @@ class PlanSpec extends SparkSpec {
     assert(!belowWindow.contains("], true, "), "global sort below the SCD2 windows")
   }
 
+  test("q91: the HOF composition is rewritten to the codegen DotProduct") {
+    // RewriteDotProduct must fire on the real query — the user writes
+    // zip_with+aggregate, the plan runs the native expression
+    val p = planOf("q91_hof_cosine")
+    assert(p.contains("dotproduct("),
+      "optimizer rule did not rewrite the HOF composition")
+    assert(!p.contains("zip_with"), "interpreted HOF survived in the plan")
+  }
+
+  test("q92: the bloom probe is a narrow filter below the exact semi join") {
+    val p = planOf("q92_bloom_prefilter")
+    assert(p.contains("might_contain"), "bloom prefilter missing from the plan")
+    // the filter must sit on the feed side BELOW the join: everything
+    // after the join operator (its children) includes the probe filter
+    val below = p.split("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin").last
+    assert(below.contains("might_contain"), "bloom probe must run before the join")
+  }
+
   test("q83: incremental dedup joins stay indexed, hot shingles pruned") {
     val p = planOf("q83_incremental_dedup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
