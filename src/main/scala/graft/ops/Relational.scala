@@ -496,6 +496,33 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // ---- q94: map type construction + map generator -------------------------
+  // MapType end to end: build a map column from scalar attributes, look a
+  // key up (element_at), and explode the entries back to rows — the one
+  // §2.5 type family no other query exercises. The oracle is the
+  // relational expansion (a UNION ALL of the entries), which is exactly
+  // what the generator produces.
+  def q94MapExplode(s: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), m.as("m"))
+      .filter(element_at(col("m"), "lang").isNotNull) // keyed lookup
+      .select(col("doc_id"), explode(col("m")).as(Seq("key", "value")))
+      .groupBy("key", "value")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("key", "value")
+  }
+
+  val q94Sql: String =
+    """SELECT key, value, COUNT(*) AS n, MIN(doc_id) AS first_doc
+      |FROM (SELECT doc_id, 'lang' AS key, lang AS value FROM documents
+      |      WHERE lang IS NOT NULL
+      |      UNION ALL
+      |      SELECT doc_id, 'source', source FROM documents
+      |      WHERE lang IS NOT NULL) kv
+      |GROUP BY key, value
+      |ORDER BY key, value""".stripMargin
+
   // ---- q29: CUBE + grouping_id (full grouping-sets lattice) ---------------
   def q29Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -790,6 +817,7 @@ object Relational {
     "q68_sql_surface" -> q68SqlSurface _,
     "q76_topk_custom" -> q76TopKCustom _,
     "q82_approx_percentile" -> q82ApproxPercentile _,
+    "q94_map_explode" -> q94MapExplode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -823,5 +851,6 @@ object Relational {
     "q49_partition_pruning" -> q49Sql,
     "q68_sql_surface" -> q68Sql,
     "q76_topk_custom" -> q76Sql,
+    "q94_map_explode" -> q94Sql,
   )
 }
