@@ -45,21 +45,27 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val ok = attempts.collect { case (secs, None) => secs }
-      if (ok.nonEmpty) (name, ok.min, None)
-      else (name, -1.0, attempts.head._2)
+      // A query that fails some reps but succeeds others must not read as a
+      // clean success: keep the min of the good reps (the perf signal) but
+      // surface the first failing rep's error as "flaky".
+      val flakyErr = if (ok.nonEmpty) attempts.collectFirst { case (_, Some(e)) => e } else None
+      if (ok.nonEmpty) (name, ok.min, None, flakyErr)
+      else (name, -1.0, attempts.head._2, None)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val fails = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val fails = results.collect { case (k, _, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val flaky = results.collect { case (k, _, None, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.count(_._3.nonEmpty)},"failures":$fails,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.count(_._3.nonEmpty)},"failures":$fails,"flaky":$flaky,"sf":"$sfDir"}"""
     // Full-precision, full-name JSON goes to files (and an early stdout
     // line for humans). The driver, however, captures only the LAST 2000
     // chars of the build log and parses the JSON line it finds there —
@@ -81,12 +87,14 @@ object Bench {
       .flatten.map(_._1).toSet
     def key(k: String): String = if (collide(k)) k else short(k)
     def r2(v: Double): String = if (v < 0) "-1" else (math.rint(v * 100) / 100).toString
-    val qsShort = results.map { case (k, v, _) => jstr(key(k)) + ":" + r2(v) }
+    val qsShort = results.map { case (k, v, _, _) => jstr(key(k)) + ":" + r2(v) }
       .mkString("{", ",", "}")
-    val failShort = results.collect { case (k, _, Some(_)) => jstr(key(k)) }
+    val failShort = results.collect { case (k, _, Some(_), _) => jstr(key(k)) }
+      .mkString("[", ",", "]")
+    val flakyShort = results.collect { case (k, _, None, Some(_)) => jstr(key(k)) }
       .mkString("[", ",", "]")
     val compact =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"flaky":$flakyShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
     println(compact)
   }
 }

@@ -374,8 +374,15 @@ object Dedup {
       .agg(graft.functions.BloomMembership
         .bloom_filter_agg(xxhash64(col("fp")), 100000L, 800000L).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .filter(graft.functions.BloomMembership.might_contain(bloom, xxhash64(col("fp"))))
+    val feed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    // An empty index aggregates to a NULL sketch, and might_contain(NULL, …)
+    // is NULL — the prefilter would silently drop EVERY row instead of
+    // degrading to the exact join. Guard: no sketch → no prefilter.
+    val prefiltered =
+      if (bloom == null) feed
+      else feed.filter(
+        graft.functions.BloomMembership.might_contain(bloom, xxhash64(col("fp"))))
+    prefiltered
       .join(idxFp, Seq("fp"), "left_semi") // exact confirm: kills bloom FPs
       .select(col("doc_id"))
       .orderBy("doc_id")

@@ -21,6 +21,15 @@ import graft.Tables.t
   */
 object Pipeline {
 
+  /** q77's contamination threshold, as the integer-comparison denominator:
+    * a train document is contaminated when n_shared/n_doc ≥ 1/DecontamDenom
+    * (20·n_shared ≥ n_doc ⇔ 5% shingle overlap). NOTE: r5 changed this from
+    * 50% (2·n_shared ≥ n_doc) to 5% in the same commit as the integer-math
+    * conversion — the oracle hashes re-baselined because of the threshold
+    * change, not the determinism refactor.
+    */
+  private[ops] val DecontamDenom = 20
+
   // ---- q77: benchmark decontamination (n-gram overlap) --------------------
   // The train/eval split is deterministic (eval = doc_id % 97 == 0 — the
   // stand-in for a held-out benchmark suite). A training document is
@@ -47,7 +56,7 @@ object Pipeline {
       .join(evalShingles, "shingle") // shingles are per-doc distinct already
       .groupBy("doc_id", "n_doc")
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") * 20 >= col("n_doc"))
+      .filter(col("n_shared") * DecontamDenom >= col("n_doc"))
       .select("doc_id", "n_doc", "n_shared")
       .orderBy("doc_id")
   }
@@ -60,7 +69,7 @@ object Pipeline {
        |FROM sh JOIN ev USING (shingle) JOIN sizes ON sizes.doc_id = sh.doc_id
        |WHERE sh.doc_id % 97 <> 0
        |GROUP BY sh.doc_id, sizes.n_doc
-       |HAVING COUNT(*) * 20 >= sizes.n_doc
+       |HAVING COUNT(*) * $DecontamDenom >= sizes.n_doc
        |ORDER BY sh.doc_id""".stripMargin
 
   // ---- q78: repetition-based quality gate (Gopher-style) ------------------
@@ -232,10 +241,17 @@ object Pipeline {
       .withColumn("w_fp",
         floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)))
     // normalizer via broadcast cross join (stays lazy, no driver collect);
-    // the integer sum is order-independent
+    // the integer sum is order-independent. The ppm numerator w_fp·10⁶ is
+    // computed in DECIMAL(38,0): in Long it overflows once a shard holds
+    // ≳8.5e13 tokens (w_fp ≳ 9.2e12), and with ANSI off Spark would wrap
+    // silently negative while DuckDB's BIGINT errors — exactly the
+    // divergence this module exists to rule out at the 100 TB target.
+    // DECIMAL(38,0) DIV BIGINT is still exact integer math and returns a
+    // Long, so the hashed output stays integer-only.
     val tot = shards.agg(sum("w_fp").as("tot"))
     shards.crossJoin(broadcast(tot))
-      .withColumn("weight_ppm", expr("(w_fp * CAST(1000000 AS BIGINT)) DIV tot"))
+      .withColumn("weight_ppm",
+        expr("(CAST(w_fp AS DECIMAL(38,0)) * 1000000) DIV tot"))
       .select("lang", "source", "n_docs", "n_tokens", "weight_ppm")
   }
 
@@ -257,7 +273,8 @@ object Pipeline {
       |       FROM shards),
       |mix AS (
       |  SELECT lang, source, n_docs, n_tokens,
-      |    CAST((w_fp * 1000000) // CAST((SELECT SUM(w_fp) FROM ws) AS BIGINT) AS BIGINT)
+      |    CAST((CAST(w_fp AS HUGEINT) * 1000000)
+      |         // CAST((SELECT SUM(w_fp) FROM ws) AS BIGINT) AS BIGINT)
       |      AS weight_ppm
       |  FROM ws)""".stripMargin
 

@@ -508,6 +508,10 @@ object Relational {
       .select(col("doc_id"), m.as("m"))
       .filter(element_at(col("m"), "lang").isNotNull) // keyed lookup
       .select(col("doc_id"), explode(col("m")).as(Seq("key", "value")))
+      // NULL map values are dropped on BOTH sides: Spark orders NULLS
+      // FIRST ascending, DuckDB NULLS LAST, so a NULL lang/source entry
+      // would break the row-order hash even though the groups agree.
+      .filter(col("value").isNotNull)
       .groupBy("key", "value")
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .orderBy("key", "value")
@@ -520,6 +524,7 @@ object Relational {
       |      UNION ALL
       |      SELECT doc_id, 'source', source FROM documents
       |      WHERE lang IS NOT NULL) kv
+      |WHERE value IS NOT NULL
       |GROUP BY key, value
       |ORDER BY key, value""".stripMargin
 
