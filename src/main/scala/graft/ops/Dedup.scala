@@ -394,6 +394,51 @@ object Dedup {
       |              WHERE i.doc_id % 10 < 8 AND md5(i.text) = md5(d.text))
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q98: edit-distance near-dup confirm gate ---------------------------
+  // The character-level complement of the shingle family: candidate pairs
+  // from cheap deterministic blocking (same lang + 32-char length band),
+  // confirmed by Levenshtein distance over a fixed 160-char document
+  // window — the standard "block, then edit-distance gate" near-dup
+  // recipe. The windowed comparison bounds the O(len²) DP at 160² per
+  // pair regardless of document size.
+  //
+  // Scale shape: blocking is an equi-join on (lang, band) — no cross
+  // product — and the gate is a narrow per-pair expression. At 100 TB the
+  // block key additionally includes an LSH band (q42's machinery) so
+  // block sizes stay bounded; (lang, length-band) is the oracle-expressible
+  // stand-in with the same join-then-gate plan shape.
+  //
+  // Cross-engine: both engines' substr/levenshtein are character-based and
+  // the distance is an integer, so the gate is engine-exact (testdata is
+  // BMP text, where Spark's UTF-16 units = DuckDB's codepoints).
+  def q98EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 100, 160).as("head"),
+        col("lang"), expr("n_chars DIV 32").as("band"))
+    val a = d.select(col("doc_id").as("a_id"), col("head").as("a_head"),
+      col("lang"), col("band"))
+    val b = d.select(col("doc_id").as("b_id"), col("head").as("b_head"),
+      col("lang"), col("band"))
+    a.join(b, Seq("lang", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("a_head"), col("b_head")))
+      .filter(col("dist") <= 24)
+      .select("a_id", "b_id", "dist")
+      .orderBy("a_id", "b_id")
+  }
+
+  val q98Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, substr(text, 100, 160) AS head, lang,
+      |         n_chars // 32 AS band
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  levenshtein(a.head, b.head) AS dist
+      |FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
+      |                 AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.head, b.head) <= 24
+      |ORDER BY a_id, b_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact _,
@@ -403,6 +448,7 @@ object Dedup {
     "q44_dedup_clusters" -> q44DedupClusters _,
     "q83_incremental_dedup" -> q83IncrementalDedup _,
     "q92_bloom_prefilter" -> q92BloomPrefilter _,
+    "q98_edit_distance" -> q98EditDistance _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -411,5 +457,6 @@ object Dedup {
     "q44_dedup_clusters" -> q44Sql,
     "q83_incremental_dedup" -> q83Sql,
     "q92_bloom_prefilter" -> q92Sql,
+    "q98_edit_distance" -> q98Sql,
   )
 }

@@ -212,6 +212,86 @@ object Events {
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q96: RANGE-frame window (trailing 1-hour per-user totals) ----------
+  // The value-range frame family no other query exercises: for every event,
+  // the count and value-sum of the SAME user's events in the preceding hour
+  // (inclusive). The frame is keyed on INTEGER epoch seconds on both
+  // engines (Spark `cast(ts as long)` floors; DuckDB `date_diff('second',
+  // epoch, ts)` truncates — identical for post-1970 data), and the summed
+  // value is floored integer cents, so frame membership and the aggregate
+  // are both engine-exact. A RANGE frame is also tie-safe where ROWS is
+  // not: equal-second rows are all in-frame regardless of sort order.
+  //
+  // Scale shape: one shuffle by user_id, then a per-partition sort — the
+  // same cost as any per-key window; the frame never widens the shuffle.
+  def q96RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("sec"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        // NTZ has no direct long cast; via session-UTC timestamp, which
+        // floors to seconds — matching the oracle's date_diff truncation
+        col("ts").cast("timestamp").cast("long").as("sec"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .select("event_id", "user_id", "n_1h", "cents_1h")
+      .orderBy("event_id")
+  }
+
+  val q96Sql: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM (SELECT event_id, user_id,
+      |        date_diff('second', TIMESTAMP '1970-01-01 00:00:00',
+      |                  CAST(ts AS TIMESTAMP)) AS sec,
+      |        CAST(FLOOR(value * 100) AS BIGINT) AS cents
+      |      FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  // ---- q97: ordered event funnel (view → click → purchase) ----------------
+  // The classic product-analytics funnel with STRICT ordering: a user
+  // converts at stage k only via an event strictly after their stage-k−1
+  // time. Each stage is one keyed aggregate plus one equi-join against the
+  // (shrinking) prior-stage user set — at scale the prior-stage side is
+  // the small one and AQE broadcasts it; there is never a per-user event
+  // sort or a cross-stage window. Counts are integers — engine-exact.
+  def q97Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val view = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val click = e.filter(col("event_type") === "click")
+      .join(view, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    view.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  val q97Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+      |       (SELECT COUNT(*) FROM c) AS n_click_users,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
@@ -220,6 +300,8 @@ object Events {
     "q65_events_json" -> q65EventsJson _,
     "q66_asof_join" -> q66AsofJoin _,
     "q67_range_join" -> q67RangeJoin _,
+    "q96_range_window" -> q96RangeWindow _,
+    "q97_event_funnel" -> q97Funnel _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,5 +311,7 @@ object Events {
     "q65_events_json" -> q65Sql,
     "q66_asof_join" -> q66Sql,
     "q67_range_join" -> q67Sql,
+    "q96_range_window" -> q96Sql,
+    "q97_event_funnel" -> q97Sql,
   )
 }

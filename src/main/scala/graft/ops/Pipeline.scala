@@ -362,6 +362,43 @@ object Pipeline {
        |      FROM documents) d
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q99: train/val/test split manifest ---------------------------------
+  // Deterministic holdout assignment by hash-prefix range: split =
+  // lexicographic band of md5(doc_id) — 'test' for h < '04' (4/256 ≈
+  // 1.56%), 'val' for h < '08', else 'train'. A string compare on the hex
+  // digest is engine-exact (both engines emit lowercase hex), stable
+  // under corpus growth (a document's split never changes when others are
+  // added — the property random sampling lacks), and embarrassingly
+  // parallel: one narrow map, one partial-agged groupBy for the manifest.
+  // This is the q37 hash-sampling discipline applied to the one split
+  // every training pipeline needs.
+  def q99SplitManifest(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h < "04", "test").when(h < "08", "val").otherwise("train"))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("split", "lang")
+  }
+
+  val q99Sql: String =
+    """SELECT split, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      |  SELECT lang, n_chars, doc_id,
+      |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '04' THEN 'test'
+      |         WHEN md5(CAST(doc_id AS VARCHAR)) < '08' THEN 'val'
+      |         ELSE 'train' END AS split
+      |  FROM documents) d
+      |GROUP BY split, lang
+      |ORDER BY split, lang""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_decontaminate" -> q77Decontaminate _,
@@ -371,6 +408,7 @@ object Pipeline {
     "q81_mixing_weights" -> q81MixingWeights _,
     "q84_weighted_sample" -> q84WeightedSample _,
     "q85_pii_redact" -> q85PiiRedact _,
+    "q99_split_manifest" -> q99SplitManifest _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -381,5 +419,6 @@ object Pipeline {
     "q81_mixing_weights" -> q81Sql,
     "q84_weighted_sample" -> q84Sql,
     "q85_pii_redact" -> q85Sql,
+    "q99_split_manifest" -> q99Sql,
   )
 }

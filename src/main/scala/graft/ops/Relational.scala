@@ -788,6 +788,81 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q95: unpivot / melt (wide → long) ----------------------------------
+  // The inverse of q25's pivot: a wide per-flag aggregate melted into
+  // (key, metric, value) rows with Dataset.unpivot — the relational
+  // `melt` every feature-store export needs. Values are exact integer
+  // cents (decimal-summed, ×100, cast long) so the long format shares one
+  // BIGINT type; the oracle is the UNION ALL expansion, which is the
+  // operator's defining semantics. Scale: unpivot is a narrow 1→k
+  // generator over an already-aggregated (tiny) relation.
+  def q95Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        (sum(money(col("l_quantity"))) * 100).cast("long").as("qty_cents"),
+        (sum(money(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+        count(lit(1)).as("n"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_cents"), col("price_cents"), col("n")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
+  val q95Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_cents,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS value FROM w
+      |  UNION ALL SELECT l_returnflag, 'price_cents', price_cents FROM w
+      |  UNION ALL SELECT l_returnflag, 'n', n FROM w) u
+      |ORDER BY l_returnflag, metric""".stripMargin
+
+  // ---- q101: salted skew JOIN (replicate-dim defense) ---------------------
+  // q27 salts an AGGREGATION; this salts a JOIN — the defense when one hot
+  // fact key would overload a single join task and the dimension is too
+  // big to broadcast outright: the fact side salts each row into one of
+  // nSalts sub-keys (derived from the row, uniform via xxhash64), the
+  // dimension side replicates each row across ALL salts with a 1→k
+  // generator, and the join runs on (key, salt) — splitting every hot
+  // key's probe stream across nSalts tasks. Replication costs nSalts× the
+  // dim, which is why AQE skew-join (runtime split, no replication) is
+  // preferred when available; this is the manual, planner-independent
+  // form. The salt never reaches the output, so the result is exactly the
+  // unsalted join — which is what the oracle computes.
+  def q101SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val nSalts = 8
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(nSalts))
+          .cast("int").as("salt"))
+    val dim = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      // pre-explode repartition: the 1→nSalts generator multiplies rows
+      // past what scan-split planning sees (see the q36 explode note)
+      .repartition(col("o_orderkey"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        (sum(money(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q101Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -823,6 +898,8 @@ object Relational {
     "q76_topk_custom" -> q76TopKCustom _,
     "q82_approx_percentile" -> q82ApproxPercentile _,
     "q94_map_explode" -> q94MapExplode _,
+    "q95_unpivot" -> q95Unpivot _,
+    "q101_salted_join" -> q101SaltedJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -857,5 +934,7 @@ object Relational {
     "q68_sql_surface" -> q68Sql,
     "q76_topk_custom" -> q76Sql,
     "q94_map_explode" -> q94Sql,
+    "q95_unpivot" -> q95Sql,
+    "q101_salted_join" -> q101Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -390,6 +391,42 @@ object Similarity {
       .select(col("u").as("vec_id"), col("root").as("keep_id"))
       .orderBy("vec_id")
 
+  // ---- q100: int8 embedding quantization (symmetric max-abs) --------------
+  // The storage-side compression step of an embedding index: per vector,
+  // scale = max|v| and q = floor(v·127/scale) ∈ [−127, 127] — symmetric
+  // per-tensor int8, the layout FAISS/scaNN-style indexes ship to disk
+  // (4× smaller, SIMD-dot-friendly). Exploded to (vec_id, pos, q8) rows so
+  // the oracle hash is integer-only.
+  //
+  // Cross-engine: float→double widening is exact, v·127 and the division
+  // are single correctly-rounded IEEE ops, floor is exact, and max|v| is
+  // order-free — no accumulation anywhere, so both engines agree bit-wise.
+  // Scale shape: one per-vector window max over the exploded rows — a
+  // single shuffle by vec_id; at index-build scale this runs per shard.
+  def q100Int8Quant(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "f")))
+      .withColumn("v", col("f").cast("double"))
+      .withColumn("maxabs", max(abs(col("v"))).over(w))
+      .filter(col("maxabs") > 0)
+      .withColumn("q8", floor(col("v") * 127 / col("maxabs")).cast("int"))
+      .select("vec_id", "pos", "q8")
+      .orderBy("vec_id", "pos")
+  }
+
+  val q100Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings WHERE vec_id < 50),
+      |m AS (SELECT vec_id, MAX(ABS(v)) AS maxabs FROM v GROUP BY vec_id)
+      |SELECT v.vec_id AS vec_id, pos, CAST(FLOOR(v * 127 / maxabs) AS INT) AS q8
+      |FROM v JOIN m ON v.vec_id = m.vec_id
+      |WHERE maxabs > 0
+      |ORDER BY vec_id, pos""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -400,6 +437,7 @@ object Similarity {
     "q55_ivf_ann" -> q55IvfAnn _,
     "q56_embed_dedup_clusters" -> q56EmbedDedupClusters _,
     "q91_hof_cosine" -> q91HofCosine _,
+    "q100_int8_quant" -> q100Int8Quant _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +445,6 @@ object Similarity {
     "q51_ann_brute_force" -> q51Sql,
     "q54_ivf_centroids" -> q54Sql,
     "q91_hof_cosine" -> q91Sql,
+    "q100_int8_quant" -> q100Sql,
   )
 }

@@ -165,6 +165,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "stop-shingle anti-join missing")
   }
 
+  test("q98/q101: blocked edit-distance and salted join stay equi-joins") {
+    // both queries exist to demonstrate bounded join shapes — a cartesian
+    // or nested-loop fallback would defeat their 100 TB point
+    Seq("q98_edit_distance", "q101_salted_join").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+    }
+  }
+
+  test("q96: the range window needs exactly one exchange (by user)") {
+    // a value-range frame must not change the window's shuffle shape:
+    // one hashpartitioning exchange on user_id below the window, and the
+    // window sort is per-partition (no global Sort before the final
+    // orderBy's range exchange)
+    val p = planOf("q96_range_window")
+    assert(p.contains("Window"), "expected a window operator")
+    val belowWindow = p.split("Window").last
+    assert(belowWindow.split("Exchange hashpartitioning").length <= 2,
+      "window input should carry at most the single user_id exchange")
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
