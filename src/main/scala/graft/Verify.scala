@@ -22,8 +22,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated name prefixes); the driver
     // never sets it, so its runs always cover the full surface.
+    // A set-but-empty value parses to an empty prefix list; treat that as
+    // "no filter" (full surface), never as "select nothing".
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>

@@ -399,10 +399,22 @@ object Dedup {
   // from cheap deterministic blocking (same lang + 32-char length band),
   // confirmed by Levenshtein distance over a fixed 160-char document
   // window — the standard "block, then edit-distance gate" near-dup
-  // recipe. The windowed comparison bounds the O(len²) DP at 160² per
-  // pair regardless of document size.
+  // recipe.
   //
-  // Scale shape: blocking is an equi-join on (lang, band) — no cross
+  // The confirm gate uses the THRESHOLDED levenshtein (maxDistance = 24):
+  // Spark's banded DP touches only the |2k+1|-wide diagonal (160×49 cells
+  // instead of 160×160) and abandons a pair the moment every cell in a row
+  // exceeds k — for unrelated same-block pairs (the overwhelming majority)
+  // that is ~25 rows, a >10× cut on the dominant per-pair cost. Identical
+  // output: -1 (over threshold) ⇔ the old `dist > 24` reject.
+  //
+  // Blocking probes each doc's own AND both adjacent length bands, so a
+  // 63-vs-65-char pair straddling a band boundary is still compared (the
+  // standard length-band recipe; same-band-only silently loses those
+  // pairs). The probe side emits 3 DISTINCT keys per doc, so a qualifying
+  // pair matches exactly once — no post-join dedup.
+  //
+  // Scale shape: blocking stays an equi-join on (lang, band) — no cross
   // product — and the gate is a narrow per-pair expression. At 100 TB the
   // block key additionally includes an LSH band (q42's machinery) so
   // block sizes stay bounded; (lang, length-band) is the oracle-expressible
@@ -416,13 +428,14 @@ object Dedup {
       .select(col("doc_id"), substring(col("text"), 100, 160).as("head"),
         col("lang"), expr("n_chars DIV 32").as("band"))
     val a = d.select(col("doc_id").as("a_id"), col("head").as("a_head"),
-      col("lang"), col("band"))
+      col("lang"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
     val b = d.select(col("doc_id").as("b_id"), col("head").as("b_head"),
       col("lang"), col("band"))
     a.join(b, Seq("lang", "band"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_head"), col("b_head")))
-      .filter(col("dist") <= 24)
+      .withColumn("dist", levenshtein(col("a_head"), col("b_head"), 24))
+      .filter(col("dist") >= 0)
       .select("a_id", "b_id", "dist")
       .orderBy("a_id", "b_id")
   }
@@ -434,7 +447,8 @@ object Dedup {
       |  FROM documents)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  levenshtein(a.head, b.head) AS dist
-      |FROM d a JOIN d b ON a.lang = b.lang AND a.band = b.band
+      |FROM d a JOIN d b ON a.lang = b.lang
+      |                 AND b.band BETWEEN a.band - 1 AND a.band + 1
       |                 AND a.doc_id < b.doc_id
       |WHERE levenshtein(a.head, b.head) <= 24
       |ORDER BY a_id, b_id""".stripMargin

@@ -9,6 +9,19 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Slice of the plan strictly below a Window EXEC node (its children).
+    * Anchors on the operator line `Window [` — a bare "Window" substring
+    * also matches WindowGroupLimit and window-spec text, which would start
+    * the slice at the wrong token and weaken below-the-window assertions.
+    * `first` = slice below the first (topmost) Window; otherwise below the
+    * last (bottom-most) one.
+    */
+  private def belowWindowExec(plan: String, first: Boolean = false): String = {
+    val parts = plan.split("Window \\[")
+    assert(parts.length > 1, "expected a Window operator in the plan")
+    if (first) parts.drop(1).mkString("Window [") else parts.last
+  }
+
   test("q1: shipdate filter is pushed into the parquet scan") {
     val p = planOf("q1_pricing_summary")
     assert(p.contains("PushedFilters: [LessThanOrEqual(l_shipdate"), p.take(2000))
@@ -125,7 +138,7 @@ class PlanSpec extends SparkSpec {
     // the only global Sort allowed is the bounded final output ordering
     // ABOVE the window; below it, sorts are per-partition (global=false)
     Seq("q80_stratified_sample", "q84_weighted_sample").foreach { q =>
-      val below = planOf(q).split("Window", 2).last
+      val below = belowWindowExec(planOf(q), first = true)
       assert(!below.contains("], true, "), s"$q: global sort below the rank window")
     }
   }
@@ -137,7 +150,7 @@ class PlanSpec extends SparkSpec {
     val scd2 = planOf("q90_scd2_intervals")
     assert(scd2.contains("windowspecdefinition(user_id"),
       "SCD2 windows must partition by the dimension key")
-    val belowWindow = scd2.split("Window", 2).last
+    val belowWindow = belowWindowExec(scd2, first = true)
     assert(!belowWindow.contains("], true, "), "global sort below the SCD2 windows")
   }
 
@@ -181,8 +194,7 @@ class PlanSpec extends SparkSpec {
     // window sort is per-partition (no global Sort before the final
     // orderBy's range exchange)
     val p = planOf("q96_range_window")
-    assert(p.contains("Window"), "expected a window operator")
-    val belowWindow = p.split("Window").last
+    val belowWindow = belowWindowExec(p)
     assert(belowWindow.split("Exchange hashpartitioning").length <= 2,
       "window input should carry at most the single user_id exchange")
   }
