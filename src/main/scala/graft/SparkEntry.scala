@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Multimodal.queries ++
       ops.Pipeline.queries ++
+      ops.Analytics.queries ++
       ops.Warehouse.queries ++
       sources.Formats.queries ++
       streaming.EventStream.queries
@@ -43,6 +44,7 @@ object SparkEntry {
       ops.Events.oracle ++
       ops.Multimodal.oracle ++
       ops.Pipeline.oracle ++
+      ops.Analytics.oracle ++
       ops.Warehouse.oracle ++
       sources.Formats.oracle ++
       streaming.EventStream.oracle

@@ -1,0 +1,281 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Round-7 analytics + data-layout operators: the remaining window-function
+  * surface, sketch-gated heavy hitters, inverted-index search, small-file
+  * compaction planning, z-order layout keys, graph motifs, and retention
+  * cohorts.
+  *
+  * Every output column is an integer, boolean, date, or string — the
+  * driver's cross-engine hash compare never sees a computed double (the
+  * round-4 lesson; the two ppm columns in q102 are floors of
+  * correctly-rounded IEEE ops, which are engine-exact).
+  */
+object Analytics {
+
+  // ---- q102: ranking/distribution window suite ---------------------------
+  // The remaining built-in window functions over one shared spec —
+  // ntile/percent_rank/cume_dist/lag/lead all reuse a single
+  // partitionBy(custkey) shuffle and one per-partition sort (locked by
+  // PlanSpec): adding analytic columns must never add exchanges.
+  // percent_rank/cume_dist are doubles by definition; they ship as ppm
+  // floors — (rank−1) and (n−1) are exact integers, their quotient is one
+  // correctly-rounded IEEE division, ×1e6 one correctly-rounded multiply,
+  // floor exact — bit-identical in any IEEE-754 engine, unlike round(x,6).
+  def q102WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        floor(percent_rank().over(w) * 1000000).cast("long").as("pr_ppm"),
+        floor(cume_dist().over(w) * 1000000).cast("long").as("cd_ppm"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q102Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER w AS rn,
+      |  ntile(4) OVER w AS quartile,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+      |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q103: heavy hitters (Misra-Gries sketch + exact confirm) ----------
+  // The frequent-items twin of the q92 bloom shape: a mergeable bounded
+  // sketch proposes candidates, an exact keyed aggregation confirms them,
+  // and sketch error is never observable in the output. The key mixes a
+  // heavy head (users repeated across their error events) into a long
+  // singleton tail (per-event ids) — the classic heavy-hitter regime:
+  // ~n distinct keys, of which only the ~150 user keys clear the n/2000
+  // threshold. MG(k=4096) guarantees every key with true count > n/4097
+  // survives in the summary, so the n/2000 report threshold has margin;
+  // the confirm aggregation computes exact counts over candidate keys
+  // only (left-semi prune first — the full distribution is never
+  // re-shuffled, which is the point at 100 TB: sketch bounds candidate
+  // volume, confirm kills sketch error).
+  def q103HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val keyed = graft.Tables.events(s, dir).select(
+      when(col("event_type") === "error", concat(lit("u"), col("user_id")))
+        .otherwise(concat(lit("e"), col("event_id"))).as("key"))
+    val cand = keyed
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("key"), 4096).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("key"))
+    val total = keyed.agg(count(lit(1)).as("n"))
+    keyed.join(cand, Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total) // one-row total — the scalar-subquery shape
+      .filter(col("cnt") * 2000 > col("n"))
+      .select("key", "cnt")
+      .orderBy("key")
+  }
+
+  val q103Sql: String =
+    """WITH keyed AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 'u' || CAST(user_id AS VARCHAR)
+      |              ELSE 'e' || CAST(event_id AS VARCHAR) END AS key
+      |  FROM events),
+      |tot AS (SELECT COUNT(*) AS n FROM keyed)
+      |SELECT key, COUNT(*) AS cnt
+      |FROM keyed, tot
+      |GROUP BY key, n
+      |HAVING COUNT(*) * 2000 > n
+      |ORDER BY key""".stripMargin
+
+  // ---- q104: inverted-index keyword search (top-k by match) --------------
+  // Search = the read side of an inverted index: exploded (doc, token)
+  // postings, the tiny query-term set applied as an `IN` filter BEFORE any
+  // shuffle (only postings of query terms survive — at scale, with
+  // postings bucketed by token, this is a partition-pruned lookup, not a
+  // corpus scan), then one partial-agged groupBy(doc) scores
+  // (distinct terms matched, total term frequency) and a bounded
+  // TakeOrderedAndProject picks the top 20 — never a global sort.
+  private val queryTerms = Seq("spark", "join", "stream", "vector")
+
+  def q104KeywordSearch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"), count(lit(1)).as("tf"))
+      .orderBy(desc("n_terms"), desc("tf"), col("doc_id"))
+      .limit(20)
+
+  val q104Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents)
+       |SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
+       |FROM toks
+       |WHERE tok IN (${queryTerms.map(tm => s"'$tm'").mkString(", ")})
+       |GROUP BY doc_id
+       |ORDER BY n_terms DESC, tf DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  // ---- q105: small-file compaction planning ------------------------------
+  // The operational answer to the small-files problem at 100 TB: given a
+  // file manifest (here each document stands in for a file of `n_chars`
+  // bytes), assign files to target-size compaction bins by start offset —
+  // bin = floor(running-bytes-before-this-file / target). One window over
+  // the per-table-partition key (`source`) — the running offset is
+  // per-source, NEVER a single global token stream — then a partial-agged
+  // groupBy emits one row per planned output file. Deterministic: a
+  // file's bin depends only on the files before it in (source, doc_id)
+  // order, so re-planning after appends never moves already-compacted
+  // bins (the property a greedy bin-packer lacks).
+  def q105CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("bin", expr("(cum - n_chars) DIV 16384"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  val q105Sql: String =
+    """WITH f AS (
+      |  SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT source, (cum - n_chars) // 16384 AS bin, COUNT(*) AS n_files,
+      |  SUM(n_chars) AS bytes, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM f
+      |GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
+
+  // ---- q106: z-order layout keys -----------------------------------------
+  // Multi-dimensional data layout: interleaving the bits of two cluster
+  // columns gives a 1-D sort key whose ranges are small rectangles in
+  // (nation, balance) space — files written in z-order carry tight min/max
+  // on BOTH columns, so scans filtered on either prune files (the layout
+  // trick behind Delta/Iceberg Z-ORDER). The key is pure integer
+  // arithmetic (floor-div / mod / multiply), identical in any engine; at
+  // scale the write is repartitionByRange(zval) + local sort, here the
+  // key computation + ordering is the oracled part.
+  private def zInterleaveExpr(x: String, y: String, bits: Int, intDiv: String): String =
+    (0 until bits).map { i =>
+      s"((($x $intDiv ${1L << i}) % 2) * ${1L << (2 * i)}) + " +
+        s"((($y $intDiv ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  def q106ZorderLayout(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("x"),
+        // balance → non-negative integer bucket (exact: floor of the raw
+        // double, never a computed double)
+        (floor(col("c_acctbal")).cast("long") + 1000L).as("y"))
+      .withColumn("zval", expr(zInterleaveExpr("x", "y", 16, "DIV")))
+      .select(col("c_custkey"), col("x").as("nation"), col("y").as("bal_bucket"),
+        col("zval"))
+      .orderBy("zval", "c_custkey")
+
+  val q106Sql: String = {
+    val z = zInterleaveExpr("x", "y", 16, "//")
+    s"""WITH c AS (
+       |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS x,
+       |         CAST(floor(c_acctbal) AS BIGINT) + 1000 AS y
+       |  FROM customer)
+       |SELECT c_custkey, x AS nation, y AS bal_bucket, $z AS zval
+       |FROM c
+       |ORDER BY zval, c_custkey""".stripMargin
+  }
+
+  // ---- q107: triangle count over the near-dup graph ----------------------
+  // Graph motif counting as pure joins: edges are the q41 jaccard pairs
+  // oriented u < v, a wedge join (e1.v = e2.u) proposes a < b < c paths,
+  // and a semi join against the edge list closes them — each triangle is
+  // counted exactly once in its sorted orientation. Two keyed shuffles,
+  // no driver-side graph; at 100 TB the wedge join is additionally
+  // degree-capped (split high-degree vertices first), which changes
+  // constants, not shape. The three one-row aggregates combine via
+  // broadcast one-row crosses (the scalar-subquery shape).
+  def q107TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+    val closed = wedges.join(e.select(col("u").as("a"), col("v").as("c")),
+      Seq("a", "c"), "left_semi")
+    val nv = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+      .distinct().agg(count(lit(1)).as("n_vertices"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val nt = closed.agg(count(lit(1)).as("n_triangles"))
+    nv.crossJoin(ne).crossJoin(nt)
+  }
+
+  val q107Sql: String =
+    s"""WITH ${Dedup.pairBaseCtes},
+       |jp AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8)
+       |SELECT
+       |  (SELECT COUNT(*) FROM (SELECT u FROM jp UNION SELECT v FROM jp) vs) AS n_vertices,
+       |  (SELECT COUNT(*) FROM jp) AS n_edges,
+       |  (SELECT COUNT(*) FROM jp e1
+       |   JOIN jp e2 ON e1.v = e2.u
+       |   JOIN jp e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // ---- q108: retention cohorts -------------------------------------------
+  // The canonical product-analytics matrix: users cohorted by first-seen
+  // day, activity bucketed by day offset from their cohort. Two keyed
+  // aggregations and one join on user_id — the cohort dimension joins
+  // back to per-day activity, never to raw events twice; all outputs are
+  // dates and exact integer counts.
+  def q108RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cohorts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q108Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |cohorts AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, date_diff('day', cohort_day, d) AS day_offset,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN cohorts ON ev.user_id = cohorts.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  // -------------------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_window_suite" -> q102WindowSuite _,
+    "q103_heavy_hitters" -> q103HeavyHitters _,
+    "q104_keyword_search" -> q104KeywordSearch _,
+    "q105_compaction_plan" -> q105CompactionPlan _,
+    "q106_zorder_layout" -> q106ZorderLayout _,
+    "q107_triangle_count" -> q107TriangleCount _,
+    "q108_retention_cohorts" -> q108RetentionCohorts _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q102_window_suite" -> q102Sql,
+    "q103_heavy_hitters" -> q103Sql,
+    "q104_keyword_search" -> q104Sql,
+    "q105_compaction_plan" -> q105Sql,
+    "q106_zorder_layout" -> q106Sql,
+    "q107_triangle_count" -> q107Sql,
+    "q108_retention_cohorts" -> q108Sql,
+  )
+}

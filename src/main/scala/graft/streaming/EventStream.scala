@@ -337,12 +337,46 @@ object EventStream {
       |           WHERE doc_id % 10 < 8) i ON d.fp = i.fp
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Streaming deduplication — the stateful dedup surface (q86 is the
+    * stream-STATIC exact check; this is engine-managed dedup state): at
+    * most one event per (user, hour) survives re-delivery.
+    * `dropDuplicatesWithinWatermark` keeps each seen key in state until
+    * the watermark passes `event time + delay`, so duplicates arriving
+    * within the delay are dropped and state is evicted afterwards —
+    * bounded state at 100 TB stream scale, which plain `dropDuplicates`
+    * (unbounded key state) does not give. Only the key columns are
+    * emitted, so the output is exactly the distinct key set and the
+    * oracle is a batch SELECT DISTINCT.
+    */
+  def q109StreamDropDup(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_dropdup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "hour")
+      .select(col("user_id"), col("hour").cast("timestamp_ntz").as("hour"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("user_id", "hour")
+  }
+
+  val q109Sql: String =
+    """SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour
+      |FROM events
+      |ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
     "q72_stream_session_window" -> (q72StreamSessionWindow _),
     "q75_stream_stream_join" -> (q75StreamStreamJoin _),
     "q86_stream_ingest_dedup" -> (q86StreamIngestDedup _),
+    "q109_stream_dropdup" -> (q109StreamDropDup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -351,5 +385,6 @@ object EventStream {
     "q72_stream_session_window" -> q72Sql,
     "q75_stream_stream_join" -> q75Sql,
     "q86_stream_ingest_dedup" -> q86Sql,
+    "q109_stream_dropdup" -> q109Sql,
   )
 }

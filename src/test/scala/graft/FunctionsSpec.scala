@@ -93,6 +93,37 @@ class FunctionsSpec extends SparkSpec {
     assert(bf != null && bf.nonEmpty)
   }
 
+  test("misra_gries keeps every key above n/(k+1) with bounded undercount") {
+    import graft.functions.MisraGriesAgg
+    // 10 heavy keys × 200 + 20k singletons, shuffled across 8 partitions so
+    // the partial/final MERGE path (the shuffle reduction) is exercised.
+    // n = 22000, k = 512 ⇒ error bound n/(k+1) ≈ 42.9: every heavy key
+    // (true count 200 > 42.9) MUST survive, with 200−43 ≤ estimate ≤ 200.
+    val heavy = spark.range(2000).select(concat(lit("h"), col("id") % 10).as("key"))
+    val tail = spark.range(20000).select(concat(lit("t"), col("id")).as("key"))
+    val mg = heavy.union(tail).repartition(8)
+      .agg(MisraGriesAgg.misra_gries(col("key"), 512).as("mg"))
+      .head().getAs[Map[String, Long]]("mg")
+    assert(mg.size <= 512, s"summary exceeded capacity: ${mg.size}")
+    (0 until 10).foreach { i =>
+      val est = mg.get(s"h$i")
+      assert(est.isDefined, s"heavy key h$i evicted from the summary")
+      assert(est.get <= 200 && est.get >= 200 - 43, s"h$i estimate ${est.get}")
+    }
+  }
+
+  test("misra_gries is exact when distinct keys fit the capacity") {
+    import graft.functions.MisraGriesAgg
+    val mg = spark.range(1000).select(concat(lit("k"), col("id") % 7).as("key"))
+      .repartition(4)
+      .agg(MisraGriesAgg.misra_gries(col("key"), 64).as("mg"))
+      .head().getAs[Map[String, Long]]("mg")
+    // 7 distinct keys, capacity 64 → no decrements ever → exact counts
+    assert(mg.size == 7)
+    val expect = (0 until 7).map(i => s"k$i" -> (1000 / 7 + (if (i < 1000 % 7) 1 else 0)).toLong)
+    expect.foreach { case (kk, c) => assert(mg(kk) == c, s"$kk: ${mg(kk)} != $c") }
+  }
+
   test("rand_exponential has the right mean (CLT band, fixed seed)") {
     val n = 200000
     val mean = spark.range(n)

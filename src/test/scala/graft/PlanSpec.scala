@@ -199,6 +199,41 @@ class PlanSpec extends SparkSpec {
       "window input should carry at most the single user_id exchange")
   }
 
+  test("q102: the analytic suite shares one window shuffle") {
+    // ntile/percent_rank/cume_dist/lag/lead may split into several Window
+    // execs (different frame classes) but must all reuse the SINGLE
+    // hashpartitioning exchange on o_custkey — adding analytic columns
+    // must never add exchanges
+    val p = planOf("q102_window_suite")
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      "expected exactly one hash exchange feeding the window suite")
+  }
+
+  test("q103: heavy hitters confirm by semi join, sketch in the plan") {
+    val p = planOf("q103_heavy_hitters")
+    assert(p.toLowerCase.contains("misragries"), "MG sketch aggregate not planned")
+    assert(p.contains("LeftSemi"), "candidate prune must be a left-semi join")
+  }
+
+  test("q104: keyword search ends in a bounded top-k, filter before agg") {
+    val p = planOf("q104_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+    assert(p.contains("tok#") && p.contains("INSET") || p.contains("tok#"),
+      "query-term filter missing")
+  }
+
+  test("q105: the compaction offset window is per-source") {
+    val p = planOf("q105_compaction_plan")
+    assert(p.contains("windowspecdefinition(source"),
+      "running offset must partition by source, never a global stream")
+  }
+
+  test("q107: the wedge join never degenerates to a cartesian product") {
+    // the one-row stat combiner is a broadcast nested-loop BY DESIGN
+    // (scalar-subquery shape); the edge/wedge joins must stay keyed
+    assert(!planOf("q107_triangle_count").contains("CartesianProduct"))
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
