@@ -258,6 +258,75 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---- q110: re-aggregatable HLL sketch rollup ---------------------------
+  // The OLAP-cube sketch discipline: per-day HLL sketches of distinct
+  // users (DataSketches HllSketch — a few KB each), re-aggregated with
+  // `hll_union_agg` into the all-time estimate WITHOUT touching raw rows
+  // again. This is what q34's one-shot approx_count_distinct cannot do —
+  // at 100 TB the per-partition sketches are precomputed once and every
+  // rollup (day → month → all) is a sketch union over kilobytes. Sketch
+  // estimates are engine-specific (no DuckDB twin) → rows-only, pinned by
+  // a ≤5%-error spec against exact distinct counts.
+  def q110HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("d")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val perDay = daily.select(col("d").cast("string").as("day"),
+      hll_sketch_estimate(col("sk")).as("est_users"))
+    val merged = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      .select(lit("ALL").as("day"), col("est_users"))
+    perDay.unionByName(merged).orderBy("day")
+  }
+
+  // ---- q111: table statistics collection (the ANALYZE surface) -----------
+  // Column-level NDV / null-count / min / max — the statistics that feed
+  // a cost-based optimizer (join reorder, broadcast decisions) and file
+  // skipping. One aggregation pass computes every column's stats, then a
+  // narrow explode emits the long-format catalog rows. Exact
+  // count(DISTINCT) keeps the oracle exact at test scale; at 100 TB the
+  // NDV column is the q110 HLL sketch (mergeable per partition), which
+  // is precisely why both shapes exist. Min/max ship as strings of
+  // integers/flags/dates — never doubles — so the hash compare is
+  // engine-exact.
+  private val statCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_returnflag", "l_linestatus")
+
+  def q111TableStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_shipday", col("l_shipdate").cast("date"))
+    val allCols = statCols :+ "l_shipday"
+    val aggs = count(lit(1)).as("n_rows") +:
+      allCols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(allCols.map { c =>
+        struct(lit(c).as("col"), col(s"ndv_$c").as("ndv"),
+          col(s"nulls_$c").as("n_nulls"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+      }: _*)).as("st"))
+      .select(col("st.col").as("col"), col("n_rows"), col("st.ndv").as("ndv"),
+        col("st.n_nulls").as("n_nulls"), col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy("col")
+  }
+
+  val q111Sql: String = {
+    val branches = (statCols.map(c => (c, c)) :+ ("l_shipday", "CAST(l_shipdate AS DATE)"))
+      .map { case (name, e) =>
+        s"""SELECT '$name' AS col, COUNT(*) AS n_rows, COUNT(DISTINCT $e) AS ndv,
+           |  COUNT(*) - COUNT($e) AS n_nulls,
+           |  CAST(MIN($e) AS VARCHAR) AS min_val, CAST(MAX($e) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_window_suite" -> q102WindowSuite _,
@@ -267,6 +336,8 @@ object Analytics {
     "q106_zorder_layout" -> q106ZorderLayout _,
     "q107_triangle_count" -> q107TriangleCount _,
     "q108_retention_cohorts" -> q108RetentionCohorts _,
+    "q110_hll_rollup" -> q110HllRollup _,
+    "q111_table_stats" -> q111TableStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -277,5 +348,6 @@ object Analytics {
     "q106_zorder_layout" -> q106Sql,
     "q107_triangle_count" -> q107Sql,
     "q108_retention_cohorts" -> q108Sql,
+    "q111_table_stats" -> q111Sql,
   )
 }

@@ -85,14 +85,50 @@ object Formats {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---- q112: parquet schema evolution (mergeSchema) -----------------------
+  // A long-lived 100 TB table is written by many pipeline versions; new
+  // generations add columns. Two generations are materialized (gen1
+  // without `source`, gen2 with it), read back as ONE relation with
+  // `mergeSchema=true`: the reader reconciles footers by column NAME and
+  // null-fills the column where a generation lacks it. The oracle
+  // reconstructs the same union from the original table, so a reader
+  // that mis-aligns columns or drops the added one fails the hash.
+  // Scale note: mergeSchema footer reconciliation is a parallel job over
+  // file footers, paid once per read — production tables pin the merged
+  // schema in a catalog instead; the READ semantics are what's verified
+  // here.
+  def q112SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"schema_evolution:$dir") { p =>
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(p.resolve("gen1").toString)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(p.resolve("gen2").toString)
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$staged/gen1", s"$staged/gen2")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
+    "q112_schema_evolution" -> q112SchemaEvolution _,
   )
 
   val oracle: Map[String, String] = Map(
     "q87_json_roundtrip" -> q87Sql,
     "q88_orc_roundtrip" -> q88Sql,
+    "q112_schema_evolution" -> q112Sql,
   )
 }

@@ -212,6 +212,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q110: per-day HLL estimates and the sketch-union rollup land within 5%") {
+    val exact = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).first().getLong(0)
+    val rollup = ops.Analytics.q110HllRollup(spark, sf).collect()
+    assert(rollup.length == exact.size + 1)
+    rollup.foreach { r =>
+      val e = if (r.getString(0) == "ALL") exactAll else exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - e).toDouble / e < 0.05,
+        s"day ${r.getString(0)}: est ${r.getLong(1)} vs exact $e")
+    }
+  }
+
   test("q82: every group's sketch percentile lands within 1% of exact (q26)") {
     val exact = ops.Relational.q26Percentile(spark, sf).collect()
       .map(r => r.getString(0) ->
