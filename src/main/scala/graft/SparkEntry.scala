@@ -26,6 +26,7 @@ object SparkEntry {
       ops.Events.queries ++
       ops.Multimodal.queries ++
       ops.Pipeline.queries ++
+      ops.Corpus.queries ++
       ops.Analytics.queries ++
       ops.Warehouse.queries ++
       sources.Formats.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       ops.Events.oracle ++
       ops.Multimodal.oracle ++
       ops.Pipeline.oracle ++
+      ops.Corpus.oracle ++
       ops.Analytics.oracle ++
       ops.Warehouse.oracle ++
       sources.Formats.oracle ++

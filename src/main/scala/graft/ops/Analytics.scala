@@ -232,6 +232,96 @@ object Analytics {
        |   JOIN jp e2 ON e1.v = e2.u
        |   JOIN jp e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
 
+  // ---- q115: PageRank in exact fixed-point -------------------------------
+  // Iterative PageRank over the customer→supplier order graph (an edge per
+  // distinct (o_custkey, l_suppkey) pair; customer/supplier keys disjoint
+  // via the 2k / 2k+1 embedding). The whole computation runs in INTEGER
+  // fixed-point: total mass 10⁹, per-edge share = pr DIV outdeg, damping
+  // 0.85 as (x·85) DIV 100, dangling mass (suppliers have no out-edges)
+  // redistributed as dang DIV n per node. Integer sums are
+  // order-independent, so unlike float PageRank the result is bit-exact
+  // across engines, partitionings, and reruns — which is what makes a
+  // 5-iteration UNROLLED DuckDB twin possible (the q54 k-means oracle
+  // pattern). Truncation bleeds ~1 ppb of mass per DIV; deterministic, and
+  // irrelevant to ranking.
+  //
+  // Scale shape: per iteration, ONE shuffle — the contribution
+  // groupBy(dst); the dangling total is a one-row aggregate crossed back
+  // broadcast (the q81 normalizer shape), and ranks/edges stay partitioned
+  // by node key (at 100 TB both sides pre-bucket on the key so the
+  // edges⋈ranks join is shuffle-free). Eager localCheckpoint per iteration
+  // truncates the growing lineage — the Graph.connectedComponents
+  // discipline; a reliable checkpoint on a real cluster.
+  private val prIters = 5
+  private val prScale = 1000000000L
+
+  def q115PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val eo = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val tele = (prScale * 15 / 100) / n // exact long math, same as 150000000 // n
+    var pr = nodes.select(col("node"), lit(prScale / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to prIters) {
+      val inSum = eo.join(pr, eo("src") === pr("node"))
+        .select(col("dst").as("node"), expr("pr DIV outdeg").as("share"))
+        .groupBy("node").agg(sum("share").as("in_sum"))
+      val dangSum = pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
+      pr = nodes.join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dangSum))
+        .select(col("node"),
+          expr(s"CAST($tele AS BIGINT) + ((coalesce(in_sum, CAST(0 AS BIGINT))" +
+            s" + dang DIV CAST($n AS BIGINT)) * 85) DIV 100").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), col("pr"), (col("node") % 2 === 1).as("is_supplier"))
+      .orderBy(desc("pr"), asc("node"))
+  }
+
+  val q115Sql: String = {
+    val iters = (1 to prIters).map { k =>
+      s"""it$k AS (
+         |  SELECT nd.node,
+         |    CAST((150000000 // p.n)
+         |      + ((COALESCE(inc.s, 0) + dg.d // p.n) * 85) // 100 AS BIGINT) AS pr
+         |  FROM nodes nd
+         |  CROSS JOIN params p
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(pp.pr // od.outdeg) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN it${k - 1} pp ON pp.node = e.src
+         |    JOIN outdeg od ON od.src = e.src
+         |    GROUP BY e.dst) inc ON inc.node = nd.node
+         |  CROSS JOIN (
+         |    SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS d FROM it${k - 1}
+         |    WHERE node NOT IN (SELECT src FROM edges)) dg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |params AS (SELECT COUNT(*) AS n FROM nodes),
+       |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |it0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS pr FROM nodes, params),
+       |$iters
+       |SELECT node, pr, node % 2 = 1 AS is_supplier FROM it$prIters
+       |ORDER BY pr DESC, node""".stripMargin
+  }
+
   // ---- q108: retention cohorts -------------------------------------------
   // The canonical product-analytics matrix: users cohorted by first-seen
   // day, activity bucketed by day offset from their cohort. Two keyed
@@ -338,6 +428,7 @@ object Analytics {
     "q108_retention_cohorts" -> q108RetentionCohorts _,
     "q110_hll_rollup" -> q110HllRollup _,
     "q111_table_stats" -> q111TableStats _,
+    "q115_pagerank" -> q115PageRank _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -349,5 +440,6 @@ object Analytics {
     "q107_triangle_count" -> q107Sql,
     "q108_retention_cohorts" -> q108Sql,
     "q111_table_stats" -> q111Sql,
+    "q115_pagerank" -> q115Sql,
   )
 }

@@ -114,14 +114,59 @@ object Warehouse {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, change_seq""".stripMargin
 
+  // ---- q117: CDC changelog apply (latest-wins with deletes) ---------------
+  // The Debezium/CDC materialization shape: an append-only changelog keyed
+  // by user_id, ordered by (ts, event_id), where 'error' events are
+  // tombstones (deletes) and everything else upserts. Applying the log =
+  // keep each key's LATEST entry; a key whose latest entry is a tombstone
+  // leaves the materialized table. This is the streaming-upsert complement
+  // of q89's batch MERGE: q89 merges one batch into a base, q117 collapses
+  // an arbitrarily long ordered log into current state.
+  //
+  // Scale shape: both windows (latest-pick row_number and the per-key
+  // change count) share ONE hashpartitioning exchange on user_id — the q90
+  // discipline; no global sort, no self-join. At 100 TB the log is
+  // additionally bucketed by key so reapplication is shuffle-free.
+  def q117CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    graft.Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("n_changes", count(lit(1)).over(wAll))
+      .filter(col("rk") === 1 && col("op") === "U")
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  val q117Sql: String =
+    """WITH log AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM log)
+      |SELECT user_id, ts AS last_ts, event_type AS last_type,
+      |  CAST(n_changes AS BIGINT) AS n_changes
+      |FROM ranked
+      |WHERE rk = 1 AND op = 'U'
+      |ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
     "q90_scd2_intervals" -> q90Scd2Intervals _,
+    "q117_cdc_apply" -> q117CdcApply _,
   )
 
   val oracle: Map[String, String] = Map(
     "q89_merge_upsert" -> q89Sql,
     "q90_scd2_intervals" -> q90Sql,
+    "q117_cdc_apply" -> q117Sql,
   )
 }

@@ -234,6 +234,44 @@ class PlanSpec extends SparkSpec {
     assert(!planOf("q107_triangle_count").contains("CartesianProduct"))
   }
 
+  test("q113: the winner-pick window partitions by segment text") {
+    // corpus-wide segment dedup must shuffle ON THE SEGMENT KEY (content-
+    // partitioned, unbounded parallelism) — a global window or a self-join
+    // here would serialize or square the corpus
+    val p = planOf("q113_paragraph_dedup")
+    assert(p.contains("windowspecdefinition(seg_text"),
+      "winner pick must partition by the segment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q114/q118: curation scoring stays a narrow map (no joins)") {
+    // both are per-row transforms + (for q114) one keyed agg: any join in
+    // these plans means the synthetic decoration leaked a shuffle
+    Seq("q114_url_normalize", "q118_quality_classifier").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q must not join")
+    }
+    // q118 in particular needs no hash exchange at all — the model weights
+    // ride as plan literals; only the output sort repartitions
+    assert(!planOf("q118_quality_classifier").contains("Exchange hashpartitioning"),
+      "q118 must be shuffle-free up to the output sort")
+  }
+
+  test("q116: the eval-gram join stays keyed, never a cross") {
+    val p = planOf("q116_substring_contam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "train grams must join eval grams on the gram key")
+  }
+
+  test("q117: both CDC windows share one user_id exchange") {
+    // latest-pick row_number and the per-key change count partition
+    // identically — adding the count column must not add a shuffle
+    val p = planOf("q117_cdc_apply")
+    assert(p.contains("windowspecdefinition(user_id"))
+    assert(p.split("Exchange hashpartitioning").length == 2,
+      "expected exactly one hash exchange feeding both CDC windows")
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
