@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -417,6 +417,56 @@ object Analytics {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
 
+  // ---- q120: join-key skew profiler ---------------------------------------
+  // The diagnostic that decides when the salting operators (q27/q101) and
+  // AQE skew splits are needed: profile a join key's frequency
+  // distribution BEFORE running the join. One partial-agged groupBy
+  // reduces the fact table to the |keys|-row count relation; exact p50/
+  // p90/p99 are rank-picked from one window over that already-reduced
+  // relation (at 100 TB the quantile pick runs on |keys| rows, not fact
+  // rows — and a q82-style sketch replaces it when even |keys| is huge).
+  // Shares are fixed-point ppm integers (q81 discipline): top-key share
+  // of rows, and the p99/p50 heavy-tail ratio — the two numbers a
+  // planner's skew heuristic consumes. Integer-only output.
+  def q120SkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n"), col("k")) // |keys| rows — already reduced
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(
+        counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+          max("n").as("max_n"), min("n").as("min_n"))))
+    def pick(q: Int): Column =
+      max(when(col("rk") === expr(s"greatest((n_keys * $q) DIV 100, 1)"), col("n")))
+    ranked.groupBy("n_keys", "n_rows", "max_n", "min_n")
+      .agg(pick(50).as("p50_n"), pick(90).as("p90_n"), pick(99).as("p99_n"))
+      .select(col("n_keys"), col("n_rows"), col("min_n"), col("p50_n"),
+        col("p90_n"), col("p99_n"), col("max_n"),
+        expr("(max_n * 1000000) DIV n_rows").as("top_share_ppm"),
+        expr("(p99_n * 1000000) DIV p50_n").as("p99_over_p50_ppm"))
+  }
+
+  val q120Sql: String =
+    """WITH counts AS (
+      |  SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    MAX(n) AS max_n, MIN(n) AS min_n FROM counts),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, k) AS rk FROM counts)
+      |SELECT s.n_keys, s.n_rows, s.min_n,
+      |  (SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 50) // 100, 1)) AS p50_n,
+      |  (SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 90) // 100, 1)) AS p90_n,
+      |  (SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 99) // 100, 1)) AS p99_n,
+      |  s.max_n,
+      |  (s.max_n * 1000000) // s.n_rows AS top_share_ppm,
+      |  ((SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 99) // 100, 1)) * 1000000)
+      |    // (SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 50) // 100, 1))
+      |    AS p99_over_p50_ppm
+      |FROM stats s""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_window_suite" -> q102WindowSuite _,
@@ -429,6 +479,7 @@ object Analytics {
     "q110_hll_rollup" -> q110HllRollup _,
     "q111_table_stats" -> q111TableStats _,
     "q115_pagerank" -> q115PageRank _,
+    "q120_skew_profile" -> q120SkewProfile _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -441,5 +492,6 @@ object Analytics {
     "q108_retention_cohorts" -> q108Sql,
     "q111_table_stats" -> q111Sql,
     "q115_pagerank" -> q115Sql,
+    "q120_skew_profile" -> q120Sql,
   )
 }

@@ -370,6 +370,78 @@ object EventStream {
       |FROM events
       |ORDER BY user_id, hour""".stripMargin
 
+  /** q119: incremental CDC materialization via foreachBatch — the sink-side
+    * complement of q117's batch changelog apply. The changelog streams in
+    * as 4 micro-batches (maxFilesPerTrigger=1 over a 4-file staging copy,
+    * hash-split by user so batches are deliberately NOT time-ordered);
+    * each batch folds into a VERSIONED parquet state table:
+    *
+    *   batch   → per-key (max(struct(ts, event_id, event_type)), count)
+    *   state'  = groupBy key of (state ∪ batch): max(last), sum(n_changes)
+    *
+    * max-of-struct latest-wins is associative, commutative, and
+    * idempotent-per-version — batch ORDER cannot change the fixpoint
+    * (which is what makes out-of-order re-delivery safe), and writing
+    * state version v{batchId} with overwrite makes replay after failure
+    * land on identical state (the exactly-once recipe table formats use).
+    * The final state filtered of tombstones equals q117's batch apply, so
+    * the oracle is the SAME SQL — streaming/batch parity, proven by hash.
+    *
+    * Scale shape: per batch, one shuffle on the key for the batch agg and
+    * one keyed merge join with current state; at 100 TB both sides bucket
+    * by key so the merge is shuffle-free, and state versions are
+    * table-format snapshots.
+    */
+  def q119StreamCdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"events_cdc:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val stateRoot = graft.TempDirs.staged(s"cdc_state:$dir")()
+    val feedSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val feed = s.readStream
+      .schema(feedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    // driver-side pointer to the latest state version; micro-batches run
+    // sequentially on the driver, and reruns in the same JVM restart at
+    // batch 0 and overwrite their own versions (idempotent)
+    var current: Option[String] = None
+    val fold: (DataFrame, Long) => Unit = { (batch, id) =>
+      val latest = batch.groupBy("user_id").agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      val merged = current match {
+        case None => latest
+        case Some(prev) =>
+          s.read.parquet(prev).unionByName(latest)
+            .groupBy("user_id")
+            .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
+      }
+      val out = s"$stateRoot/v$id"
+      merged.write.mode("overwrite").parquet(out)
+      current = Some(out)
+    }
+    val q = feed.writeStream
+      .foreachBatch(fold)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(current.getOrElse(
+      throw new IllegalStateException("CDC stream delivered no batches")))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -377,6 +449,7 @@ object EventStream {
     "q75_stream_stream_join" -> (q75StreamStreamJoin _),
     "q86_stream_ingest_dedup" -> (q86StreamIngestDedup _),
     "q109_stream_dropdup" -> (q109StreamDropDup _),
+    "q119_stream_cdc_upsert" -> (q119StreamCdcUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,5 +459,8 @@ object EventStream {
     "q75_stream_stream_join" -> q75Sql,
     "q86_stream_ingest_dedup" -> q86Sql,
     "q109_stream_dropdup" -> q109Sql,
+    // streaming/batch parity: the incremental fold must land on exactly
+    // the batch changelog apply — q117's oracle IS q119's oracle
+    "q119_stream_cdc_upsert" -> graft.ops.Warehouse.q117Sql,
   )
 }

@@ -272,6 +272,15 @@ class PlanSpec extends SparkSpec {
       "expected exactly one hash exchange feeding both CDC windows")
   }
 
+  test("q120: the quantile window runs over the reduced key relation") {
+    // the rank-pick must consume the |keys|-row groupBy output, never the
+    // raw fact rows — the aggregate has to sit BELOW the window
+    val p = planOf("q120_skew_profile")
+    val below = belowWindowExec(p)
+    assert(below.contains("HashAggregate"),
+      "key-count aggregate must reduce the input before the window")
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString

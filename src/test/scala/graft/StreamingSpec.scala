@@ -98,4 +98,16 @@ class StreamingSpec extends SparkSpec {
       s"native=${native.count()} custom=${custom.count()}")
     assert(custom.count() > 0)
   }
+
+  test("incremental CDC fold lands exactly on the batch changelog apply") {
+    // q119 folds 4 out-of-time-order micro-batches into versioned state;
+    // the fixpoint must equal q117's one-shot batch apply row-for-row —
+    // the streaming/batch parity contract (their shared oracle proves it
+    // cross-engine; this pins it in-engine at spec scale too)
+    val streamed = EventStream.q119StreamCdcUpsert(spark, sf)
+    val batch = ops.Warehouse.q117CdcApply(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.count() > 0)
+  }
 }
