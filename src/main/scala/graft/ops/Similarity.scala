@@ -427,6 +427,90 @@ object Similarity {
       |WHERE maxabs > 0
       |ORDER BY vec_id, pos""".stripMargin
 
+  // ---- q121: product-quantization codes (compressed-domain ANN) -----------
+  // The missing compression piece between q100 (flat int8) and q54/q55
+  // (IVF routing): PQ splits each 64-dim vector into 8×8-dim subspaces
+  // and stores one 4-bit code per subspace (argmin over a 16-entry
+  // per-subspace codebook) — 64 dims → 8 codes, the FAISS IVFPQ payload.
+  //
+  // Everything is INTEGER-exact: vectors are first int8-quantized by
+  // q100's recipe (engine-exact: one correctly-rounded multiply+divide,
+  // exact floor), the codebook entries are the int8 subvectors of 16
+  // deterministically md5-sampled vectors (the q54 seeding discipline —
+  // medoid-style seeds; Lloyd refinement is q54's demonstrated
+  // machinery), and distances are integer sums of squared differences —
+  // so the argmin is bit-exact in any engine and the whole operator is
+  // DuckDB-oracle-checkable, ties broken on codebook index.
+  //
+  // Scale shape: the codebook is k·m = 128 rows by CONSTRUCTION
+  // (corpus-size-independent) — the one provably-safe broadcast; per
+  // vector the work is m·k integer 8-d distances, no shuffle until the
+  // per-(vec, sub) argmin aggregation, which partial-aggs before its
+  // exchange. At 100 TB the assign pass is a narrow scan-side map —
+  // exactly how IVFPQ indexes are built shard-parallel.
+  private val pqSubs = 8
+  private val pqSubDim = 8
+  private val pqK = 16
+
+  def q121PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val q8 = transform(col("embedding"),
+      x => floor(x.cast("double") * 127 / maxabs).cast("int"))
+    val base = t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0 && maxabs > 0)
+      .select(col("vec_id"), q8.as("q"),
+        md5(col("vec_id").cast("string").cast("binary")).as("h"))
+    def subVecs(v: Column): Column = array((0 until pqSubs).map(sb =>
+      slice(v, sb * pqSubDim + 1, pqSubDim)): _*)
+    val subs = base.select(col("vec_id"),
+      posexplode(subVecs(col("q"))).as(Seq("sub", "sv")))
+    // 16 md5-ordered sample vectors; the rank window runs over exactly
+    // pqK rows (post-limit), so the single partition is constant-size
+    val cb = base.orderBy("h", "vec_id").limit(pqK)
+      .withColumn("cb_id",
+        row_number().over(Window.orderBy("h", "vec_id")) - 1)
+      .select(col("cb_id"), posexplode(subVecs(col("q"))).as(Seq("sub", "cv")))
+    subs.join(broadcast(cb), "sub") // k·m = 128 rows by construction
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0), (acc, x) => acc + x).cast("long"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cb_id"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cb_id").as("code"),
+        col("m.dist").as("dist"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val q121Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
+       |      list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))) AS INT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id <> 0
+       |    AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0),
+       |subs AS (
+       |  SELECT vec_id, sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS sv
+       |  FROM base, unnest(range(0, $pqSubs)) AS u(sub)),
+       |cbsample AS (
+       |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+       |      AS cb_id
+       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+       |cb AS (
+       |  SELECT cb_id, sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS cv
+       |  FROM cbsample, unnest(range(0, $pqSubs)) AS u(sub)),
+       |dists AS (
+       |  SELECT vec_id, s.sub, cb_id,
+       |    CAST(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |      i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS dist
+       |  FROM subs s JOIN cb ON s.sub = cb.sub),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cb_id) AS rk
+       |  FROM dists)
+       |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cb_id AS INT) AS code, dist
+       |FROM ranked WHERE rk = 1
+       |ORDER BY vec_id, sub""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -438,6 +522,7 @@ object Similarity {
     "q56_embed_dedup_clusters" -> q56EmbedDedupClusters _,
     "q91_hof_cosine" -> q91HofCosine _,
     "q100_int8_quant" -> q100Int8Quant _,
+    "q121_pq_codes" -> q121PqCodes _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -446,5 +531,6 @@ object Similarity {
     "q54_ivf_centroids" -> q54Sql,
     "q91_hof_cosine" -> q91Sql,
     "q100_int8_quant" -> q100Sql,
+    "q121_pq_codes" -> q121Sql,
   )
 }

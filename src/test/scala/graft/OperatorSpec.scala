@@ -309,6 +309,25 @@ class OperatorSpec extends SparkSpec {
     assert(nodes.exists(v => !out.contains(v)))
   }
 
+  test("q121: codebook vectors PQ-encode to themselves with zero error") {
+    // the 16 md5-sampled vectors ARE the codebook entries, so their argmin
+    // must land on their own entry at distance 0 in every subspace —
+    // pins the quantize→slice→assign path end-to-end
+    val cbIds = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), md5(col("vec_id").cast("string").cast("binary")).as("h"))
+      .orderBy("h", "vec_id").limit(16)
+      .collect().map(_.getLong(0)).toSet
+    val rows = ops.Similarity.q121PqCodes(spark, sf).collect()
+    val cbRows = rows.filter(r => cbIds(r.getLong(0)))
+    assert(cbRows.length == cbIds.size * 8, "every codebook vector needs 8 codes")
+    cbRows.foreach(r => assert(r.getLong(3) == 0,
+      s"codebook vec ${r.getLong(0)} sub ${r.getInt(1)} dist ${r.getLong(3)}"))
+    // and every vector gets exactly 8 codes in [0, 16)
+    assert(rows.length % 8 == 0)
+    rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) < 16))
+  }
+
   test("q113: paragraph dedup keeps exactly one copy of every segment") {
     val out = ops.Corpus.q113ParagraphDedup(spark, sf).collect()
     val nKept = out.map(_.getLong(2)).sum

@@ -281,6 +281,14 @@ class PlanSpec extends SparkSpec {
       "key-count aggregate must reduce the input before the window")
   }
 
+  test("q121: the PQ codebook is the one provably-small broadcast") {
+    // the codebook is k·m = 128 rows by construction (corpus-independent),
+    // so broadcasting it is safe; the corpus side must never cross-join
+    val p = planOf("q121_pq_codes")
+    assert(p.contains("BroadcastHashJoin"), "codebook join must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
