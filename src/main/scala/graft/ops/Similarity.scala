@@ -452,28 +452,48 @@ object Similarity {
   private val pqSubDim = 8
   private val pqK = 16
 
-  def q121PqCodes(s: SparkSession, dir: String): DataFrame = {
+  /** q100's engine-exact int8 quantization as an array expression. */
+  private def pqQ8: Column = {
     val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-    val q8 = transform(col("embedding"),
-      x => floor(x.cast("double") * 127 / maxabs).cast("int"))
-    val base = t(s, dir, "embeddings")
-      .filter(col("vec_id") =!= 0 && maxabs > 0)
-      .select(col("vec_id"), q8.as("q"),
+    transform(col("embedding"), x => floor(x.cast("double") * 127 / maxabs).cast("int"))
+  }
+
+  private def pqNonZero: Column =
+    array_max(transform(col("embedding"), x => abs(x.cast("double")))) > 0
+
+  private def pqSubVecs(v: Column): Column = array((0 until pqSubs).map(sb =>
+    slice(v, sb * pqSubDim + 1, pqSubDim)): _*)
+
+  /** Int8-quantized corpus (the query vector 0 excluded) with md5 sample
+    * order.
+    */
+  private def pqBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= 0 && pqNonZero)
+      .select(col("vec_id"), pqQ8.as("q"),
         md5(col("vec_id").cast("string").cast("binary")).as("h"))
-    def subVecs(v: Column): Column = array((0 until pqSubs).map(sb =>
-      slice(v, sb * pqSubDim + 1, pqSubDim)): _*)
-    val subs = base.select(col("vec_id"),
-      posexplode(subVecs(col("q"))).as(Seq("sub", "sv")))
-    // 16 md5-ordered sample vectors; the rank window runs over exactly
-    // pqK rows (post-limit), so the single partition is constant-size
-    val cb = base.orderBy("h", "vec_id").limit(pqK)
+
+  /** The per-subspace codebook: int8 subvectors of the pqK md5-ordered
+    * sample vectors — k·m = 128 rows by construction. The rank window
+    * runs over exactly pqK rows (post-limit), so the single partition is
+    * constant-size.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqBase(s, dir).orderBy("h", "vec_id").limit(pqK)
       .withColumn("cb_id",
         row_number().over(Window.orderBy("h", "vec_id")) - 1)
-      .select(col("cb_id"), posexplode(subVecs(col("q"))).as(Seq("sub", "cv")))
-    subs.join(broadcast(cb), "sub") // k·m = 128 rows by construction
-      .withColumn("dist",
-        aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-          lit(0), (acc, x) => acc + x).cast("long"))
+      .select(col("cb_id"), posexplode(pqSubVecs(col("q"))).as(Seq("sub", "cv")))
+
+  /** Integer squared L2 between two int subvector arrays. */
+  private def pqSqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0), (acc, x) => acc + x).cast("long")
+
+  def q121PqCodes(s: SparkSession, dir: String): DataFrame = {
+    val subs = pqBase(s, dir).select(col("vec_id"),
+      posexplode(pqSubVecs(col("q"))).as(Seq("sub", "sv")))
+    subs.join(broadcast(pqCodebook(s, dir)), "sub") // 128 rows by construction
+      .withColumn("dist", pqSqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cb_id"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cb_id").as("code"),
@@ -481,8 +501,11 @@ object Similarity {
       .orderBy("vec_id", "sub")
   }
 
-  val q121Sql: String =
-    s"""WITH base AS (
+  /** Shared CTE chain: int8 corpus → subvectors → md5-sampled codebook →
+    * per-(vec, sub) argmin codes. Reused by the q122 ADC search oracle.
+    */
+  private val pqCtes: String =
+    s"""base AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
        |      list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))) AS INT)) AS q
@@ -504,12 +527,72 @@ object Similarity {
        |    CAST(list_sum(list_transform(range(1, ${pqSubDim + 1}),
        |      i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS dist
        |  FROM subs s JOIN cb ON s.sub = cb.sub),
-       |ranked AS (
+       |rankedpq AS (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cb_id) AS rk
-       |  FROM dists)
-       |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(cb_id AS INT) AS code, dist
-       |FROM ranked WHERE rk = 1
+       |  FROM dists),
+       |codes AS (
+       |  SELECT vec_id, sub, cb_id AS code, dist FROM rankedpq WHERE rk = 1)""".stripMargin
+
+  val q121Sql: String =
+    s"""WITH $pqCtes
+       |SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code, dist
+       |FROM codes
        |ORDER BY vec_id, sub""".stripMargin
+
+  // ---- q122: PQ ADC search (asymmetric distance computation) --------------
+  // The query side of q121's index — how IVFPQ actually scans: the query
+  // vector is quantized once, a per-subspace LOOKUP TABLE of k=16 integer
+  // distances (query subvector ↔ each codebook entry) is built — k·m =
+  // 128 entries, corpus-independent — and every corpus vector is scored
+  // as the SUM OF m TABLE LOOKUPS over its stored codes, never touching
+  // the original vectors. Top-10 by (adc_dist, vec_id) — a bounded
+  // TakeOrderedAndProject, not a global sort.
+  //
+  // Scale shape: the LUT is the second provably-small broadcast (constant
+  // 128 rows); scoring is a narrow map + one partial-agged groupBy(vec)
+  // over the codes relation — m·4 bits per vector instead of d·4 bytes,
+  // which is the entire point of PQ at 100 TB. Integer-exact end to end
+  // (same argument as q121), so fully oracle-checked.
+  def q122PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val qsubs = t(s, dir, "embeddings")
+      .filter(col("vec_id") === 0 && pqNonZero)
+      .select(pqQ8.as("q"))
+      .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
+    val lut = pqCodebook(s, dir).join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
+    q121PqCodes(s, dir).select("vec_id", "sub", "code").as("c")
+      .join(broadcast(lut.as("l")),
+        col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
+      .groupBy(col("c.vec_id"))
+      .agg(sum("lut").as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
+  val q122Sql: String =
+    s"""WITH $pqCtes,
+       |qbase AS (
+       |  SELECT list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
+       |    list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))) AS INT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id = 0
+       |    AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0),
+       |qs AS (
+       |  SELECT sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS qv
+       |  FROM qbase, unnest(range(0, $pqSubs)) AS u(sub)),
+       |lut AS (
+       |  SELECT cb.sub, cb_id,
+       |    CAST(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))) AS BIGINT) AS lut
+       |  FROM cb JOIN qs ON cb.sub = qs.sub),
+       |scored AS (
+       |  SELECT vec_id, SUM(lut.lut) AS adc_dist
+       |  FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.cb_id
+       |  GROUP BY vec_id)
+       |SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+       |FROM scored
+       |ORDER BY adc_dist, vec_id
+       |LIMIT 10""".stripMargin
 
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -523,6 +606,7 @@ object Similarity {
     "q91_hof_cosine" -> q91HofCosine _,
     "q100_int8_quant" -> q100Int8Quant _,
     "q121_pq_codes" -> q121PqCodes _,
+    "q122_pq_adc" -> q122PqAdc _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,5 +616,6 @@ object Similarity {
     "q91_hof_cosine" -> q91Sql,
     "q100_int8_quant" -> q100Sql,
     "q121_pq_codes" -> q121Sql,
+    "q122_pq_adc" -> q122Sql,
   )
 }

@@ -328,6 +328,18 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(2) >= 0 && r.getInt(2) < 16))
   }
 
+  test("q122: ADC search returns a bounded, totally-ordered corpus top-k") {
+    val rows = ops.Similarity.q122PqAdc(spark, sf).collect()
+    assert(rows.length == 10)
+    val dists = rows.map(_.getLong(1))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+      "ADC distances must be non-decreasing")
+    val corpus = Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(corpus(r.getLong(0)), "hit outside the corpus"))
+  }
+
   test("q113: paragraph dedup keeps exactly one copy of every segment") {
     val out = ops.Corpus.q113ParagraphDedup(spark, sf).collect()
     val nKept = out.map(_.getLong(2)).sum

@@ -281,12 +281,19 @@ class PlanSpec extends SparkSpec {
       "key-count aggregate must reduce the input before the window")
   }
 
-  test("q121: the PQ codebook is the one provably-small broadcast") {
-    // the codebook is k·m = 128 rows by construction (corpus-independent),
-    // so broadcasting it is safe; the corpus side must never cross-join
-    val p = planOf("q121_pq_codes")
-    assert(p.contains("BroadcastHashJoin"), "codebook join must broadcast")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  test("q121/q122: PQ codebook and LUT are the provably-small broadcasts") {
+    // codebook (k·m = 128 rows) and ADC LUT (same bound) are
+    // corpus-independent by construction, so broadcasting them is safe;
+    // the corpus side must never cross-join, and the ADC top-10 must be a
+    // bounded TakeOrderedAndProject, not a global sort
+    Seq("q121_pq_codes", "q122_pq_adc").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: codebook/LUT join must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a cross")
+    }
+    assert(planOf("q122_pq_adc").contains("TakeOrderedAndProject"),
+      "ADC top-k must not be a global sort")
   }
 
   test("q41: the lambda-built shingle expression stays out of scan filters") {
