@@ -282,12 +282,111 @@ object Corpus {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q123: span-corruption masking plan ----------------------------------
+  // The denoising-objective complement of q46/q79's packing: a T5-style
+  // span-corruption PLAN per document — mask a ~15% token budget in
+  // length-3 spans on a fixed stride, with a document-dependent phase so
+  // span positions vary across the corpus but stay a PURE FUNCTION of
+  // (doc_id, n_tokens): phase = (doc_id · 31) mod stride. Rerunning the
+  // pipeline regenerates the identical mask plan (the q37 reproducibility
+  // discipline — a rand() plan would differ per run/partitioning).
+  // Output per span: sentinel id, start, clipped length — all integers.
+  //
+  // Scale shape: a narrow 1→k generator per doc (explode of span starts),
+  // no shuffle until the output sort.
+  private val spanStride = 20
+  private val spanLen = 3
+
+  def q123SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(lower(col("text"))), "\\s+"))
+    t(s, dir, "documents")
+      .filter(nonBlank)
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        (col("doc_id") * 31 % spanStride).cast("int").as("phase"))
+      .filter(col("n_tokens") > col("phase"))
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(col("phase") + 1, col("n_tokens"), lit(spanStride)))
+          .as(Seq("sentinel", "span_start")))
+      .select(col("doc_id"), col("n_tokens"), col("sentinel"), col("span_start"),
+        least(lit(spanLen), col("n_tokens") - col("span_start") + 1).as("span_len"))
+      .orderBy("doc_id", "sentinel")
+  }
+
+  val q123Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS INT) AS n_tokens,
+       |    CAST(doc_id * 31 % $spanStride AS INT) AS phase
+       |  FROM documents WHERE length(trim(text)) > 0)
+       |SELECT doc_id, n_tokens,
+       |  CAST((u.start - phase - 1) // $spanStride AS INT) AS sentinel,
+       |  CAST(u.start AS INT) AS span_start,
+       |  CAST(least($spanLen, n_tokens - u.start + 1) AS INT) AS span_len
+       |FROM d, unnest(generate_series(phase + 1, n_tokens, $spanStride)) AS u(start)
+       |WHERE n_tokens > phase
+       |ORDER BY doc_id, sentinel""".stripMargin
+
+  // ---- q124: bigram LM conditional counts (CCNet-style corpus stats) ------
+  // The counting step of the cheap n-gram language model real pipelines
+  // train for perplexity-based quality filtering (the CCNet recipe):
+  // corpus-wide bigram counts joined to their left-unigram counts, with
+  // the conditional probability P(b|a) as fixed-point ppm (q81
+  // discipline — integer division, never a rounded double). Top-200 by
+  // bigram count with deterministic tie-break keeps the output bounded.
+  //
+  // Scale shape: two partial-agged exploded aggregations (never grouped
+  // by a bare hot token without its doc/bigram context — the q78 skew
+  // note), one keyed join bigram→unigram, bounded TakeOrderedAndProject.
+  def q124BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(nonBlank)
+      .select(col("doc_id"), ws.as("ws"))
+      .repartition(col("doc_id")) // materialize split once
+    val unigrams = docs
+      .select(explode_outer(col("ws")).as("a"))
+      .filter(col("a").isNotNull)
+      .groupBy("a").agg(count(lit(1)).as("c_a"))
+    val bigrams = docs
+      .select(explode_outer(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    bigrams.join(unigrams, "a")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"),
+        expr("(c_ab * 1000000) DIV c_a").as("p_cond_ppm"))
+      .orderBy(desc("c_ab"), asc("a"), asc("b"))
+      .limit(200)
+  }
+
+  val q124Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |uni AS (
+      |  SELECT w AS a, COUNT(*) AS c_a FROM d, unnest(ws) AS u(w) GROUP BY w),
+      |bg AS (
+      |  SELECT ws[i] AS a, ws[i+1] AS b, COUNT(*) AS c_ab
+      |  FROM d, unnest(range(1, greatest(len(ws), 1))) AS u(i)
+      |  WHERE len(ws) >= 2
+      |  GROUP BY 1, 2)
+      |SELECT bg.a AS a, bg.b AS b, c_ab, c_a, (c_ab * 1000000) // c_a AS p_cond_ppm
+      |FROM bg JOIN uni ON bg.a = uni.a
+      |ORDER BY c_ab DESC, bg.a, bg.b
+      |LIMIT 200""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_paragraph_dedup" -> q113ParagraphDedup _,
     "q114_url_normalize" -> q114UrlNormalize _,
     "q116_substring_contam" -> q116SubstringContam _,
     "q118_quality_classifier" -> q118QualityClassifier _,
+    "q123_span_corruption" -> q123SpanCorruption _,
+    "q124_bigram_lm" -> q124BigramLm _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -295,5 +394,7 @@ object Corpus {
     "q114_url_normalize" -> q114Sql,
     "q116_substring_contam" -> q116Sql,
     "q118_quality_classifier" -> q118Sql,
+    "q123_span_corruption" -> q123Sql,
+    "q124_bigram_lm" -> q124Sql,
   )
 }

@@ -340,6 +340,26 @@ class OperatorSpec extends SparkSpec {
     rows.foreach(r => assert(corpus(r.getLong(0)), "hit outside the corpus"))
   }
 
+  test("q123: span plan hits the 15% budget with in-bounds disjoint spans") {
+    val rows = ops.Corpus.q123SpanCorruption(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, start, len) = (r.getInt(1), r.getInt(3), r.getInt(4))
+      assert(start >= 1 && len >= 1 && start + len - 1 <= n,
+        s"span out of bounds: doc ${r.getLong(0)} start $start len $len n $n")
+    }
+    // spans within a doc are stride-separated (20 > 3 ⇒ disjoint)
+    rows.groupBy(_.getLong(0)).foreach { case (_, spans) =>
+      val starts = spans.sortBy(_.getInt(2)).map(_.getInt(3))
+      starts.zip(starts.tail).foreach { case (a, b) => assert(b - a == 20) }
+    }
+    // corpus-wide masked budget ≈ spanLen/stride = 15%
+    val masked = rows.map(_.getInt(4).toLong).sum.toDouble
+    val total = rows.groupBy(_.getLong(0)).map(_._2.head.getInt(1).toLong).sum.toDouble
+    assert(masked / total > 0.10 && masked / total < 0.20,
+      s"masked fraction ${masked / total}")
+  }
+
   test("q113: paragraph dedup keeps exactly one copy of every segment") {
     val out = ops.Corpus.q113ParagraphDedup(spark, sf).collect()
     val nKept = out.map(_.getLong(2)).sum

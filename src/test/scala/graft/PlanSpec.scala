@@ -296,6 +296,16 @@ class PlanSpec extends SparkSpec {
       "ADC top-k must not be a global sort")
   }
 
+  test("q123/q124: masking plan is shuffle-free; LM counts end in bounded top-k") {
+    // q123 is a pure 1→k generator — any hash exchange means the plan
+    // grew a shuffle it does not need
+    assert(!planOf("q123_span_corruption").contains("Exchange hashpartitioning"),
+      "span plan must be shuffle-free up to the output sort")
+    val lm = planOf("q124_bigram_lm")
+    assert(lm.contains("TakeOrderedAndProject"), "top-200 must not be a global sort")
+    assert(!lm.contains("CartesianProduct") && !lm.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q41: the lambda-built shingle expression stays out of scan filters") {
     val p = planOf("q41_ngram_jaccard")
     val scanSection = p.split("Scan parquet").drop(1).mkString
