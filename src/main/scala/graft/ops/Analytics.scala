@@ -253,42 +253,14 @@ object Analytics {
   // truncates the growing lineage — the Graph.connectedComponents
   // discipline; a reliable checkpoint on a real cluster.
   private val prIters = 5
-  private val prScale = 1000000000L
 
   def q115PageRank(s: SparkSession, dir: String): DataFrame = {
     val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val n = nodes.count()
-    val eo = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true)
-    val dangling = nodes
-      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
-      .localCheckpoint(true)
-    val tele = (prScale * 15 / 100) / n // exact long math, same as 150000000 // n
-    var pr = nodes.select(col("node"), lit(prScale / n).as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to prIters) {
-      val inSum = eo.join(pr, eo("src") === pr("node"))
-        .select(col("dst").as("node"), expr("pr DIV outdeg").as("share"))
-        .groupBy("node").agg(sum("share").as("in_sum"))
-      val dangSum = pr.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
-      pr = nodes.join(inSum, Seq("node"), "left")
-        .crossJoin(broadcast(dangSum))
-        .select(col("node"),
-          expr(s"CAST($tele AS BIGINT) + ((coalesce(in_sum, CAST(0 AS BIGINT))" +
-            s" + dang DIV CAST($n AS BIGINT)) * 85) DIV 100").as("pr"))
-        .localCheckpoint(true)
-    }
-    pr.select(col("node"), col("pr"), (col("node") % 2 === 1).as("is_supplier"))
+    Graph.pageRank(edges, prIters)
+      .select(col("node"), col("pr"), (col("node") % 2 === 1).as("is_supplier"))
       .orderBy(desc("pr"), asc("node"))
   }
 

@@ -95,4 +95,55 @@ object Graph {
       .union(e.select(col("v").as("u"), col("v").as("root")))
       .distinct()
   }
+
+  /** PageRank over a directed edge list (cols `src`, `dst`, integral
+    * type) in exact int64 fixed-point: total mass 10⁹, per-edge share
+    * `pr DIV outdeg`, damping 0.85 as `(x·85) DIV 100`, dangling mass
+    * redistributed `DIV n` per node. Integer sums are order-independent,
+    * so the result is BIT-EXACT across engines, partitionings, and
+    * reruns — unlike float PageRank — which is what makes the unrolled
+    * SQL oracle twin (q115) possible. Truncation bleeds ~1 ppb of mass
+    * per DIV; deterministic, and irrelevant to ranking.
+    *
+    * Scale shape: per iteration ONE shuffle (the contribution
+    * groupBy(dst)); the dangling total is a one-row broadcast cross; the
+    * per-iteration eager localCheckpoint is the same lineage-truncation
+    * discipline as [[connectedComponents]] (a reliable checkpoint on a
+    * real cluster). At 100 TB ranks and edges pre-bucket on the node key
+    * so the ranks⋈edges join is shuffle-free.
+    *
+    * Returns one row per distinct vertex: (node, pr).
+    */
+  def pageRank(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
+    val scale = 1000000000L
+    val edges = edgesIn.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val eo = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint(true)
+    val tele = (scale * 15 / 100) / n // exact long math = 150000000 // n
+    var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val inSum = eo.join(pr, eo("src") === pr("node"))
+        .select(col("dst").as("node"), expr("pr DIV outdeg").as("share"))
+        .groupBy("node").agg(sum("share").as("in_sum"))
+      val dangSum = pr.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0L)).as("dang"))
+      pr = nodes.join(inSum, Seq("node"), "left")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(dangSum))
+        .select(col("node"),
+          expr(s"CAST($tele AS BIGINT) + ((coalesce(in_sum, CAST(0 AS BIGINT))" +
+            s" + dang DIV CAST($n AS BIGINT)) * 85) DIV 100").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
 }
