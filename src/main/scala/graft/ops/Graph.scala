@@ -122,6 +122,7 @@ object Graph {
       .union(edges.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
     val eo = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .localCheckpoint(true)

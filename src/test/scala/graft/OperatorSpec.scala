@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.Prop.forAll
+import org.scalacheck.{Gen, Test => SCTest}
 
 /** Per-operator sanity specs over sf0.001 (full cross-engine equivalence is
   * the DuckDB oracle gate; these pin semantics and invariants).
@@ -358,6 +360,41 @@ class OperatorSpec extends SparkSpec {
     val total = rows.groupBy(_.getLong(0)).map(_._2.head.getInt(1).toLong).sum.toDouble
     assert(masked / total > 0.10 && masked / total < 0.20,
       s"masked fraction ${masked / total}")
+  }
+
+  test("pageRank matches the exact recurrence on arbitrary random graphs") {
+    // beyond q115's one fixed graph: self-loops, duplicate edges, chains,
+    // isolated stars — any shape the generator produces must land on the
+    // same int64 fixpoint as the plain-Scala recurrence
+    import spark.implicits._
+    val genEdges = Gen.chooseNum(1, 30).flatMap(m =>
+      Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0L, 12L)
+        v <- Gen.chooseNum(0L, 12L)
+      } yield (u, v)))
+    val prop = forAll(genEdges) { es =>
+      val got = ops.Graph.pageRank(es.toDF("src", "dst"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val edges = es.distinct
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val n = nodes.length
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val tele = 150000000L / n
+      var pr = nodes.map(_ -> 1000000000L / n).toMap
+      for (_ <- 1 to 3) {
+        val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        out.foreach { case (u, vs) =>
+          val share = pr(u) / vs.length
+          vs.foreach(v => in(v) += share)
+        }
+        val dang = nodes.filterNot(out.contains).map(pr).sum
+        pr = nodes.map(v => v -> (tele + ((in(v) + dang / n) * 85) / 100)).toMap
+      }
+      got == pr
+    }
+    // each case runs the full distributed loop — keep the sample small
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(8))
+    assert(res.passed, res.status.toString)
   }
 
   test("q113: paragraph dedup keeps exactly one copy of every segment") {
