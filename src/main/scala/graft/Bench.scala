@@ -4,6 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * RATCHET (round 8): with the query surface stable, the min-of-3
+  * quiet-host total must stay within 1.3× of BENCH_r07's 70.17 s
+  * (≤ 91 s, common query set) at the same rep count — a total past that
+  * on a quiet host is a regression to fix, not variance to wave at.
+  * See PLANS.md "Bench ratchet".
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -153,8 +153,8 @@ object Analytics {
       |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM documents)
-      |SELECT source, (cum - n_chars) // 16384 AS bin, COUNT(*) AS n_files,
-      |  SUM(n_chars) AS bytes, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS bin, COUNT(*) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM f
       |GROUP BY 1, 2
       |ORDER BY source, bin""".stripMargin
@@ -197,24 +197,22 @@ object Analytics {
   }
 
   // ---- q107: triangle count over the near-dup graph ----------------------
-  // Graph motif counting as pure joins: edges are the q41 jaccard pairs
-  // oriented u < v, a wedge join (e1.v = e2.u) proposes a < b < c paths,
-  // and a semi join against the edge list closes them — each triangle is
-  // counted exactly once in its sorted orientation. Two keyed shuffles,
-  // no driver-side graph; at 100 TB the wedge join is additionally
-  // degree-capped (split high-degree vertices first), which changes
-  // constants, not shape. The three one-row aggregates combine via
-  // broadcast one-row crosses (the scalar-subquery shape).
+  // Graph motif counting as pure joins: edges are the q41 jaccard pairs,
+  // counted by Graph.triangleCount's DEGREE-ORDERED wedge join — each edge
+  // oriented low→high in the (degree, id) total order, so every triangle
+  // is proposed once by its order-minimal apex and per-vertex wedge
+  // fan-out is bounded by C(outdeg, 2), outdeg = O(√m), regardless of how
+  // viral a boilerplate cluster gets (the "curse of the last reducer"
+  // fix — see Graph.scala). The count is orientation-invariant, so the
+  // naive-wedge DuckDB oracle yields the identical number. The three
+  // one-row aggregates combine via broadcast one-row crosses (the
+  // scalar-subquery shape).
   def q107TriangleCount(s: SparkSession, dir: String): DataFrame = {
     val e = Dedup.q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
-    val closed = wedges.join(e.select(col("u").as("a"), col("v").as("c")),
-      Seq("a", "c"), "left_semi")
     val nv = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .distinct().agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
-    val nt = closed.agg(count(lit(1)).as("n_triangles"))
+    val nt = Graph.triangleCount(e)
     nv.crossJoin(ne).crossJoin(nt)
   }
 
@@ -378,6 +376,42 @@ object Analytics {
       .orderBy("col")
   }
 
+  // ---- q126: table statistics with SKETCHED NDV ---------------------------
+  // q111's own scale note made real: the identical ANALYZE surface
+  // (n_rows / nulls / min / max per column) but with the NDV column an
+  // HLL sketch estimate instead of exact count(DISTINCT). Exact NDV is a
+  // per-column shuffle of every distinct value — at 100 TB that is the
+  // single most expensive statistic a catalog collects; the HLL variant
+  // folds every column into fixed-KB mergeable sketches inside ONE
+  // partial-agged pass, so stats collection costs one scan regardless of
+  // column cardinality (and per-partition sketches re-aggregate
+  // incrementally when files append — the q110 property). Estimates are
+  // engine-specific ⇒ rows-only, pinned by the ≤5%-vs-exact spec.
+  def q126SketchStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_shipday", col("l_shipdate").cast("date"))
+    val allCols = statCols :+ "l_shipday"
+    val aggs = count(lit(1)).as("n_rows") +:
+      allCols.flatMap { c =>
+        // sketch over the string image (injective ⇒ NDV-preserving;
+        // hll_sketch_agg has no date/narrow-int overloads)
+        Seq(hll_sketch_estimate(hll_sketch_agg(col(c).cast("string"))).as(s"ndv_$c"),
+          (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(allCols.map { c =>
+        struct(lit(c).as("col"), col(s"ndv_$c").as("ndv_est"),
+          col(s"nulls_$c").as("n_nulls"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+      }: _*)).as("st"))
+      .select(col("st.col").as("col"), col("n_rows"), col("st.ndv_est").as("ndv_est"),
+        col("st.n_nulls").as("n_nulls"), col("st.min_val").as("min_val"),
+        col("st.max_val").as("max_val"))
+      .orderBy("col")
+  }
+
   val q111Sql: String = {
     val branches = (statCols.map(c => (c, c)) :+ ("l_shipday", "CAST(l_shipdate AS DATE)"))
       .map { case (name, e) =>
@@ -399,7 +433,10 @@ object Analytics {
   // rows — and a q82-style sketch replaces it when even |keys| is huge).
   // Shares are fixed-point ppm integers (q81 discipline): top-key share
   // of rows, and the p99/p50 heavy-tail ratio — the two numbers a
-  // planner's skew heuristic consumes. Integer-only output.
+  // planner's skew heuristic consumes. Integer-only output. On EMPTY
+  // input both sides yield 0 rows (the oracle's final n_keys > 0 guard
+  // exists for that case alone — its scalar subqueries would otherwise
+  // emit one all-NULL row where the groupBy here emits none).
   def q120SkewProfile(s: SparkSession, dir: String): DataFrame = {
     val counts = t(s, dir, "lineitem")
       .groupBy(col("l_suppkey").as("k"))
@@ -437,7 +474,8 @@ object Analytics {
       |  ((SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 99) // 100, 1)) * 1000000)
       |    // (SELECT n FROM ranked WHERE rk = greatest((s.n_keys * 50) // 100, 1))
       |    AS p99_over_p50_ppm
-      |FROM stats s""".stripMargin
+      |FROM stats s
+      |WHERE s.n_keys > 0""".stripMargin
 
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,6 +490,7 @@ object Analytics {
     "q111_table_stats" -> q111TableStats _,
     "q115_pagerank" -> q115PageRank _,
     "q120_skew_profile" -> q120SkewProfile _,
+    "q126_sketch_stats" -> q126SketchStats _,
   )
 
   val oracle: Map[String, String] = Map(

@@ -396,62 +396,117 @@ object Dedup {
 
   // ---- q98: edit-distance near-dup confirm gate ---------------------------
   // The character-level complement of the shingle family: candidate pairs
-  // from cheap deterministic blocking (same lang + 32-char length band),
-  // confirmed by Levenshtein distance over a fixed 160-char document
-  // window — the standard "block, then edit-distance gate" near-dup
-  // recipe.
+  // from cheap deterministic blocking, confirmed by Levenshtein distance
+  // over a fixed 160-char document window — the standard "block, then
+  // edit-distance gate" near-dup recipe.
+  //
+  // The block key is (lang, 32-char length band, MinHash sub-band): the
+  // length band alone yields blocks that grow LINEARLY with the corpus
+  // (every same-language doc of similar length lands together), so pair
+  // count inside a block grows quadratically with corpus size — fine at
+  // sf0.1, fatal at 100 TB. The MinHash sub-band caps that: each doc adds
+  // `nSub` keys, one per independent shingle-MinHash permutation, and two
+  // docs collide only when some permutation's minimum agrees — for
+  // unrelated docs that is ~16^-subWidth per permutation, so block
+  // population is governed by the 16-bit bucket space, not corpus size,
+  // while true near-dups (shingle Jaccard s) still meet with probability
+  // 1-(1-s)^nSub (≥ 0.998 at s = 0.8, nSub = 4).
+  //
+  // ENGINE-EXACT MinHash: the permutations are min(md5(j || ':' ||
+  // shingle)) as a STRING min — md5 hex is lowercase [0-9a-f] in both
+  // engines and string MIN is plain lexicographic over ASCII, so unlike
+  // the xxhash64 signatures of q42 (Spark-specific, hence rows-only) this
+  // sub-band is bit-identical in DuckDB and the full operator stays
+  // hash-checked. Docs with no shingles (< 3 words) fall back to one
+  // (j=0, sub='') key — they block among themselves per (lang, band).
   //
   // The confirm gate uses the THRESHOLDED levenshtein (maxDistance = 24):
   // Spark's banded DP touches only the |2k+1|-wide diagonal (160×49 cells
   // instead of 160×160) and abandons a pair the moment every cell in a row
-  // exceeds k — for unrelated same-block pairs (the overwhelming majority)
-  // that is ~25 rows, a >10× cut on the dominant per-pair cost. Identical
-  // output: -1 (over threshold) ⇔ the old `dist > 24` reject.
+  // exceeds k. Identical output: -1 (over threshold) ⇔ `dist > 24`.
   //
   // Blocking probes each doc's own AND both adjacent length bands, so a
-  // 63-vs-65-char pair straddling a band boundary is still compared (the
-  // standard length-band recipe; same-band-only silently loses those
-  // pairs). The probe side emits 3 DISTINCT keys per doc, so a qualifying
-  // pair matches exactly once — no post-join dedup.
-  //
-  // Scale shape: blocking stays an equi-join on (lang, band) — no cross
-  // product — and the gate is a narrow per-pair expression. At 100 TB the
-  // block key additionally includes an LSH band (q42's machinery) so
-  // block sizes stay bounded; (lang, length-band) is the oracle-expressible
-  // stand-in with the same join-then-gate plan shape.
+  // 63-vs-65-char pair straddling a band boundary is still compared. A
+  // pair can now meet under several permutations, so candidates are
+  // reduced to DISTINCT (a_id, b_id) BEFORE the gate — the 160-char heads
+  // are re-attached by two cheap doc_id joins so the DP runs exactly once
+  // per candidate pair and the distinct never carries wide strings.
   //
   // Cross-engine: both engines' substr/levenshtein are character-based and
   // the distance is an integer, so the gate is engine-exact (testdata is
   // BMP text, where Spark's UTF-16 units = DuckDB's codepoints).
+  private val q98SubBands = 4   // independent MinHash permutations
+  private val q98SubWidth = 4   // hex chars of the minimum kept (16 bits)
+
   def q98EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.t(s, dir, "documents")
+    val docs = graft.Tables.t(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"), substring(col("text"), 100, 160).as("head"),
         col("lang"), expr("n_chars DIV 32").as("band"))
-    val a = d.select(col("doc_id").as("a_id"), col("head").as("a_head"),
-      col("lang"),
+    // nSub md5-MinHash minima in ONE groupBy pass over the shingle
+    // relation (no per-permutation explode: nSub aggregate columns share
+    // one shuffle), then posexplode into (j, sub) block-key components.
+    val minAggs = (0 until q98SubBands).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")).cast("binary"))).as(s"m$j")
+    }
+    val subs = shingles(docs)
+      .groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until q98SubBands).map(j =>
+          substring(col(s"m$j"), 1, q98SubWidth)): _*)).as(Seq("j", "sub")))
+    val dk = d.join(subs, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("band"),
+        coalesce(col("j"), lit(0)).as("j"),
+        coalesce(col("sub"), lit("")).as("sub"))
+    val a = dk.select(col("doc_id").as("a_id"), col("lang"), col("j"), col("sub"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val b = d.select(col("doc_id").as("b_id"), col("head").as("b_head"),
-      col("lang"), col("band"))
-    a.join(b, Seq("lang", "band"))
+    val b = dk.select(col("doc_id").as("b_id"), col("lang"), col("j"), col("sub"),
+      col("band"))
+    val cand = a.join(b, Seq("lang", "band", "j", "sub"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("head").as("a_head")), "a_id")
+      .join(d.select(col("doc_id").as("b_id"), col("head").as("b_head")), "b_id")
       .withColumn("dist", levenshtein(col("a_head"), col("b_head"), 24))
       .filter(col("dist") >= 0)
       .select("a_id", "b_id", "dist")
       .orderBy("a_id", "b_id")
   }
 
-  val q98Sql: String =
-    """WITH d AS (
-      |  SELECT doc_id, substr(text, 100, 160) AS head, lang,
-      |         n_chars // 32 AS band
-      |  FROM documents)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  levenshtein(a.head, b.head) AS dist
-      |FROM d a JOIN d b ON a.lang = b.lang
-      |                 AND b.band BETWEEN a.band - 1 AND a.band + 1
-      |                 AND a.doc_id < b.doc_id
-      |WHERE levenshtein(a.head, b.head) <= 24
-      |ORDER BY a_id, b_id""".stripMargin
+  val q98Sql: String = {
+    val minCols = (0 until q98SubBands)
+      .map(j => s"MIN(md5('$j:' || shingle)) AS m$j").mkString(", ")
+    val caseSub = (0 until q98SubBands - 1)
+      .map(j => s"WHEN $j THEN substr(m$j, 1, $q98SubWidth)")
+      .mkString("CASE j ", " ", s" ELSE substr(m${q98SubBands - 1}, 1, $q98SubWidth) END")
+    val js = (0 until q98SubBands).mkString("[", ", ", "]")
+    s"""WITH sh AS ($shinglesSql),
+       |mins AS (SELECT doc_id, $minCols FROM sh GROUP BY doc_id),
+       |subs AS (
+       |  SELECT doc_id, j, $caseSub AS sub
+       |  FROM mins CROSS JOIN (SELECT unnest($js) AS j) perms),
+       |d AS (
+       |  SELECT doc_id, substr(text, 100, 160) AS head, lang,
+       |         n_chars // 32 AS band
+       |  FROM documents),
+       |dk AS (
+       |  SELECT d.doc_id, d.lang, d.band,
+       |         COALESCE(s.j, 0) AS j, COALESCE(s.sub, '') AS sub
+       |  FROM d LEFT JOIN subs s ON s.doc_id = d.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM dk a JOIN dk b ON a.lang = b.lang AND a.j = b.j AND a.sub = b.sub
+       |                     AND b.band BETWEEN a.band - 1 AND a.band + 1
+       |                     AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, levenshtein(da.head, db.head) AS dist
+       |FROM cand JOIN d da ON da.doc_id = a_id
+       |          JOIN d db ON db.doc_id = b_id
+       |WHERE levenshtein(da.head, db.head) <= 24
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -119,16 +119,79 @@ object Formats {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q125: JDBC source round-trip (embedded Derby) ----------------------
+  // The one SURVEY §2.1 source family left uncovered: an RDBMS reached
+  // through `spark.read.jdbc`. The table is materialized into an EMBEDDED
+  // Derby instance (the JDBC driver Spark itself ships — no external
+  // server in this container), then read back the way a 100 TB ingest
+  // would read an operational DB:
+  //   * PARTITIONED read — (partitionColumn, bounds, numPartitions) splits
+  //     the table into stride-range queries so executors pull
+  //     concurrently; a JDBC read without this is one task on one
+  //     connection, the classic ingest bottleneck;
+  //   * PREDICATE PUSHDOWN — the n_chars filter travels into the remote
+  //     WHERE clause (plan-locked), so the DB ships matching rows only;
+  //   * explicit narrow column types via createTableColumnTypes (Derby's
+  //     default StringType mapping is CLOB, which many JDBC consumers
+  //     refuse to index or compare).
+  // Fidelity is proven row-by-row: the md5 digest column written through
+  // the DB must hash-match the oracle's digest of the original parquet.
+  // The write is coalesce(1): a single embedded-Derby writer connection
+  // (multi-connection embedded writes serialize on table locks anyway);
+  // a server-grade target takes numPartitions writers, same plan.
+  def q125JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val staged = graft.TempDirs.staged(s"jdbc_roundtrip:$dir") { p =>
+      // derby.log + lock files live in the staged dir, not the repo
+      System.setProperty("derby.system.home", p.toString)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("jdbc")
+        .option("url", s"jdbc:derby:$p/docsdb;create=true")
+        .option("dbtable", "documents")
+        .option("driver", driver)
+        .option("createTableColumnTypes",
+          "lang VARCHAR(16), source VARCHAR(64), text_md5 VARCHAR(32)")
+        .save()
+    }
+    val bounds = t(s, dir, "documents")
+      .agg(min("doc_id"), max("doc_id")).head()
+    s.read.format("jdbc")
+      .option("url", s"jdbc:derby:$staged/docsdb")
+      .option("dbtable", "documents")
+      .option("driver", driver)
+      .option("partitionColumn", "doc_id")
+      .option("lowerBound", bounds.getLong(0).toString)
+      .option("upperBound", (bounds.getLong(1) + 1).toString)
+      .option("numPartitions", "4")
+      .load()
+      .filter(col("n_chars") > 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q125Sql: String =
+    """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      |FROM documents
+      |WHERE n_chars > 200
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
     "q112_schema_evolution" -> q112SchemaEvolution _,
+    "q125_jdbc_roundtrip" -> q125JdbcRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
     "q87_json_roundtrip" -> q87Sql,
     "q88_orc_roundtrip" -> q88Sql,
     "q112_schema_evolution" -> q112Sql,
+    "q125_jdbc_roundtrip" -> q125Sql,
   )
 }

@@ -410,32 +410,34 @@ object EventStream {
       .schema(feedSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
-    // driver-side pointer to the latest state version; micro-batches run
-    // sequentially on the driver, and reruns in the same JVM restart at
-    // batch 0 and overwrite their own versions (idempotent)
-    var current: Option[String] = None
+    // REPLAY-SAFE merge input: batch id → its predecessor's state path,
+    // derived from the id alone (prev = v{id-1}, nothing for id 0) — never
+    // a mutable latest-version pointer. A foreachBatch RETRY of batch id
+    // therefore always folds v{id-1} ∪ batch and overwrites v{id}: it can
+    // neither double-merge into state it already produced nor read the
+    // path it is about to overwrite, whatever the pointer said when the
+    // first attempt died. `maxSeen` is only the FINAL-read cursor (which
+    // version to surface after termination), never a merge input.
+    var maxSeen: Long = -1L
     val fold: (DataFrame, Long) => Unit = { (batch, id) =>
       val latest = batch.groupBy("user_id").agg(
         max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
         count(lit(1)).as("n_changes"))
-      val merged = current match {
-        case None => latest
-        case Some(prev) =>
-          s.read.parquet(prev).unionByName(latest)
-            .groupBy("user_id")
-            .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
-      }
-      val out = s"$stateRoot/v$id"
-      merged.write.mode("overwrite").parquet(out)
-      current = Some(out)
+      val merged =
+        if (id <= 0) latest
+        else s.read.parquet(s"$stateRoot/v${id - 1}").unionByName(latest)
+          .groupBy("user_id")
+          .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
+      merged.write.mode("overwrite").parquet(s"$stateRoot/v$id")
+      maxSeen = math.max(maxSeen, id)
     }
     val q = feed.writeStream
       .foreachBatch(fold)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(current.getOrElse(
-      throw new IllegalStateException("CDC stream delivered no batches")))
+    if (maxSeen < 0) throw new IllegalStateException("CDC stream delivered no batches")
+    s.read.parquet(s"$stateRoot/v$maxSeen")
       .filter(col("last.event_type") =!= "error")
       .select(col("user_id"), col("last.ts").as("last_ts"),
         col("last.event_type").as("last_type"), col("n_changes"))

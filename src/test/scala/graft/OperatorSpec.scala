@@ -397,6 +397,111 @@ class OperatorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("q126: sketched NDV within 5% of exact stats, all other columns exact") {
+    val exact = ops.Analytics.q111TableStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sk = ops.Analytics.q126SketchStats(spark, sf).collect()
+    assert(sk.length == exact.size, "one stats row per column")
+    sk.foreach { r =>
+      val c = r.getString(0)
+      val e = exact(c)
+      assert(r.getLong(1) == e.getLong(1), s"$c: n_rows must be exact")
+      assert(r.getLong(3) == e.getLong(3), s"$c: null count must be exact")
+      assert(r.getString(4) == e.getString(4), s"$c: min must be exact")
+      assert(r.getString(5) == e.getString(5), s"$c: max must be exact")
+      val (est, ndv) = (r.getLong(2).toDouble, e.getLong(2).toDouble)
+      assert(math.abs(est - ndv) <= math.max(1.0, 0.05 * ndv),
+        s"$c: sketched NDV $est vs exact $ndv exceeds 5%")
+    }
+  }
+
+  test("pageRankConverged lands on a tolerance fixpoint") {
+    // one more exact-recurrence step applied to the CONVERGED ranks (in
+    // plain Scala, bit-identical math) must move no node by more than the
+    // tolerance — i.e. the returned ranking is a fixpoint at tolPpb, not
+    // an arbitrary iteration cut. Graph: a ring with chords + a dangling
+    // sink, so every term (in-sum, damping, dangling mass) is exercised.
+    import spark.implicits._
+    val es = ((0L to 9L).map(i => (i, (i + 1) % 10)) ++
+      Seq((0L, 5L), (3L, 8L), (7L, 2L), (4L, 10L))) // 10 is dangling
+    val tol = 500000L
+    val got = ops.Graph.pageRankConverged(es.toDF("src", "dst"), tol, 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length
+    val out = es.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val in = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    out.foreach { case (u, vs) =>
+      val share = got(u) / vs.length
+      vs.foreach(v => in(v) += share)
+    }
+    val dang = nodes.filterNot(out.contains).map(got).sum
+    val tele = 150000000L / n
+    nodes.foreach { v =>
+      val next = tele + ((in(v) + dang / n) * 85) / 100
+      assert(math.abs(next - got(v)) <= tol,
+        s"node $v moved ${math.abs(next - got(v))} > $tol after convergence")
+    }
+  }
+
+  test("pageRank fails loudly on an empty edge list") {
+    import spark.implicits._
+    assertThrows[IllegalArgumentException] {
+      ops.Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), 3)
+    }
+  }
+
+  test("triangleCount matches brute force on arbitrary random graphs") {
+    // self-loops, duplicate and reversed edges, cliques, stars — whatever
+    // the generator produces, the degree-ordered count must equal the
+    // O(n³) reference
+    import spark.implicits._
+    val genEdges = Gen.chooseNum(1, 40).flatMap(m =>
+      Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0L, 10L)
+        v <- Gen.chooseNum(0L, 10L)
+      } yield (u, v)))
+    val prop = forAll(genEdges) { es =>
+      val got = ops.Graph.triangleCount(es.toDF("u", "v"))
+        .collect().head.getLong(0)
+      val adj = es.filter(e => e._1 != e._2)
+        .flatMap(e => Seq(e, e.swap)).toSet
+      val nodes = adj.map(_._1).toSeq.sorted
+      val want = (for {
+        a <- nodes; b <- nodes if a < b && adj((a, b))
+        c <- nodes if b < c && adj((a, c)) && adj((b, c))
+      } yield 1).size.toLong
+      got == want
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(8))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("triangleCount orients a hot vertex's edges inward (bounded fan-out)") {
+    // the curse-of-the-last-reducer scenario: one vertex in a near-dup
+    // pair with 200 others (boilerplate cluster). A naive wedge join
+    // proposes C(200,2) ≈ 20k wedges at the hub; degree ordering points
+    // every hub edge INTO the hub, so the hub proposes none and the only
+    // wedges come from the leaves (out-degree ≤ 2).
+    import spark.implicits._
+    val hub = (1L to 200L).map(i => (0L, i))
+    val rim = Seq((1L, 2L), (3L, 4L)) // two triangles through the hub
+    val edges = (hub ++ rim).toDF("u", "v")
+    val got = ops.Graph.triangleCount(edges).collect().head.getLong(0)
+    assert(got == 2L, s"expected 2 triangles, got $got")
+    // reproduce the orientation and check the bound that makes it scale:
+    // max out-degree ≤ max leaf degree (3), NEVER the hub's 200
+    val e = (hub ++ rim).map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val deg = e.flatMap(p => Seq(p._1, p._2)).groupBy(identity).view.mapValues(_.size).toMap
+    val outDeg = e.map { case (u, v) =>
+        if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v
+      }.groupBy(identity).view.mapValues(_.size)
+    assert(outDeg.values.max <= 3,
+      s"degree ordering must bound fan-out, saw ${outDeg.values.max}")
+    assert(!outDeg.contains(0L) || outDeg(0L) == 0,
+      "the hub must propose no wedges")
+  }
+
   test("q113: paragraph dedup keeps exactly one copy of every segment") {
     val out = ops.Corpus.q113ParagraphDedup(spark, sf).collect()
     val nKept = out.map(_.getLong(2)).sum

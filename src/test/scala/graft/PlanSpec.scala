@@ -188,6 +188,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q98: the block key carries the MinHash sub-band") {
+    // the widened key is the 100 TB bound: without `sub` in the candidate
+    // join, (lang, length-band) blocks grow linearly with the corpus and
+    // pair count quadratically. The key must reach the join itself, not
+    // just exist as a column.
+    val p = planOf("q98_edit_distance")
+    val joined = p.split("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin")
+    assert(joined.length > 1, "expected an equi join in the q98 plan")
+    assert(p.contains("sub#"), "MinHash sub-band column missing from the plan")
+    // the candidate join's key list mentions lang, band, j and sub together
+    assert("\\[(lang|band|j|sub)#\\d+L?(, (lang|band|j|sub)#\\d+L?){3}\\]".r
+        .findFirstIn(p).isDefined,
+      "candidate join must key on (lang, band, j, sub)")
+  }
+
+  test("q125: the predicate is pushed into the JDBC source") {
+    // the n_chars filter must travel into the remote WHERE clause — a
+    // JDBC scan that ships the whole table and filters in Spark defeats
+    // the source; the scan must also be range-partitioned (4 concurrent
+    // stride queries), not one connection
+    val p = planOf("q125_jdbc_roundtrip").toLowerCase
+    assert(p.contains("pushedfilters") && p.contains("greaterthan(n_chars"),
+      "n_chars predicate not pushed to the JDBC scan")
+    assert(p.contains("numpartitions=4"),
+      "JDBC read must be range-partitioned")
+  }
+
   test("q96: the range window needs exactly one exchange (by user)") {
     // a value-range frame must not change the window's shuffle shape:
     // one hashpartitioning exchange on user_id below the window, and the
