@@ -292,6 +292,55 @@ object Analytics {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  // ---- q129: k-core of the order graph ------------------------------------
+  // Graph.kCore over the q115 customer→supplier graph: the density filter
+  // that isolates the heavily-cross-connected trading core (degree ≥ 40
+  // after peeling — at sf0.01 that keeps 449 of 1600 vertices). Peeling
+  // is iterative (removals cascade), so the DuckDB twin UNROLLS the peel
+  // the q115/q54 way: 6 chained rounds, each recomputing degrees over the
+  // previous round's edge set and keeping edges whose both endpoints
+  // clear k. The Spark side runs to the TRUE fixpoint (fail-loud cap);
+  // rounds past the fixpoint are no-ops, so 6 ≥ the sf0.01 round count
+  // (measured: 1 effective peel + 1 confirm) makes the twin exact.
+  private val kCoreK = 40
+  private val kCoreUnroll = 6
+
+  def q129KCore(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+    Graph.kCore(edges, kCoreK)
+      .select(col("node"), col("deg_in_core"), (col("node") % 2 === 1).as("is_supplier"))
+      .orderBy("node")
+  }
+
+  val q129Sql: String = {
+    // every CTE is MATERIALIZED: each round references its predecessor
+    // several times (degree count + two membership filters), and inlined
+    // CTEs would re-expand the base scan ~5^rounds times — DuckDB ran out
+    // of file handles before finishing the plain form
+    val rounds = (1 to kCoreUnroll).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT x, COUNT(*) AS d FROM (
+         |    SELECT u AS x FROM r${r - 1} UNION ALL SELECT v AS x FROM r${r - 1}) t
+         |  GROUP BY x),
+         |r$r AS MATERIALIZED (
+         |  SELECT u, v FROM r${r - 1}
+         |  WHERE u IN (SELECT x FROM d$r WHERE d >= $kCoreK)
+         |    AND v IN (SELECT x FROM d$r WHERE d >= $kCoreK))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r0 AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |$rounds
+       |SELECT node, COUNT(*) AS deg_in_core, node % 2 = 1 AS is_supplier
+       |FROM (SELECT u AS node FROM r$kCoreUnroll
+       |      UNION ALL SELECT v AS node FROM r$kCoreUnroll) t
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
   // ---- q108: retention cohorts -------------------------------------------
   // The canonical product-analytics matrix: users cohorted by first-seen
   // day, activity bucketed by day offset from their cohort. Two keyed
@@ -491,6 +540,7 @@ object Analytics {
     "q115_pagerank" -> q115PageRank _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
+    "q129_kcore" -> q129KCore _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -504,5 +554,6 @@ object Analytics {
     "q111_table_stats" -> q111Sql,
     "q115_pagerank" -> q115Sql,
     "q120_skew_profile" -> q120Sql,
+    "q129_kcore" -> q129Sql,
   )
 }

@@ -379,6 +379,81 @@ object Corpus {
       |ORDER BY c_ab DESC, bg.a, bg.b
       |LIMIT 200""".stripMargin
 
+  // ---- q128: per-document LM quality score (the CCNet filter shape) -------
+  // q124 built the corpus bigram LM; q128 SCORES every document under it —
+  // the judgment step of perplexity-based quality filtering (CCNet): a
+  // document whose bigrams are predictable under the corpus model reads
+  // as fluent text, one full of rare transitions as noise. The score is
+  // the mean conditional-probability ppm of the doc's bigrams,
+  // integer-exact end to end: per-bigram P(b|a) as (c_ab·10⁶) DIV c_a
+  // (the q124/q81 fixed-point discipline — a float log-perplexity would
+  // hash-diverge across engines' libm), summed and DIV'd per doc. `keep`
+  // compares against a FIXED threshold — in production calibrated offline
+  // from a sample, exactly as CCNet fits its tercile cut-offs offline
+  // rather than re-deriving them per batch (a global ntile here would be
+  // a corpus-wide single-partition sort).
+  //
+  // Scale shape: the corpus LM is REDUCED first (bigram⋈unigram on the
+  // already-aggregated count relations), then one keyed join attaches
+  // per-bigram ppm to the exploded doc bigrams and a partial-agged
+  // groupBy(doc_id) folds the score — cost ∝ corpus tokens, shuffled on
+  // the bigram key (AQE skew-splits the "the of"-class hot keys), never
+  // a doc × vocabulary product. Docs with < 2 tokens have no bigrams and
+  // are unscored (absent) in both engines.
+  private val lmKeepPpm = 34000L
+
+  def q128LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(nonBlank)
+      .select(col("doc_id"), ws.as("ws"))
+      .repartition(col("doc_id")) // materialize split once
+    val docBigrams = docs
+      .select(col("doc_id"), explode_outer(
+        when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("a"),
+              element_at(col("ws"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val unigrams = docs
+      .select(explode_outer(col("ws")).as("a"))
+      .filter(col("a").isNotNull)
+      .groupBy("a").agg(count(lit(1)).as("c_a"))
+    val ppm = docBigrams
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .join(unigrams, "a")
+      .select(col("a"), col("b"), expr("(c_ab * 1000000) DIV c_a").as("p_ppm"))
+    docBigrams.join(ppm, Seq("a", "b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_ppm DIV n_bigrams").as("avg_p_ppm"),
+        (expr("sum_ppm DIV n_bigrams") >= lmKeepPpm).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q128Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |dbg AS (
+       |  SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+       |  FROM d, unnest(range(1, greatest(len(ws), 1))) AS u(i)
+       |  WHERE len(ws) >= 2),
+       |uni AS (
+       |  SELECT a, COUNT(*) AS c_a FROM (SELECT unnest(ws) AS a FROM d) t GROUP BY a),
+       |bg AS (SELECT a, b, COUNT(*) AS c_ab FROM dbg GROUP BY 1, 2),
+       |ppm AS (
+       |  SELECT bg.a, bg.b, (c_ab * 1000000) // c_a AS p_ppm
+       |  FROM bg JOIN uni ON bg.a = uni.a)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS avg_p_ppm,
+       |  (CAST(SUM(p_ppm) AS BIGINT) // COUNT(*)) >= $lmKeepPpm AS keep
+       |FROM dbg JOIN ppm USING (a, b)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_paragraph_dedup" -> q113ParagraphDedup _,
@@ -387,6 +462,7 @@ object Corpus {
     "q118_quality_classifier" -> q118QualityClassifier _,
     "q123_span_corruption" -> q123SpanCorruption _,
     "q124_bigram_lm" -> q124BigramLm _,
+    "q128_lm_score" -> q128LmScore _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -396,5 +472,6 @@ object Corpus {
     "q118_quality_classifier" -> q118Sql,
     "q123_span_corruption" -> q123Sql,
     "q124_bigram_lm" -> q124Sql,
+    "q128_lm_score" -> q128Sql,
   )
 }

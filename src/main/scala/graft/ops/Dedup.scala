@@ -508,6 +508,92 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- q127: winnowing fingerprints (exact-substring near-dup) ------------
+  // The MOSS winnowing scheme (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+  // hash every word 3-gram in DOCUMENT ORDER, slide a window of 4
+  // consecutive gram hashes, keep each window's MINIMUM — the selected
+  // fingerprints are a provably-representative sample with the guarantee
+  // that ANY shared token run of length ≥ k + w - 1 = 6 contributes at
+  // least one shared fingerprint (both docs see the same window of grams
+  // somewhere inside the run, hence the same minimum). Unlike the
+  // set-similarity family (q41-q43), this detects LOCAL verbatim overlap
+  // — quotation, boilerplate injection, partial copies — regardless of
+  // how different the rest of the documents are; it is the scalable
+  // stand-in for the suffix-array exact-substring dedup of Lee et al.'22.
+  //
+  // Selection density is 2/(w+1) ≈ 40% of grams, corpus-independent, so
+  // the fingerprint index is a bounded fraction of the token count. The
+  // gram hash is md5 (string min ⇒ engine-exact, the q98 discipline);
+  // the window minimum is taken by VALUE (array_min), deterministic in
+  // both engines. Fingerprints are per-doc DISTINCT; the pair report is
+  // the q41 inverted-index shape: hot-fingerprint pruning (df > 100,
+  // broadcast anti-join — the stop-shingle defense), keyed self-join,
+  // partial-agged pair count, ≥ 2 shared fingerprints to report.
+  //
+  // The window minimum is computed by a NESTED lambda over ws directly
+  // (each window re-hashes its w grams, a bounded 4× compute duplication)
+  // instead of materializing a gram-hash array column: CollapseProject
+  // would inline a gram-array column into every slice() reference — the
+  // O(n²) re-evaluation trap shingles() documents — and a 4× md5 on tiny
+  // strings is far cheaper than another exchange barrier.
+  private val winK = 3 // tokens per gram
+  private val winW = 4 // grams per window
+
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ws.as("ws"))
+      .repartition(col("doc_id")) // materialize split once (see shingles)
+      .select(col("doc_id"),
+        when(size(col("ws")) >= winK + winW - 1,
+          array_distinct(transform(sequence(lit(1), size(col("ws")) - (winK + winW - 2)),
+            j => array_min(transform(sequence(j, j + winW - 1),
+              i => md5(concat_ws(" ",
+                element_at(col("ws"), i),
+                element_at(col("ws"), i + 1),
+                element_at(col("ws"), i + 2)).cast("binary")))))))
+          .otherwise(array().cast("array<string>")).as("fps"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  def q127Winnowing(s: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(t(s, dir, "documents"))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100)
+      .select("fp")
+    val pruned = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    pruned.select(col("fp"), col("doc_id").as("id_a"))
+      .join(pruned.select(col("fp"), col("doc_id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q127Sql: String = {
+    val span = winK + winW - 2 // inclusive window-start bound is len - span
+    s"""WITH d AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, f FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, len(ws) - $span + 1),
+       |        j -> list_min(list_transform(range(j, j + $winW),
+       |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))))) AS f
+       |    FROM d WHERE len(ws) >= ${winK + winW - 1}) x),
+       |hot AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) > 100),
+       |pf AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM hot))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |FROM pf a JOIN pf b ON a.f = b.f AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> q40DedupExact _,
@@ -518,6 +604,7 @@ object Dedup {
     "q83_incremental_dedup" -> q83IncrementalDedup _,
     "q92_bloom_prefilter" -> q92BloomPrefilter _,
     "q98_edit_distance" -> q98EditDistance _,
+    "q127_winnowing" -> q127Winnowing _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -527,5 +614,6 @@ object Dedup {
     "q83_incremental_dedup" -> q83Sql,
     "q92_bloom_prefilter" -> q92Sql,
     "q98_edit_distance" -> q98Sql,
+    "q127_winnowing" -> q127Sql,
   )
 }

@@ -96,6 +96,57 @@ object Graph {
       .distinct()
   }
 
+  /** k-core of an undirected edge list (cols `u`, `v`): the maximal
+    * subgraph in which every vertex keeps degree ≥ k, computed by
+    * iterative peeling — drop every vertex whose CURRENT degree is
+    * below k, recompute, repeat until a fixpoint. The classic
+    * graph-mining density filter (spam/link-farm isolation, community
+    * cores, the quality gate before expensive per-vertex work).
+    *
+    * Scale shape per round: one degree aggregation (partial-agged
+    * groupBy on the vertex key) + two keyed semi joins retaining edges
+    * whose BOTH endpoints survive — shuffle-on-key only, the edge set
+    * only shrinks, and the same eager-localCheckpoint lineage discipline
+    * as [[connectedComponents]]. Peeling cascades (removing one vertex
+    * can push a neighbor below k), so like CC the loop FAILS LOUDLY if
+    * `maxRounds` arrives before the fixpoint — a silently partial core
+    * would admit under-degree vertices.
+    *
+    * Returns one row per core vertex: (node, deg_in_core), deg ≥ k.
+    */
+  def kCore(edgesIn: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var e = edgesIn
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("x")
+      val next = e
+        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      // edges only shrink, so count stability ⇔ no vertex was peeled
+      converged = nextCount == eCount
+      e = next
+      eCount = nextCount
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixpoint within $maxRounds rounds " +
+          s"($eCount edges remain); raise maxRounds")
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
+  }
+
   /** Exact triangle count over an undirected edge list (cols `u`, `v`)
     * via degree-ordered edge orientation (Suri & Vassilvitskii, "Counting
     * Triangles and the Curse of the Last Reducer", WWW'11): orient every

@@ -397,6 +397,79 @@ class OperatorSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("winnowing guarantee: a shared >= k+w-1 token run shares a fingerprint") {
+    // Schleimer et al.'s core property: any verbatim token run of length
+    // >= k + w - 1 (= 6 here) contains at least one full gram window in
+    // both documents, so both select the same window minimum. Two docs
+    // sharing a 12-token quote inside otherwise-disjoint text MUST share
+    // a fingerprint; two disjoint-vocabulary docs must share none.
+    import spark.implicits._
+    val quote = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val docs = Seq(
+      (1L, s"one two three four five six seven $quote eight nine ten"),
+      (2L, s"uno dos tres cuatro $quote cinco seis siete ocho nueve"),
+      (3L, "red orange yellow green blue indigo violet magenta cyan maroon olive navy")
+    ).toDF("doc_id", "text")
+    val fps = ops.Dedup.winnowFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing a 12-token run must share a winnowed fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint-vocabulary docs must not collide")
+    // density: selected fingerprints are a strict, non-empty subset of grams
+    assert(byDoc(3L).nonEmpty && byDoc(3L).size < 12 - 2,
+      s"expected a winnowed sample, got ${byDoc(3L).size} of 10 grams")
+  }
+
+  test("kCore matches brute-force peeling on arbitrary random graphs") {
+    import spark.implicits._
+    val genCase = for {
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        u <- Gen.chooseNum(0L, 10L)
+        v <- Gen.chooseNum(0L, 10L)
+      } yield (u, v))
+      k <- Gen.chooseNum(1, 4)
+    } yield (es, k)
+    val prop = forAll(genCase) { case (es, k) =>
+      val got = ops.Graph.kCore(es.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference peel on the canonical undirected simple graph
+      var e = es.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = e.filter(p => deg(p._1) >= k && deg(p._2) >= k)
+        stable = next == e
+        e = next
+      }
+      val want = e.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == want && got.values.forall(_ >= k)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(8))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("kCore peeling cascades to the fixpoint") {
+    import spark.implicits._
+    // a path peels from both ends, one vertex per round, to nothing —
+    // the case a single-pass degree filter gets wrong
+    val path = (0L until 8L).map(i => (i, i + 1)).toDF("u", "v")
+    assert(ops.Graph.kCore(path, 2).count() == 0,
+      "a path has no 2-core; single-pass filtering would keep the middle")
+    // a cycle with a pendant chain: the cycle IS the 2-core, chain peels
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val got = ops.Graph.kCore((cycle ++ chain).toDF("u", "v"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core must be exactly the cycle, got $got")
+  }
+
   test("q126: sketched NDV within 5% of exact stats, all other columns exact") {
     val exact = ops.Analytics.q111TableStats(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
