@@ -208,7 +208,7 @@ object Analytics {
   // one-row aggregates combine via broadcast one-row crosses (the
   // scalar-subquery shape).
   def q107TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))
+    val e = Dedup.q41Pairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v"))
     val nv = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
       .distinct().agg(count(lit(1)).as("n_vertices"))
     val ne = e.agg(count(lit(1)).as("n_edges"))

@@ -144,11 +144,22 @@ object Dedup {
   // checkpointed leaf) — memoized per (session, dir) so q45's reuse
   // doesn't pay the q41 + contraction cost twice.
   private val ccCache = new graft.SessionCache[DataFrame]()
+  private val pairsCache = new graft.SessionCache[DataFrame]()
+
+  /** Memoized, MATERIALIZED q41 pair list — the near-dup edge set is the
+    * input of cluster formation (q44) and graph motif counting (q107);
+    * build it once per (session, dir) and localCheckpoint (the k-means/CC
+    * index-build-amortization discipline). The public q41 query stays
+    * uncached so its plan locks keep testing the real plan.
+    */
+  private[graft] def q41Pairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrCompute(s, dir)(
+      q41NgramJaccard(s, dir).localCheckpoint(true))
 
   def q44DedupClusters(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrCompute(s, dir)(
       Graph.connectedComponents(
-          q41NgramJaccard(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
+          q41Pairs(s, dir).select(col("id_a").as("u"), col("id_b").as("v")))
         .select(col("u").as("doc_id"), col("root").as("keep_id"))
         .orderBy("doc_id"))
 

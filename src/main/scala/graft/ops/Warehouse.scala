@@ -157,16 +157,147 @@ object Warehouse {
       |WHERE rk = 1 AND op = 'U'
       |ORDER BY user_id""".stripMargin
 
+  // ---- q130/q131 shared: two deterministic table snapshots ----------------
+  // v0 ("yesterday") and v1 ("today") derive from `documents` by fixed
+  // arithmetic rules, giving all four change classes: docs with
+  // doc_id % 11 = 3 are new in v1 (inserts), doc_id % 13 = 5 are gone
+  // from v1 (deletes), doc_id % 4 = 1 re-crawled with n_chars + 7
+  // (updates), the rest unchanged. Keys keep their (lang, source)
+  // dimension across versions — only the measure changes on update.
+  private def snapV0(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  private def snapV1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 13 =!= 5)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 4 === 1, col("n_chars") + 7)
+          .otherwise(col("n_chars")).as("n_chars"))
+
+  private val snapV0Sql =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents WHERE doc_id % 11 <> 3""".stripMargin
+  private val snapV1Sql =
+    """SELECT doc_id, lang, source,
+      |  CASE WHEN doc_id % 4 = 1 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id % 13 <> 5""".stripMargin
+
+  // ---- q130: snapshot diff (changelog derivation) -------------------------
+  // The INVERSE of q117: q117 applies a changelog to get state, q130
+  // derives the changelog FROM two table snapshots — what table formats
+  // compute between versions for incremental consumers, and what any
+  // 100 TB pipeline needs to re-process only what moved. One
+  // shuffle-on-key full-outer join; rows classify by presence and by a
+  // row-content md5 FINGERPRINT compare (never column-by-column — the
+  // fingerprint is one narrow expression per side and generalizes to any
+  // column set); unchanged rows are dropped so the output is only the
+  // delta. At 100 TB both snapshots bucket on the key and the diff is
+  // shuffle-free.
+  def q130SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // \u0001-separated so shifted column boundaries can't collide
+    // ("ab"+"c" vs "a"+"bc"); compared only WITHIN an engine, so any
+    // narrow row-hash works - matches the oracle's chr(1) separator
+    def fp(c: String) = md5(concat_ws("\u0001",
+      col(s"$c.lang"), col(s"$c.source"), col(s"$c.n_chars")).cast("binary"))
+    snapV0(s, dir).as("a").join(snapV1(s, dir).as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, "insert")
+          .when(col("b.doc_id").isNull, "delete")
+          .when(fp("a") =!= fp("b"), "update")
+          .otherwise("unchanged").as("change"),
+        col("a.n_chars").as("n_chars_old"),
+        col("b.n_chars").as("n_chars_new"))
+      .filter(col("change") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
+  val q130Sql: String =
+    s"""WITH v0 AS ($snapV0Sql),
+       |v1 AS ($snapV1Sql),
+       |d AS (
+       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'insert'
+       |         WHEN b.doc_id IS NULL THEN 'delete'
+       |         WHEN md5(concat_ws(chr(1), a.lang, a.source, a.n_chars))
+       |           <> md5(concat_ws(chr(1), b.lang, b.source, b.n_chars))
+       |           THEN 'update'
+       |         ELSE 'unchanged' END AS change,
+       |    a.n_chars AS n_chars_old, b.n_chars AS n_chars_new
+       |  FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id)
+       |SELECT * FROM d WHERE change <> 'unchanged'
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q131: incremental materialized-view maintenance --------------------
+  // The delta-application shape every warehouse needs at 100 TB: a
+  // standing per-(lang, source) aggregate view over v0 is advanced to v1
+  // by folding in ONLY the q130 changelog — the v1 table itself is never
+  // re-aggregated. Each change contributes a signed delta (insert:
+  // +1 doc / +n_new chars; delete: −1 / −n_old; update: 0 / n_new−n_old);
+  // deltas partial-aggregate to one row per touched key, a full-outer
+  // join folds them into the view, and keys whose count reaches zero drop
+  // out. Cost ∝ |changelog| + |view|, independent of |v1| — the whole
+  // point of incremental view maintenance.
+  //
+  // The ORACLE is the definition itself: DuckDB aggregates v1 DIRECTLY.
+  // Incremental result ≡ full recompute, proven by hash — the
+  // correctness statement of IVM, checked end-to-end.
+  def q131IncrementalView(s: SparkSession, dir: String): DataFrame = {
+    val view0 = snapV0(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    // the changelog re-keyed by dimension: deltas need (lang, source),
+    // which the diff's key column alone doesn't carry — derive them the
+    // same deterministic way the snapshots do
+    val delta = q130SnapshotDiff(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+      .select(col("lang"), col("source"),
+        when(col("change") === "insert", lit(1L))
+          .when(col("change") === "delete", lit(-1L))
+          .otherwise(lit(0L)).as("dn"),
+        (coalesce(col("n_chars_new"), lit(0L))
+          - coalesce(col("n_chars_old"), lit(0L))).as("dchars"))
+      .groupBy("lang", "source")
+      .agg(sum(col("dn")).as("dn"), sum(col("dchars")).as("dchars"))
+    view0.as("v").join(delta.as("d"),
+        col("v.lang") === col("d.lang") && col("v.source") === col("d.source"),
+        "full_outer")
+      .select(
+        coalesce(col("v.lang"), col("d.lang")).as("lang"),
+        coalesce(col("v.source"), col("d.source")).as("source"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang", "source")
+  }
+
+  /** Full recompute over v1 — the IVM correctness statement as the oracle. */
+  val q131Sql: String =
+    s"""WITH v1 AS ($snapV1Sql)
+       |SELECT lang, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM v1
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
     "q90_scd2_intervals" -> q90Scd2Intervals _,
     "q117_cdc_apply" -> q117CdcApply _,
+    "q130_snapshot_diff" -> q130SnapshotDiff _,
+    "q131_incremental_view" -> q131IncrementalView _,
   )
 
   val oracle: Map[String, String] = Map(
     "q89_merge_upsert" -> q89Sql,
     "q90_scd2_intervals" -> q90Sql,
     "q117_cdc_apply" -> q117Sql,
+    "q130_snapshot_diff" -> q130Sql,
+    "q131_incremental_view" -> q131Sql,
   )
 }
