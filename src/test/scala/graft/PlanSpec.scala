@@ -203,6 +203,18 @@ class PlanSpec extends SparkSpec {
       "candidate join must key on (lang, band, j, sub)")
   }
 
+  test("q130/q131: snapshot diff and view maintenance stay keyed joins") {
+    // the diff must be ONE full-outer equi join on the key; the view fold
+    // must touch only the changelog + the view — a cartesian or
+    // nested-loop anywhere defeats the incremental point
+    Seq("q130_snapshot_diff", "q131_incremental_view").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
+      assert(p.contains("FullOuter"), s"$q lost its full-outer merge shape")
+    }
+  }
+
   test("q125: the predicate is pushed into the JDBC source") {
     // the n_chars filter must travel into the remote WHERE clause — a
     // JDBC scan that ships the whole table and filters in Spark defeats
