@@ -201,6 +201,9 @@ object Warehouse {
     // narrow row-hash works - matches the oracle's chr(1) separator
     def fp(c: String) = md5(concat_ws("\u0001",
       col(s"$c.lang"), col(s"$c.source"), col(s"$c.n_chars")).cast("binary"))
+    // the changelog carries the full current-side row (dimensions
+    // included, newest side preferred), so downstream consumers — q131's
+    // view fold above all — never rejoin the base table
     snapV0(s, dir).as("a").join(snapV1(s, dir).as("b"),
         col("a.doc_id") === col("b.doc_id"), "full_outer")
       .select(
@@ -209,6 +212,8 @@ object Warehouse {
           .when(col("b.doc_id").isNull, "delete")
           .when(fp("a") =!= fp("b"), "update")
           .otherwise("unchanged").as("change"),
+        coalesce(col("b.lang"), col("a.lang")).as("lang"),
+        coalesce(col("b.source"), col("a.source")).as("source"),
         col("a.n_chars").as("n_chars_old"),
         col("b.n_chars").as("n_chars_new"))
       .filter(col("change") =!= "unchanged")
@@ -226,6 +231,8 @@ object Warehouse {
        |           <> md5(concat_ws(chr(1), b.lang, b.source, b.n_chars))
        |           THEN 'update'
        |         ELSE 'unchanged' END AS change,
+       |    COALESCE(b.lang, a.lang) AS lang,
+       |    COALESCE(b.source, a.source) AS source,
        |    a.n_chars AS n_chars_old, b.n_chars AS n_chars_new
        |  FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id)
        |SELECT * FROM d WHERE change <> 'unchanged'
@@ -249,12 +256,9 @@ object Warehouse {
     val view0 = snapV0(s, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-    // the changelog re-keyed by dimension: deltas need (lang, source),
-    // which the diff's key column alone doesn't carry — derive them the
-    // same deterministic way the snapshots do
+    // the changelog is self-contained (q130 carries the dimensions), so
+    // the fold never touches the base table — only |changelog| + |view|
     val delta = q130SnapshotDiff(s, dir)
-      .join(t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
-        "doc_id")
       .select(col("lang"), col("source"),
         when(col("change") === "insert", lit(1L))
           .when(col("change") === "delete", lit(-1L))
