@@ -541,16 +541,34 @@ object Dedup {
   // broadcast anti-join — the stop-shingle defense), keyed self-join,
   // partial-agged pair count, ≥ 2 shared fingerprints to report.
   //
-  // The window minimum is computed by a NESTED lambda over ws directly
-  // (each window re-hashes its w grams, a bounded 4× compute duplication)
-  // instead of materializing a gram-hash array column: CollapseProject
-  // would inline a gram-array column into every slice() reference — the
-  // O(n²) re-evaluation trap shingles() documents — and a 4× md5 on tiny
-  // strings is far cheaper than another exchange barrier.
+  // The selection runs in the native [[graft.functions.WinnowFingerprints]]
+  // codegen expression — one md5 per gram, hash array in a local. The
+  // built-ins-only spelling below must NEST the window lambda inside the
+  // gram lambda (each window re-hashes its w grams, a 4× duplication):
+  // materializing a gram-hash array COLUMN would get re-inlined per
+  // slice() reference by CollapseProject — the O(n²) re-evaluation trap
+  // shingles() documents. The two spellings are bit-identical
+  // (equivalence spec), the q91/DotProduct pattern.
   private val winK = 3 // tokens per gram
   private val winW = 4 // grams per window
 
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val ws = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), ws.as("ws"))
+      .repartition(col("doc_id")) // materialize split once (see shingles)
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints
+          .winnow_fingerprints(col("ws"), winK, winW).as("fps"))
+      .select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Built-ins-only twin of [[winnowFingerprints]] — the reference
+    * spelling the equivalence spec checks the native expression against.
+    */
+  private[graft] def winnowFingerprintsLambda(docs: DataFrame): DataFrame = {
     val ws = split(trim(lower(col("text"))), "\\s+")
     docs
       .filter(length(trim(col("text"))) > 0)

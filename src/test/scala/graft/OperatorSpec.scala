@@ -422,6 +422,19 @@ class OperatorSpec extends SparkSpec {
       s"expected a winnowed sample, got ${byDoc(3L).size} of 10 grams")
   }
 
+  test("native WinnowFingerprints is bit-identical to the lambda spelling") {
+    // the codegen expression replaces the nested-lambda composition on
+    // the hot path (one md5 per gram instead of w per gram); it must
+    // select EXACTLY the same fingerprints on real corpus text — same
+    // hashes, same per-doc multiset
+    val native = ops.Dedup.winnowFingerprints(Tables.t(spark, sf, "documents"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val lambda = ops.Dedup.winnowFingerprintsLambda(Tables.t(spark, sf, "documents"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(native.nonEmpty, "fingerprint relation must not be empty")
+    assert(native == lambda, "native and lambda winnowing diverged")
+  }
+
   test("kCore matches brute-force peeling on arbitrary random graphs") {
     import spark.implicits._
     val genCase = for {
