@@ -20,6 +20,43 @@ case class OpenSession(start_us: Long, last_us: Long, n: Long, cents: Long)
 case class ClosedSession(
     user_id: Long, start_us: Long, end_us: Long, n_events: Long, cents: Long)
 
+/** Running per-user aggregate carried in `ValueState` (q132). */
+case class RunningAgg(n: Long, last_us: Long, cents: Long)
+
+/** Per-batch emission of the q132 processor — the user's running totals. */
+case class UserRunning(user_id: Long, n_events: Long, last_us: Long, cents: Long)
+
+/** `StatefulProcessor` for q132: fold each batch's events for a user into
+  * one named `ValueState` slot and emit the running row. All folds are
+  * commutative and associative (count +, max ts, cents +), so the final
+  * state is independent of batch order and partitioning.
+  */
+class RunningAggProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningAgg] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[RunningAgg]("agg",
+      org.apache.spark.sql.Encoders.product[RunningAgg],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+    val prev = if (state.exists()) state.get() else RunningAgg(0L, Long.MinValue, 0L)
+    var n = prev.n
+    var last = prev.last_us
+    var cents = prev.cents
+    rows.foreach { e =>
+      n += 1
+      if (e.ts_us > last) last = e.ts_us
+      cents += e.cents
+    }
+    state.update(RunningAgg(n, last, cents))
+    Iterator.single(UserRunning(key, n, last, cents))
+  }
+}
+
 /** Structured Streaming over the `events` table (SURVEY.md §2.7: the
   * reference is pure batch; this is the streaming surface the new engine
   * adds). The same parquet drives a file-source stream; windowed
@@ -444,6 +481,86 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q132: the Spark-4 `transformWithState` arbitrary-state surface — the
+    * successor API to q64's `flatMapGroupsWithState` (explicit
+    * `StatefulProcessor` lifecycle, named typed state slots, RocksDB
+    * state store required). A per-user running aggregate (count / last
+    * event time / cents total) carries a `ValueState` across 4 round-robin
+    * micro-batches — busy users appear in EVERY batch, so the state is
+    * genuinely exercised across invocations, and each batch emits the
+    * user's running row. The folds are commutative/associative (+, max),
+    * so the fixpoint is batch-order independent; the final per-user row is
+    * the max-(n, …) struct of the emissions, and the oracle is the plain
+    * batch GROUP BY — streaming/batch parity, the q119 discipline.
+    *
+    * Scale shape: one shuffle on the grouping key per micro-batch; state
+    * lives in per-partition RocksDB instances (spillable, incrementally
+    * checkpointed — the 100 TB state backend, vs the in-memory HDFS-backed
+    * map). The provider conf is set for this query and restored after.
+    */
+  def q132TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = graft.TempDirs.staged(s"events_tws:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4) // round-robin: busy users span all 4 micro-batches
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val feed = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[UserEvent]
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = feed
+        .groupByKey(_.user_id)
+        .transformWithState(new RunningAggProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // running emissions are monotone in n per user — the max struct IS the
+    // final state
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_us"), col("cents"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        expr("timestamp_micros(f.last_us)").cast("timestamp_ntz").as("last_ts"),
+        col("f.cents").as("cents"))
+      .orderBy("user_id")
+  }
+
+  val q132Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -452,6 +569,7 @@ object EventStream {
     "q86_stream_ingest_dedup" -> (q86StreamIngestDedup _),
     "q109_stream_dropdup" -> (q109StreamDropDup _),
     "q119_stream_cdc_upsert" -> (q119StreamCdcUpsert _),
+    "q132_transform_with_state" -> (q132TransformWithState _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -464,5 +582,6 @@ object EventStream {
     // streaming/batch parity: the incremental fold must land on exactly
     // the batch changelog apply — q117's oracle IS q119's oracle
     "q119_stream_cdc_upsert" -> graft.ops.Warehouse.q117Sql,
+    "q132_transform_with_state" -> q132Sql,
   )
 }
