@@ -99,6 +99,70 @@ class StreamingSpec extends SparkSpec {
     assert(custom.count() > 0)
   }
 
+  test("CDC fold survives a checkpointed restart exactly-once") {
+    // the fault-tolerance contract behind q119's id-derived fold: a file
+    // source with a CHECKPOINT processes two files (batches 0,1), the
+    // query terminates, two more files arrive, and a RESTARTED query on
+    // the same checkpoint must (a) not reprocess the first two files —
+    // its batch ids continue at 2,3 and only versions v2/v3 appear — and
+    // (b) fold onward from the durable v1 state, landing on exactly the
+    // batch aggregate of all four files. Loss would under-count,
+    // reprocessing would double-count; equality proves exactly-once.
+    val src = Files.createTempDirectory("graft_ckpt_src_")
+    val ckpt = Files.createTempDirectory("graft_ckpt_meta_")
+    val stateRoot = Files.createTempDirectory("graft_ckpt_state_")
+    val ev = Tables.events(spark, sf)
+    val parts = ev.withColumn("g", expr("pmod(hash(user_id), 4)"))
+    def writeFile(g: Int, name: String, tMillis: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckpt_tmp_")
+      parts.filter(col("g") === g).drop("g")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = src.resolve(name)
+          Files.copy(p, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(tMillis))
+        }
+      }
+    }
+    def runDrain(): Unit = {
+      val feed = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val fold: (org.apache.spark.sql.DataFrame, Long) => Unit = { (batch, id) =>
+        val latest = batch.groupBy("user_id").agg(
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+          count(lit(1)).as("n_changes"))
+        val merged =
+          if (id <= 0) latest
+          else spark.read.parquet(s"$stateRoot/v${id - 1}").unionByName(latest)
+            .groupBy("user_id")
+            .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
+        merged.write.mode("overwrite").parquet(s"$stateRoot/v$id")
+      }
+      val q = feed.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeFile(0, "f0.parquet", 1700000000000L)
+    writeFile(1, "f1.parquet", 1700000060000L)
+    runDrain() // batches 0, 1
+    assert(Files.exists(stateRoot.resolve("v1")), "first run must reach v1")
+    assert(!Files.exists(stateRoot.resolve("v2")), "first run must stop at v1")
+    writeFile(2, "f2.parquet", 1700000120000L)
+    writeFile(3, "f3.parquet", 1700000180000L)
+    runDrain() // restart: only the new files, batches 2, 3
+    assert(Files.exists(stateRoot.resolve("v3")), "restart must continue at v2/v3")
+    val fin = spark.read.parquet(s"$stateRoot/v3")
+    val truth = ev.groupBy("user_id").agg(
+      max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"),
+      count(lit(1)).as("n_changes"))
+    assert(fin.exceptAll(truth).isEmpty && truth.exceptAll(fin).isEmpty,
+      s"restart fold=${fin.count()} batch truth=${truth.count()}")
+    assert(fin.count() > 0)
+  }
+
   test("incremental CDC fold lands exactly on the batch changelog apply") {
     // q119 folds 4 out-of-time-order micro-batches into versioned state;
     // the fixpoint must equal q117's one-shot batch apply row-for-row —
