@@ -288,6 +288,79 @@ object Warehouse {
        |GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
 
+  // ---- q133: snapshot stats-drift monitor ---------------------------------
+  // The data-quality gate a pipeline runs BEFORE promoting a new table
+  // version (the Deequ/expectations shape): per-column statistics of the
+  // incoming snapshot compared against the standing one, flagging row
+  // count, NDV, null-count, and min/max movement. Catching a collapsed
+  // column (ndv→1), a null flood, or a range excursion here costs two
+  // stats passes; catching it after promotion costs a re-train. One
+  // aggregation pass per snapshot (the q111 ANALYZE shape — at 100 TB the
+  // NDV column swaps to the q126 HLL sketch), one tiny join on column
+  // name. Integer/string/boolean output only — engine-exact.
+  private val driftCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  private def statsOf(df: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      driftCols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"))
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(driftCols.map { c =>
+        struct(lit(c).as("col"), col(s"ndv_$c").as("ndv"),
+          col(s"nulls_$c").as("n_nulls"),
+          col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+      }: _*)).as("st"))
+      .select(col("st.col").as("col"), col("n_rows"), col("st.ndv").as("ndv"),
+        col("st.n_nulls").as("n_nulls"),
+        col("st.min_val").as("min_val"), col("st.max_val").as("max_val"))
+  }
+
+  def q133StatsDrift(s: SparkSession, dir: String): DataFrame = {
+    val a = statsOf(snapV0(s, dir)).as("a")
+    val b = statsOf(snapV1(s, dir)).as("b")
+    a.join(b, col("a.col") === col("b.col"))
+      .select(col("a.col").as("col"),
+        col("a.n_rows").as("n_rows_v0"), col("b.n_rows").as("n_rows_v1"),
+        col("a.ndv").as("ndv_v0"), col("b.ndv").as("ndv_v1"),
+        col("a.n_nulls").as("n_nulls_v0"), col("b.n_nulls").as("n_nulls_v1"),
+        (col("a.min_val") =!= col("b.min_val")).as("min_changed"),
+        (col("a.max_val") =!= col("b.max_val")).as("max_changed"))
+      .withColumn("drift",
+        col("n_rows_v0") =!= col("n_rows_v1") || col("ndv_v0") =!= col("ndv_v1")
+          || col("n_nulls_v0") =!= col("n_nulls_v1")
+          || col("min_changed") || col("max_changed"))
+      .orderBy("col")
+  }
+
+  val q133Sql: String = {
+    def side(snap: String, alias: String): String =
+      driftCols.map { c =>
+        s"""SELECT '$c' AS col, COUNT(*) AS n_rows, COUNT(DISTINCT $c) AS ndv,
+           |  COUNT(*) - COUNT($c) AS n_nulls,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM $snap""".stripMargin
+      }.mkString(s"$alias AS (\n", "\nUNION ALL\n", ")")
+    s"""WITH v0 AS ($snapV0Sql),
+       |v1 AS ($snapV1Sql),
+       |${side("v0", "sa")},
+       |${side("v1", "sb")}
+       |SELECT sa.col AS col,
+       |  sa.n_rows AS n_rows_v0, sb.n_rows AS n_rows_v1,
+       |  sa.ndv AS ndv_v0, sb.ndv AS ndv_v1,
+       |  sa.n_nulls AS n_nulls_v0, sb.n_nulls AS n_nulls_v1,
+       |  sa.min_val <> sb.min_val AS min_changed,
+       |  sa.max_val <> sb.max_val AS max_changed,
+       |  (sa.n_rows <> sb.n_rows OR sa.ndv <> sb.ndv
+       |    OR sa.n_nulls <> sb.n_nulls
+       |    OR sa.min_val <> sb.min_val OR sa.max_val <> sb.max_val) AS drift
+       |FROM sa JOIN sb ON sa.col = sb.col
+       |ORDER BY col""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
@@ -295,6 +368,7 @@ object Warehouse {
     "q117_cdc_apply" -> q117CdcApply _,
     "q130_snapshot_diff" -> q130SnapshotDiff _,
     "q131_incremental_view" -> q131IncrementalView _,
+    "q133_stats_drift" -> q133StatsDrift _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -303,5 +377,6 @@ object Warehouse {
     "q117_cdc_apply" -> q117Sql,
     "q130_snapshot_diff" -> q130Sql,
     "q131_incremental_view" -> q131Sql,
+    "q133_stats_drift" -> q133Sql,
   )
 }
