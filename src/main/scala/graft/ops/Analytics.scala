@@ -123,6 +123,76 @@ object Analytics {
        |ORDER BY n_terms DESC, tf DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  // ---- q134: hybrid retrieval fusion (reciprocal rank fusion) ------------
+  // The fusion step every hybrid search stack runs (Cormack et al.,
+  // SIGIR'09; the BM25+ANN recipe in RAG pipelines): two independently
+  // produced ranked lists merge by RRF score Σ 1/(60 + rank) — rank
+  // positions only, no score calibration across retrievers needed, which
+  // is the whole point of RRF. Here the two retrievers are q104-style
+  // keyword searches over disjoint term sets; in production one side is
+  // the q51/q122 ANN list — the fusion operator is retriever-agnostic.
+  //
+  // Fixed-point discipline: contribution = 1e6 DIV (60 + rank), summed as
+  // BIGINT — no float reciprocals to hash-diverge. Scale shape: each
+  // retriever ends in its own bounded top-100 (TakeOrderedAndProject);
+  // the rank-assigning window runs on that ALREADY-LIMITED constant-size
+  // relation (never the corpus — the q120 reduced-input rule), and the
+  // fusion is one full-outer join of two ≤100-row lists.
+  private val rrfTermsB = Seq("hash", "merge", "sort", "scan")
+  private val rrfK = 60
+
+  private def rankedKeywordList(s: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_terms"), count(lit(1)).as("tf"))
+      .orderBy(desc("n_terms"), desc("tf"), col("doc_id"))
+      .limit(100)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n_terms"), desc("tf"), col("doc_id"))))
+      .select(col("doc_id"), col("rank"))
+  }
+
+  def q134HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val a = rankedKeywordList(s, dir, queryTerms).withColumnRenamed("rank", "rank_a")
+    val b = rankedKeywordList(s, dir, rrfTermsB).withColumnRenamed("rank", "rank_b")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(expr(s"1000000 DIV ($rrfK + rank_a)"), lit(0))
+          + coalesce(expr(s"1000000 DIV ($rrfK + rank_b)"), lit(0)))
+          .cast("long").as("rrf_ppm"))
+      .orderBy(desc("rrf_ppm"), col("doc_id"))
+      .limit(20)
+  }
+
+  val q134Sql: String = {
+    def list(terms: Seq[String], rank: String): String =
+      s"""  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY n_terms DESC, tf DESC, doc_id) AS INT) AS $rank
+         |  FROM (
+         |    SELECT doc_id, COUNT(DISTINCT tok) AS n_terms, COUNT(*) AS tf
+         |    FROM toks WHERE tok IN (${terms.map(tm => s"'$tm'").mkString(", ")})
+         |    GROUP BY doc_id
+         |    ORDER BY n_terms DESC, tf DESC, doc_id
+         |    LIMIT 100) x""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |la AS (
+       |${list(queryTerms, "rank_a")}),
+       |lb AS (
+       |${list(rrfTermsB, "rank_b")})
+       |SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id, rank_a, rank_b,
+       |  CAST(COALESCE(1000000 // ($rrfK + rank_a), 0)
+       |     + COALESCE(1000000 // ($rrfK + rank_b), 0) AS BIGINT) AS rrf_ppm
+       |FROM la FULL OUTER JOIN lb ON la.doc_id = lb.doc_id
+       |ORDER BY rrf_ppm DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   // ---- q105: small-file compaction planning ------------------------------
   // The operational answer to the small-files problem at 100 TB: given a
   // file manifest (here each document stands in for a file of `n_chars`
@@ -541,6 +611,7 @@ object Analytics {
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
+    "q134_hybrid_rrf" -> q134HybridRrf _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -555,5 +626,6 @@ object Analytics {
     "q115_pagerank" -> q115Sql,
     "q120_skew_profile" -> q120Sql,
     "q129_kcore" -> q129Sql,
+    "q134_hybrid_rrf" -> q134Sql,
   )
 }
