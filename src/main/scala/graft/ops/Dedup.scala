@@ -133,6 +133,51 @@ object Dedup {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q135: containment pairs (asymmetric near-dup) ----------------------
+  // Broder's OTHER resemblance measure: containment = |A∩B| / min(|A|,|B|)
+  // — the detector for SUBSET duplication that Jaccard structurally
+  // misses: a 50-shingle quote embedded verbatim in a 5000-shingle
+  // document has Jaccard ≈ 0.01 (invisible at any sane threshold) but
+  // containment 1.0. Real corpora are full of exactly this (press-release
+  // bodies inside articles, license boilerplate, quoted posts), so a
+  // dedup stack needs both metrics over the SAME inverted-index pair
+  // machinery. Reported: pairs with containment ≥ 0.9, with their
+  // Jaccard attached so the "Jaccard-blind" ones are visible. Fixed-point
+  // ppm (q81 discipline); identical plan shape and stop-shingle defense
+  // as q41 — the metric, not the join, changes.
+  def q135Containment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents"))
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100)
+      .select("shingle")
+    val shf = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
+    val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
+    a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("containment_ppm",
+        expr("(n_common * 1000000) DIV least(n_a, n_b)"))
+      .filter(col("containment_ppm") >= 900000)
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) DIV (n_a + n_b - n_common)"))
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "containment_ppm", "jaccard_ppm")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q135Sql: String =
+    s"""WITH $pairBaseCtes
+       |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  (n_common * 1000000) // least(sa.n, sb.n) AS containment_ppm,
+       |  (n_common * 1000000) // (sa.n + sb.n - n_common) AS jaccard_ppm
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE (n_common * 1000000) // least(sa.n, sb.n) >= 900000
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- q44: dedup cluster formation (connected components) ----------------
   // Near-dup PAIRS (q41) become per-document cluster assignments: connected
   // components over the pair list, keep-id = the component's minimum
@@ -634,6 +679,7 @@ object Dedup {
     "q92_bloom_prefilter" -> q92BloomPrefilter _,
     "q98_edit_distance" -> q98EditDistance _,
     "q127_winnowing" -> q127Winnowing _,
+    "q135_containment" -> q135Containment _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -644,5 +690,6 @@ object Dedup {
     "q92_bloom_prefilter" -> q92Sql,
     "q98_edit_distance" -> q98Sql,
     "q127_winnowing" -> q127Sql,
+    "q135_containment" -> q135Sql,
   )
 }

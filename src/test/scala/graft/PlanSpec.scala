@@ -49,7 +49,8 @@ class PlanSpec extends SparkSpec {
     // q55 is excluded from the NLJ check: its query→centroid routing is an
     // intentional broadcast cross against ~|cells| rows
     Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
-      "q52_ann_lsh", "q53_embed_dedup", "q127_winnowing").foreach { q =>
+      "q52_ann_lsh", "q53_embed_dedup", "q127_winnowing",
+      "q135_containment").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
