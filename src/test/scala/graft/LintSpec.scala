@@ -20,6 +20,31 @@ class LintSpec extends AnyFunSuite {
     * until the site is audited against the rule above and the count
     * updated — the convention is now structural, not folklore.
     */
+  test("driver contract: no key collisions, no orphaned oracles") {
+    // SparkEntry aggregates the module maps with `++`, which silently
+    // keeps the LAST binding on a key collision — a duplicated query name
+    // in two modules would quietly drop one implementation from the
+    // driver's gate. Likewise an oracle key with no query entry would
+    // never be exercised.
+    val moduleMaps = Seq(
+      "Relational" -> ops.Relational.queries, "Actuarial" -> actuarial.Actuarial.queries,
+      "TextOps" -> ops.TextOps.queries, "Dedup" -> ops.Dedup.queries,
+      "Curation" -> ops.Curation.queries, "Similarity" -> ops.Similarity.queries,
+      "Events" -> ops.Events.queries, "Multimodal" -> ops.Multimodal.queries,
+      "Pipeline" -> ops.Pipeline.queries, "Corpus" -> ops.Corpus.queries,
+      "Analytics" -> ops.Analytics.queries, "Warehouse" -> ops.Warehouse.queries,
+      "Formats" -> sources.Formats.queries, "EventStream" -> streaming.EventStream.queries)
+    val owners = moduleMaps.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = owners.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"query keys defined in several modules (one silently wins): " +
+        dups.map { case (k, ms) => s"$k -> ${ms.map(_._2).mkString("/")}" }.mkString(", "))
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a query (never exercised): $orphans")
+    assert(SparkEntry.queries.size == owners.size,
+      "aggregated query map lost entries")
+  }
+
   test("decimal casts appear only at audited sites") {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
