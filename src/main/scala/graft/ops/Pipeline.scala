@@ -399,8 +399,32 @@ object Pipeline {
       |GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
 
+  // ---- q136: consistent-hash shard rebalance manifest ---------------------
+  // What happens to q99's static assignment when the shard COUNT changes:
+  // a plain `hash % n` remaps ~(n-1)/n of all keys on n → n+1 — at 100 TB
+  // that is rewriting the whole store to add one shard. Jump consistent
+  // hash (Lamping & Veach '14 — the native codegen expression in
+  // functions/JumpConsistentHash.scala) moves EXACTLY the expected
+  // 1/(n+1) fraction, and every moved key lands in the NEW shard, so a
+  // 16 → 17 resharding relocates ~6% of documents and touches no
+  // existing shard pair. The manifest reports both assignments and the
+  // moved flag per document — the migration plan a rebalancer executes.
+  // No SQL spelling of the jump loop exists → rows-only, pinned by the
+  // reference-implementation + defining-property specs.
+  def q136ConsistentShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JumpConsistentHash.jump_hash
+    t(s, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("key"))
+      .select(col("doc_id"),
+        jump_hash(col("key"), 16).as("shard_16"),
+        jump_hash(col("key"), 17).as("shard_17"))
+      .withColumn("moved", col("shard_16") =!= col("shard_17"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_consistent_shards" -> q136ConsistentShards _,
     "q77_decontaminate" -> q77Decontaminate _,
     "q78_repetition_quality" -> q78RepetitionQuality _,
     "q79_pack_sequences" -> q79PackSequences _,

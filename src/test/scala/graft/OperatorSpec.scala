@@ -435,6 +435,52 @@ class OperatorSpec extends SparkSpec {
     assert(native == lambda, "native and lambda winnowing diverged")
   }
 
+  test("jump consistent hash: codegen path matches the published algorithm") {
+    // independent re-statement of the Lamping–Veach loop, compared
+    // against the native expression evaluated through a real plan — pins
+    // both the algorithm and the doGenCode path
+    import spark.implicits._
+    def ref(key: Long, buckets: Int): Int = {
+      var k = key; var b = -1L; var j = 0L
+      while (j < buckets) {
+        b = j
+        k = k * 2862933555777941757L + 1L
+        j = ((b + 1) * (2147483648.0 / (((k >>> 33) + 1).toDouble))).toLong
+      }
+      b.toInt
+    }
+    val keys = (1 to 200).map(i => i.toLong * 0x9e3779b97f4a7c15L)
+    Seq(1, 2, 7, 16, 17, 1000).foreach { n =>
+      val got = keys.toDF("key")
+        .select(col("key"), functions.JumpConsistentHash.jump_hash(col("key"), n).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        assert(got(k) == ref(k, n), s"key $k buckets $n")
+        assert(got(k) >= 0 && got(k) < n, s"bucket out of range for n=$n")
+      }
+    }
+  }
+
+  test("jump consistent hash: growing n moves only keys into the NEW bucket") {
+    // the defining consistency property: jump(k, n+1) is either
+    // jump(k, n) (key stays) or n (key moves to the added shard) — no
+    // key ever moves BETWEEN existing shards; and the moved fraction is
+    // ~1/(n+1)
+    val keys = (1 to 4000).map(i => i.toLong * 0x9e3779b97f4a7c15L + 17)
+    Seq(4, 16, 63).foreach { n =>
+      var moved = 0
+      keys.foreach { k =>
+        val a = functions.JumpConsistentHash.jump(k, n)
+        val b = functions.JumpConsistentHash.jump(k, n + 1)
+        assert(b == a || b == n, s"key $k moved between existing shards: $a -> $b")
+        if (b != a) moved += 1
+      }
+      val expect = keys.size.toDouble / (n + 1)
+      assert(moved > expect * 0.6 && moved < expect * 1.5,
+        s"n=$n moved $moved, expected ≈ ${expect.toInt}")
+    }
+  }
+
   test("kCore matches brute-force peeling on arbitrary random graphs") {
     import spark.implicits._
     val genCase = for {
