@@ -594,6 +594,107 @@ object Similarity {
        |ORDER BY adc_dist, vec_id
        |LIMIT 10""".stripMargin
 
+  // ---- q137: persisted ANN index — build once, serve from the artifact ----
+  // The operational 100 TB shape the in-session queries only amortize: the
+  // index BUILD (q54's IVF k-means, q121's PQ encode) runs ONCE and writes
+  // its artifacts to parquet; every search afterwards reads the artifacts
+  // and never rescans the embeddings corpus. Four artifacts are staged
+  // (one write per JVM — [[graft.TempDirs]]):
+  //   ivf_centroids  (cell, pos, cv)            — k·dim rows
+  //   ivf_postings   (cell, vec_id, qv, qnorm)  — the inverted file,
+  //                                               partitioned BY CELL so a
+  //                                               probe prunes directories
+  //   pq_codebook    (cb_id, sub, cv)           — k·m = 128 rows
+  //   pq_codes       (vec_id, sub, code)        — m 4-bit codes per vector
+  // q137 then runs the q122 ADC search entirely off the RELOADED codebook
+  // + codes: the only embeddings access on the serve path is the one-row
+  // query vector itself (a search INPUT, not index data — plan-locked in
+  // PlanSpec). Build and serve are both deterministic, so the reloaded
+  // search hash-matches the in-session q122 path and shares its oracle.
+  // The IVF serve twin (route on reloaded centroids, probe the reloaded
+  // postings) is pinned equal to q55 in OperatorSpec.
+  private[graft] def annIndexDir(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"ann_index:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val (cents, assigned) = kmeans(s, dir)
+      val centRows = cents.flatMap { case (cell, cv) =>
+        cv.zipWithIndex.map { case (v, pos) => org.apache.spark.sql.Row(cell, pos, v) }
+      }
+      val centSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv", org.apache.spark.sql.types.DoubleType)))
+      s.createDataFrame(centRows.asJava, centSchema).coalesce(1)
+        .write.mode("overwrite").parquet(p.resolve("ivf_centroids").toString)
+      assigned.select(col("cell"), col("vec_id"), col("qv"), col("qnorm"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(p.resolve("ivf_postings").toString)
+      pqCodebook(s, dir)
+        .write.mode("overwrite").parquet(p.resolve("pq_codebook").toString)
+      q121PqCodes(s, dir).select("vec_id", "sub", "code")
+        .write.mode("overwrite").parquet(p.resolve("pq_codes").toString)
+    }
+
+  def q137AnnIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndexDir(s, dir)
+    val codebook = s.read.parquet(s"$idx/pq_codebook")
+    val codes = s.read.parquet(s"$idx/pq_codes")
+    // the query vector is a search input — the one legitimate non-index read
+    val qsubs = t(s, dir, "embeddings")
+      .filter(col("vec_id") === 0 && pqNonZero)
+      .select(pqQ8.as("q"))
+      .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
+    val lut = codebook.join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
+    codes.as("c")
+      .join(broadcast(lut.as("l")),
+        col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
+      .groupBy(col("c.vec_id"))
+      .agg(sum("lut").as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF serve path from the reloaded index: route the query vectors on
+    * the RELOADED centroids, probe the RELOADED postings — pinned equal to
+    * the in-session q55 in OperatorSpec (same routing, same probe, the
+    * relations merely round-tripped through parquet).
+    */
+  private[graft] def ivfServeFromIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndexDir(s, dir)
+    val nProbe = 4
+    val cents: Seq[(Int, Array[Double])] =
+      s.read.parquet(s"$idx/ivf_centroids").orderBy("cell", "pos").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (cell, rs) =>
+          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+        } // k·dim rows — constant-size, corpus-independent
+    val postings = s.read.parquet(s"$idx/ivf_postings")
+    val routeOpts = cents.map { case (cellId, cv) =>
+      val cnorm = cv.map(x => x * x).sum
+      struct(
+        (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    val queries = postings.filter(col("qnorm") > 0 && col("vec_id") < 100)
+      .withColumn("probe", slice(array_sort(array(routeOpts: _*)), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
+        col("qnorm").as("qn_q"), explode(col("probe")).as("p"))
+      .select(col("query_id"), col("qv_q"), col("qn_q"), col("p.cell").as("cell"))
+    val cell = postings.filter(col("qnorm") > 0)
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        col("qv").as("qv_c"), col("qnorm").as("qn_c"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
+    queries.join(cell, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("cell"), col("cand_id").as("neighbor_id"), col("cos"))
+      .orderBy("query_id")
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -607,6 +708,7 @@ object Similarity {
     "q100_int8_quant" -> q100Int8Quant _,
     "q121_pq_codes" -> q121PqCodes _,
     "q122_pq_adc" -> q122PqAdc _,
+    "q137_ann_index_serve" -> q137AnnIndexServe _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -617,5 +719,8 @@ object Similarity {
     "q100_int8_quant" -> q100Sql,
     "q121_pq_codes" -> q121Sql,
     "q122_pq_adc" -> q122Sql,
+    // the serve path is deterministic and reads back exactly what the
+    // build wrote, so the reloaded search shares q122's oracle verbatim
+    "q137_ann_index_serve" -> q122Sql,
   )
 }

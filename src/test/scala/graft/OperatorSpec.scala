@@ -170,6 +170,16 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF top-1 recall $recall over ${exact.size} queries")
   }
 
+  test("q137: IVF serve from the reloaded index equals the in-session q55 probe") {
+    // the persisted index round-trip must be lossless: routing on the
+    // RELOADED centroids + probing the RELOADED postings has to reproduce
+    // the in-session probe bit-for-bit (both paths are integer-exact)
+    val served = ops.Similarity.ivfServeFromIndex(spark, sf).collect().toSeq
+    val inSession = ops.Similarity.q55IvfAnn(spark, sf).collect().toSeq
+    assert(served.nonEmpty, "serve path returned no neighbors")
+    assert(served == inSession, "reloaded-index probe diverged from q55")
+  }
+
   test("sessionize: session counts per user sum to user event counts") {
     val sess = ops.Events.q62Sessionize(spark, sf)
     val total = sess.agg(sum("n_events")).first().getLong(0)

@@ -336,6 +336,22 @@ class PlanSpec extends SparkSpec {
       "ADC top-k must not be a global sort")
   }
 
+  test("q137: the serve path scans the index parquet, not the corpus") {
+    // the entire point of the persisted index: after the one-time build,
+    // a search reads the staged artifacts (pq_codebook + pq_codes) and
+    // touches the embeddings table ONLY for the one-row query vector
+    // (pushed-down vec_id = 0) — never a corpus rescan
+    val p = planOf("q137_ann_index_serve")
+    assert(p.contains("graft_staged_"),
+      "serve plan must scan the staged index artifacts")
+    val scans = p.split("Scan parquet|FileScan parquet").drop(1)
+    val embScans = scans.filter(_.contains("embeddings"))
+    assert(embScans.length == 1,
+      s"expected exactly one embeddings scan (the query vector), got ${embScans.length}")
+    assert(embScans.head.contains("EqualTo(vec_id,0)"),
+      "query-vector scan must push vec_id = 0 down to the reader")
+  }
+
   test("q123/q124: masking plan is shuffle-free; LM counts end in bounded top-k") {
     // q123 is a pure 1→k generator — any hash exchange means the plan
     // grew a shuffle it does not need
