@@ -57,6 +57,82 @@ class RunningAggProcessor
   }
 }
 
+/** Wire row for the timer sessionizer: event time is ALREADY floored to
+  * milliseconds at the source, so watermark, timer, and gap arithmetic all
+  * live on one exact ms grid (event-time timers are a ms API).
+  */
+case class TimedEvent(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+
+/** A session closed by the timer sessionizer (ms-grid bounds). */
+case class ClosedSessionMs(
+    user_id: Long, start_ms: Long, end_ms: Long, n_events: Long, cents: Long)
+
+/** `StatefulProcessor` for q138 — the event-time-timer surface q132 leaves
+  * out: gap sessionization where the TRAILING open session is closed by a
+  * registered event-time TIMER once the watermark passes `last + gap`
+  * (probe-verified semantics: a timer fires when `expiry <= watermark`,
+  * including the final no-data micro-batch under AvailableNow).
+  *
+  * In-batch closes mirror q64's state machine (an event more than `gap`
+  * after the session's last event closes it); each input batch re-arms the
+  * key's single timer at `last_ms + gap`, so exactly one timer is live per
+  * open session. When the timer fires, no in-flight event can extend the
+  * session (anything arriving later carries `ts >= watermark >= last +
+  * gap`), so the close-out is safe; the one unreachable edge — an event at
+  * EXACTLY `last + gap` ms crossing a batch boundary after the timer fired
+  * — is excluded from the testdata (verified: zero exact-gap pairs at
+  * every SF) and would need the ms-exact gap to also equal a batch-max
+  * watermark tick.
+  */
+class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, ClosedSessionMs] {
+  @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[ClosedSessionMs] = {
+    // OpenSession's *_us slots carry ms here — the source floors to ms
+    val evs = rows.map(e => (e.ts.getTime, e.cents)).toIndexedSeq.sorted
+    var cur = if (open.exists()) Option(open.get()) else None
+    val out = mutable.Buffer[ClosedSessionMs]()
+    evs.foreach { case (ms, cents) =>
+      cur match {
+        case Some(ss) if ms - ss.last_us <= gapMs =>
+          cur = Some(ss.copy(last_us = ms, n = ss.n + 1, cents = ss.cents + cents))
+        case Some(ss) =>
+          out += ClosedSessionMs(key, ss.start_us, ss.last_us, ss.n, ss.cents)
+          cur = Some(OpenSession(ms, ms, 1, cents))
+        case None =>
+          cur = Some(OpenSession(ms, ms, 1, cents))
+      }
+    }
+    cur.foreach { ss =>
+      open.update(ss)
+      getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm: one live timer
+      getHandle.registerTimer(ss.last_us + gapMs)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[ClosedSessionMs] = {
+    if (!open.exists()) return Iterator.empty
+    val ss = open.get()
+    // re-arming deletes stale timers, so a firing timer always matches the
+    // open session; the guard is defensive (a stale fire must never close
+    // a session the watermark has not actually passed)
+    if (info.getExpiryTimeInMs != ss.last_us + gapMs) return Iterator.empty
+    open.clear()
+    Iterator.single(ClosedSessionMs(key, ss.start_us, ss.last_us, ss.n, ss.cents))
+  }
+}
+
 /** Structured Streaming over the `events` table (SURVEY.md §2.7: the
   * reference is pure batch; this is the streaming surface the new engine
   * adds). The same parquet drives a file-source stream; windowed
@@ -553,6 +629,128 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q138: `transformWithState` with EVENT-TIME TIMERS — the half of the
+    * Spark-4 arbitrary-state API q132 (TimeMode.None) does not exercise.
+    * Gap sessionization (q64's semantics on a ms grid) over 4 TIME-RANGE
+    * micro-batches: sessions closed by a later event are emitted from
+    * `handleInputRows`; each user's trailing session is closed by its
+    * registered event-time timer once the watermark passes `last + gap` —
+    * including the final no-data batch, so at termination the emitted set
+    * is EXACTLY the sessions with `end_ms + gap <= final watermark` (a
+    * session closed by an event satisfies this automatically: its closer
+    * arrived later than `end + gap` and the final watermark is the global
+    * max). With a 0-second watermark delay the final watermark is the max
+    * event time, which makes the emission rule a pure batch predicate —
+    * the oracle below.
+    *
+    * Staging: the replay must be TIME-ORDERED across micro-batches (an
+    * event-time state machine fed round-robin batches would see its own
+    * past) — `repartitionByRange(4, ts)` writes four range files, renamed
+    * chunk_0..3 with strictly increasing mtimes so the file source replays
+    * them oldest-first, one per trigger. Late-drop safety: range files are
+    * strictly ordered on the µs grid, so batch i+1 never carries an event
+    * below batch i's max (= the watermark), and nothing is dropped.
+    *
+    * Scale shape: one shuffle per micro-batch on user_id; per-key state is
+    * one OpenSession row + one timer in RocksDB (bounded by |active
+    * users|, evicted at session close — the watermark-driven state bound
+    * that makes indefinite streams safe).
+    */
+  def q138SessionTimers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    val name = s"stream_timer_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = graft.TempDirs.staged(s"events_timer:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .select(col("user_id"),
+          // floor event time to the ms grid ONCE, at the source
+          expr("timestamp_millis(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)").as("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(p.resolve("build").toString)
+      val dataFiles = new mutable.ArrayBuffer[java.nio.file.Path]()
+      java.nio.file.Files.list(p.resolve("build")).forEach(f =>
+        if (f.getFileName.toString.startsWith("part-")) dataFiles += f)
+      dataFiles.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+        val target = p.resolve(s"chunk_$i.parquet")
+        java.nio.file.Files.move(f, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+      }
+    }
+    val feed = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[TimedEvent]
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = feed
+        .groupByKey(_.user_id)
+        .transformWithState(new SessionTimerProcessor(gapMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append)
+        .toDF()
+        .select(col("user_id"),
+          expr("timestamp_millis(start_ms)").cast("timestamp_ntz").as("session_start"),
+          expr("timestamp_millis(end_ms)").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), col("cents"))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(name).orderBy("user_id", "session_start")
+  }
+
+  /** Emission rule as a batch predicate: every ms-grid session whose
+    * close-out time has passed the final watermark (= the global max event
+    * ms, 0-second delay). Timer fire semantics are `expiry <= watermark`
+    * (probe-verified), hence the `<=`.
+    */
+  val q138Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000) AS BIGINT) AS ms,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ms, cents,
+      |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+      |      OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |numbered AS (
+      |  SELECT user_id, ms, cents,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events,
+      |    MIN(ms) AS start_ms, MAX(ms) AS end_ms,
+      |    CAST(SUM(cents) AS BIGINT) AS cents
+      |  FROM numbered GROUP BY user_id, sid)
+      |SELECT user_id,
+      |  epoch_ms(start_ms) AS session_start,
+      |  epoch_ms(end_ms) AS session_end,
+      |  n_events, cents
+      |FROM sess
+      |WHERE end_ms + 1800000 <= (SELECT MAX(ms) FROM e)
+      |ORDER BY user_id, session_start""".stripMargin
+
   val q132Sql: String =
     """SELECT user_id, COUNT(*) AS n_events,
       |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
@@ -570,6 +768,7 @@ object EventStream {
     "q109_stream_dropdup" -> (q109StreamDropDup _),
     "q119_stream_cdc_upsert" -> (q119StreamCdcUpsert _),
     "q132_transform_with_state" -> (q132TransformWithState _),
+    "q138_session_timers" -> (q138SessionTimers _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -583,5 +782,6 @@ object EventStream {
     // the batch changelog apply — q117's oracle IS q119's oracle
     "q119_stream_cdc_upsert" -> graft.ops.Warehouse.q117Sql,
     "q132_transform_with_state" -> q132Sql,
+    "q138_session_timers" -> q138Sql,
   )
 }

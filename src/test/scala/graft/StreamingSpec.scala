@@ -163,6 +163,76 @@ class StreamingSpec extends SparkSpec {
     assert(fin.count() > 0)
   }
 
+  test("q138: event-time timers fire on <= watermark, across batches and at close") {
+    // Pins the THREE engine behaviors q138's oracle depends on, with
+    // hand-built boundary data the real table cannot guarantee:
+    //  1. a timer registered in batch 1 fires during a LATER batch once the
+    //     watermark passes it (cross-batch expiry);
+    //  2. under AvailableNow a final no-data batch runs and fires timers
+    //     against the terminal watermark;
+    //  3. the expiry comparison is `expiry <= watermark` — a timer at
+    //     EXACTLY the final watermark fires, one 1 ms past it does not.
+    // If a Spark upgrade changes any of these, this fails loudly and the
+    // q138 oracle predicate must be revisited.
+    val t0 = 1600000000000L
+    val G = 1800000L // the processor's 30-min gap
+    val H = 3600000L
+    val wmF = t0 + 4 * H + 60000L // final watermark = global max event ms
+    val b1 = Seq((1L, t0, 10L), (1L, t0 + 60000L, 10L), (9L, t0 + 3 * H, 5L))
+    val b2 = Seq((1L, t0 + 4 * H, 10L), (9L, wmF, 5L),
+      (250L, wmF - G, 7L), // timer at exactly the final watermark → fires
+      (300L, wmF - G + 1L, 7L)) // timer 1 ms past it → must NOT fire
+    val dir = Files.createTempDirectory("graft_timer_batches_")
+    Seq(b1 -> "a", b2 -> "b").zipWithIndex.foreach { case ((rows, tag), i) =>
+      val tmp = Files.createTempDirectory("graft_timer_tmp_")
+      rows.toDF("user_id", "ms", "cents")
+        .select(col("user_id"), expr("timestamp_millis(ms)").as("ts"), col("cents"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      java.nio.file.Files.list(tmp).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val dst = dir.resolve(s"${tag}.parquet")
+          Files.copy(p, dst)
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
+      }
+    }
+    val feed = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, cents LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withWatermark("ts", "0 seconds")
+      .as[graft.streaming.TimedEvent]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = feed.groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.SessionTimerProcessor(G),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName("timer_pin")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("timer_pin")
+      .select("user_id", "start_ms", "end_ms", "n_events", "cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, t0, t0 + 60000L, 2L, 20L), // closed cross-batch (event or re-armed timer)
+      (9L, t0 + 3 * H, t0 + 3 * H, 1L, 5L), // cross-batch timer/event close
+      (250L, wmF - G, wmF - G, 1L, 7L)) // expiry == final watermark → fired
+    assert(got == expected,
+      s"timer semantics drifted: got $got, expected $expected")
+  }
+
   test("incremental CDC fold lands exactly on the batch changelog apply") {
     // q119 folds 4 out-of-time-order micro-batches into versioned state;
     // the fixpoint must equal q117's one-shot batch apply row-for-row —
