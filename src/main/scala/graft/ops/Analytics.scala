@@ -362,6 +362,25 @@ object Analytics {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  // ---- q139: convergence-stopped PageRank ---------------------------------
+  // The production entry point q115 only approximates with a fixed count:
+  // Graph.pageRankConverged iterates the SAME exact fixed-point recurrence
+  // until no node moves by more than tolPpb (damping contracts deltas ×0.85
+  // per round, so the stop is reached, and the loop fails loudly if not).
+  // The iteration count is data-dependent, so there is no unrolled oracle —
+  // rows-only, pinned by the OperatorSpec invariance check that the result
+  // EQUALS pageRank(edges, observedRounds) bit-for-bit and by the fixpoint
+  // spec (one more exact step moves nothing beyond tolPpb).
+  def q139PageRankConverged(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.pageRankConverged(edges)
+      .select(col("node"), col("pr"), (col("node") % 2 === 1).as("is_supplier"))
+      .orderBy(desc("pr"), asc("node"))
+  }
+
   // ---- q129: k-core of the order graph ------------------------------------
   // Graph.kCore over the q115 customer→supplier graph: the density filter
   // that isolates the heavily-cross-connected trading core (degree ≥ 40
@@ -380,7 +399,15 @@ object Analytics {
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-    Graph.kCore(edges, kCoreK)
+    val (core, rounds) = Graph.kCoreWithRounds(edges, kCoreK)
+    // the oracle unrolls a FIXED number of peel rounds; on a dataset that
+    // needs more, it would silently under-peel and the driver would report
+    // a baffling hash mismatch — fail here with the real cause instead
+    if (rounds > kCoreUnroll)
+      throw new IllegalStateException(
+        s"kCore needed $rounds peel rounds but the q129 oracle unrolls only " +
+          s"$kCoreUnroll — raise kCoreUnroll to at least $rounds")
+    core
       .select(col("node"), col("deg_in_core"), (col("node") % 2 === 1).as("is_supplier"))
       .orderBy("node")
   }
@@ -612,6 +639,7 @@ object Analytics {
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
     "q134_hybrid_rrf" -> q134HybridRrf _,
+    "q139_pagerank_converged" -> q139PageRankConverged _,
   )
 
   val oracle: Map[String, String] = Map(

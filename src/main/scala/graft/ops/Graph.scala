@@ -114,37 +114,52 @@ object Graph {
     *
     * Returns one row per core vertex: (node, deg_in_core), deg ≥ k.
     */
-  def kCore(edgesIn: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCore(edgesIn: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    kCoreWithRounds(edgesIn, k, maxRounds)._1
+
+  /** [[kCore]] that also reports the number of EFFECTIVE peel rounds it
+    * executed — callers with a round-unrolled oracle (q129) assert the
+    * observed count fits their unroll depth, so an under-unrolled oracle
+    * fails with a clear message instead of a confusing hash diff.
+    *
+    * Convergence is read from the peel itself: the same degree aggregate
+    * that drives a round also counts the vertices still below k, and the
+    * loop stops the moment that count is 0 — no trailing no-op round of
+    * semi joins + checkpoint + count (which previously cost ~33% of the
+    * query's rounds). The below-k count is a one-row aggregate over the
+    * |nodes|-row degree relation, never the edges.
+    */
+  private[graft] def kCoreWithRounds(edgesIn: DataFrame, k: Int,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = edgesIn
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
-    var eCount = e.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select("x")
-      val next = e
-        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint(true)
-      val nextCount = next.count()
-      // edges only shrink, so count stability ⇔ no vertex was peeled
-      converged = nextCount == eCount
-      e = next
-      eCount = nextCount
-      rounds += 1
+        .localCheckpoint(true) // consumed twice: below-k probe + keep joins
+      val below = deg.filter(col("d") < k).count()
+      if (below == 0) converged = true
+      else {
+        val keep = deg.filter(col("d") >= k).select("x")
+        e = e
+          .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint(true)
+        rounds += 1
+      }
     }
     if (!converged)
       throw new IllegalStateException(
-        s"kCore(k=$k) did not reach a fixpoint within $maxRounds rounds " +
-          s"($eCount edges remain); raise maxRounds")
-    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg_in_core"))
+        s"kCore(k=$k) did not reach a fixpoint within $maxRounds rounds; " +
+          "raise maxRounds")
+    (e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg_in_core")), rounds)
   }
 
   /** Exact triangle count over an undirected edge list (cols `u`, `v`)
@@ -231,7 +246,16 @@ object Graph {
     * round, not a scan of the graph.
     */
   def pageRankConverged(edgesIn: DataFrame, tolPpb: Long = 1000000L,
-      maxIters: Int = 60): DataFrame = {
+      maxIters: Int = 60): DataFrame =
+    pageRankConvergedWithRounds(edgesIn, tolPpb, maxIters)._1
+
+  /** [[pageRankConverged]] that also reports the iteration it stopped at —
+    * the observed count makes the result pinnable against the
+    * fixed-iteration twin (`result == pageRank(edges, rounds)`, the
+    * OperatorSpec invariance check behind the rows-only q139).
+    */
+  private[graft] def pageRankConvergedWithRounds(edgesIn: DataFrame,
+      tolPpb: Long = 1000000L, maxIters: Int = 60): (DataFrame, Int) = {
     require(tolPpb > 0, s"tolPpb must be positive, got $tolPpb")
     val st = new PageRankState(edgesIn)
     var pr = st.init
@@ -250,7 +274,7 @@ object Graph {
       throw new IllegalStateException(
         s"pageRank did not converge to ±$tolPpb within $maxIters rounds " +
           s"(last delta $delta); raise maxIters or tolPpb")
-    pr
+    (pr, rounds)
   }
 
   /** Shared per-graph setup + one damped-update step, used by both the

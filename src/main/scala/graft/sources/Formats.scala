@@ -139,11 +139,24 @@ object Formats {
   // The write is coalesce(1): a single embedded-Derby writer connection
   // (multi-connection embedded writes serialize on table locks anyway);
   // a server-grade target takes numPartitions writers, same plan.
+  /** Derby reads `derby.system.home` ONCE at first engine boot and only
+    * `derby.log`/lock-file placement depends on it (each database itself
+    * lives at the absolute path in its JDBC URL, which already isolates
+    * per-dataset state). Set it process-wide to a scratch dir exactly once
+    * BEFORE any connection — never from inside a per-dataset query, where
+    * mutating global JVM state would be a side effect other queries (and
+    * second dataset dirs in the same JVM) could observe.
+    */
+  private lazy val derbyHome: Unit = {
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home",
+        graft.TempDirs.staged("derby_system_home")().toString)
+  }
+
   def q125JdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    derbyHome
     val driver = "org.apache.derby.jdbc.EmbeddedDriver"
     val staged = graft.TempDirs.staged(s"jdbc_roundtrip:$dir") { p =>
-      // derby.log + lock files live in the staged dir, not the repo
-      System.setProperty("derby.system.home", p.toString)
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))

@@ -533,10 +533,31 @@ class OperatorSpec extends SparkSpec {
     // a cycle with a pendant chain: the cycle IS the 2-core, chain peels
     val cycle = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
     val chain = Seq((3L, 10L), (10L, 11L), (11L, 12L))
-    val got = ops.Graph.kCore((cycle ++ chain).toDF("u", "v"), 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (core, rounds) = ops.Graph.kCoreWithRounds((cycle ++ chain).toDF("u", "v"), 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L),
       s"2-core must be exactly the cycle, got $got")
+    // the chain peels one vertex per round (12, 11, 10) — the reported
+    // round count is what q129's oracle-unroll guard keys on
+    assert(rounds == 3, s"expected 3 effective peel rounds, got $rounds")
+  }
+
+  test("q139: converged ranking equals the fixed-iteration twin at its observed count") {
+    // pageRankConverged must return EXACTLY pageRank(edges, rounds) for
+    // the rounds it reports — the convergence stop may only choose WHEN to
+    // stop, never alter the recurrence (the invariance pin behind the
+    // rows-only q139; the tolerance-fixpoint property has its own spec)
+    val orders = Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = orders
+      .join(Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val (pr, rounds) = ops.Graph.pageRankConvergedWithRounds(edges)
+    assert(rounds > 0, "convergence must take at least one round")
+    val twin = ops.Graph.pageRank(edges, rounds)
+    assert(pr.exceptAll(twin).isEmpty && twin.exceptAll(pr).isEmpty,
+      s"converged ranking diverged from pageRank(edges, $rounds)")
+    assert(pr.count() > 0)
   }
 
   test("q126: sketched NDV within 5% of exact stats, all other columns exact") {
