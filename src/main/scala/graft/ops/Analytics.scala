@@ -266,6 +266,49 @@ object Analytics {
        |ORDER BY zval, c_custkey""".stripMargin
   }
 
+  // ---- q140: z-ordered WRITE + pruned serve scan --------------------------
+  // q106 computes z-order keys; q140 proves the LAYOUT PAYOFF: the table
+  // is physically written as `repartitionByRange(64, zval)` + local sort
+  // (64 zval range files, each internally zval-sorted — at 100 TB each
+  // range file is a ~1 GB row-group-aligned unit, not a small file), and a
+  // scan filtered on EITHER dimension decodes only the row groups whose
+  // footer min/max admit the predicate — partial pruning on BOTH columns,
+  // which no single-column sort gives (PlanSpec asserts the decoded-row
+  // metrics). Bit-discipline: balance is quantized to 32 buckets so both
+  // dimensions carry 5 bits — interleaving a 5-bit with a 14-bit column
+  // would hand every split bit to the wide dimension and the narrow one
+  // would never prune (the classic z-order mistake).
+  private[graft] def zorderDir(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"zorder:$dir") { p =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          // acctbal ∈ [-999.99, 9999.99] → floor+1000 ∈ [0, 10999] → 32
+          // buckets of 344 (exact integer arithmetic end to end)
+          expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) DIV 344").as("bal_bucket"))
+        .withColumn("zval", expr(zInterleaveExpr("nation", "bal_bucket", 5, "DIV")))
+        .repartitionByRange(64, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(p.resolve("customer_z").toString)
+    }
+
+  def q140ZorderPrunedScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderDir(s, dir).resolve("customer_z").toString)
+      .filter(col("nation") === 7)
+      .select("c_custkey", "nation", "bal_bucket", "zval")
+      .orderBy("c_custkey")
+
+  val q140Sql: String = {
+    val z = zInterleaveExpr("nation", "bal_bucket", 5, "//")
+    s"""WITH c AS (
+       |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       |         (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 344 AS bal_bucket
+       |  FROM customer)
+       |SELECT c_custkey, nation, bal_bucket, $z AS zval
+       |FROM c
+       |WHERE nation = 7
+       |ORDER BY c_custkey""".stripMargin
+  }
+
   // ---- q107: triangle count over the near-dup graph ----------------------
   // Graph motif counting as pure joins: edges are the q41 jaccard pairs,
   // counted by Graph.triangleCount's DEGREE-ORDERED wedge join — each edge
@@ -640,6 +683,7 @@ object Analytics {
     "q129_kcore" -> q129KCore _,
     "q134_hybrid_rrf" -> q134HybridRrf _,
     "q139_pagerank_converged" -> q139PageRankConverged _,
+    "q140_zorder_pruned_scan" -> q140ZorderPrunedScan _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -655,5 +699,6 @@ object Analytics {
     "q120_skew_profile" -> q120Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
+    "q140_zorder_pruned_scan" -> q140Sql,
   )
 }

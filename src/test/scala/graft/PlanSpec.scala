@@ -352,6 +352,41 @@ class PlanSpec extends SparkSpec {
       "query-vector scan must push vec_id = 0 down to the reader")
   }
 
+  test("q140: the z-ordered layout prunes decoded rows on BOTH dimensions") {
+    // the write-side proof behind q106's key computation: after
+    // repartitionByRange(zval) + local sort, a predicate on EITHER
+    // clustered column must reach the parquet reader (PushedFilters) and
+    // the reader must skip most row groups via footer min/max — decoded
+    // rows (the scan's numOutputRows) land well under the full table. A
+    // single-column sort prunes one dimension perfectly and the other not
+    // at all; z-order buys partial pruning on both.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.functions.col
+    val zpath = ops.Analytics.zorderDir(spark, sf).resolve("customer_z").toString
+    val total = spark.read.parquet(zpath).count()
+    def decodedRows(c: org.apache.spark.sql.Column, pushed: String): Long = {
+      val df = spark.read.parquet(zpath).filter(c)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(plan.toString.contains(s"EqualTo($pushed,"),
+        s"$pushed predicate must be pushed to the parquet reader")
+      val scan = plan.collectLeaves()
+        .collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec in the q140 probe plan"))
+      scan.metrics("numOutputRows").value
+    }
+    val byNation = decodedRows(col("nation") === 7, "nation")
+    val byBal = decodedRows(col("bal_bucket") === 12L, "bal_bucket")
+    assert(byNation * 5 <= total * 2,
+      s"nation=7 decoded $byNation of $total rows — no row-group pruning")
+    assert(byBal * 5 <= total * 2,
+      s"bal_bucket=12 decoded $byBal of $total rows — no row-group pruning")
+  }
+
   test("q123/q124: masking plan is shuffle-free; LM counts end in bounded top-k") {
     // q123 is a pure 1→k generator — any hash exchange means the plan
     // grew a shuffle it does not need
