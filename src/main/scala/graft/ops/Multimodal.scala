@@ -10,7 +10,7 @@ import graft.Tables.t
   */
 case class MediaRow(doc_id: Long, payload: Array[Byte], media_type: String)
 
-/** Decoded-media metadata produced by the (stubbed) decoder. */
+/** Decoded-media metadata produced by the PPM decoder. */
 case class DecodedMedia(
     doc_id: Long,
     media_type: String,
@@ -18,45 +18,99 @@ case class DecodedMedia(
     width: Int,
     height: Int,
     channels: Int,
-    format: String)
+    format: String,
+    first_r: Int,
+    first_g: Int,
+    first_b: Int)
 
 /** Multimodal-column plumbing: treat media as opaque `binary` columns with
   * typed metadata, decoded batch-wise per partition.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC FAKE (`fakeDecode`); everything around it —
-  * the binary schema, the typed `Dataset` envelope, the per-partition batch
-  * iteration (where a real decoder would amortize native-lib init across a
-  * partition), and the downstream relational ops — is real and tested.
-  * `documents.text` bytes stand in for media payloads.
+  * The payloads are REAL images in a real container format — binary PPM
+  * (P6), the netpbm format every codec library reads — generated
+  * deterministically per document at build time (pure JVM, no codec
+  * dependency), and the decode kernel is a REAL P6 parser: magic check,
+  * whitespace/comment-tolerant header, dimension-validated pixel payload,
+  * first-pixel extraction, loud failure on malformed bytes. Because the
+  * encoded dimensions and pixels derive from table columns, the decoded
+  * output is predictable in SQL and the whole encode→decode round-trip is
+  * DuckDB-oracled (q71). A heavier codec (JPEG/PNG) drops into the same
+  * `mapPartitions` envelope — per-partition init, batch decode.
   */
 object Multimodal {
 
-  /** documents → binary payload rows (UTF-8 bytes as the opaque blob). */
+  /** Deterministic binary PPM (P6) payload for a document: dimensions and
+    * pixels derive from (doc_id, n_chars), so the oracle can predict the
+    * decode exactly. Header `P6\n<w> <h>\n255\n` + w·h·3 RGB bytes.
+    */
+  private[ops] def encodePpm(docId: Long, nChars: Long): Array[Byte] = {
+    val w = 16 + (nChars % 24).toInt
+    val h = 16 + (docId % 16).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      px(3 * i) = ((docId + i) % 256).toByte
+      px(3 * i + 1) = ((nChars + i) % 256).toByte
+      px(3 * i + 2) = ((docId + nChars + i) % 256).toByte
+      i += 1
+    }
+    header ++ px
+  }
+
+  /** documents → binary media rows: each payload is a real P6 image,
+    * encoded batch-wise per partition (the encoder twin of the decode
+    * envelope).
+    */
   def mediaRows(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     t(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        concat(lit("fake/"), col("lang")).as("media_type"))
-      .as[MediaRow]
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaRow(id, encodePpm(id, n), "image/x-portable-pixmap")
+      })
   }
 
-  /** STUB: deterministic fake decode. A real implementation would hand the
-    * byte buffer to a codec (per-partition init, batch decode); this derives
-    * stable pseudo-dimensions from the payload so the full pipeline shape —
-    * including schema and partition-wise batching — is exercised.
+  /** REAL P6 parser: validates the magic, reads a whitespace/comment-
+    * tolerant header, checks the payload length against the declared
+    * dimensions, and extracts the first pixel. Any malformed byte fails
+    * loudly — a decoder that guesses is worse than one that stops.
     */
-  def fakeDecode(m: MediaRow): DecodedMedia = {
-    val n = m.payload.length
-    val first = if (n > 0) m.payload(0) & 0xff else 0
-    DecodedMedia(
-      doc_id = m.doc_id,
-      media_type = m.media_type,
-      n_bytes = n,
-      width = 16 + (n % 64),
-      height = 16 + (first % 64),
-      channels = 3,
-      format = "fake/rgb8")
+  def decodePpm(m: MediaRow): DecodedMedia = {
+    val b = m.payload
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"doc ${m.doc_id}: payload is not binary PPM (P6)")
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < b.length) {
+        val c = b(i) & 0xff
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      require(any, s"doc ${m.doc_id}: malformed PPM header int")
+      v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    require(maxval == 255, s"doc ${m.doc_id}: unsupported maxval $maxval")
+    i += 1 // the single whitespace byte ending the header
+    require(b.length - i == w * h * 3,
+      s"doc ${m.doc_id}: payload carries ${b.length - i} pixel bytes, " +
+        s"header declares ${w * h * 3}")
+    DecodedMedia(m.doc_id, m.media_type, b.length, w, h, 3, "ppm/p6",
+      b(i) & 0xff, b(i + 1) & 0xff, b(i + 2) & 0xff)
   }
 
   // ---- q70: binary metadata extraction (oracle-checkable) -----------------
@@ -76,22 +130,34 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  // ---- q71: partition-batched decode stub (rows-only) ---------------------
+  // ---- q71: partition-batched media decode (oracle-checked) ---------------
   // mapPartitions, not map: a real decoder initializes its codec once per
-  // partition and streams the batch through — this preserves that shape.
-  def q71DecodeStub(s: SparkSession, dir: String): DataFrame = {
+  // partition and streams the batch through — the P6 parser runs inside
+  // that envelope. The encode→decode round-trip is fully deterministic,
+  // so every decoded field (dims, byte counts, first pixel) hash-checks
+  // against the oracle's prediction from the source table.
+  def q71DecodeMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaRows(s, dir)
-      .mapPartitions { batch => batch.map(fakeDecode) }
+      .mapPartitions { batch => batch.map(decodePpm) }
       .toDF()
-      .groupBy("media_type", "channels", "format")
-      .agg(
-        count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).as("total_bytes"),
-        min(col("width")).as("min_width"),
-        max(col("width")).as("max_width"))
-      .orderBy("media_type")
+      .orderBy("doc_id")
   }
+
+  val q71Sql: String =
+    """SELECT doc_id,
+      |  'image/x-portable-pixmap' AS media_type,
+      |  CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + w*h*3
+      |    AS INT) AS n_bytes,
+      |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  CAST(3 AS INT) AS channels, 'ppm/p6' AS format,
+      |  CAST(doc_id % 256 AS INT) AS first_r,
+      |  CAST(n_chars % 256 AS INT) AS first_g,
+      |  CAST((doc_id + n_chars) % 256 AS INT) AS first_b
+      |FROM (SELECT doc_id, n_chars,
+      |        16 + n_chars % 24 AS w, 16 + doc_id % 16 AS h
+      |      FROM documents) d
+      |ORDER BY doc_id""".stripMargin
 
   // ---- q73: letterbox-resize planning (oracle-checkable) ------------------
   // The resize STAGE of an image pipeline: given source dims, compute the
@@ -164,13 +230,14 @@ object Multimodal {
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_binary_meta" -> q70BinaryMeta _,
-    "q71_decode_stub" -> q71DecodeStub _,
+    "q71_decode_media" -> q71DecodeMedia _,
     "q73_resize_plan" -> q73ResizePlan _,
     "q74_frame_sample" -> q74FrameSample _,
   )
 
   val oracle: Map[String, String] = Map(
     "q70_binary_meta" -> q70Sql,
+    "q71_decode_media" -> q71Sql,
     "q73_resize_plan" -> q73Sql,
     "q74_frame_sample" -> q74Sql,
   )

@@ -282,11 +282,26 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode stub covers every document batch-wise") {
+  test("multimodal PPM decode covers every document and fails loudly on bad bytes") {
     val n = ops.Multimodal.mediaRows(spark, sf).count()
     assert(n == Tables.t(spark, sf, "documents").count())
-    val media = ops.Multimodal.q71DecodeStub(spark, sf)
-    assert(media.agg(sum("n_media")).first().getLong(0) == n)
+    val media = ops.Multimodal.q71DecodeMedia(spark, sf)
+    assert(media.count() == n, "one decoded row per media payload")
+    // the parser is REAL: a round-trip through an independent decode of a
+    // hand-built image (with a header comment, which the encoder never
+    // emits but the format allows) must parse; corrupt payloads must throw
+    val ok = graft.ops.Multimodal.decodePpm(graft.ops.MediaRow(1L,
+      ("P6\n# a netpbm comment\n2 3\n255\n" + "x" * 18).getBytes("US-ASCII"), "t"))
+    assert(ok.width == 2 && ok.height == 3 && ok.n_bytes == 18 + 30
+      && ok.first_r == 'x'.toInt)
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.decodePpm(graft.ops.MediaRow(2L,
+        "P6\n2 2\n255\nshort".getBytes("US-ASCII"), "t"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Multimodal.decodePpm(graft.ops.MediaRow(3L,
+        "JFIF....".getBytes("US-ASCII"), "t"))
+    }
   }
 
   test("q115: fixed-point PageRank matches an exact in-memory reference") {
