@@ -79,19 +79,28 @@ object Dedup {
   // ---- q41: n-gram Jaccard near-dup pairs (inverted-index join) -----------
   // jaccard = |A∩B| / (|A|+|B|−|A∩B|) — all integers until one final double
   // division, hence bitwise cross-engine deterministic.
-  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+
+  /** The PRE-THRESHOLD pair-count relation every shingle-overlap metric
+    * shares: (id_a, id_b, n_a, n_b, n_common) for all document pairs with
+    * any surviving common shingle. q41 (Jaccard) and q135 (containment)
+    * are different METRICS over this one relation — the inverted-index
+    * join builds it once.
+    *
+    * Stop-shingle pruning: drop shingles appearing in >100 docs. Document
+    * frequency comes from a groupBy — partial (map-side) aggregation
+    * collapses a hot shingle to one row per task BEFORE the shuffle, so a
+    * shingle in half the corpus never lands on a single reducer. Only the
+    * HOT list (df > 100 — small by construction: ≤ |corpus shingles|/100
+    * distinct values) survives, gets broadcast, and is anti-joined away.
+    * A COUNT window over partitionBy(shingle) would instead ship every
+    * occurrence of the hottest key to one task — the exact skew this
+    * filter exists to defend against. NOTE: n_doc (the metrics'
+    * denominators) stays the UNPRUNED per-doc size, so pruning only trims
+    * the candidate join, never the metric itself for pairs whose overlap
+    * survives.
+    */
+  private[graft] def pairCounts(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(t(s, dir, "documents"))
-    // Stop-shingle pruning: drop shingles appearing in >100 docs. Document
-    // frequency comes from a groupBy — partial (map-side) aggregation
-    // collapses a hot shingle to one row per task BEFORE the shuffle, so a
-    // shingle in half the corpus never lands on a single reducer. Only the
-    // HOT list (df > 100 — small by construction: ≤ |corpus shingles|/100
-    // distinct values) survives, gets broadcast, and is anti-joined away.
-    // A COUNT window over partitionBy(shingle) would instead ship every
-    // occurrence of the hottest key to one task — the exact skew this
-    // filter exists to defend against. NOTE: n_doc (jaccard denominator)
-    // stays the UNPRUNED per-doc size, so pruning only trims the candidate
-    // join, never the metric itself for pairs whose overlap survives.
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > 100)
       .select("shingle")
@@ -102,12 +111,30 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_common"))
+  }
+
+  /** Memoized, MATERIALIZED [[pairCounts]] — one checkpointed build per
+    * (session, dir), consumed by every metric/threshold pass (q135, and
+    * via [[q41Pairs]] by q44/q107). q41 itself stays on the RAW plan so
+    * the PlanSpec locks (stop-shingle partial agg, broadcast anti-join,
+    * no cartesian) keep testing the real build, and the bench keeps
+    * paying it honestly once.
+    */
+  private val pairCountsCache = new graft.SessionCache[DataFrame]()
+  private[graft] def pairCountsMemo(s: SparkSession, dir: String): DataFrame =
+    pairCountsCache.getOrCompute(s, dir)(
+      pairCounts(s, dir).localCheckpoint(true))
+
+  private def jaccardPairs(base: DataFrame): DataFrame =
+    base
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
       .orderBy("id_a", "id_b")
-  }
+
+  def q41NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(pairCounts(s, dir))
 
   /** Shared CTE chain producing the deterministic jaccard pair list —
     * reused by the q41 oracle and (as the edge list) by the q44 cluster
@@ -143,20 +170,13 @@ object Dedup {
   // dedup stack needs both metrics over the SAME inverted-index pair
   // machinery. Reported: pairs with containment ≥ 0.9, with their
   // Jaccard attached so the "Jaccard-blind" ones are visible. Fixed-point
-  // ppm (q81 discipline); identical plan shape and stop-shingle defense
-  // as q41 — the metric, not the join, changes.
+  // ppm (q81 discipline). The metric, not the join, changes — so q135
+  // serves from the SHARED memoized pair build ([[pairCountsMemo]], whose
+  // raw plan q41 keeps locked) instead of paying its own inverted-index
+  // join: steady-state cost is one threshold pass over the checkpointed
+  // (id_a, id_b, counts) leaf.
   def q135Containment(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"))
-    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 100)
-      .select("shingle")
-    val shf = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
-    val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
-    a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_common"))
+    pairCountsMemo(s, dir)
       .withColumn("containment_ppm",
         expr("(n_common * 1000000) DIV least(n_a, n_b)"))
       .filter(col("containment_ppm") >= 900000)
@@ -193,13 +213,14 @@ object Dedup {
 
   /** Memoized, MATERIALIZED q41 pair list — the near-dup edge set is the
     * input of cluster formation (q44) and graph motif counting (q107);
-    * build it once per (session, dir) and localCheckpoint (the k-means/CC
-    * index-build-amortization discipline). The public q41 query stays
-    * uncached so its plan locks keep testing the real plan.
+    * derived from the shared [[pairCountsMemo]] build (one inverted-index
+    * join per session funds q44/q107/q135 alike), checkpointed once more
+    * as the small post-threshold edge list. The public q41 query stays on
+    * the raw plan so its plan locks keep testing the real build.
     */
   private[graft] def q41Pairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrCompute(s, dir)(
-      q41NgramJaccard(s, dir).localCheckpoint(true))
+      jaccardPairs(pairCountsMemo(s, dir)).localCheckpoint(true))
 
   def q44DedupClusters(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrCompute(s, dir)(

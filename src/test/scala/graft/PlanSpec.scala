@@ -47,7 +47,9 @@ class PlanSpec extends SparkSpec {
 
   test("no dedup/similarity query degenerates to a cartesian product") {
     // q55 is excluded from the NLJ check: its query→centroid routing is an
-    // intentional broadcast cross against ~|cells| rows
+    // intentional broadcast cross against ~|cells| rows. q135 serves from
+    // the memoized pair build, so its own plan is a checkpoint leaf — the
+    // underlying inverted-index join stays locked via q41's raw plan.
     Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
       "q52_ann_lsh", "q53_embed_dedup", "q127_winnowing",
       "q135_containment").foreach { q =>
