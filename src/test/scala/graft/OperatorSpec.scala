@@ -180,6 +180,22 @@ class OperatorSpec extends SparkSpec {
     assert(served == inSession, "reloaded-index probe diverged from q55")
   }
 
+  test("q141: probed ADC scores are a subset of the full ADC scoring") {
+    // cell restriction may only DROP candidates, never change a score: every
+    // (vec_id, adc_dist) the IVFPQ serve returns must appear with the same
+    // distance in the unrestricted q122/q137 scoring
+    val full = ops.Similarity.q122PqAdc(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = ops.Similarity.q141IvfPqServe(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(probed.nonEmpty)
+    probed.foreach { case (id, d) =>
+      // q122 is top-10 of the full corpus; a probed candidate outside that
+      // top-10 can't be cross-checked against it — only matched ids must agree
+      full.get(id).foreach(fd => assert(fd == d, s"vec $id: $d vs full $fd"))
+    }
+  }
+
   test("sessionize: session counts per user sum to user event counts") {
     val sess = ops.Events.q62Sessionize(spark, sf)
     val total = sess.agg(sum("n_events")).first().getLong(0)

@@ -389,6 +389,22 @@ class PlanSpec extends SparkSpec {
       s"bal_bucket=12 decoded $byBal of $total rows — no row-group pruning")
   }
 
+  test("q141: the IVFPQ serve scans index artifacts; corpus reads are query-vector only") {
+    // the composed serve path (route → probe → ADC) must run off the
+    // persisted index: every embeddings scan is the one-row query vector
+    // (pushed vec_id = 0), never a corpus rescan — the postings, codes,
+    // and codebook all come from the staged parquet
+    val p = planOf("q141_ivfpq_serve")
+    assert(p.contains("graft_staged_"), "serve must read the staged index")
+    val embScans = p.split("Scan parquet|FileScan parquet").drop(1)
+      .filter(_.contains("embeddings"))
+    assert(embScans.nonEmpty, "expected the query-vector read")
+    embScans.foreach(sc =>
+      assert(sc.contains("EqualTo(vec_id,0)"),
+        "an embeddings scan without the query-vector pushdown: corpus rescan"))
+    assert(p.contains("TakeOrderedAndProject"), "ADC top-k must stay bounded")
+  }
+
   test("q123/q124: masking plan is shuffle-free; LM counts end in bounded top-k") {
     // q123 is a pure 1→k generator — any hash exchange means the plan
     // grew a shuffle it does not need
