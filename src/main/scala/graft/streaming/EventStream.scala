@@ -133,6 +133,60 @@ class SessionTimerProcessor(gapMs: Long)
   }
 }
 
+/** Wire row for the typed-state processor (q142). */
+case class TypedEvent(
+    event_id: Long, user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, cents: Long)
+
+/** Per-batch emission of the q142 processor. */
+case class StateSummary(
+    user_id: Long, n_events: Long, type_counts: String, recent_ids: String)
+
+/** `StatefulProcessor` for q142 — the two typed state primitives the
+  * ValueState queries (q132/q138) leave untouched:
+  *   * `MapState[String, Long]` — per-event-type running counts (keyed
+  *     sub-state: point lookups/updates per input row, never a
+  *     read-modify-write of one whole blob — the primitive that keeps
+  *     wide per-key state incremental in RocksDB);
+  *   * `ListState[Long]` — the rolling last-3 event-id buffer (ordered
+  *     sub-state, trimmed on append — bounded whatever the stream length).
+  * Batch rows are folded in (ts, event_id) order; with the time-range
+  * replay that makes the buffer's content globally deterministic, so both
+  * emissions are DuckDB-predictable.
+  */
+class TypedStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, StateSummary] {
+  @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val ttl = org.apache.spark.sql.streaming.TTLConfig.NONE
+    counts = getHandle.getMapState[String, Long]("counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+    recent = getHandle.getListState[Long]("recent",
+      org.apache.spark.sql.Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[StateSummary] = {
+    val evs = rows.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    evs.foreach { e =>
+      val c = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, c + 1)
+    }
+    val prev = if (recent.exists()) recent.get().toSeq else Seq.empty
+    val buf = (prev ++ evs.map(_.event_id)).takeRight(3)
+    recent.put(buf.toArray)
+    val pairs = counts.iterator().toSeq.sortBy(_._1)
+    Iterator.single(StateSummary(key,
+      pairs.map(_._2).sum,
+      pairs.map { case (t, c) => s"$t=$c" }.mkString("|"),
+      buf.mkString(",")))
+  }
+}
+
 /** Structured Streaming over the `events` table (SURVEY.md §2.7: the
   * reference is pure batch; this is the streaming surface the new engine
   * adds). The same parquet drives a file-source stream; windowed
@@ -629,6 +683,34 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** TIME-ORDERED 4-batch replay of the events table, shared by the
+    * event-time stateful queries (q138, q142): event time floored to the
+    * ms grid at the source, `repartitionByRange(4, ts)` range files
+    * renamed chunk_0..3 with strictly increasing mtimes so the file
+    * source replays them oldest-first, one per trigger. Range files are
+    * strictly ordered on ts (equal keys land in one partition), so batch
+    * i+1 never carries an event below batch i's max — nothing is
+    * watermark-late, and cross-batch arrival order is (ts, file order).
+    */
+  private def rangedReplayDir(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"events_ranged:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("timestamp_millis(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)").as("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(p.resolve("build").toString)
+      val dataFiles = new mutable.ArrayBuffer[java.nio.file.Path]()
+      java.nio.file.Files.list(p.resolve("build")).forEach(f =>
+        if (f.getFileName.toString.startsWith("part-")) dataFiles += f)
+      dataFiles.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
+        val target = p.resolve(s"chunk_$i.parquet")
+        java.nio.file.Files.move(f, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+      }
+    }
+
   /** q138: `transformWithState` with EVENT-TIME TIMERS — the half of the
     * Spark-4 arbitrary-state API q132 (TimeMode.None) does not exercise.
     * Gap sessionization (q64's semantics on a ms grid) over 4 TIME-RANGE
@@ -660,24 +742,7 @@ object EventStream {
     import s.implicits._
     val gapMs = 30L * 60 * 1000
     val name = s"stream_timer_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val staged = graft.TempDirs.staged(s"events_timer:$dir") { p =>
-      graft.Tables.events(s, dir)
-        .select(col("user_id"),
-          // floor event time to the ms grid ONCE, at the source
-          expr("timestamp_millis(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)").as("ts"),
-          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-        .repartitionByRange(4, col("ts"))
-        .write.mode("overwrite").parquet(p.resolve("build").toString)
-      val dataFiles = new mutable.ArrayBuffer[java.nio.file.Path]()
-      java.nio.file.Files.list(p.resolve("build")).forEach(f =>
-        if (f.getFileName.toString.startsWith("part-")) dataFiles += f)
-      dataFiles.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
-        val target = p.resolve(s"chunk_$i.parquet")
-        java.nio.file.Files.move(f, target)
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
-      }
-    }
+    val staged = rangedReplayDir(s, dir)
     val feed = s.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType),
@@ -759,6 +824,87 @@ object EventStream {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q142: `MapState` + `ListState` on `transformWithState` — the typed
+    * state primitives q132 (ValueState) and q138 (timers) leave
+    * uncovered. A per-user profile carried across the 4 time-range
+    * micro-batches: running per-event-type counts in MapState, the
+    * rolling last-3 event-id buffer in ListState. Each batch emits the
+    * user's running summary; the final row per user is the max-n_events
+    * struct (n is strictly monotone per emitting user — the q132
+    * discipline), and every field is batch-predictable: counts are a
+    * plain GROUP BY, and the time-ordered replay makes "last 3 by
+    * arrival" ≡ "last 3 by (ts, event_id)" — the oracle. Scale shape:
+    * one shuffle per micro-batch on user_id; state per user is |types|
+    * map entries + a 3-element list in RocksDB, evicted nowhere (profile
+    * state), incremental per row — never a whole-blob rewrite.
+    */
+  def q142StatePrimitives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"stream_typed_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = rangedReplayDir(s, dir)
+    val feed = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType),
+        StructField("cents", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .as[TypedEvent]
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = feed
+        .groupByKey(_.user_id)
+        .transformWithState(new TypedStateProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("type_counts"), col("recent_ids"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.type_counts").as("type_counts"), col("f.recent_ids").as("recent_ids"))
+      .orderBy("user_id")
+  }
+
+  val q142Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1000) AS BIGINT) AS ms
+      |  FROM events),
+      |counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |tc AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+      |    string_agg(event_type || '=' || c, '|' ORDER BY event_type) AS type_counts
+      |  FROM counts GROUP BY user_id),
+      |ranked AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rk
+      |  FROM e),
+      |rec AS (
+      |  SELECT user_id,
+      |    string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rk DESC) AS recent_ids
+      |  FROM ranked WHERE rk <= 3 GROUP BY user_id)
+      |SELECT user_id, n_events, type_counts, recent_ids
+      |FROM tc JOIN rec USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -769,6 +915,7 @@ object EventStream {
     "q119_stream_cdc_upsert" -> (q119StreamCdcUpsert _),
     "q132_transform_with_state" -> (q132TransformWithState _),
     "q138_session_timers" -> (q138SessionTimers _),
+    "q142_state_primitives" -> (q142StatePrimitives _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -783,5 +930,6 @@ object EventStream {
     "q119_stream_cdc_upsert" -> graft.ops.Warehouse.q117Sql,
     "q132_transform_with_state" -> q132Sql,
     "q138_session_timers" -> q138Sql,
+    "q142_state_primitives" -> q142Sql,
   )
 }

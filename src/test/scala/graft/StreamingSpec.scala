@@ -233,6 +233,79 @@ class StreamingSpec extends SparkSpec {
       s"timer semantics drifted: got $got, expected $expected")
   }
 
+  test("q142: MapState/ListState survive a checkpointed transformWithState restart") {
+    // the durability contract behind q142: a query processes two
+    // time-range files against a checkpoint, TERMINATES, two more files
+    // arrive, and the restarted query must fold onward from the RocksDB
+    // state it left — per-type counts keep accumulating and the last-3
+    // buffer carries over. Final per-user summaries (max-n emission
+    // across both runs) must equal the single-run q142 output exactly;
+    // state loss would reset counts, replay would double them.
+    val src = Files.createTempDirectory("graft_tws_src_")
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt_")
+    val emitDir = Files.createTempDirectory("graft_tws_emit_")
+    val build = Files.createTempDirectory("graft_tws_build_")
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("timestamp_millis(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)").as("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(build.toString)
+    val chunks = {
+      val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      java.nio.file.Files.list(build).forEach(f =>
+        if (f.getFileName.toString.startsWith("part-")) buf += f)
+      buf.sortBy(_.getFileName.toString).toSeq
+    }
+    assert(chunks.size == 4)
+    def addChunk(i: Int): Unit = {
+      val dst = src.resolve(s"chunk_$i.parquet")
+      Files.copy(chunks(i), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    def runDrain(): Unit = {
+      val feed = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP, cents LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString)
+        .as[graft.streaming.TypedEvent]
+      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => b.write.mode("append").parquet(emitDir.toString)
+        val q = feed.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.TypedStateProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .writeStream
+          .foreachBatch(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
+    addChunk(0); addChunk(1); runDrain()
+    addChunk(2); addChunk(3); runDrain()
+    val fin = spark.read.parquet(emitDir.toString)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("type_counts"), col("recent_ids"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.type_counts").as("type_counts"), col("f.recent_ids").as("recent_ids"))
+    val whole = streaming.EventStream.q142StatePrimitives(spark, sf)
+    assert(fin.exceptAll(whole).isEmpty && whole.exceptAll(fin).isEmpty,
+      s"restart fold=${fin.count()} single-run=${whole.count()}")
+    assert(fin.count() > 0)
+  }
+
   test("incremental CDC fold lands exactly on the batch changelog apply") {
     // q119 folds 4 out-of-time-order micro-batches into versioned state;
     // the fixpoint must equal q117's one-shot batch apply row-for-row —
