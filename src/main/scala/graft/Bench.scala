@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET (round 9): the min-of-3 quiet-host COMMON-SET total must stay
-  * within 1.3× of the round-9 quiet anchor — 85.1 s for the full
-  * 138-query surface (common-133 set 77.4 s vs r8) — i.e. ≤ 110 s on the
-  * common set at the same rep count. A total past that on a quiet host
+  * within 1.3× of the round-9 quiet anchor — 87.2 s for the 138-query
+  * run-2 surface, 139 with q142 (common-133 set 77.4 s vs r8) — i.e.
+  * ≤ 113 s on the common set at the same rep count. A total past that
+  * on a quiet host
   * is a regression to fix, not variance to wave at. (The r8 suspects
   * q36/q51/q55/q101 re-measured in their r7 bands on this quiet run —
   * confirmed host noise.) See PLANS.md "Bench ratchet".

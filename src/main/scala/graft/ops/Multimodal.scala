@@ -105,6 +105,12 @@ object Multimodal {
     val h = readInt()
     val maxval = readInt()
     require(maxval == 255, s"doc ${m.doc_id}: unsupported maxval $maxval")
+    // dims must be positive and the pixel count must not overflow Int —
+    // a crafted huge header could otherwise wrap w*h*3 and spuriously
+    // match a short payload (and 0×0 would skip the length check but
+    // crash the first-pixel read with a context-free exception)
+    require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
+      s"doc ${m.doc_id}: invalid PPM dimensions ${w}x$h")
     i += 1 // the single whitespace byte ending the header
     require(b.length - i == w * h * 3,
       s"doc ${m.doc_id}: payload carries ${b.length - i} pixel bytes, " +

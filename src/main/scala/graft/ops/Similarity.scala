@@ -182,20 +182,25 @@ object Similarity {
   private[ops] val kCells = 8
   private[ops] val kmIters = 10
 
-  /** One Lloyd assignment as a narrow map: cell = argmin over literal
-    * centroid arrays of ‖v − c‖² (computed as cnorm − 2·v·c; the per-vector
-    * ‖v‖² term is constant across cells, and all terms are exact integers,
-    * so dropping it cannot change the argmin or its ties).
+  /** Per-cell routing options over the literal centroid arrays: one
+    * struct(d, cell) per cell with d = ‖c‖² − 2·v·c — the per-vector ‖v‖²
+    * term is constant across cells and dropped, and all terms are exact
+    * integers, so argmin AND its ties are identical to full squared L2.
+    * The ONE routing formula, shared by the Lloyd assignment, the q55
+    * probe, and the reloaded-index serves (q141): a tweak here moves all
+    * of them together or their bit-equality specs fail.
     */
-  private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
-    val opts = cents.map { case (cellId, cv) =>
+  private def cellOptions(cents: Seq[(Int, Array[Double])]): Seq[Column] =
+    cents.map { case (cellId, cv) =>
       val cnorm = cv.map(x => x * x).sum
       struct(
         (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
         lit(cellId).as("cell"))
     }
-    emb.withColumn("cell", array_min(array(opts: _*)).getField("cell"))
-  }
+
+  /** One Lloyd assignment as a narrow map: cell = argmin of [[cellOptions]]. */
+  private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    emb.withColumn("cell", array_min(array(cellOptions(cents): _*)).getField("cell"))
 
   // The build is deterministic, so its result is memoized per (session,
   // dir, k, iters) — q54 and q55 share one build instead of each paying
@@ -321,24 +326,24 @@ object Similarity {
   // cells reaches ≥0.8 here. On real model embeddings (clustered), cells
   // align with neighborhoods and nProbe ≪ k is the operating point; the
   // knob is the standard IVF recall/cost tradeoff either way.
-  def q55IvfAnn(s: SparkSession, dir: String): DataFrame = {
-    val nProbe = 4
-    val (cents, assigned) = kmeans(s, dir)
-    // routing scores against exact (unfloored) per-cell mean centroids
-    // would be fractionally better, but the floored ones are already in
-    // hand and integer-exact — and routing only needs cell RANKING.
-    val routeOpts = cents.map { case (cellId, cv) =>
-      val cnorm = cv.map(x => x * x).sum
-      struct(
-        (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
-        lit(cellId).as("cell"))
-    }
-    val queries = assigned.filter(col("qnorm") > 0 && col("vec_id") < 100)
-      .withColumn("probe", slice(array_sort(array(routeOpts: _*)), 1, nProbe))
+  /** The IVF probe shared by q55 (in-session `assigned`) and the
+    * reloaded-postings serve: route each query vector (vec_id < 100,
+    * qnorm > 0) to its nProbe nearest cells via [[cellOptions]], then
+    * rank exact quantized cosine within the probed cells only.
+    * `vectors` must carry (vec_id, cell, qv, qnorm).
+    *
+    * Routing scores against exact (unfloored) per-cell mean centroids
+    * would be fractionally better, but the floored ones are already in
+    * hand and integer-exact — and routing only needs cell RANKING.
+    */
+  private def ivfProbe(vectors: DataFrame, cents: Seq[(Int, Array[Double])],
+      nProbe: Int): DataFrame = {
+    val queries = vectors.filter(col("qnorm") > 0 && col("vec_id") < 100)
+      .withColumn("probe", slice(array_sort(array(cellOptions(cents): _*)), 1, nProbe))
       .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
         col("qnorm").as("qn_q"), explode(col("probe")).as("p"))
       .select(col("query_id"), col("qv_q"), col("qn_q"), col("p.cell").as("cell"))
-    val cell = assigned.filter(col("qnorm") > 0)
+    val cell = vectors.filter(col("qnorm") > 0)
       .select(col("vec_id").as("cand_id"), col("cell"),
         col("qv").as("qv_c"), col("qnorm").as("qn_c"))
     val wTop = org.apache.spark.sql.expressions.Window
@@ -350,6 +355,11 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("query_id"), col("cell"), col("cand_id").as("neighbor_id"), col("cos"))
       .orderBy("query_id")
+  }
+
+  def q55IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = kmeans(s, dir)
+    ivfProbe(assigned, cents, nProbe = 4)
   }
 
   // ---- q91: higher-order-function cosine (built-ins-only twin of q51) -----
@@ -561,14 +571,21 @@ object Similarity {
   // over the codes relation — m·4 bits per vector instead of d·4 bytes,
   // which is the entire point of PQ at 100 TB. Integer-exact end to end
   // (same argument as q121), so fully oracle-checked.
-  def q122PqAdc(s: SparkSession, dir: String): DataFrame = {
+  /** The ADC search shared by q122 (in-session codebook/codes), q137
+    * (reloaded), and q141 (reloaded + probed-cell-restricted codes):
+    * quantize query vector 0 once, build the per-subspace LUT of k·m
+    * integer distances against `codebook` (corpus-independent broadcast),
+    * score every row of `codes` as summed table lookups, bounded top-10.
+    */
+  private def adcSearch(s: SparkSession, dir: String,
+      codebook: DataFrame, codes: DataFrame): DataFrame = {
     val qsubs = t(s, dir, "embeddings")
       .filter(col("vec_id") === 0 && pqNonZero)
       .select(pqQ8.as("q"))
       .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
-    val lut = pqCodebook(s, dir).join(broadcast(qsubs), "sub")
+    val lut = codebook.join(broadcast(qsubs), "sub")
       .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
-    q121PqCodes(s, dir).select("vec_id", "sub", "code").as("c")
+    codes.as("c")
       .join(broadcast(lut.as("l")),
         col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
       .groupBy(col("c.vec_id"))
@@ -576,6 +593,10 @@ object Similarity {
       .orderBy(asc("adc_dist"), asc("vec_id"))
       .limit(10)
   }
+
+  def q122PqAdc(s: SparkSession, dir: String): DataFrame =
+    adcSearch(s, dir, pqCodebook(s, dir),
+      q121PqCodes(s, dir).select("vec_id", "sub", "code"))
 
   val q122Sql: String =
     s"""WITH $pqCtes,
@@ -643,24 +664,13 @@ object Similarity {
         .write.mode("overwrite").parquet(p.resolve("pq_codes").toString)
     }
 
+  // the query vector (inside adcSearch) is a search input — the one
+  // legitimate non-index read on the serve path (plan-locked)
   def q137AnnIndexServe(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
-    val codebook = s.read.parquet(s"$idx/pq_codebook")
-    val codes = s.read.parquet(s"$idx/pq_codes")
-    // the query vector is a search input — the one legitimate non-index read
-    val qsubs = t(s, dir, "embeddings")
-      .filter(col("vec_id") === 0 && pqNonZero)
-      .select(pqQ8.as("q"))
-      .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
-    val lut = codebook.join(broadcast(qsubs), "sub")
-      .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
-    codes.as("c")
-      .join(broadcast(lut.as("l")),
-        col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
-      .groupBy(col("c.vec_id"))
-      .agg(sum("lut").as("adc_dist"))
-      .orderBy(asc("adc_dist"), asc("vec_id"))
-      .limit(10)
+    adcSearch(s, dir,
+      s.read.parquet(s"$idx/pq_codebook"),
+      s.read.parquet(s"$idx/pq_codes"))
   }
 
   /** Reloaded IVF centroids as routing literals — k·dim rows, a
@@ -682,32 +692,8 @@ object Similarity {
     */
   private[graft] def ivfServeFromIndex(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
-    val nProbe = 4
-    val cents = reloadCentroids(s, idx)
-    val postings = s.read.parquet(s"$idx/ivf_postings")
-    val routeOpts = cents.map { case (cellId, cv) =>
-      val cnorm = cv.map(x => x * x).sum
-      struct(
-        (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
-        lit(cellId).as("cell"))
-    }
-    val queries = postings.filter(col("qnorm") > 0 && col("vec_id") < 100)
-      .withColumn("probe", slice(array_sort(array(routeOpts: _*)), 1, nProbe))
-      .select(col("vec_id").as("query_id"), col("qv").as("qv_q"),
-        col("qnorm").as("qn_q"), explode(col("probe")).as("p"))
-      .select(col("query_id"), col("qv_q"), col("qn_q"), col("p.cell").as("cell"))
-    val cell = postings.filter(col("qnorm") > 0)
-      .select(col("vec_id").as("cand_id"), col("cell"),
-        col("qv").as("qv_c"), col("qnorm").as("qn_c"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), asc("cand_id"))
-    queries.join(cell, Seq("cell"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv_q"), col("qv_c")) / sqrt(col("qn_q") * col("qn_c")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("cell"), col("cand_id").as("neighbor_id"), col("cos"))
-      .orderBy("query_id")
+    ivfProbe(s.read.parquet(s"$idx/ivf_postings"), reloadCentroids(s, idx),
+      nProbe = 4)
   }
 
   // ---- q141: full IVFPQ serve — coarse routing + compressed-domain ADC ----
@@ -725,33 +711,19 @@ object Similarity {
   def q141IvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
     val nProbe = 4
-    val routeOpts = reloadCentroids(s, idx).map { case (cellId, cv) =>
-      val cnorm = cv.map(x => x * x).sum
-      struct(
-        (lit(cnorm) - lit(2.0) * dot(col("qv"), typedLit(cv.toSeq))).as("d"),
-        lit(cellId).as("cell"))
-    }
     // the query vector is a search input (vec 0) — routed against the
     // centroid literals; the probe set is nProbe rows by construction
     val probed = quantized(t(s, dir, "embeddings")).filter(col("vec_id") === 0)
-      .select(explode(slice(array_sort(array(routeOpts: _*)), 1, nProbe)).as("p"))
+      .select(explode(slice(
+        array_sort(array(cellOptions(reloadCentroids(s, idx)): _*)),
+        1, nProbe)).as("p"))
       .select(col("p.cell").as("cell"))
     val cand = s.read.parquet(s"$idx/ivf_postings").select("vec_id", "cell")
       .join(broadcast(probed), "cell")
-    val qsubs = t(s, dir, "embeddings")
-      .filter(col("vec_id") === 0 && pqNonZero)
-      .select(pqQ8.as("q"))
-      .select(posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
-    val lut = s.read.parquet(s"$idx/pq_codebook").join(broadcast(qsubs), "sub")
-      .select(col("sub"), col("cb_id"), pqSqDist(col("cv"), col("qv")).as("lut"))
-    s.read.parquet(s"$idx/pq_codes").as("c")
-      .join(cand.select("vec_id"), Seq("vec_id"), "left_semi")
-      .join(broadcast(lut.as("l")),
-        col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
-      .groupBy(col("vec_id"))
-      .agg(sum("lut").as("adc_dist"))
-      .orderBy(asc("adc_dist"), asc("vec_id"))
-      .limit(10)
+    adcSearch(s, dir,
+      s.read.parquet(s"$idx/pq_codebook"),
+      s.read.parquet(s"$idx/pq_codes")
+        .join(cand.select("vec_id"), Seq("vec_id"), "left_semi"))
   }
 
   /** One statement composing the q54 Lloyd chain (routing + assignments)

@@ -650,10 +650,7 @@ object EventStream {
         expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
       .as[UserEvent]
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider(s) {
       val q = feed
         .groupByKey(_.user_id)
         .transformWithState(new RunningAggProcessor,
@@ -666,11 +663,6 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      prevProvider match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     // running emissions are monotone in n per user — the max struct IS the
     // final state
@@ -681,6 +673,24 @@ object EventStream {
         expr("timestamp_micros(f.last_us)").cast("timestamp_ntz").as("last_ts"),
         col("f.cents").as("cents"))
       .orderBy("user_id")
+  }
+
+  /** Runs `f` with the RocksDB state-store provider set on the session
+    * conf and RESTORES the previous provider afterwards —
+    * `transformWithState` requires RocksDB (multiple column families),
+    * and a query function must not leave process-visible conf changes
+    * behind. Shared by q132/q138/q142 and the StreamingSpec restarts.
+    */
+  private[graft] def withRocksDBProvider[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** TIME-ORDERED 4-batch replay of the events table, shared by the
@@ -701,8 +711,10 @@ object EventStream {
         .repartitionByRange(4, col("ts"))
         .write.mode("overwrite").parquet(p.resolve("build").toString)
       val dataFiles = new mutable.ArrayBuffer[java.nio.file.Path]()
-      java.nio.file.Files.list(p.resolve("build")).forEach(f =>
+      val listing = java.nio.file.Files.list(p.resolve("build"))
+      try listing.forEach(f =>
         if (f.getFileName.toString.startsWith("part-")) dataFiles += f)
+      finally listing.close() // Files.list holds an open DirectoryStream
       dataFiles.sortBy(_.getFileName.toString).zipWithIndex.foreach { case (f, i) =>
         val target = p.resolve(s"chunk_$i.parquet")
         java.nio.file.Files.move(f, target)
@@ -752,10 +764,7 @@ object EventStream {
       .parquet(staged.toString)
       .withWatermark("ts", "0 seconds")
       .as[TimedEvent]
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider(s) {
       val q = feed
         .groupByKey(_.user_id)
         .transformWithState(new SessionTimerProcessor(gapMs),
@@ -772,11 +781,6 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      prevProvider match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     s.table(name).orderBy("user_id", "session_start")
   }
@@ -852,10 +856,7 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged.toString)
       .as[TypedEvent]
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBProvider(s) {
       val q = feed
         .groupByKey(_.user_id)
         .transformWithState(new TypedStateProcessor,
@@ -868,11 +869,6 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      prevProvider match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     s.table(name)
       .groupBy("user_id")

@@ -203,10 +203,7 @@ class StreamingSpec extends SparkSpec {
       .parquet(dir.toString)
       .withWatermark("ts", "0 seconds")
       .as[graft.streaming.TimedEvent]
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    EventStream.withRocksDBProvider(spark) {
       val q = feed.groupByKey(_.user_id)
         .transformWithState(new graft.streaming.SessionTimerProcessor(G),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
@@ -215,11 +212,6 @@ class StreamingSpec extends SparkSpec {
         .writeStream.outputMode("append").format("memory").queryName("timer_pin")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     val got = spark.table("timer_pin")
       .select("user_id", "start_ms", "end_ms", "n_events", "cents")
@@ -253,8 +245,10 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(build.toString)
     val chunks = {
       val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
-      java.nio.file.Files.list(build).forEach(f =>
+      val listing = java.nio.file.Files.list(build)
+      try listing.forEach(f =>
         if (f.getFileName.toString.startsWith("part-")) buf += f)
+      finally listing.close()
       buf.sortBy(_.getFileName.toString).toSeq
     }
     assert(chunks.size == 4)
@@ -270,10 +264,7 @@ class StreamingSpec extends SparkSpec {
         .option("maxFilesPerTrigger", "1")
         .parquet(src.toString)
         .as[graft.streaming.TypedEvent]
-      val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      EventStream.withRocksDBProvider(spark) {
         val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
           (b, _) => b.write.mode("append").parquet(emitDir.toString)
         val q = feed.groupByKey(_.user_id)
@@ -286,11 +277,6 @@ class StreamingSpec extends SparkSpec {
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-          case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
       }
     }
     addChunk(0); addChunk(1); runDrain()
