@@ -431,9 +431,11 @@ object Analytics {
   // is iterative (removals cascade), so the DuckDB twin UNROLLS the peel
   // the q115/q54 way: 6 chained rounds, each recomputing degrees over the
   // previous round's edge set and keeping edges whose both endpoints
-  // clear k. The Spark side runs to the TRUE fixpoint (fail-loud cap);
-  // rounds past the fixpoint are no-ops, so 6 ≥ the sf0.01 round count
-  // (measured: 1 effective peel + 1 confirm) makes the twin exact.
+  // clear k. The Spark side runs to the TRUE fixpoint (fail-loud cap,
+  // convergence read from the peel's own degree aggregate); oracle rounds
+  // past the fixpoint are no-ops, so 6 ≥ the observed effective peel
+  // count (1 at sf0.01 — and the guard below fails LOUDLY if a dataset
+  // ever needs more than the unroll) makes the twin exact.
   private val kCoreK = 40
   private val kCoreUnroll = 6
 
