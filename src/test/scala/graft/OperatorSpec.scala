@@ -180,6 +180,28 @@ class OperatorSpec extends SparkSpec {
     assert(served == inSession, "reloaded-index probe diverged from q55")
   }
 
+  test("q137: the postings artifact is cell-partitioned and a cell filter prunes it") {
+    // the inverted file is WRITTEN partitionBy(cell), so a probe that
+    // pins cells becomes a partition-pruned directory read — the layout
+    // claim behind serving IVF from the artifact (q49's discipline)
+    val idx = ops.Similarity.annIndexDir(spark, sf)
+    val postings = idx.resolve("ivf_postings")
+    val cellDirs = {
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val listing = java.nio.file.Files.list(postings)
+      try listing.forEach(p => if (p.getFileName.toString.startsWith("cell="))
+        buf += p.getFileName.toString)
+      finally listing.close()
+      buf.toSeq
+    }
+    assert(cellDirs.size == 8, s"expected 8 cell partitions, got $cellDirs")
+    val pruned = spark.read.parquet(postings.toString).filter(col("cell") === 3)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      "cell filter must prune partition directories, not scan rows")
+  }
+
   test("q141: probed ADC scores are a subset of the full ADC scoring") {
     // cell restriction may only DROP candidates, never change a score: every
     // (vec_id, adc_dist) the IVFPQ serve returns must appear with the same
