@@ -5,14 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
-  * RATCHET (round 9): the min-of-3 quiet-host COMMON-SET total must stay
-  * within 1.3× of the round-9 quiet anchor — 87.2 s for the 138-query
-  * run-2 surface, 139 with q142 (common-133 set 77.4 s vs r8) — i.e.
-  * ≤ 113 s on the common set at the same rep count. A total past that
-  * on a quiet host
-  * is a regression to fix, not variance to wave at. (The r8 suspects
-  * q36/q51/q55/q101 re-measured in their r7 bands on this quiet run —
-  * confirmed host noise.) See PLANS.md "Bench ratchet".
+  * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
+  * total over the ROUND-9 QUERY SET (the 139 queries present in
+  * BENCH_r09.json) must stay ≤ 113 s (1.3 × the 87.2 s round-9 quiet
+  * anchor). Queries added in later rounds are excluded from the ratchet
+  * until the anchor is re-taken on a quiet run that includes them. A
+  * quiet-host total past the ceiling is a regression to fix, not variance
+  * to wave at. See PLANS.md "Bench ratchet".
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -111,6 +111,9 @@ object Multimodal {
     // crash the first-pixel read with a context-free exception)
     require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue,
       s"doc ${m.doc_id}: invalid PPM dimensions ${w}x$h")
+    require(i < b.length
+        && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t'),
+      s"doc ${m.doc_id}: PPM header must end in a whitespace byte")
     i += 1 // the single whitespace byte ending the header
     require(b.length - i == w * h * 3,
       s"doc ${m.doc_id}: payload carries ${b.length - i} pixel bytes, " +

@@ -80,9 +80,9 @@ case class ClosedSessionMs(
   * session (anything arriving later carries `ts >= watermark >= last +
   * gap`), so the close-out is safe; the one unreachable edge — an event at
   * EXACTLY `last + gap` ms crossing a batch boundary after the timer fired
-  * — is excluded from the testdata (verified: zero exact-gap pairs at
-  * every SF) and would need the ms-exact gap to also equal a batch-max
-  * watermark tick.
+  * — is asserted absent LOUDLY per run (q138 counts exact-gap
+  * boundary-crossing pairs over the staged chunks and throws if any —
+  * the q129 unroll-guard discipline, not a testdata comment).
   */
 class SessionTimerProcessor(gapMs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, ClosedSessionMs] {
@@ -755,6 +755,30 @@ object EventStream {
     val gapMs = 30L * 60 * 1000
     val name = s"stream_timer_sessions_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val staged = rangedReplayDir(s, dir)
+    // Exact-gap boundary guard: a same-user pair spaced EXACTLY gapMs that
+    // straddles a micro-batch boundary is the one edge where the timer
+    // close and the in-batch extend rule could disagree (the timer fires
+    // iff the boundary watermark equals last+gap). Assert the property
+    // loudly instead of trusting a dataset comment — the q129 discipline.
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ms")
+    val exactGapPairs = s.read
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("cents", LongType))))
+      .parquet(s"$staged/chunk_*.parquet")
+      .select(col("user_id"), expr("unix_millis(ts)").as("ms"),
+        input_file_name().as("file"))
+      .withColumn("prev_ms", lag("ms", 1).over(wg))
+      .withColumn("prev_file", lag("file", 1).over(wg))
+      .filter(col("ms") - col("prev_ms") === gapMs
+        && col("file") =!= col("prev_file"))
+      .count()
+    require(exactGapPairs == 0L,
+      s"q138: $exactGapPairs exact-gap ($gapMs ms) pair(s) cross a " +
+        "micro-batch boundary — timer close vs in-batch extend is " +
+        "edge-ambiguous there; re-split the replay before trusting the oracle")
     val feed = s.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType),

@@ -47,17 +47,23 @@ class PlanSpec extends SparkSpec {
 
   test("no dedup/similarity query degenerates to a cartesian product") {
     // q55 is excluded from the NLJ check: its query→centroid routing is an
-    // intentional broadcast cross against ~|cells| rows. q135 serves from
-    // the memoized pair build, so its own plan is a checkpoint leaf — the
-    // underlying inverted-index join stays locked via q41's raw plan.
+    // intentional broadcast cross against ~|cells| rows.
     Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash",
-      "q52_ann_lsh", "q53_embed_dedup", "q127_winnowing",
-      "q135_containment").foreach { q =>
+      "q52_ann_lsh", "q53_embed_dedup", "q127_winnowing").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
     }
     assert(!planOf("q55_ivf_ann").contains("CartesianProduct"))
+  }
+
+  test("q135: serves from the shared checkpointed pair memo, not its own join") {
+    // the actual invariant after the shared-memo refactor: q135's plan is
+    // a checkpoint-leaf scan (the one expensive inverted-index build is
+    // paid once, by the memo; q41's raw plan keeps that join locked)
+    val p = planOf("q135_containment")
+    assert(p.contains("Scan ExistingRDD"),
+      "q135 must read the checkpointed pair memo, not rebuild the join")
   }
 
   test("q47: the bucketed join needs no exchange on either side") {
