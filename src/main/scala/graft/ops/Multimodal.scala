@@ -23,6 +23,19 @@ case class DecodedMedia(
     first_g: Int,
     first_b: Int)
 
+/** Decoded PNG chunk-walk metadata produced by the q147 header parser. */
+case class DecodedPng(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    width: Int,
+    height: Int,
+    bit_depth: Int,
+    color_type: Int,
+    n_chunks: Int,
+    idat_bytes: Int,
+    text_len: Int)
+
 /** Multimodal-column plumbing: treat media as opaque `binary` columns with
   * typed metadata, decoded batch-wise per partition.
   *
@@ -236,12 +249,154 @@ object Multimodal {
       |  unnest(generate_series(0, n_frames - 1, 5)) AS u(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- q147: PNG chunk-walk header decode (oracle-checked) ----------------
+  // The second, VARIABLE-LENGTH codec in the decode envelope: q71's P6 is
+  // fixed-layout (one header, one payload); PNG is the chunked/marker
+  // format real crawls contain — a signature followed by length-typed
+  // CRC-sealed chunks that must be WALKED, not sliced. The payloads are
+  // real minimal PNG containers built pure-JVM (signature + IHDR + tEXt +
+  // IDAT + IEND, every chunk CRC32-sealed with java.util.zip.CRC32), and
+  // the parser is a real chunk walker: signature check, per-chunk length
+  // bounds, CRC validation over type+data, IHDR-first / IEND-last
+  // ordering, zero-method/filter/interlace checks — any malformed byte
+  // (including a flipped bit anywhere under a CRC) fails loudly. Chunk
+  // geometry derives from (doc_id, n_chars), so the decode is predicted
+  // exactly in SQL. (The IDAT payload is deterministic opaque bytes, not
+  // zlib — header/structure parsing is the engine's job; pixel inflation
+  // belongs to a codec library slotted into this same envelope.)
+
+  private val pngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def crc32(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(bytes)
+    c.getValue
+  }
+
+  /** One CRC-sealed PNG chunk: length(4BE) + type + data + CRC32(type+data). */
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val t = chunkType.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    be32(data.length.toLong) ++ t ++ data ++ be32(crc32(t ++ data))
+  }
+
+  /** Deterministic minimal PNG container for a document: q71's dimensions
+    * in a real IHDR, a `tEXt doc\0<id>` metadata chunk (variable length —
+    * the part a fixed-layout parser cannot fake), and a deterministic
+    * IDAT body of `1 + n_chars % 97` bytes.
+    */
+  private[graft] def encodePng(docId: Long, nChars: Long): Array[Byte] = {
+    val w = 16 + (nChars % 24).toInt
+    val h = 16 + (docId % 16).toInt
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth 8, truecolor, deflate/adaptive/none
+    val text = ("doc\u0000" + docId.toString)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val idat = Array.tabulate(1 + (nChars % 97).toInt)(i =>
+      ((docId + 7L * i) % 256).toByte)
+    pngSignature ++ pngChunk("IHDR", ihdr) ++ pngChunk("tEXt", text) ++
+      pngChunk("IDAT", idat) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** REAL PNG chunk walker: validates the 8-byte signature, then walks
+    * length-typed chunks to the exact end of the buffer, recomputing and
+    * checking every CRC32, requiring IHDR first (13 bytes, positive
+    * non-overflowing dims, zero compression/filter/interlace) and IEND
+    * last (empty). Returns the structural metadata; any malformed byte —
+    * a flipped bit under a CRC, a truncated chunk, trailing garbage, a
+    * lying length field — fails loudly with the doc id and chunk type.
+    */
+  def decodePngHeader(m: MediaRow): DecodedPng = {
+    val b = m.payload
+    require(b.length >= pngSignature.length + 12 &&
+        pngSignature.indices.forall(k => b(k) == pngSignature(k)),
+      s"doc ${m.doc_id}: payload is not PNG (bad signature)")
+    def readBe32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    var i = pngSignature.length
+    val chunks = scala.collection.mutable.Buffer[(String, Int, Int)]() // (type, dataOff, len)
+    while (i < b.length) {
+      require(b.length - i >= 12,
+        s"doc ${m.doc_id}: truncated PNG chunk header at offset $i")
+      val len = readBe32(i)
+      require(len <= b.length - i - 12,
+        s"doc ${m.doc_id}: chunk length $len overruns the payload at offset $i")
+      val chunkType = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(chunkType.forall(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')),
+        s"doc ${m.doc_id}: invalid chunk type at offset $i")
+      val stored = readBe32(i + 8 + len.toInt)
+      val actual = crc32(java.util.Arrays.copyOfRange(b, i + 4, i + 8 + len.toInt))
+      require(stored == actual,
+        s"doc ${m.doc_id}: CRC mismatch in $chunkType " +
+          s"(stored ${stored.toHexString}, computed ${actual.toHexString})")
+      chunks += ((chunkType, i + 8, len.toInt))
+      i += 12 + len.toInt
+    }
+    require(i == b.length, s"doc ${m.doc_id}: trailing bytes after IEND")
+    val (t0, off0, len0) = chunks.head
+    require(t0 == "IHDR" && len0 == 13,
+      s"doc ${m.doc_id}: first chunk must be a 13-byte IHDR, got $t0/$len0")
+    val w = readBe32(off0)
+    val h = readBe32(off0 + 4)
+    require(w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue,
+      s"doc ${m.doc_id}: invalid PNG dimensions ${w}x$h")
+    val bitDepth = b(off0 + 8) & 0xff
+    val colorType = b(off0 + 9) & 0xff
+    require((b(off0 + 10) & 0xff) == 0 && (b(off0 + 11) & 0xff) == 0
+        && (b(off0 + 12) & 0xff) == 0,
+      s"doc ${m.doc_id}: nonzero compression/filter/interlace method")
+    require(chunks.last._1 == "IEND" && chunks.last._3 == 0,
+      s"doc ${m.doc_id}: PNG must end with an empty IEND chunk")
+    val idatBytes = chunks.collect { case ("IDAT", _, l) => l }.sum
+    require(idatBytes > 0, s"doc ${m.doc_id}: PNG carries no IDAT data")
+    val textLen = chunks.collect { case ("tEXt", _, l) => l }.sum
+    DecodedPng(m.doc_id, m.media_type, b.length, w.toInt, h.toInt,
+      bitDepth, colorType, chunks.size, idatBytes, textLen)
+  }
+
+  /** documents → encode → chunk-walk decode, inside the same
+    * partition-batched envelope as q71 — proving the envelope is
+    * codec-agnostic (fixed-layout P6 and chunked PNG are the two shapes
+    * every container format reduces to).
+    */
+  def q147PngHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodePngHeader(MediaRow(id, encodePng(id, n), "image/png"))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // n_bytes = 8 (sig) + 25 (IHDR) + 12+4+digits (tEXt) + 12+idat + 12 (IEND)
+  val q147Sql: String =
+    """SELECT doc_id, 'image/png' AS media_type,
+      |  CAST(73 + length(CAST(doc_id AS VARCHAR)) + 1 + n_chars % 97 AS INT) AS n_bytes,
+      |  CAST(16 + n_chars % 24 AS INT) AS width,
+      |  CAST(16 + doc_id % 16 AS INT) AS height,
+      |  CAST(8 AS INT) AS bit_depth,
+      |  CAST(2 AS INT) AS color_type,
+      |  CAST(4 AS INT) AS n_chunks,
+      |  CAST(1 + n_chars % 97 AS INT) AS idat_bytes,
+      |  CAST(4 + length(CAST(doc_id AS VARCHAR)) AS INT) AS text_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_binary_meta" -> q70BinaryMeta _,
     "q71_decode_media" -> q71DecodeMedia _,
     "q73_resize_plan" -> q73ResizePlan _,
     "q74_frame_sample" -> q74FrameSample _,
+    "q147_png_header" -> q147PngHeader _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,5 +404,6 @@ object Multimodal {
     "q71_decode_media" -> q71Sql,
     "q73_resize_plan" -> q73Sql,
     "q74_frame_sample" -> q74Sql,
+    "q147_png_header" -> q147Sql,
   )
 }

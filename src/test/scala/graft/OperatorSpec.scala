@@ -342,6 +342,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q147: PNG chunk walker round-trips and rejects every corruption class") {
+    import graft.ops.{MediaRow, Multimodal}
+    val good = Multimodal.encodePng(42L, 137L)
+    val dec = Multimodal.decodePngHeader(MediaRow(42L, good, "image/png"))
+    assert(dec.width == 16 + 137 % 24 && dec.height == 16 + 42 % 16)
+    assert(dec.bit_depth == 8 && dec.color_type == 2 && dec.n_chunks == 4)
+    assert(dec.idat_bytes == 1 + 137 % 97 && dec.text_len == 4 + 2)
+    assert(dec.n_bytes == good.length)
+    // the CRC is REAL: flipping any single byte under a chunk seal throws.
+    // Probe one byte inside each sealed region (IHDR dims, tEXt, IDAT).
+    Seq(8 + 8 + 2, good.length - 12 - 4 - 3, 8 + 25 + 9).foreach { off =>
+      val bad = good.clone(); bad(off) = (bad(off) ^ 0x40).toByte
+      intercept[IllegalArgumentException] {
+        Multimodal.decodePngHeader(MediaRow(1L, bad, "t"))
+      }
+    }
+    // structural corruption: bad signature, truncation, trailing garbage,
+    // and a lying chunk-length field all fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngHeader(MediaRow(2L, good.drop(1), "t"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngHeader(MediaRow(3L, good.dropRight(5), "t"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngHeader(MediaRow(4L, good :+ 0.toByte, "t"))
+    }
+    val lying = good.clone(); lying(8 + 3) = 14.toByte // IHDR length 13 → 14
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePngHeader(MediaRow(5L, lying, "t"))
+    }
+  }
+
   test("q115: fixed-point PageRank matches an exact in-memory reference") {
     // independent re-derivation: collect the edge list (tiny at sf0.001)
     // and run the same fixed-point recurrence in plain Scala longs — pins
