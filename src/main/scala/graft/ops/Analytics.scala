@@ -229,6 +229,73 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY source, bin""".stripMargin
 
+  // ---- q146: compaction EXECUTION of the q105 plan ------------------------
+  // q105 plans the bins; q146 executes the rewrite and proves it: the
+  // per-(source, bin) groups are physically written out — one output file
+  // per planned bin — and the oracled result is computed by REREADING the
+  // compacted layout: per-bin stats (count/bytes/min/max) plus a
+  // content-fidelity digest (md5 over the bin's rows in doc_id order,
+  // each row pinned by its own md5(text)), which DuckDB predicts straight
+  // from the source table. Equality therefore proves the rewrite moved
+  // every row to exactly its planned bin and corrupted none — the
+  // q87/q125 digest discipline applied to a layout rewrite.
+  //
+  // One file per bin: `repartition(source, bin)` puts all of a bin's rows
+  // in ONE task, and the dynamic-partitioned write emits one file per
+  // (partition-dir, task) — OperatorSpec counts the files. Scale shape:
+  // the cumulative-offset window runs per source (the table-partition
+  // key, q105's shape); the rewrite itself is one shuffle + a narrow
+  // write; the per-bin digest collect_list is bounded by the 16 KB bin
+  // target, never by table size.
+  private[graft] def compactionDir(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"compact:$dir") { p =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("text"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("bin", expr("(cum - n_chars) DIV 16384"))
+        .drop("cum")
+        .repartition(col("source"), col("bin"))
+        .write.mode("overwrite").partitionBy("source", "bin")
+        .parquet(p.resolve("documents_compact").toString)
+    }
+
+  def q146CompactionExec(s: SparkSession, dir: String): DataFrame = {
+    val p = compactionDir(s, dir)
+    val entry = concat_ws(":", col("doc_id"), col("n_chars"),
+      md5(col("text").cast("binary")))
+    s.read.parquet(p.resolve("documents_compact").toString)
+      .groupBy(col("source"), col("bin").cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_chars")).as("bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), entry.as("e")))),
+          x => x.getField("e")), ",").cast("binary")).as("content_md5"))
+      .orderBy("source", "bin")
+  }
+
+  val q146Sql: String =
+    """WITH f AS (
+      |  SELECT source, doc_id, n_chars, text,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents)
+      |SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_files,
+      |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  md5(string_agg(
+      |    CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)
+      |      || ':' || md5(text),
+      |    ',' ORDER BY doc_id)) AS content_md5
+      |FROM f
+      |GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
+
   // ---- q106: z-order layout keys -----------------------------------------
   // Multi-dimensional data layout: interleaving the bits of two cluster
   // columns gives a 1-D sort key whose ranges are small rectangles in
@@ -686,6 +753,7 @@ object Analytics {
     "q134_hybrid_rrf" -> q134HybridRrf _,
     "q139_pagerank_converged" -> q139PageRankConverged _,
     "q140_zorder_pruned_scan" -> q140ZorderPrunedScan _,
+    "q146_compaction_exec" -> q146CompactionExec _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -702,5 +770,6 @@ object Analytics {
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,
+    "q146_compaction_exec" -> q146Sql,
   )
 }

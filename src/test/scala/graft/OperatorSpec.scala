@@ -375,6 +375,31 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q146: compaction writes exactly one file per planned bin, no rows lost") {
+    import scala.jdk.CollectionConverters._
+    val out = graft.ops.Analytics.compactionDir(spark, sf)
+      .resolve("documents_compact")
+    // every (source=…/bin=…) leaf directory must hold EXACTLY one part
+    // file, and the total must equal the q105 plan's bin count — that is
+    // the execution claim (small files → one file per target-size bin)
+    val binDirs = java.nio.file.Files.walk(out).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p)
+        && p.getFileName.toString.startsWith("bin="))
+      .toSeq
+    val planBins = graft.ops.Analytics.q105CompactionPlan(spark, sf).count()
+    assert(binDirs.size.toLong == planBins,
+      s"${binDirs.size} bin dirs vs $planBins planned bins")
+    binDirs.foreach { d =>
+      val parts = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      assert(parts.size == 1, s"$d holds ${parts.size} files, want 1")
+    }
+    // fidelity: the rewrite drops and duplicates nothing
+    val reread = spark.read.parquet(out.toString)
+    assert(reread.count() == Tables.t(spark, sf, "documents").count())
+    assert(reread.select("doc_id").distinct().count() == reread.count())
+  }
+
   test("q115: fixed-point PageRank matches an exact in-memory reference") {
     // independent re-derivation: collect the edge list (tiny at sf0.001)
     // and run the same fixed-point recurrence in plain Scala longs — pins
