@@ -209,12 +209,19 @@ object Similarity {
     new graft.SessionCache[(Seq[(Int, Array[Double])], DataFrame)]()
 
   /** Runs the k-means build; returns the final centroids and the final
-    * per-vector assignment (lazy DataFrame).
+    * per-vector assignment (lazy DataFrame). `base` restricts the Lloyd
+    * loop (seeds, assignments, recomputed means) to a slice of the corpus
+    * — the incremental-index build clusters the BASE slice only, then
+    * freezes the centroids for appended batches (q143); the tag keys the
+    * memo.
     */
   private[ops] def kmeans(s: SparkSession, dir: String,
-      k: Int = kCells, iters: Int = kmIters): (Seq[(Int, Array[Double])], DataFrame) =
-    kmeansCache.getOrCompute(s, s"$dir:$k:$iters") {
-      val emb = quantized(t(s, dir, "embeddings"))
+      k: Int = kCells, iters: Int = kmIters,
+      base: Option[(Column, String)] = None): (Seq[(Int, Array[Double])], DataFrame) =
+    kmeansCache.getOrCompute(s, s"$dir:$k:$iters:${base.map(_._2).getOrElse("all")}") {
+      val emb = base.foldLeft(quantized(t(s, dir, "embeddings"))) {
+          case (df, (pred, _)) => df.filter(pred)
+        }
         .repartition(col("vec_id")) // materialize qv once (see q52)
         .select(col("vec_id"), col("qv"), col("qnorm"))
         .persist() // re-read every Lloyd iteration; k-means is the one
@@ -269,38 +276,52 @@ object Similarity {
   /** The seeded-Lloyd chain as plain SQL CTEs: c0 = hash-sample seeds,
     * then kmIters−1 × (assign → floored means), then a final assign
     * `a$kmIters`. Shared by the q54 oracle and (with the PQ chain) the
-    * q141 IVFPQ-serve oracle. NOTE: margins are stripped by the CONSUMING
-    * query's `.stripMargin`.
+    * q141/q143 IVFPQ-serve oracles. `basePred` restricts the LLOYD LOOP
+    * (seeds, per-iteration assignments — and hence the recomputed means,
+    * which join the base-only a_i) to a slice of the corpus; the FINAL
+    * assign `a$kmIters` always runs over ALL vectors — exactly the
+    * frozen-centroid append: base vectors get their build-time cells, new
+    * vectors are routed onto the converged clustering they never moved
+    * (q143). NOTE: margins are stripped by the CONSUMING query's
+    * `.stripMargin`.
     */
-  private val kmeansCtes: String = {
-    val assign = (c: String, a: String) =>
+  private def kmeansCtesFor(basePred: Option[String]): String = {
+    val lloydSrc = basePred.map(_ => "vb v").getOrElse("v")
+    val assign = (c: String, a: String, src: String) =>
       s"""$a AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cell,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY SUM((v.val - c.cv) * (v.val - c.cv)), c.cell) AS rn
-         |    FROM v JOIN $c c ON v.pos = c.pos
+         |    FROM $src JOIN $c c ON v.pos = c.pos
          |    GROUP BY v.vec_id, c.cell) x
          |  WHERE rn = 1)"""
+    // recompute joins a_i (base-only when basePred is set), so plain v is
+    // already the base slice there
     val recompute = (a: String, c: String) =>
       s"""$c AS (
          |  SELECT cell, pos, floor(SUM(val) / COUNT(*)) AS cv
          |  FROM $a JOIN v USING (vec_id) GROUP BY cell, pos)"""
     val steps = (1 until kmIters).flatMap(i =>
-      Seq(assign(s"c${i - 1}", s"a$i"), recompute(s"a$i", s"c$i"))) :+
-      assign(s"c${kmIters - 1}", s"a$kmIters")
+      Seq(assign(s"c${i - 1}", s"a$i", lloydSrc), recompute(s"a$i", s"c$i"))) :+
+      assign(s"c${kmIters - 1}", s"a$kmIters", "v")
+    val vb = basePred
+      .map(p => s"\n|vb AS (SELECT * FROM v WHERE $p),")
+      .getOrElse("")
     s"""v AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
        |         round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS val
-       |  FROM embeddings),
+       |  FROM embeddings),$vb
        |init AS (
        |  SELECT vec_id, CAST(row_number() OVER w - 1 AS INT) AS cell
        |  FROM embeddings
-       |  WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+       |  ${basePred.map(p => s"WHERE $p\n  |  ").getOrElse("")}WINDOW w AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
        |  QUALIFY row_number() OVER w <= $kCells),
        |c0 AS (SELECT cell, pos, val AS cv FROM init JOIN v USING (vec_id)),
        |${steps.mkString(",\n")}"""
   }
+
+  private val kmeansCtes: String = kmeansCtesFor(None)
 
   /** The oracle twin unrolls the same seeded Lloyd chain as plain SQL;
     * the final assign's exact per-cell means are the output.
@@ -494,35 +515,52 @@ object Similarity {
   /** The per-subspace codebook: int8 subvectors of the pqK md5-ordered
     * sample vectors — k·m = 128 rows by construction. The rank window
     * runs over exactly pqK rows (post-limit), so the single partition is
-    * constant-size.
+    * constant-size. `base` restricts the SAMPLE to a corpus slice (the
+    * incremental index trains its codebook on the base slice only and
+    * freezes it for appended batches — q143).
     */
-  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
-    pqBase(s, dir).orderBy("h", "vec_id").limit(pqK)
+  private def pqCodebookFor(s: SparkSession, dir: String,
+      base: Option[Column]): DataFrame =
+    base.foldLeft(pqBase(s, dir))(_ filter _)
+      .orderBy("h", "vec_id").limit(pqK)
       .withColumn("cb_id",
         row_number().over(Window.orderBy("h", "vec_id")) - 1)
       .select(col("cb_id"), posexplode(pqSubVecs(col("q"))).as(Seq("sub", "cv")))
+
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCodebookFor(s, dir, None)
 
   /** Integer squared L2 between two int subvector arrays. */
   private def pqSqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0), (acc, x) => acc + x).cast("long")
 
-  def q121PqCodes(s: SparkSession, dir: String): DataFrame = {
-    val subs = pqBase(s, dir).select(col("vec_id"),
+  /** PQ-encode `vecs` (vec_id, q) against `codebook` — the assign pass
+    * shared by the in-session q121, the index build, and the q143
+    * frozen-codebook append. The codebook is 128 rows by construction
+    * (the one provably-safe broadcast).
+    */
+  private def pqEncode(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val subs = vecs.select(col("vec_id"),
       posexplode(pqSubVecs(col("q"))).as(Seq("sub", "sv")))
-    subs.join(broadcast(pqCodebook(s, dir)), "sub") // 128 rows by construction
+    subs.join(broadcast(codebook), "sub")
       .withColumn("dist", pqSqDist(col("sv"), col("cv")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("dist"), col("cb_id"))).as("m"))
       .select(col("vec_id"), col("sub"), col("m.cb_id").as("code"),
         col("m.dist").as("dist"))
-      .orderBy("vec_id", "sub")
   }
+
+  def q121PqCodes(s: SparkSession, dir: String): DataFrame =
+    pqEncode(pqBase(s, dir), pqCodebook(s, dir))
+      .orderBy("vec_id", "sub")
 
   /** Shared CTE chain: int8 corpus → subvectors → md5-sampled codebook →
     * per-(vec, sub) argmin codes. Reused by the q122 ADC search oracle.
+    * `cbPred` restricts the codebook SAMPLE to a corpus slice while codes
+    * still cover every vector — the q143 frozen-codebook append.
     */
-  private val pqCtes: String =
+  private def pqCtesFor(cbPred: Option[String]): String =
     s"""base AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
@@ -536,7 +574,7 @@ object Similarity {
        |cbsample AS (
        |  SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
        |      AS cb_id
-       |  FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+       |  FROM base ${cbPred.map(p => s"WHERE $p ").getOrElse("")}ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
        |cb AS (
        |  SELECT cb_id, sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS cv
        |  FROM cbsample, unnest(range(0, $pqSubs)) AS u(sub)),
@@ -550,6 +588,8 @@ object Similarity {
        |  FROM dists),
        |codes AS (
        |  SELECT vec_id, sub, cb_id AS code, dist FROM rankedpq WHERE rk = 1)""".stripMargin
+
+  private val pqCtes: String = pqCtesFor(None)
 
   val q121Sql: String =
     s"""WITH $pqCtes
@@ -642,19 +682,25 @@ object Similarity {
   // search hash-matches the in-session q122 path and shares its oracle.
   // The IVF serve twin (route on reloaded centroids, probe the reloaded
   // postings) is pinned equal to q55 in OperatorSpec.
+  /** Writes the k·dim centroid literals as the `ivf_centroids` artifact. */
+  private def writeCentroids(s: SparkSession,
+      cents: Seq[(Int, Array[Double])], path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val centRows = cents.flatMap { case (cell, cv) =>
+      cv.zipWithIndex.map { case (v, pos) => org.apache.spark.sql.Row(cell, pos, v) }
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv", org.apache.spark.sql.types.DoubleType)))
+    s.createDataFrame(centRows.asJava, centSchema).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
   private[graft] def annIndexDir(s: SparkSession, dir: String): java.nio.file.Path =
     graft.TempDirs.staged(s"ann_index:$dir") { p =>
-      import scala.jdk.CollectionConverters._
       val (cents, assigned) = kmeans(s, dir)
-      val centRows = cents.flatMap { case (cell, cv) =>
-        cv.zipWithIndex.map { case (v, pos) => org.apache.spark.sql.Row(cell, pos, v) }
-      }
-      val centSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("cv", org.apache.spark.sql.types.DoubleType)))
-      s.createDataFrame(centRows.asJava, centSchema).coalesce(1)
-        .write.mode("overwrite").parquet(p.resolve("ivf_centroids").toString)
+      writeCentroids(s, cents, p.resolve("ivf_centroids").toString)
       assigned.select(col("cell"), col("vec_id"), col("qv"), col("qnorm"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(p.resolve("ivf_postings").toString)
@@ -708,8 +754,13 @@ object Similarity {
   // deterministic, so the ENTIRE composition — seeded Lloyd routing, cell
   // restriction, PQ codebook, ADC sums — is one DuckDB oracle (the q54
   // k-means chain + the q121/q122 PQ chain joined in one statement).
-  def q141IvfPqServe(s: SparkSession, dir: String): DataFrame = {
-    val idx = annIndexDir(s, dir)
+  /** The composed IVFPQ serve path off a persisted index directory —
+    * shared verbatim by q141 (full-corpus build) and q143 (incremental
+    * build): the serve code CANNOT tell how the artifacts were produced,
+    * which is the operational point.
+    */
+  private def ivfPqServeFrom(s: SparkSession, dir: String,
+      idx: java.nio.file.Path): DataFrame = {
     val nProbe = 4
     // the query vector is a search input (vec 0) — routed against the
     // centroid literals; the probe set is nProbe rows by construction
@@ -726,15 +777,18 @@ object Similarity {
         .join(cand.select("vec_id"), Seq("vec_id"), "left_semi"))
   }
 
+  def q141IvfPqServe(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, annIndexDir(s, dir))
+
   /** One statement composing the q54 Lloyd chain (routing + assignments)
     * with the q121/q122 PQ chain (codes + LUT): probe the query's nProbe
     * nearest cells of the CONVERGED clustering, ADC-score only vectors
     * assigned there. Routing ranks by full squared L2 (the engine drops
     * the constant ‖q‖² term — argmin- and tie-identical).
     */
-  val q141Sql: String =
-    s"""WITH $kmeansCtes,
-       |$pqCtes,
+  private def ivfPqServeSql(km: String, pq: String): String =
+    s"""WITH $km,
+       |$pq,
        |qv AS (SELECT pos, val FROM v WHERE vec_id = 0),
        |route AS (
        |  SELECT c.cell,
@@ -769,6 +823,92 @@ object Similarity {
        |ORDER BY adc_dist, vec_id
        |LIMIT 10""".stripMargin
 
+  val q141Sql: String = ivfPqServeSql(kmeansCtes, pqCtes)
+
+  // ---- q143: INCREMENTAL index maintenance — frozen-artifact append -------
+  // The growing-corpus shape the build-once index (q137/q141) leaves out:
+  // real corpora append. A full rebuild per batch is O(corpus); the
+  // operational append is O(batch): route the new vectors onto the FROZEN
+  // reloaded centroids (no Lloyd re-run — the clustering does not move),
+  // encode them with the FROZEN reloaded codebook (no re-sample), and
+  // APPEND the resulting postings/codes files — the q83 incremental-dedup
+  // discipline applied to the index. The deterministic split `vec_id % 10
+  // == 9` stands in for the arriving batch; the base build is q137's
+  // machinery over the other 90%.
+  //
+  // Serve afterwards runs the UNMODIFIED q141 path over the union — the
+  // serve code cannot tell an appended index from a rebuilt one, and the
+  // whole chain (base Lloyd, frozen routing, frozen encoding, ADC) stays
+  // integer-exact and deterministic, so the composition is one DuckDB
+  // statement: the q141 oracle with its Lloyd loop + codebook sample
+  // restricted to the base slice and its final assign/codes over ALL
+  // vectors (which is precisely what frozen-artifact append computes).
+  //
+  // Scale shape: the append pass reads ONLY the new batch (plan-locked) —
+  // one narrow routing map over k·dim literals plus one broadcast-128-row
+  // encode, then file appends into the cell-partitioned postings layout;
+  // nothing touches the base corpus or its artifacts. At 100 TB this is
+  // the difference between an index you can maintain and one you rebuild
+  // nightly.
+  private val incrBasePred = "vec_id % 10 <> 9"
+
+  /** The new batch routed onto frozen centroids — reads only the batch. */
+  private[graft] def incrNewAssign(s: SparkSession, dir: String,
+      cents: Seq[(Int, Array[Double])]): DataFrame =
+    assignCells(
+        quantized(t(s, dir, "embeddings")).filter(col("vec_id") % 10 === 9),
+        cents)
+      .select(col("cell"), col("vec_id"), col("qv"), col("qnorm"))
+
+  /** The new batch encoded with the frozen codebook — reads only the
+    * batch (plus the 128-row codebook artifact).
+    */
+  private[graft] def incrNewCodes(s: SparkSession, dir: String,
+      codebook: DataFrame): DataFrame =
+    pqEncode(
+      t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 9 && col("vec_id") =!= 0 && pqNonZero)
+        .select(col("vec_id"), pqQ8.as("q")),
+      codebook)
+      .select("vec_id", "sub", "code")
+
+  private[graft] def annIndexIncrDir(s: SparkSession, dir: String): java.nio.file.Path =
+    graft.TempDirs.staged(s"ann_index_incr:$dir") { p =>
+      val baseCol = col("vec_id") % 10 =!= 9
+      // base build: q137's artifacts over the base slice only
+      val (cents, assigned) = kmeans(s, dir, base = Some((baseCol, "mod10base")))
+      writeCentroids(s, cents, p.resolve("ivf_centroids").toString)
+      assigned.select(col("cell"), col("vec_id"), col("qv"), col("qnorm"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(p.resolve("ivf_postings").toString)
+      val cb = pqCodebookFor(s, dir, Some(baseCol))
+      cb.write.mode("overwrite").parquet(p.resolve("pq_codebook").toString)
+      pqEncode(pqBase(s, dir).filter(baseCol), cb).select("vec_id", "sub", "code")
+        .write.mode("overwrite").parquet(p.resolve("pq_codes").toString)
+      // append pass: FROZEN reloaded artifacts, new batch only
+      incrNewAssign(s, dir, reloadCentroids(s, p))
+        .write.mode("append").partitionBy("cell")
+        .parquet(p.resolve("ivf_postings").toString)
+      incrNewCodes(s, dir, s.read.parquet(p.resolve("pq_codebook").toString))
+        .write.mode("append").parquet(p.resolve("pq_codes").toString)
+    }
+
+  /** The two append-pass DataFrames rebuilt off the staged artifacts —
+    * exposed for the PlanSpec lock that the append reads only the new
+    * batch (never the base corpus or its postings).
+    */
+  private[graft] def incrAppendPlans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val idx = annIndexIncrDir(s, dir)
+    (incrNewAssign(s, dir, reloadCentroids(s, idx)),
+      incrNewCodes(s, dir, s.read.parquet(s"$idx/pq_codebook")))
+  }
+
+  def q143IncrIndexServe(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeFrom(s, dir, annIndexIncrDir(s, dir))
+
+  val q143Sql: String =
+    ivfPqServeSql(kmeansCtesFor(Some(incrBasePred)), pqCtesFor(Some(incrBasePred)))
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_embed_norm" -> q50EmbedNorm _,
@@ -784,6 +924,7 @@ object Similarity {
     "q122_pq_adc" -> q122PqAdc _,
     "q137_ann_index_serve" -> q137AnnIndexServe _,
     "q141_ivfpq_serve" -> q141IvfPqServe _,
+    "q143_incr_index_serve" -> q143IncrIndexServe _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -798,5 +939,6 @@ object Similarity {
     // build wrote, so the reloaded search shares q122's oracle verbatim
     "q137_ann_index_serve" -> q122Sql,
     "q141_ivfpq_serve" -> q141Sql,
+    "q143_incr_index_serve" -> q143Sql,
   )
 }

@@ -375,6 +375,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q143: the appended index covers base ∪ batch exactly once") {
+    // the serve oracle pins the top-10; this pins APPEND COMPLETENESS —
+    // a silently dropped or duplicated vector would not necessarily
+    // surface in a 10-row result
+    import org.apache.spark.sql.functions._
+    val idx = ops.Similarity.annIndexIncrDir(spark, sf)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val posts = spark.read.parquet(s"$idx/ivf_postings")
+    assert(posts.count() == emb.count(), "postings must cover every vector")
+    assert(posts.select("vec_id").distinct().count() == posts.count(),
+      "append must not duplicate any base posting")
+    val codes = spark.read.parquet(s"$idx/pq_codes")
+    val encodable = emb.filter(col("vec_id") =!= 0 &&
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))) > 0)
+    assert(codes.count() == encodable.count() * 8,
+      "8 subspace codes per encodable vector, base and batch alike")
+  }
+
   test("q146: compaction writes exactly one file per planned bin, no rows lost") {
     import scala.jdk.CollectionConverters._
     val out = graft.ops.Analytics.compactionDir(spark, sf)

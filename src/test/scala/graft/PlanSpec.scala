@@ -411,6 +411,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "ADC top-k must stay bounded")
   }
 
+  test("q143: append reads only the new batch; serve reads only index artifacts") {
+    // the incremental claim is O(batch), not O(corpus): both append-pass
+    // plans must filter embeddings to the vec_id % 10 == 9 batch and scan
+    // it exactly once; the assign routes on centroid LITERALS (no staged
+    // read at all), the encode joins only the 128-row codebook artifact
+    val (asg, codes) = ops.Similarity.incrAppendPlans(spark, sf)
+    val pa = asg.queryExecution.executedPlan.toString
+    assert(pa.contains("% 10"), "append assign must filter to the new batch")
+    assert(pa.split("Scan parquet|FileScan parquet").drop(1)
+      .count(_.contains("embeddings")) == 1,
+      "append assign must scan embeddings exactly once")
+    assert(!pa.contains("graft_staged_"),
+      "assign routes on centroid literals, never a staged-artifact join")
+    val pc = codes.queryExecution.executedPlan.toString
+    assert(pc.contains("% 10"), "append encode must filter to the new batch")
+    val codeScans = pc.split("Scan parquet|FileScan parquet").drop(1)
+    assert(codeScans.count(_.contains("embeddings")) == 1,
+      "append encode must scan embeddings exactly once")
+    assert(codeScans.exists(_.contains("graft_staged_")),
+      "append encode must read the FROZEN reloaded codebook artifact")
+    // the serve path is q141's, unchanged, over the appended index
+    val p = planOf("q143_incr_index_serve")
+    assert(p.contains("graft_staged_"), "serve must read the staged index")
+    val embScans = p.split("Scan parquet|FileScan parquet").drop(1)
+      .filter(_.contains("embeddings"))
+    assert(embScans.nonEmpty, "expected the query-vector read")
+    embScans.foreach(sc =>
+      assert(sc.contains("EqualTo(vec_id,0)"),
+        "an embeddings scan without the query-vector pushdown: corpus rescan"))
+    assert(p.contains("TakeOrderedAndProject"), "ADC top-k must stay bounded")
+  }
+
   test("q123/q124: masking plan is shuffle-free; LM counts end in bounded top-k") {
     // q123 is a pure 1→k generator — any hash exchange means the plan
     // grew a shuffle it does not need
