@@ -906,6 +906,111 @@ object Similarity {
   def q143IncrIndexServe(s: SparkSession, dir: String): DataFrame =
     ivfPqServeFrom(s, dir, annIndexIncrDir(s, dir))
 
+  // ---- q144: BATCHED multi-query IVFPQ serve ------------------------------
+  // Production serve is batched, not per-query: q141 routes exactly one
+  // vector; q144 serves the whole query set (vec_id < 50) in one plan —
+  // (1) all 50 queries routed to their nProbe cells in ONE narrow map
+  // over the centroid literals; (2) the (query_id, cell) probe set —
+  // ≤ 50·4 = 200 rows by construction — broadcast against the
+  // cell-partitioned postings to form the per-query candidate lists;
+  // (3) ONE ADC pass: the per-(query, sub, cb_id) LUT relation
+  // (|Q|·m·k = 6400 rows, corpus-independent — the q122 LUT gaining a
+  // query dimension) broadcast against codes ⋈ candidates, partial-agged
+  // groupBy(query_id, vec_id); (4) top-10 per query as a rank window
+  // (Spark's WindowGroupLimit bounds it per partition — never a global
+  // sort). Candidate volume is queries · corpus · nProbe/k — the honest
+  // FAISS batch cost — and every per-query structure stays a bounded
+  // broadcast, so the plan is one shuffle join + one aggregation
+  // regardless of corpus size.
+  def q144BatchedIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndexDir(s, dir)
+    val nProbe = 4
+    val cents = reloadCentroids(s, idx)
+    // the query set: one routing map, one LUT build — both off the same
+    // 50-row slice (a zero vector cannot be PQ-quantized, hence pqNonZero)
+    val probed = quantized(t(s, dir, "embeddings"))
+      .filter(col("vec_id") < 50 && pqNonZero)
+      .select(col("vec_id").as("query_id"),
+        explode(slice(array_sort(array(cellOptions(cents): _*)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("p.cell").as("cell"))
+    val cand = s.read.parquet(s"$idx/ivf_postings").select("vec_id", "cell")
+      .join(broadcast(probed), "cell")
+      .select(col("query_id"), col("vec_id"))
+    val qsubs = t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50 && pqNonZero)
+      .select(col("vec_id").as("query_id"), pqQ8.as("q"))
+      .select(col("query_id"), posexplode(pqSubVecs(col("q"))).as(Seq("sub", "qv")))
+    val lut = s.read.parquet(s"$idx/pq_codebook").join(broadcast(qsubs), "sub")
+      .select(col("query_id"), col("sub"), col("cb_id"),
+        pqSqDist(col("cv"), col("qv")).as("lut"))
+    val w = Window.partitionBy("query_id").orderBy(asc("adc_dist"), asc("vec_id"))
+    s.read.parquet(s"$idx/pq_codes").as("c")
+      .join(cand.as("k"), col("c.vec_id") === col("k.vec_id"))
+      .join(broadcast(lut.as("l")),
+        col("k.query_id") === col("l.query_id")
+          && col("c.sub") === col("l.sub") && col("c.code") === col("l.cb_id"))
+      .groupBy(col("k.query_id").as("query_id"), col("c.vec_id").as("vec_id"))
+      .agg(sum("lut").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The q141 statement with a query DIMENSION: routing, probe set, LUT,
+    * and ADC all keyed by query_id, top-10 per query instead of global.
+    */
+  val q144Sql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |qnz AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id < 50
+       |    AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0),
+       |qv2 AS (
+       |  SELECT v.vec_id AS query_id, pos, val FROM v JOIN qnz USING (vec_id)),
+       |route AS (
+       |  SELECT q.query_id, c.cell,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY SUM((q.val - c.cv) * (q.val - c.cv)), c.cell) AS rk
+       |  FROM c${kmIters - 1} c JOIN qv2 q ON c.pos = q.pos
+       |  GROUP BY q.query_id, c.cell),
+       |probed AS (SELECT query_id, cell FROM route WHERE rk <= 4),
+       |qbase2 AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 /
+       |      list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE))))) AS INT)) AS q
+       |  FROM embeddings
+       |  WHERE vec_id < 50
+       |    AND list_max(list_transform(embedding, y -> ABS(CAST(y AS DOUBLE)))) > 0),
+       |qs2 AS (
+       |  SELECT query_id, sub, q[sub*$pqSubDim+1 : sub*$pqSubDim+$pqSubDim] AS qv
+       |  FROM qbase2, unnest(range(0, $pqSubs)) AS u(sub)),
+       |lut AS (
+       |  SELECT qs2.query_id, cb.sub, cb_id,
+       |    CAST(list_sum(list_transform(range(1, ${pqSubDim + 1}),
+       |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))) AS BIGINT) AS lut
+       |  FROM cb JOIN qs2 ON cb.sub = qs2.sub),
+       |scored AS (
+       |  SELECT l.query_id, c.vec_id, SUM(l.lut) AS adc_dist
+       |  FROM codes c
+       |  JOIN a$kmIters asg ON asg.vec_id = c.vec_id
+       |  JOIN probed p ON p.cell = asg.cell
+       |  JOIN lut l ON l.query_id = p.query_id
+       |    AND c.sub = l.sub AND c.code = l.cb_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |rankedq AS (
+       |  SELECT query_id, vec_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, CAST(rk AS INT) AS rank, vec_id AS neighbor_id,
+       |  CAST(adc_dist AS BIGINT) AS adc_dist
+       |FROM rankedq
+       |WHERE rk <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
   val q143Sql: String =
     ivfPqServeSql(kmeansCtesFor(Some(incrBasePred)), pqCtesFor(Some(incrBasePred)))
 
@@ -925,6 +1030,7 @@ object Similarity {
     "q137_ann_index_serve" -> q137AnnIndexServe _,
     "q141_ivfpq_serve" -> q141IvfPqServe _,
     "q143_incr_index_serve" -> q143IncrIndexServe _,
+    "q144_batched_ivfpq_serve" -> q144BatchedIvfPqServe _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -940,5 +1046,6 @@ object Similarity {
     "q137_ann_index_serve" -> q122Sql,
     "q141_ivfpq_serve" -> q141Sql,
     "q143_incr_index_serve" -> q143Sql,
+    "q144_batched_ivfpq_serve" -> q144Sql,
   )
 }

@@ -411,6 +411,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "ADC top-k must stay bounded")
   }
 
+  test("q144: batched serve reads the query slice only; per-query state is broadcast") {
+    // the batch claim: corpus cost is paid once through the staged index
+    // (postings/codes/codebook), and every per-query structure (probe set,
+    // LUT) is a bounded broadcast — embeddings scans are the 50-row query
+    // slice (pushed vec_id < 50), and the per-query top-10 is rank-limited
+    // inside the window (WindowGroupLimit), never a global sort
+    val p = planOf("q144_batched_ivfpq_serve")
+    assert(p.contains("graft_staged_"), "serve must read the staged index")
+    val embScans = p.split("Scan parquet|FileScan parquet").drop(1)
+      .filter(_.contains("embeddings"))
+    assert(embScans.nonEmpty, "expected the query-slice reads")
+    embScans.foreach(sc =>
+      assert(sc.contains("LessThan(vec_id,50)"),
+        "an embeddings scan without the query-slice pushdown: corpus rescan"))
+    assert(p.contains("BroadcastHashJoin"),
+      "probe set and LUT must broadcast against the index scans")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-10 must be group-limited, not fully sorted")
+    assert(!p.contains("CartesianProduct"), "q144 has a cartesian product")
+  }
+
   test("q143: append reads only the new batch; serve reads only index artifacts") {
     // the incremental claim is O(batch), not O(corpus): both append-pass
     // plans must filter embeddings to the vec_id % 10 == 9 batch and scan
