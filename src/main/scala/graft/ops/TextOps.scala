@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -198,6 +199,76 @@ object TextOps {
        |  unnest(generate_series(1, len(ws), $chunkStride)) AS u(start)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- q145: global sequence packing (concat-and-split block map) ---------
+  // GPT-style pretraining packs the corpus as ONE token stream split into
+  // fixed-size blocks: concatenate every non-blank document in doc_id
+  // order, cut the stream every 128 tokens, and emit the (block, doc)
+  // span map — which documents feed each training block, and with how
+  // many tokens. The hard part at scale is the GLOBAL prefix sum of
+  // token counts: a single `SUM OVER (ORDER BY doc_id)` window is a
+  // one-partition sort of the whole corpus. Instead the offset is
+  // computed in two phases — (1) per-shard token totals (a partial-agg
+  // groupBy over |corpus|/64 shards, map-side combined), prefix-summed
+  // with a window over that TINY relation (|shards| rows, not |corpus|);
+  // (2) a broadcast join puts each shard's base offset back on the docs,
+  // and the per-doc running sum windows PARTITIONED BY shard — every
+  // shard's cumsum runs in parallel. Shards are doc_id div 64 (dense ids
+  // here; range partitioning gives the same contiguous shards when ids
+  // are sparse). The block explode is a narrow 1→k generator (k ≈ n/128
+  // + 1, almost always 1). All integers end to end — fully oracled.
+  private val packBlock = 128
+  private val packShard = 64
+
+  def q145PackBlocks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(col("doc_id"), size(toks(lower(col("text")))).cast("long").as("n"),
+        (col("doc_id") / packShard).cast("long").as("shard"))
+    val shardBase = docs.groupBy("shard")
+      .agg(sum("n").as("shard_tokens"))
+      .withColumn("shard_base",
+        coalesce(sum("shard_tokens").over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("shard", "shard_base")
+    val offs = docs
+      .join(broadcast(shardBase), "shard")
+      .withColumn("intra",
+        sum("n").over(Window.partitionBy("shard").orderBy("doc_id")))
+      .withColumn("tok_start", col("shard_base") + col("intra") - col("n"))
+    offs
+      .select(col("doc_id"), col("n"), col("tok_start"),
+        explode(sequence(
+          expr(s"tok_start div $packBlock"),
+          expr(s"(tok_start + n - 1) div $packBlock"))).as("block_id"))
+      .select(
+        col("block_id"),
+        col("doc_id"),
+        col("n").cast("int").as("n_tokens"),
+        col("tok_start"),
+        (least(col("tok_start") + col("n"), (col("block_id") + 1) * packBlock)
+          - greatest(col("tok_start"), col("block_id") * packBlock))
+          .cast("int").as("tok_in_block"))
+      .orderBy("block_id", "doc_id")
+  }
+
+  val q145Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |o AS (
+       |  SELECT doc_id, n,
+       |    CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS tok_start
+       |  FROM d)
+       |SELECT CAST(u.b AS BIGINT) AS block_id, doc_id,
+       |  CAST(n AS INT) AS n_tokens, tok_start,
+       |  CAST(least(tok_start + n, (u.b + 1) * $packBlock)
+       |       - greatest(tok_start, u.b * $packBlock) AS INT) AS tok_in_block
+       |FROM o, unnest(generate_series(tok_start // $packBlock,
+       |  (tok_start + n - 1) // $packBlock)) AS u(b)
+       |ORDER BY block_id, doc_id""".stripMargin
+
   // ---- q37: deterministic hash sampling -----------------------------------
   // ~10% Bernoulli sample that is REPRODUCIBLE ACROSS ENGINES: keep rows
   // whose md5 of the primary key starts below 0x1a (26/256 ≈ 10.2%).
@@ -226,6 +297,7 @@ object TextOps {
     "q33_fingerprint" -> q33Fingerprint _,
     "q37_hash_sample" -> q37HashSample _,
     "q46_chunk_documents" -> q46ChunkDocuments _,
+    "q145_pack_blocks" -> q145PackBlocks _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -235,5 +307,6 @@ object TextOps {
     "q33_fingerprint" -> q33Sql,
     "q37_hash_sample" -> q37Sql,
     "q46_chunk_documents" -> q46Sql,
+    "q145_pack_blocks" -> q145Sql,
   )
 }

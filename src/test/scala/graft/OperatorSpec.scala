@@ -809,4 +809,25 @@ class OperatorSpec extends SparkSpec {
     assert(nKept == docs.distinct().count(), "kept = one per distinct segment")
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
+
+  test("q145: packed blocks tile the token stream exactly") {
+    // the concat-and-split invariant: every block holds exactly 128 tokens
+    // (the last may be short), blocks are contiguous from 0, and each
+    // doc's spans add back up to its token count — no token lost or
+    // double-packed by the sharded prefix sum
+    val rows = ops.TextOps.q145PackBlocks(spark, sf).collect()
+    val perBlock = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(4).toLong).sum)
+    val maxBlock = perBlock.keys.max
+    assert(perBlock.keys.min == 0L && perBlock.size == maxBlock + 1,
+      "block ids must be contiguous from 0")
+    perBlock.foreach { case (b, tot) =>
+      if (b < maxBlock) assert(tot == 128L, s"block $b holds $tot tokens")
+      else assert(tot >= 1L && tot <= 128L, s"tail block holds $tot")
+    }
+    val perDoc = rows.groupBy(_.getLong(1))
+      .map { case (d, rs) => (rs.map(_.getInt(4).toLong).sum, rs.head.getInt(2).toLong) }
+    perDoc.foreach { case (spanSum, n) =>
+      assert(spanSum == n, "doc spans must sum to its token count") }
+  }
 }

@@ -432,6 +432,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q144 has a cartesian product")
   }
 
+  test("q145: the corpus prefix sum is sharded, never a single global window") {
+    // the scale claim: the per-doc running offset windows PARTITIONED BY
+    // shard (parallel across shards); the only unpartitioned window runs
+    // over the |shards|-row aggregate, whose base offsets come back via a
+    // broadcast join — a global `SUM OVER (ORDER BY doc_id)` of the whole
+    // corpus would show as a window partitioned on nothing over the scan
+    val p = planOf("q145_pack_blocks")
+    assert("""\[shard#\d+""".r.findFirstIn(
+      belowWindowExec(p, first = true)).isDefined
+      || """windowspecdefinition\(shard#""".r.findFirstIn(p).isDefined,
+      "per-doc cumsum must partition by shard")
+    assert(p.contains("BroadcastHashJoin"),
+      "shard base offsets must broadcast back onto the docs")
+    assert(!p.contains("CartesianProduct"), "q145 has a cartesian product")
+  }
+
   test("q143: append reads only the new batch; serve reads only index artifacts") {
     // the incremental claim is O(batch), not O(corpus): both append-pass
     // plans must filter embeddings to the vec_id % 10 == 9 batch and scan
