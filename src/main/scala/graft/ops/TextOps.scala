@@ -289,6 +289,105 @@ object TextOps {
       |WHERE md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) < '1a'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- q148: repetition-based quality filters (Gopher-shaped) -------------
+  // The standard pretraining repetition screens: duplicate-word fraction,
+  // top-2-gram coverage, and duplicate-3-gram mass per document, each as
+  // an EXACT integer ppm (1e6-scaled integral division — cross-engine
+  // hash-safe, per the no-rounded-doubles rule), plus the keep verdict.
+  // Scale shape: zero corpus shuffles — every metric is a per-row lambda
+  // over the token array (n-gram build, sort, single linear run-scan via
+  // `aggregate`), so the op is embarrassingly parallel at any corpus
+  // size. The one exchange is the doc_id repartition BARRIER that
+  // materializes the token array before lambdas index it per element —
+  // without it CollapseProject re-inlines the split() per n-gram (the
+  // q127 O(n²) trap). The DuckDB oracle recomputes the same counts the
+  // orthodox way (unnest → GROUP BY), so the lambda scan is checked
+  // against an independent formulation.
+  private def ngrams(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(ws, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** (longest equal-run, total mass of runs longer than 1) over the sorted
+    * gram array — one linear pass; equal grams are adjacent after sort.
+    */
+  private def runStats(grams: Column): Column = {
+    val z = struct(lit(" ").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit(0L).as("dup"))
+    aggregate(array_sort(grams), z,
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"),
+          (acc("dup") + when(x =!= acc("prev") && acc("run") > 1L, acc("run"))
+            .otherwise(0L)).as("dup"))
+      },
+      acc => struct(acc("best").as("best"),
+        (acc("dup") + when(acc("run") > 1L, acc("run")).otherwise(0L)).as("dup")))
+  }
+
+  def q148RepetitionFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ws"))
+      .repartition(col("doc_id")) // materialize ws before per-element lambdas
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n"),
+        size(array_distinct(col("ws"))).cast("long").as("nd"),
+        runStats(ngrams(col("ws"), 2)).as("s2"),
+        runStats(ngrams(col("ws"), 3)).as("s3"))
+      .selectExpr(
+        "doc_id",
+        "CAST(n AS INT) AS n_tokens",
+        "(1000000 * (n - nd)) div n AS dup_word_ppm",
+        "CASE WHEN n >= 2 THEN (1000000 * s2.best) div (n - 1) ELSE 0L END AS top_2gram_ppm",
+        "CASE WHEN n >= 3 THEN (1000000 * s3.dup) div (n - 2) ELSE 0L END AS dup_3gram_ppm")
+      .withColumn("keep",
+        col("dup_word_ppm") < 300000L && col("top_2gram_ppm") < 200000L
+          && col("dup_3gram_ppm") < 300000L)
+      .orderBy("doc_id")
+
+  val q148Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |nn AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS nd
+      |  FROM d),
+      |g2 AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      |  FROM d, unnest(generate_series(1, len(ws) - 1)) AS u(i)),
+      |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+      |a2 AS (SELECT doc_id, MAX(c) AS best2 FROM c2 GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM d, unnest(generate_series(1, len(ws) - 2)) AS u(i)),
+      |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+      |a3 AS (
+      |  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3
+      |  FROM c3 GROUP BY doc_id)
+      |SELECT nn.doc_id, CAST(nn.n AS INT) AS n_tokens,
+      |  CAST((1000000 * (nn.n - nn.nd)) // nn.n AS BIGINT) AS dup_word_ppm,
+      |  CAST(CASE WHEN nn.n >= 2
+      |    THEN (1000000 * COALESCE(a2.best2, 0)) // (nn.n - 1)
+      |    ELSE 0 END AS BIGINT) AS top_2gram_ppm,
+      |  CAST(CASE WHEN nn.n >= 3
+      |    THEN (1000000 * COALESCE(a3.dup3, 0)) // (nn.n - 2)
+      |    ELSE 0 END AS BIGINT) AS dup_3gram_ppm,
+      |  ((1000000 * (nn.n - nn.nd)) // nn.n < 300000
+      |   AND CASE WHEN nn.n >= 2
+      |     THEN (1000000 * COALESCE(a2.best2, 0)) // (nn.n - 1)
+      |     ELSE 0 END < 200000
+      |   AND CASE WHEN nn.n >= 3
+      |     THEN (1000000 * COALESCE(a3.dup3, 0)) // (nn.n - 2)
+      |     ELSE 0 END < 300000) AS keep
+      |FROM nn
+      |LEFT JOIN a2 USING (doc_id)
+      |LEFT JOIN a3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> q30TextStats _,
@@ -298,6 +397,7 @@ object TextOps {
     "q37_hash_sample" -> q37HashSample _,
     "q46_chunk_documents" -> q46ChunkDocuments _,
     "q145_pack_blocks" -> q145PackBlocks _,
+    "q148_repetition_filter" -> q148RepetitionFilter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -308,5 +408,6 @@ object TextOps {
     "q37_hash_sample" -> q37Sql,
     "q46_chunk_documents" -> q46Sql,
     "q145_pack_blocks" -> q145Sql,
+    "q148_repetition_filter" -> q148Sql,
   )
 }

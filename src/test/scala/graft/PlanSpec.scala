@@ -448,6 +448,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q145 has a cartesian product")
   }
 
+  test("q148: repetition metrics shuffle nothing but the lambda barrier") {
+    // all three metrics are per-row lambda scans: the only exchanges are
+    // the round-robin materialization barrier and the output sort — a
+    // hashpartitioning exchange would mean a groupBy/join crept in
+    val p = planOf("q148_repetition_filter")
+    val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("REPARTITION_BY_COL"),
+      s"expected only the explicit barrier exchange, got: $hashEx")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
+      && !p.contains("BroadcastHashJoin"), "q148 must be join-free")
+  }
+
   test("q143: append reads only the new batch; serve reads only index artifacts") {
     // the incremental claim is O(batch), not O(corpus): both append-pass
     // plans must filter embeddings to the vec_id % 10 == 9 batch and scan
