@@ -204,9 +204,12 @@ object TextOps {
   // fixed-size blocks: concatenate every non-blank document in doc_id
   // order, cut the stream every 128 tokens, and emit the (block, doc)
   // span map — which documents feed each training block, and with how
-  // many tokens. The hard part at scale is the GLOBAL prefix sum of
-  // token counts: a single `SUM OVER (ORDER BY doc_id)` window is a
-  // one-partition sort of the whole corpus. Instead the offset is
+  // many tokens. q79 packs per SOURCE shard precisely to dodge the
+  // global-stream problem; q145 solves the global stream itself — the
+  // layout single-corpus training runs actually use. The hard part at
+  // scale is the GLOBAL prefix sum of token counts: a single
+  // `SUM OVER (ORDER BY doc_id)` window is a one-partition sort of the
+  // whole corpus. Instead the offset is
   // computed in two phases — (1) per-shard token totals (a partial-agg
   // groupBy over |corpus|/64 shards, map-side combined), prefix-summed
   // with a window over that TINY relation (|shards| rows, not |corpus|);
@@ -289,20 +292,24 @@ object TextOps {
       |WHERE md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)) < '1a'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  // ---- q148: repetition-based quality filters (Gopher-shaped) -------------
-  // The standard pretraining repetition screens: duplicate-word fraction,
-  // top-2-gram coverage, and duplicate-3-gram mass per document, each as
-  // an EXACT integer ppm (1e6-scaled integral division — cross-engine
-  // hash-safe, per the no-rounded-doubles rule), plus the keep verdict.
-  // Scale shape: zero corpus shuffles — every metric is a per-row lambda
-  // over the token array (n-gram build, sort, single linear run-scan via
-  // `aggregate`), so the op is embarrassingly parallel at any corpus
-  // size. The one exchange is the doc_id repartition BARRIER that
-  // materializes the token array before lambdas index it per element —
-  // without it CollapseProject re-inlines the split() per n-gram (the
-  // q127 O(n²) trap). The DuckDB oracle recomputes the same counts the
-  // orthodox way (unnest → GROUP BY), so the lambda scan is checked
-  // against an independent formulation.
+  // ---- q148: repetition-based quality filters, shuffle-free ---------------
+  // The OTHER half of the Gopher repetition suite (Rae et al. 2021
+  // §A1.1), complementing q78: q78 gates on top-WORD mass and distinct-
+  // bigram fraction via two exploded, shuffled aggregations; q148 gates
+  // on duplicate-word fraction, top-2-GRAM coverage, and duplicate-
+  // 3-gram mass — and computes them with ZERO corpus shuffles. Every
+  // metric is a per-row lambda over the token array (n-gram build,
+  // array_sort, one linear run-scan via `aggregate` — equal grams are
+  // adjacent after the sort, so top-gram count and duplicate mass fall
+  // out of run lengths), so the op is embarrassingly parallel at any
+  // corpus size where q78's shape pays two keyed shuffles. Metrics are
+  // EXACT integer ppm (1e6-scaled integral division — cross-engine
+  // hash-safe, per the no-rounded-doubles rule). The one exchange is the
+  // doc_id repartition BARRIER that materializes the token array before
+  // lambdas index it per element — without it CollapseProject re-inlines
+  // the split() per n-gram (the q127 O(n²) trap). The DuckDB oracle
+  // recomputes the same counts the orthodox way (unnest → GROUP BY), so
+  // the lambda run-scan is checked against an independent formulation.
   private def ngrams(ws: Column, k: Int): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
