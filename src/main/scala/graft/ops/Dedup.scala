@@ -210,6 +210,56 @@ object Dedup {
        |WHERE (n_common * 1000000) // least(sa.n, sb.n) >= 900000
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q149: cross-split leakage audit -------------------------------------
+  // The check every train/val/test split needs before anyone trusts an
+  // eval number: near-duplicate pairs that STRADDLE split boundaries (a
+  // test doc whose near-copy sits in train makes the eval score a
+  // memorization measure). The split is q99's deterministic md5 rule —
+  // a pure function of doc_id — so no join with the corpus is needed at
+  // all: the audit is a handful of expressions over the SHARED
+  // checkpointed pair memo (pairCountsMemo — the one inverted-index
+  // build per session that already funds q41/q44/q107/q135). Jaccard's
+  // 0.8 gate is applied in exact integer form (9·n_common ≥ 4·(n_a+n_b)
+  // ⟺ jaccard ≥ 0.8). All 0.8-near-dup pairs are reported with both
+  // split labels; `leaked` flags the cross-split ones a release gate
+  // would fail on. Steady-state cost: one scan of the near-dup-sized
+  // memo leaf, zero shuffles beyond its build.
+  private def splitOf(id: Column): Column = {
+    val h = md5(id.cast("string").cast("binary"))
+    when(h < "04", "test").when(h < "08", "val").otherwise("train")
+  }
+
+  def q149SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    pairCountsMemo(s, dir)
+      .filter(col("n_common") * 9 >= (col("n_a") + col("n_b")) * 4)
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .withColumn("jaccard_ppm",
+        expr("(n_common * 1000000) DIV (n_a + n_b - n_common)"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "split_a", "split_b", "jaccard_ppm", "leaked")
+      .orderBy("id_a", "id_b")
+
+  val q149Sql: String =
+    s"""WITH $pairBaseCtes,
+       |sp AS (
+       |  SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |    CASE WHEN md5(CAST(id_a AS VARCHAR)) < '04' THEN 'test'
+       |         WHEN md5(CAST(id_a AS VARCHAR)) < '08' THEN 'val'
+       |         ELSE 'train' END AS split_a,
+       |    CASE WHEN md5(CAST(id_b AS VARCHAR)) < '04' THEN 'test'
+       |         WHEN md5(CAST(id_b AS VARCHAR)) < '08' THEN 'val'
+       |         ELSE 'train' END AS split_b
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE n_common * 9 >= (sa.n + sb.n) * 4)
+       |SELECT id_a, id_b, split_a, split_b,
+       |  (n_common * 1000000) // (n_a + n_b - n_common) AS jaccard_ppm,
+       |  split_a <> split_b AS leaked
+       |FROM sp
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ---- q44: dedup cluster formation (connected components) ----------------
   // Near-dup PAIRS (q41) become per-document cluster assignments: connected
   // components over the pair list, keep-id = the component's minimum
@@ -713,6 +763,7 @@ object Dedup {
     "q98_edit_distance" -> q98EditDistance _,
     "q127_winnowing" -> q127Winnowing _,
     "q135_containment" -> q135Containment _,
+    "q149_split_leakage" -> q149SplitLeakage _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -724,5 +775,6 @@ object Dedup {
     "q98_edit_distance" -> q98Sql,
     "q127_winnowing" -> q127Sql,
     "q135_containment" -> q135Sql,
+    "q149_split_leakage" -> q149Sql,
   )
 }

@@ -66,6 +66,16 @@ class PlanSpec extends SparkSpec {
       "q135 must read the checkpointed pair memo, not rebuild the join")
   }
 
+  test("q149: the leakage audit serves from the shared pair memo, join-free") {
+    // split labels are md5 expressions of the pair ids, so the whole audit
+    // must be a scan of the checkpointed memo leaf — any join means it
+    // rebuilt the inverted index or fetched splits from the corpus
+    val p = planOf("q149_split_leakage")
+    assert(p.contains("Scan ExistingRDD"),
+      "q149 must read the checkpointed pair memo, not rebuild the join")
+    assert(!p.contains("Join"), "q149 must be join-free")
+  }
+
   test("q47: the bucketed join needs no exchange on either side") {
     // both sides bucketed+sorted on the join key → the only exchanges in
     // the plan belong to the FINAL agg/sort, never to the join inputs.
