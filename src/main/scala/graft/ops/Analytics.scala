@@ -491,6 +491,71 @@ object Analytics {
       .orderBy(desc("pr"), asc("node"))
   }
 
+  // ---- q150: label-propagation communities --------------------------------
+  // Graph.labelPropagation — the community detector for structure
+  // connectedComponents (islands only) and kCore (a density threshold)
+  // both miss. The RAW q115 order graph is an expander: LPA correctly
+  // collapses it to the customer/supplier bipartition, because no finer
+  // community structure exists to find. So q150 runs on the trade-
+  // affinity subgraph (o_custkey ≡ l_suppkey mod 8 — 8 planted blocks):
+  // CC stops at the 8 islands, while LPA splits each island into its
+  // internally-dense supplier-centered trading clusters (17 communities
+  // at sf0.01, largest 190 of 1567 nodes) — the sub-component structure
+  // CC is blind to. Six synchronous rounds (stable by inspection: 6→8
+  // moves one label); every round is a deterministic function of the
+  // last (neighbor+self majority vote, min label on ties), so the DuckDB
+  // twin UNROLLS the rounds exactly like q115's PageRank oracle — per
+  // round, re-count labels over the materialized adjacency and arg-max
+  // with row_number. Output adds the community size via a window over
+  // the final |nodes|-row labeling (bounded input, not the corpus).
+  private val lpRounds = 6
+
+  def q150LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") % 8 === col("l_suppkey") % 8)
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    Graph.labelPropagation(edges, lpRounds)
+      .select(col("node"), col("lab").as("community"),
+        (col("node") % 2 === 1).as("is_supplier"))
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("community")))
+      .select("node", "community", "community_size", "is_supplier")
+      .orderBy("community", "node")
+  }
+
+  val q150Sql: String = {
+    // MATERIALIZED throughout — adj is referenced every round (the q129
+    // re-expansion lesson)
+    val iters = (1 to lpRounds).map { k =>
+      s"""lab$k AS MATERIALIZED (
+         |  SELECT u AS node, lab FROM (
+         |    SELECT a.u, l.lab,
+         |      row_number() OVER (PARTITION BY a.u
+         |        ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+         |    FROM adj a JOIN lab${k - 1} l ON l.node = a.v
+         |    GROUP BY a.u, l.lab) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_custkey % 8 = l_suppkey % 8),
+       |nodes AS MATERIALIZED (SELECT u AS node FROM b UNION SELECT v FROM b),
+       |adj AS MATERIALIZED (
+       |  SELECT u, v FROM b
+       |  UNION SELECT v, u FROM b
+       |  UNION SELECT node, node FROM nodes),
+       |lab0 AS MATERIALIZED (SELECT node, node AS lab FROM nodes),
+       |$iters
+       |SELECT node, lab AS community,
+       |  CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS community_size,
+       |  node % 2 = 1 AS is_supplier
+       |FROM lab$lpRounds
+       |ORDER BY community, node""".stripMargin
+  }
+
   // ---- q129: k-core of the order graph ------------------------------------
   // Graph.kCore over the q115 customer→supplier graph: the density filter
   // that isolates the heavily-cross-connected trading core (degree ≥ 40
@@ -747,6 +812,7 @@ object Analytics {
     "q110_hll_rollup" -> q110HllRollup _,
     "q111_table_stats" -> q111TableStats _,
     "q115_pagerank" -> q115PageRank _,
+    "q150_label_prop" -> q150LabelProp _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -766,6 +832,7 @@ object Analytics {
     "q108_retention_cohorts" -> q108Sql,
     "q111_table_stats" -> q111Sql,
     "q115_pagerank" -> q115Sql,
+    "q150_label_prop" -> q150Sql,
     "q120_skew_profile" -> q120Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,

@@ -225,6 +225,51 @@ object Graph {
     *
     * Returns one row per distinct vertex: (node, pr).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection — the cheap complement to [[connectedComponents]] (which
+    * only finds disconnected islands) on graphs whose communities are
+    * densely linked but still connected to each other. Every vertex
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its neighbors PLUS ITS OWN current label (the
+    * self-vote damps the 2-cycle oscillation synchronous LPA exhibits on
+    * bipartite graphs), ties broken toward the smallest label — so the
+    * update is a pure deterministic function of the previous round and an
+    * unrolled SQL twin exists for any fixed round count.
+    *
+    * Scale shape: per round, one shuffled groupBy on (vertex, label) with
+    * map-side partial counts, then a groupBy(vertex) arg-max via
+    * `max(struct(count, -label))` — never a window over the full vertex
+    * set. The adjacency (undirected + self-loops) is checkpointed once
+    * and reused every round; labels re-checkpoint per round to truncate
+    * lineage, the [[connectedComponents]] discipline. At 100 TB adjacency
+    * and labels pre-bucket on the neighbor key so the per-round join is
+    * shuffle-free.
+    *
+    * Returns one row per distinct vertex: (node, lab).
+    */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int): DataFrame = {
+    val b = edgesIn.select(col("src").as("u"), col("dst").as("v")).distinct()
+    val nodes = b.select(col("u").as("node"))
+      .union(b.select(col("v").as("node"))).distinct()
+    val adj = b
+      .union(b.select(col("v").as("u"), col("u").as("v")))
+      .union(nodes.select(col("node").as("u"), col("node").as("v")))
+      .distinct() // one vote per undirected neighbor, whatever the input orientation
+      .localCheckpoint(true)
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      lab = adj
+        .join(lab.select(col("node").as("v"), col("lab")), "v")
+        .groupBy("u", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   def pageRank(edgesIn: DataFrame, iters: Int = 5): DataFrame = {
     val st = new PageRankState(edgesIn)
     var pr = st.init

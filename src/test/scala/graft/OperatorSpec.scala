@@ -810,6 +810,33 @@ class OperatorSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("q150: LPA communities strictly refine the connected components") {
+    // the differentiation claim: labels never cross an island boundary
+    // (a community is contained in one component), and LPA finds MORE
+    // structure than CC on the planted-block graph
+    val edges = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") % 8 === col("l_suppkey") % 8)
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val cc = ops.Graph.connectedComponents(
+        edges.select(col("src").as("u"), col("dst").as("v")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lp = ops.Analytics.q150LabelProp(spark, sf).collect()
+    val commRoot = scala.collection.mutable.Map[Long, Long]()
+    lp.foreach { r =>
+      val (node, comm) = (r.getLong(0), r.getLong(1))
+      val root = cc(node)
+      assert(commRoot.getOrElseUpdate(comm, root) == root,
+        s"community $comm spans two components")
+    }
+    val nComms = lp.map(_.getLong(1)).distinct.length
+    val nComps = cc.values.toSet.size
+    assert(nComms > nComps,
+      s"LPA found $nComms communities vs $nComps components — no refinement")
+  }
+
   test("q145: packed blocks tile the token stream exactly") {
     // the concat-and-split invariant: every block holds exactly 128 tokens
     // (the last may be short), blocks are contiguous from 0, and each
