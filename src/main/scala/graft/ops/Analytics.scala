@@ -65,10 +65,16 @@ object Analytics {
   // only (left-semi prune first — the full distribution is never
   // re-shuffled, which is the point at 100 TB: sketch bounds candidate
   // volume, confirm kills sketch error).
-  def q103HeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val keyed = graft.Tables.events(s, dir).select(
+  /** The q103/q151 sketch input: a heavy head (users repeated across their
+    * error events) mixed into a long singleton tail (per-event ids).
+    */
+  private def keyedEvents(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir).select(
       when(col("event_type") === "error", concat(lit("u"), col("user_id")))
         .otherwise(concat(lit("e"), col("event_id"))).as("key"))
+
+  def q103HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val keyed = keyedEvents(s, dir)
     val cand = keyed
       .agg(graft.functions.MisraGriesAgg.misra_gries(col("key"), 4096).as("mg"))
       .select(explode(map_keys(col("mg"))).as("key"))
@@ -92,6 +98,80 @@ object Analytics {
       |GROUP BY key, n
       |HAVING COUNT(*) * 2000 > n
       |ORDER BY key""".stripMargin
+
+  // ---- q151: count-min sketch with exact-confirm audit --------------------
+  // The frequency-ESTIMATION twin of q103's frequent-ITEMS sketch, and the
+  // first custom sketch aggregate in the engine whose every counter is
+  // cross-engine oracled: functions.CountMinAgg buckets with engine-exact
+  // md5 arithmetic, so DuckDB reconstructs the identical d×w sketch from
+  // scratch (GROUP BY bucket) and the estimates match bit-for-bit — where
+  // the xxhash-seeded MinHash/SimHash summaries are rows-only by nature.
+  // The query reports, for the first 20 user keys, the sketch's point
+  // estimate against the exact count — `overcount ≥ 0` is the CMS
+  // one-sided error made visible (and spec-pinned). The estimate path
+  // never rehashes on the executors: each query key's d bucket indices
+  // are PRECOMPUTED driver-side (tiny literal relation), cross-joined
+  // against the broadcast one-row sketch, and read with element_at.
+  // Scale shape: fixed d·w·8-byte partials per partition, one reduce —
+  // cardinality-independent, the mergeable-summary contract; the exact
+  // side prunes to the 20 audited keys BEFORE its groupBy.
+  private val cmD = 4
+  private val cmW = 4096
+  private val cmAuditKeys: Seq[String] = (1 to 20).map(i => s"u$i")
+
+  def q151CountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = keyedEvents(s, dir)
+    val sketch = keyed.agg(
+      graft.functions.CountMinAgg.count_min(col("key"), cmD, cmW).as("sk"))
+    val qdf = cmAuditKeys.map { k =>
+      val idx = (0 until cmD).map(j =>
+        j * cmW + graft.functions.CountMinAgg.bucket(j, k, cmW) + 1)
+      (k, idx(0), idx(1), idx(2), idx(3))
+    }.toDF("key", "i0", "i1", "i2", "i3")
+    val est = qdf.crossJoin(broadcast(sketch))
+      .select(col("key"),
+        least(
+          element_at(col("sk"), col("i0")), element_at(col("sk"), col("i1")),
+          element_at(col("sk"), col("i2")), element_at(col("sk"), col("i3")))
+          .as("est"))
+    val exact = keyed.filter(col("key").isin(cmAuditKeys: _*))
+      .groupBy("key").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("key"), "left")
+      .withColumn("exact", coalesce(col("exact"), lit(0L)))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy("key")
+  }
+
+  val q151Sql: String = {
+    val mix = (c: String) =>
+      s"(ascii(substr($c,1,1))*1009 + ascii(substr($c,2,1))*101" +
+        s" + ascii(substr($c,3,1))*11 + ascii(substr($c,4,1))) % $cmW"
+    s"""WITH keyed AS (
+       |  SELECT CASE WHEN event_type = 'error' THEN 'u' || CAST(user_id AS VARCHAR)
+       |              ELSE 'e' || CAST(event_id AS VARCHAR) END AS key
+       |  FROM events),
+       |qk AS (SELECT 'u' || CAST(r AS VARCHAR) AS key FROM range(1, 21) t(r)),
+       |kh AS (
+       |  SELECT j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+       |  FROM keyed CROSS JOIN range(0, $cmD) t(j)),
+       |bux AS (
+       |  SELECT j, ${mix("h")} AS b, COUNT(*) AS c
+       |  FROM kh GROUP BY 1, 2),
+       |qh AS (
+       |  SELECT key, j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+       |  FROM qk CROSS JOIN range(0, $cmD) t(j)),
+       |qb AS (SELECT key, j, ${mix("h")} AS b FROM qh),
+       |est AS (
+       |  SELECT qb.key, CAST(MIN(COALESCE(bux.c, 0)) AS BIGINT) AS est
+       |  FROM qb LEFT JOIN bux ON bux.j = qb.j AND bux.b = qb.b
+       |  GROUP BY qb.key),
+       |ex AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact FROM keyed GROUP BY key)
+       |SELECT est.key, est.est, COALESCE(ex.exact, 0) AS exact,
+       |  est.est - COALESCE(ex.exact, 0) AS overcount
+       |FROM est LEFT JOIN ex USING (key)
+       |ORDER BY key""".stripMargin
+  }
 
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
@@ -813,6 +893,7 @@ object Analytics {
     "q111_table_stats" -> q111TableStats _,
     "q115_pagerank" -> q115PageRank _,
     "q150_label_prop" -> q150LabelProp _,
+    "q151_count_min" -> q151CountMin _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -834,6 +915,7 @@ object Analytics {
     "q115_pagerank" -> q115Sql,
     "q150_label_prop" -> q150Sql,
     "q120_skew_profile" -> q120Sql,
+    "q151_count_min" -> q151Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

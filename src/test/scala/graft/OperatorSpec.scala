@@ -810,6 +810,25 @@ class OperatorSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("q151: count-min sketch is merge-invariant and only overcounts") {
+    // mergeability: elementwise addition commutes, so the sketch must be
+    // bit-identical whether built from 1 partition or 32; one-sided error:
+    // every audit estimate ≥ the exact count
+    import graft.functions.CountMinAgg.count_min
+    val keyed = Tables.events(spark, sf).select(
+      when(col("event_type") === "error", concat(lit("u"), col("user_id")))
+        .otherwise(concat(lit("e"), col("event_id"))).as("key"))
+    val one = keyed.repartition(1).agg(count_min(col("key")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    val many = keyed.repartition(32).agg(count_min(col("key")).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(one == many, "sketch must not depend on partitioning/merge order")
+    assert(one.sum == keyed.count() * 4, "each row increments d buckets")
+    ops.Analytics.q151CountMin(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted key ${r.getString(0)}")
+    }
+  }
+
   test("q150: LPA communities strictly refine the connected components") {
     // the differentiation claim: labels never cross an island boundary
     // (a community is contained in one component), and LPA finds MORE
