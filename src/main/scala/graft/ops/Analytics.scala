@@ -203,6 +203,74 @@ object Analytics {
        |ORDER BY n_terms DESC, tf DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  // ---- q152: BM25 ranked retrieval, exact fixed point ----------------------
+  // q104 ranks by raw match counts; q152 is the scoring function real
+  // search runs — BM25 (Robertson & Walker '94) over the same four query
+  // terms, computed ENTIRELY in exact int64 arithmetic so the ranking
+  // hash-matches DuckDB:
+  //   * k1 = 6/5 and b = 3/4 are multiplied through — the term weight
+  //     (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) with avgdl = T/D becomes
+  //     the integer rational (22·tf·T) / (10·T·tf + 3·T + 9·dl·D), floored
+  //     at ppm scale (one integral DIV, never a float);
+  //   * idf is the exact log2 surrogate bitlen(D) − bitlen(df) (length of
+  //     the binary string — engine-exact where ln's last ulp is not),
+  //     i.e. idf quantized to doubling units: rare terms weigh more in
+  //     exact integer steps.
+  // Score = Σ_terms idf·floor(ppm weight); defined AS the sum of floors.
+  // Scale shape: postings of the 4 query terms only survive the explode
+  // filter (partition-pruned lookup at scale, the q104 argument), one
+  // partial-agged groupBy(doc, term), df and corpus totals are one-row /
+  // 4-row broadcasts, and the top-20 is a bounded TakeOrderedAndProject.
+  def q152Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"), col("ws"))
+    val stats = docs.agg(sum("dl").as("t_total"), count(lit(1)).as("d_total"))
+    val tfs = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tfs.groupBy("tok").agg(count(lit(1)).as("df"))
+    tfs
+      .join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", length(bin(col("d_total"))) - length(bin(col("df"))))
+      .withColumn("w_ppm",
+        col("idf").cast("long") * expr(
+          "(22 * tf * t_total * 1000000) div (10 * t_total * tf + 3 * t_total + 9 * dl * d_total)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_ppm").as("score_ppm"))
+      .orderBy(desc("score_ppm"), col("doc_id"))
+      .limit(20)
+  }
+
+  val q152Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_total,
+       |              CAST(COUNT(*) AS BIGINT) AS d_total FROM d),
+       |tfs AS (
+       |  SELECT doc_id, dl, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ws) AS tok FROM d) x
+       |  WHERE tok IN (${queryTerms.map(tm => s"'$tm'").mkString(", ")})
+       |  GROUP BY doc_id, dl, tok),
+       |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY tok)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  CAST(SUM((length(bin(d_total)) - length(bin(df)))
+       |    * ((22 * tf * t_total * 1000000)
+       |       // (10 * t_total * tf + 3 * t_total + 9 * dl * d_total))) AS BIGINT)
+       |    AS score_ppm
+       |FROM tfs JOIN dfreq USING (tok) CROSS JOIN st
+       |GROUP BY doc_id
+       |ORDER BY score_ppm DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   // ---- q134: hybrid retrieval fusion (reciprocal rank fusion) ------------
   // The fusion step every hybrid search stack runs (Cormack et al.,
   // SIGIR'09; the BM25+ANN recipe in RAG pipelines): two independently
@@ -894,6 +962,7 @@ object Analytics {
     "q115_pagerank" -> q115PageRank _,
     "q150_label_prop" -> q150LabelProp _,
     "q151_count_min" -> q151CountMin _,
+    "q152_bm25" -> q152Bm25 _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -916,6 +985,7 @@ object Analytics {
     "q150_label_prop" -> q150Sql,
     "q120_skew_profile" -> q120Sql,
     "q151_count_min" -> q151Sql,
+    "q152_bm25" -> q152Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

@@ -458,6 +458,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q145 has a cartesian product")
   }
 
+  test("q152: BM25 top-20 is bounded; df and corpus stats broadcast") {
+    val p = planOf("q152_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-k must never be a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 4-row df relation must broadcast")
+  }
+
   test("q148: repetition metrics shuffle nothing but the lambda barrier") {
     // all three metrics are per-row lambda scans: the only exchanges are
     // the round-robin materialization barrier and the output sort — a
