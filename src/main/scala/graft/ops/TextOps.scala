@@ -395,6 +395,85 @@ object TextOps {
       |LEFT JOIN a3 USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q153: BPE vocabulary learning (distributed merge loop) -------------
+  // Byte-pair encoding (Sennrich et al. 2016) — the tokenizer-training
+  // step of an LLM pipeline, as a DataFrame program. Classic BPE learns
+  // on the WORD-FREQUENCY table, not the raw corpus: the one corpus-sized
+  // step is the token groupBy (shuffled, partial-agged); the merge loop
+  // then iterates on the vocab relation (31 rows here, millions on a real
+  // corpus — still distributed). Per round: adjacent symbol pairs via a
+  // narrow 1→k lambda explode, one partial-agged groupBy(l, r) weighted
+  // by word frequency, arg-max collected to the driver as ONE row (the
+  // q54 centroid-literal pattern — merges are inherently sequential), and
+  // the merge applied vocab-wide as a narrow literal string replace over
+  // the space-joined symbol strings (' l r ' → ' lr ': non-overlapping
+  // left-to-right replace IS greedy BPE application; boundary spaces stop
+  // partial-symbol matches). Ties break (count desc, left, right) —
+  // deterministic, so the DuckDB twin UNROLLS all 12 rounds with the
+  // same replace trick and the merge table matches exactly. Per-round
+  // localCheckpoint truncates the 12-deep replace lineage.
+  private val bpeRounds = 12
+
+  def q153BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var words = t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(explode(toks(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    for (k <- 1 to bpeRounds) {
+      val best = words
+        .select(col("freq"), split(col("sym"), " ").as("sarr"))
+        .filter(size(col("sarr")) >= 2) // sequence(1,0) would run DESCENDING
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sarr) - 1)," +
+            " i -> struct(element_at(sarr, i) AS l, element_at(sarr, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect().head
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((k, l, r, l + r, cnt))
+      // symbols are [a-z0-9] runs — safe to inline as SQL literals
+      words = words.select(col("freq"),
+        expr(s"trim(replace(concat(' ', sym, ' '), ' $l $r ', ' $l$r '))").as("sym"))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  val q153Sql: String = {
+    val rounds = (1 to bpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, s[i] AS l, s[i+1] AS r FROM (
+         |      SELECT freq, string_split(sym, ' ') AS s FROM w${k - 1}) x,
+         |      unnest(generate_series(1, len(s) - 1)) AS u(i)) y
+         |  GROUP BY l, r),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT freq, trim(replace(' ' || sym || ' ',
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS sym
+         |  FROM w${k - 1}, b$k b)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to bpeRounds).map(k =>
+      s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+       |        FROM documents WHERE length(trim(text)) > 0) t
+       |  GROUP BY tok),
+       |$rounds
+       |SELECT * FROM ($sel) ORDER BY merge_rank""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> q30TextStats _,
@@ -405,6 +484,7 @@ object TextOps {
     "q46_chunk_documents" -> q46ChunkDocuments _,
     "q145_pack_blocks" -> q145PackBlocks _,
     "q148_repetition_filter" -> q148RepetitionFilter _,
+    "q153_bpe_merges" -> q153BpeMerges _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -416,5 +496,6 @@ object TextOps {
     "q46_chunk_documents" -> q46Sql,
     "q145_pack_blocks" -> q145Sql,
     "q148_repetition_filter" -> q148Sql,
+    "q153_bpe_merges" -> q153Sql,
   )
 }

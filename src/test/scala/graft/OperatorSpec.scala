@@ -810,6 +810,39 @@ class OperatorSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("q153: distributed BPE equals a plain-Scala reference implementation") {
+    // third check beyond the SQL twin: classic sequential BPE (mutable
+    // symbol vectors, no string-replace trick) over the collected word
+    // frequencies must yield the identical merge table
+    val wf = Tables.t(spark, sf, "documents")
+      .filter(length(trim(col("text"))) > 0)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0).toVector.map(_.toString), r.getLong(1)))
+    var words = wf
+    val ref = (1 to 12).map { k =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.map { case (syms, f) =>
+        val out = scala.collection.mutable.Buffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2 // greedy left-to-right, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toVector, f)
+      }
+      (k, l, r, l + r, cnt)
+    }
+    val got = ops.TextOps.q153BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == ref, s"merge tables differ:\n got $got\n ref $ref")
+  }
+
   test("q151: count-min sketch is merge-invariant and only overcounts") {
     // mergeability: elementwise addition commutes, so the sketch must be
     // bit-identical whether built from 1 partition or 32; one-sided error:
