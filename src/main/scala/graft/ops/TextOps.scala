@@ -474,6 +474,63 @@ object TextOps {
        |SELECT * FROM ($sel) ORDER BY merge_rank""".stripMargin
   }
 
+  // ---- q154: BPE encode (apply the learned vocabulary) --------------------
+  // The other half of the tokenizer: q153 TRAINS the merge table, q154
+  // ENCODES the corpus with it and reports per-document compression. A
+  // document becomes one spaced symbol stream with '|' as the word
+  // boundary (corpus is [a-z0-9 ] — checked — so '|' can never collide
+  // with a symbol, and no learned pair spans it); applying the 12 merges
+  // in rank order is 12 chained literal replaces — a NARROW map over the
+  // corpus, embarrassingly parallel, no shuffle. The merges come from the
+  // memoized q153 result (one train per session). The oracle cannot
+  // hardcode learned merges (they are data-dependent), so it RECOMPUTES
+  // them via the q153 CTE chain and applies them through scalar
+  // subqueries — the SQL text stays data-independent while the applied
+  // vocabulary always matches the input.
+  private val bpeMergeCache = new graft.SessionCache[Seq[(String, String)]]()
+  private def bpeMergesMemo(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.getOrCompute(s, dir)(
+      q153BpeMerges(s, dir).collect().toSeq.map(r => (r.getString(1), r.getString(2))))
+
+  def q154BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesMemo(s, dir)
+    val symExpr = merges.foldLeft(
+      "concat(' ', regexp_replace(regexp_replace(trim(lower(text)), '\\\\s+', '|'), '(.)', '$1 '))") {
+      case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+    }
+    t(s, dir, "documents")
+      .filter(!isBlank)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ws"),
+        expr(s"filter(split(trim($symExpr), ' '), x -> x != '|')").as("bpe"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("int").as("n_ws_tokens"),
+        size(col("bpe")).cast("int").as("n_bpe_tokens"),
+        expr("(size(bpe) * 1000000L) div size(ws)").as("compression_ppm"))
+      .orderBy("doc_id")
+  }
+
+  val q154Sql: String = {
+    val base =
+      "' ' || regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '|', 'g'), '(.)', '\\1 ', 'g')"
+    val enc = (1 to bpeRounds).foldLeft(base) { (acc, k) =>
+      s"replace($acc, ' ' || (SELECT l FROM b$k) || ' ' || (SELECT r FROM b$k) || ' ', " +
+        s"' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ')"
+    }
+    val trainCtes = q153Sql.substring("WITH ".length, q153Sql.indexOf("\nSELECT * FROM"))
+    s"""WITH $trainCtes
+       |SELECT doc_id,
+       |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+       |  CAST(len(list_filter(string_split(trim($enc), ' '), x -> x <> '|')) AS INT)
+       |    AS n_bpe_tokens,
+       |  (CAST(len(list_filter(string_split(trim($enc), ' '), x -> x <> '|')) AS BIGINT)
+       |   * 1000000)
+       |    // CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |    AS compression_ppm
+       |FROM documents
+       |WHERE length(trim(text)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> q30TextStats _,
@@ -485,6 +542,7 @@ object TextOps {
     "q145_pack_blocks" -> q145PackBlocks _,
     "q148_repetition_filter" -> q148RepetitionFilter _,
     "q153_bpe_merges" -> q153BpeMerges _,
+    "q154_bpe_encode" -> q154BpeEncode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -497,5 +555,6 @@ object TextOps {
     "q145_pack_blocks" -> q145Sql,
     "q148_repetition_filter" -> q148Sql,
     "q153_bpe_merges" -> q153Sql,
+    "q154_bpe_encode" -> q154Sql,
   )
 }
