@@ -115,9 +115,16 @@ object Analytics {
   // Scale shape: fixed d·w·8-byte partials per partition, one reduce —
   // cardinality-independent, the mergeable-summary contract; the exact
   // side prunes to the 20 audited keys BEFORE its groupBy.
-  private val cmD = 4
-  private val cmW = 4096
-  private val cmAuditKeys: Seq[String] = (1 to 20).map(i => s"u$i")
+  private[graft] val cmD = 4
+  private[graft] val cmW = 4096
+  private[graft] val cmAuditKeys: Seq[String] = (1 to 20).map(i => s"u$i")
+  private[graft] val cmMixSql: String => String = c =>
+    s"(ascii(substr($c,1,1))*1009 + ascii(substr($c,2,1))*101" +
+      s" + ascii(substr($c,3,1))*11 + ascii(substr($c,4,1))) % $cmW"
+  /** The d bucket element_at indices (1-based, row-major) of `key`. */
+  private[graft] def cmIndices(key: String): Seq[Int] =
+    (0 until cmD).map(j =>
+      j * cmW + graft.functions.CountMinAgg.bucket(j, key, cmW) + 1)
 
   def q151CountMin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -125,8 +132,7 @@ object Analytics {
     val sketch = keyed.agg(
       graft.functions.CountMinAgg.count_min(col("key"), cmD, cmW).as("sk"))
     val qdf = cmAuditKeys.map { k =>
-      val idx = (0 until cmD).map(j =>
-        j * cmW + graft.functions.CountMinAgg.bucket(j, k, cmW) + 1)
+      val idx = cmIndices(k)
       (k, idx(0), idx(1), idx(2), idx(3))
     }.toDF("key", "i0", "i1", "i2", "i3")
     val est = qdf.crossJoin(broadcast(sketch))
@@ -144,9 +150,7 @@ object Analytics {
   }
 
   val q151Sql: String = {
-    val mix = (c: String) =>
-      s"(ascii(substr($c,1,1))*1009 + ascii(substr($c,2,1))*101" +
-        s" + ascii(substr($c,3,1))*11 + ascii(substr($c,4,1))) % $cmW"
+    val mix = cmMixSql
     s"""WITH keyed AS (
        |  SELECT CASE WHEN event_type = 'error' THEN 'u' || CAST(user_id AS VARCHAR)
        |              ELSE 'e' || CAST(event_id AS VARCHAR) END AS key

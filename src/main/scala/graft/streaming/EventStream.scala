@@ -925,6 +925,85 @@ object EventStream {
       |FROM tc JOIN rec USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  // ---- q155: count-min sketch INSIDE streaming state ----------------------
+  // The q151 custom sketch aggregate composed with the streaming engine:
+  // an hourly windowed aggregation whose per-window state is a
+  // CountMinAgg buffer — each micro-batch's partial sketch merges into
+  // the state-store copy through the aggregate's own merge() (elementwise
+  // add), exactly the mergeable-summary contract the streaming state
+  // machinery needs. After the run completes, the audit keys' estimates
+  // are served off the MATERIALIZED (window, sketch) table with
+  // driver-precomputed bucket indices (the q151 serve shape, gaining a
+  // window dimension). Oracle: rebuild every per-hour sketch from
+  // scratch in SQL (GROUP BY window × row × bucket) and read the same
+  // minima — deterministic because the sketch is order- and
+  // partitioning-invariant. Scale shape: per-window state is a FIXED
+  // d·w·8 bytes regardless of key cardinality — the sketch bounds
+  // streaming state where an exact per-key count table would grow with
+  // the key space (the q109 dropDuplicates concern, solved by sketching).
+  def q155StreamSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"stream_sketch_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val keyed = eventsStream(s, dir).select(col("ts"),
+      when(col("event_type") === "error", concat(lit("u"), col("user_id")))
+        .otherwise(concat(lit("e"), col("event_id"))).as("key"))
+    val q = keyed
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.CountMinAgg
+        .count_min(col("key"), graft.ops.Analytics.cmD, graft.ops.Analytics.cmW)
+        .as("sk"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"), col("sk"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val qdf = graft.ops.Analytics.cmAuditKeys.map { k =>
+      val idx = graft.ops.Analytics.cmIndices(k)
+      (k, idx(0), idx(1), idx(2), idx(3))
+    }.toDF("key", "i0", "i1", "i2", "i3")
+    s.table(name)
+      .crossJoin(broadcast(qdf))
+      .select(col("hour_start"), col("key"),
+        least(
+          element_at(col("sk"), col("i0")), element_at(col("sk"), col("i1")),
+          element_at(col("sk"), col("i2")), element_at(col("sk"), col("i3")))
+          .as("est"))
+      .orderBy("hour_start", "key")
+  }
+
+  val q155Sql: String = {
+    val mix = graft.ops.Analytics.cmMixSql
+    s"""WITH keyed AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       |    CASE WHEN event_type = 'error' THEN 'u' || CAST(user_id AS VARCHAR)
+       |         ELSE 'e' || CAST(event_id AS VARCHAR) END AS key
+       |  FROM events),
+       |qk AS (SELECT 'u' || CAST(r AS VARCHAR) AS key FROM range(1, 21) t(r)),
+       |kh AS (
+       |  SELECT hour_start, j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+       |  FROM keyed CROSS JOIN range(0, ${graft.ops.Analytics.cmD}) t(j)),
+       |bux AS (
+       |  SELECT hour_start, j, ${mix("h")} AS b, COUNT(*) AS c
+       |  FROM kh GROUP BY 1, 2, 3),
+       |qh AS (
+       |  SELECT key, j, md5(CAST(j AS VARCHAR) || ':' || key) AS h
+       |  FROM qk CROSS JOIN range(0, ${graft.ops.Analytics.cmD}) t(j)),
+       |qb AS (SELECT key, j, ${mix("h")} AS b FROM qh),
+       |est AS (
+       |  SELECT w.hour_start, qb.key, CAST(MIN(COALESCE(bux.c, 0)) AS BIGINT) AS est
+       |  FROM (SELECT DISTINCT hour_start FROM keyed) w
+       |  CROSS JOIN qb
+       |  LEFT JOIN bux ON bux.hour_start = w.hour_start
+       |    AND bux.j = qb.j AND bux.b = qb.b
+       |  GROUP BY w.hour_start, qb.key)
+       |SELECT hour_start, key, est FROM est
+       |ORDER BY hour_start, key""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -936,6 +1015,7 @@ object EventStream {
     "q132_transform_with_state" -> (q132TransformWithState _),
     "q138_session_timers" -> (q138SessionTimers _),
     "q142_state_primitives" -> (q142StatePrimitives _),
+    "q155_stream_sketch" -> (q155StreamSketch _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -951,5 +1031,6 @@ object EventStream {
     "q132_transform_with_state" -> q132Sql,
     "q138_session_timers" -> q138Sql,
     "q142_state_primitives" -> q142Sql,
+    "q155_stream_sketch" -> q155Sql,
   )
 }
