@@ -531,6 +531,56 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q156: deterministic epoch shuffle of training blocks ---------------
+  // The data-loader step after q145's packing: each training epoch reads
+  // the blocks in a different REPRODUCIBLE pseudo-random order (md5 of
+  // epoch:block — a pure function of the data, the q37 discipline, so
+  // any worker can recompute its read order with no coordination or
+  // stored permutation). Emitting explicit positions for a global
+  // permutation is the same scale problem as q145's global offsets — a
+  // naive `row_number() OVER (ORDER BY h)` is a one-partition sort of
+  // every block — so positions come from the same two-phase pattern:
+  // bucket by the first two hex chars of the hash (256 ordered buckets),
+  // count per bucket (tiny), prefix-sum the bucket bases, broadcast them
+  // back, and rank WITHIN buckets in parallel. Bucket-prefix order equals
+  // full-hash order, so positions are exactly the global permutation's.
+  private val shuffleEpochs = 2
+
+  def q156EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val blocks = q145PackBlocks(s, dir)
+      .groupBy("block_id").agg(count(lit(1)).as("n_docs"))
+    val perEpoch = (1 to shuffleEpochs).map { e =>
+      val b = blocks
+        .withColumn("h", md5(concat(lit(s"$e:"), col("block_id").cast("string"))
+          .cast("binary")))
+        .withColumn("bkt", expr("conv(substring(h, 1, 2), 16, 10)").cast("long"))
+      val base = b.groupBy("bkt").agg(count(lit(1)).as("n"))
+        .withColumn("base",
+          coalesce(sum("n").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select("bkt", "base")
+      b.join(broadcast(base), "bkt")
+        .withColumn("pos",
+          col("base") + row_number().over(
+            Window.partitionBy("bkt").orderBy("h", "block_id")))
+        .select(lit(e).as("epoch"), col("pos"), col("block_id"), col("n_docs"))
+    }
+    perEpoch.reduce(_.union(_)).orderBy("epoch", "pos")
+  }
+
+  val q156Sql: String =
+    s"""WITH blocks AS (
+       |  SELECT block_id, COUNT(*) AS n_docs
+       |  FROM ($q145Sql) span GROUP BY block_id)
+       |SELECT e AS epoch,
+       |  CAST(row_number() OVER (PARTITION BY e
+       |    ORDER BY md5(CAST(e AS VARCHAR) || ':' || CAST(block_id AS VARCHAR)),
+       |      block_id) AS BIGINT) AS pos,
+       |  block_id, n_docs
+       |FROM blocks CROSS JOIN (VALUES (1), (2)) ep(e)
+       |ORDER BY epoch, pos""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_text_stats" -> q30TextStats _,
@@ -543,6 +593,7 @@ object TextOps {
     "q148_repetition_filter" -> q148RepetitionFilter _,
     "q153_bpe_merges" -> q153BpeMerges _,
     "q154_bpe_encode" -> q154BpeEncode _,
+    "q156_epoch_shuffle" -> q156EpochShuffle _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -556,5 +607,6 @@ object TextOps {
     "q148_repetition_filter" -> q148Sql,
     "q153_bpe_merges" -> q153Sql,
     "q154_bpe_encode" -> q154Sql,
+    "q156_epoch_shuffle" -> q156Sql,
   )
 }

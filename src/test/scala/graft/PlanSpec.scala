@@ -458,6 +458,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q145 has a cartesian product")
   }
 
+  test("q156: permutation positions rank within hash buckets, never globally") {
+    // same scale claim as q145: the per-block rank windows PARTITIONED BY
+    // the hash-prefix bucket; bucket bases come back via broadcast join
+    val p = planOf("q156_epoch_shuffle")
+    assert("""windowspecdefinition\(bkt#""".r.findFirstIn(p).isDefined
+      || """\[bkt#\d+L?\], \[h#""".r.findFirstIn(p).isDefined,
+      "per-block rank must partition by the hash bucket")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket base offsets must broadcast back onto the blocks")
+    assert(!p.contains("CartesianProduct"), "q156 has a cartesian product")
+  }
+
   test("q152: BM25 top-20 is bounded; df and corpus stats broadcast") {
     val p = planOf("q152_bm25")
     assert(p.contains("TakeOrderedAndProject"),
