@@ -177,6 +177,114 @@ object Analytics {
        |ORDER BY key""".stripMargin
   }
 
+  // ---- q157: engine-exact HyperLogLog (registers + integral estimator) ---
+  // The distinct-count sketch graduated the way q151 graduated count-min:
+  // q34/q110 use engine-private hash seeds (rows-only by nature), while
+  // HllAgg's md5 bucket/rho walk evaluates identically in the JVM and in
+  // DuckDB SQL, so all 256 registers per group, the harmonic sum, AND the
+  // integer-division estimate hash-match an independent SQL
+  // reconstruction. The ALL row is built by register-wise max over the
+  // three group sketches — the q110 rollup discipline (merge kilobytes,
+  // never re-scan raw rows), now bit-exact. Estimator details (exact
+  // rational α, Σ2^(61−M_j) as an int64-shift sum, one integral DIV) in
+  // the HllAgg scaladoc. Fail-loud guard: the integral estimator is the
+  // NORMAL-range HLL path; if a sketch ever lands in linear-counting
+  // territory (est < 2.5m with empty registers — impossible at ≥1k keys
+  // per group) the query throws instead of silently estimating.
+  def q157HllExact(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAgg
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_orderkey").cast("string").as("k"))
+    val grouped = li.groupBy("flag")
+      .agg(HllAgg.hll_registers(col("k")).as("regs"),
+        count_distinct(col("k")).as("exact_keys"))
+      .localCheckpoint(true) // 3 rows; reused by the union AND the rollup
+    val allRegs = grouped
+      .select(posexplode(col("regs")).as(Seq("pos", "reg")))
+      .groupBy("pos").agg(max("reg").as("reg"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, reg))), x -> x.reg)")
+        .as("regs"))
+    val allExact = li.agg(count_distinct(col("k")).as("exact_keys"))
+    val all = allRegs.crossJoin(allExact)
+      .select(lit("ALL").as("flag"), col("regs"), col("exact_keys"))
+    val out = grouped.select(col("flag"), col("regs"), col("exact_keys"))
+      .unionByName(all)
+      .select(
+        col("flag"),
+        md5(expr("array_join(transform(regs, x -> CAST(x AS STRING)), ',')")
+          .cast("binary")).as("register_digest"),
+        expr("CAST(size(filter(regs, x -> x = 0)) AS BIGINT)").as("zero_regs"),
+        expr("aggregate(regs, CAST(0 AS DECIMAL(38,0)), (acc, x) -> " +
+          "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(61 - x AS INT)) AS DECIMAL(38,0)))")
+          .as("hsum"),
+        col("exact_keys"))
+      .withColumn("est_keys",
+        expr(s"CAST('${HllAgg.EstNumerator}' AS DECIMAL(38,0)) div " +
+          s"(CAST(${HllAgg.AlphaDen} AS DECIMAL(38,0)) * hsum)"))
+      .select(col("flag"), col("register_digest"), col("zero_regs"),
+        col("hsum").cast("string").as("harmonic_sum"),
+        col("est_keys"), col("exact_keys"))
+      .orderBy("flag")
+      .localCheckpoint(true) // guard below must not re-run the scan
+    val inLinearRange = out
+      .filter(col("zero_regs") > 0 && col("est_keys") * 2 < lit(5L * HllAgg.M))
+      .count()
+    require(inLinearRange == 0,
+      s"q157: $inLinearRange sketch(es) in HLL linear-counting range " +
+        "(est < 2.5m with empty registers) — the exact integral estimator " +
+        "is only defined in the normal range")
+    out
+  }
+
+  /** ascii-decode of one lowercase-hex char — identical in both engines. */
+  private def hexVal(e: String): String =
+    s"(ascii($e) - CASE WHEN ascii($e) <= 57 THEN 48 ELSE 87 END)"
+
+  val q157Sql: String = {
+    import graft.functions.HllAgg
+    val lt = "ltrim(substr(h, 3, 15), '0')"
+    s"""WITH keys AS (
+       |  SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS k
+       |  FROM lineitem GROUP BY 1, 2),
+       |hx AS (SELECT flag, md5(k) AS h FROM keys),
+       |br AS (
+       |  SELECT flag,
+       |    16 * ${hexVal("substr(h, 1, 1)")} + ${hexVal("substr(h, 2, 1)")} AS bucket,
+       |    CASE WHEN $lt = '' THEN 61
+       |         ELSE 4 * (15 - length($lt)) + 5
+       |              - length(bin(${hexVal(s"substr($lt, 1, 1)")}))
+       |    END AS rho
+       |  FROM hx),
+       |flags AS (SELECT DISTINCT flag FROM keys UNION ALL SELECT 'ALL'),
+       |obs AS (
+       |  SELECT flag, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'ALL', bucket, MAX(rho) FROM br GROUP BY 2),
+       |regs AS (
+       |  SELECT f.flag, b.bucket, COALESCE(o.rho, 0) AS reg
+       |  FROM flags f
+       |  CROSS JOIN (SELECT range AS bucket FROM range(${HllAgg.M})) b
+       |  LEFT JOIN obs o ON o.flag = f.flag AND o.bucket = b.bucket),
+       |fin AS (
+       |  SELECT flag,
+       |    md5(string_agg(CAST(reg AS VARCHAR), ',' ORDER BY bucket)) AS register_digest,
+       |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs,
+       |    SUM(CAST(1 AS BIGINT) << CAST(61 - reg AS INT)) AS hs
+       |  FROM regs GROUP BY 1),
+       |ex AS (
+       |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS exact_keys FROM keys GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', COUNT(DISTINCT k) FROM keys)
+       |SELECT fin.flag, fin.register_digest, fin.zero_regs,
+       |  CAST(fin.hs AS VARCHAR) AS harmonic_sum,
+       |  CAST(CAST('${HllAgg.EstNumerator}' AS HUGEINT)
+       |       // (${HllAgg.AlphaDen} * fin.hs) AS BIGINT) AS est_keys,
+       |  ex.exact_keys
+       |FROM fin JOIN ex USING (flag)
+       |ORDER BY flag""".stripMargin
+  }
+
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
   // postings, the tiny query-term set applied as an `IN` filter BEFORE any
@@ -967,6 +1075,7 @@ object Analytics {
     "q150_label_prop" -> q150LabelProp _,
     "q151_count_min" -> q151CountMin _,
     "q152_bm25" -> q152Bm25 _,
+    "q157_hll_exact" -> q157HllExact _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -990,6 +1099,7 @@ object Analytics {
     "q120_skew_profile" -> q120Sql,
     "q151_count_min" -> q151Sql,
     "q152_bm25" -> q152Sql,
+    "q157_hll_exact" -> q157Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

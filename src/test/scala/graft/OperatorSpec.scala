@@ -862,6 +862,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q157: HLL registers are merge- and multiplicity-invariant; " +
+      "rollup ≡ direct; estimator within 3σ") {
+    import graft.functions.HllAgg
+    import graft.functions.HllAgg.hll_registers
+    val keys = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").cast("string").as("k"))
+    val one = keys.repartition(1).agg(hll_registers(col("k")).as("r"))
+      .collect().head.getSeq[Long](0)
+    val many = keys.repartition(32).agg(hll_registers(col("k")).as("r"))
+      .collect().head.getSeq[Long](0)
+    assert(one == many, "sketch must not depend on partitioning/merge order")
+    val dedup = keys.distinct().agg(hll_registers(col("k")).as("r"))
+      .collect().head.getSeq[Long](0)
+    assert(dedup == one, "register max must absorb duplicate keys")
+
+    // JVM bucket/rho agrees with an independent hex-string re-derivation
+    // (the same walk the DuckDB oracle performs)
+    def refBucketRho(key: String): (Int, Long) = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(h.substring(0, 2), 16)
+      val lt = h.substring(2, 17).dropWhile(_ == '0')
+      if (lt.isEmpty) (b, HllAgg.RhoCap)
+      else {
+        val v = Integer.parseInt(lt.substring(0, 1), 16)
+        (b, 4L * (15 - lt.length) + 5L - (32 - Integer.numberOfLeadingZeros(v)))
+      }
+    }
+    for (k <- Seq("0", "1", "42", "6000", "graft", "", "éclair"))
+      assert(HllAgg.bucketRho(k) == refBucketRho(k), s"bucket/rho differ for '$k'")
+
+    // the ALL row is the register-wise-max rollup of the group sketches —
+    // it must equal the sketch built directly over the ungrouped keys
+    val out = ops.Analytics.q157HllExact(spark, sf).collect()
+    val directDigest = {
+      val joined = keys.agg(hll_registers(col("k")).as("r"))
+        .collect().head.getSeq[Long](0).mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val allRow = out.find(_.getString(0) == "ALL").get
+    assert(allRow.getString(1) == directDigest,
+      "ALL rollup digest must equal the direct ungrouped sketch")
+    out.foreach { r =>
+      val (est, exact) = (r.getLong(4), r.getLong(5))
+      assert(math.abs(est - exact) * 5 <= exact,
+        s"${r.getString(0)}: est $est vs exact $exact — outside 20% (3σ at m=256)")
+    }
+  }
+
   test("q150: LPA communities strictly refine the connected components") {
     // the differentiation claim: labels never cross an island boundary
     // (a community is contained in one component), and LPA finds MORE
