@@ -1004,6 +1004,59 @@ object EventStream {
        |ORDER BY hour_start, key""".stripMargin
   }
 
+  // ---- q158: stream-static broadcast enrichment join ----------------------
+  // The remaining Structured Streaming join shape: a STREAM joined to a
+  // STATIC dimension (q75 covers stream-stream). The static side —
+  // customer ⋈ nation, pre-collapsed to (user_id, n_name) — is a bounded
+  // relation: it needs no watermark and holds no join state; Spark
+  // broadcasts it to every task of every micro-batch. The enriched stream
+  // then runs the canonical watermark + tumbling-window aggregation per
+  // (hour, nation). Scale shape: the 100 TB event stream shuffles ONCE
+  // (the window agg); the dimension rides the broadcast — the classic
+  // star-schema discipline (q4) carried into the streaming runtime, and
+  // the broadcast is asserted on the STREAMING physical plan in
+  // StreamingSpec (stream side of a stream-static join must never
+  // shuffle for the join).
+  def q158StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val dim = graft.Tables.t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(graft.Tables.t(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("user_id"), col("n_name"))
+    val q = eventsStream(s, dir)
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("n_name"), col("n_events"), col("total_value"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    lastStreamStaticPlan =
+      org.apache.spark.sql.graftshim.lastStreamingPlan(q)
+    s.table(name).orderBy("hour_start", "n_name")
+  }
+
+  /** Micro-batch physical plan of the last q158 run, for the
+    * StreamingSpec broadcast lock.
+    */
+  @volatile private[graft] var lastStreamStaticPlan: String = ""
+
+  val q158Sql: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+       |  n.n_name, COUNT(*) AS n_events, ${sqlDsum("e.value")} AS total_value
+       |FROM events e
+       |JOIN customer c ON e.user_id = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1, 2
+       |ORDER BY hour_start, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -1016,6 +1069,7 @@ object EventStream {
     "q138_session_timers" -> (q138SessionTimers _),
     "q142_state_primitives" -> (q142StatePrimitives _),
     "q155_stream_sketch" -> (q155StreamSketch _),
+    "q158_stream_static_join" -> (q158StreamStaticJoin _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1032,5 +1086,6 @@ object EventStream {
     "q138_session_timers" -> q138Sql,
     "q142_state_primitives" -> q142Sql,
     "q155_stream_sketch" -> q155Sql,
+    "q158_stream_static_join" -> q158Sql,
   )
 }

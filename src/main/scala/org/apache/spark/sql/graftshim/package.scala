@@ -25,6 +25,14 @@ package object graftshim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Physical plan of a streaming query's last completed micro-batch —
+    * lets StreamingSpec lock streaming join/state strategies the way
+    * PlanSpec locks batch plans.
+    */
+  def lastStreamingPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+
   /** Register a builder under `name` in the session's function registry so
     * the expression is callable from SQL text as well.
     */

@@ -303,4 +303,18 @@ class StreamingSpec extends SparkSpec {
       s"streamed=${streamed.count()} batch=${batch.count()}")
     assert(streamed.count() > 0)
   }
+
+  test("q158: stream-static join broadcasts the dimension in the micro-batch plan") {
+    // the static side of a stream-static join must ride a broadcast —
+    // never shuffle the stream for an enrichment join (the q4 star-join
+    // discipline inside the streaming runtime). Locked on the ACTUAL
+    // micro-batch physical plan of the q158 run, not a batch twin.
+    val out = EventStream.q158StreamStaticJoin(spark, sf)
+    assert(out.count() > 0)
+    val plan = EventStream.lastStreamStaticPlan
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stream-static join did not broadcast the dimension:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"stream-static join fell back to a stream-side shuffle join:\n$plan")
+  }
 }
