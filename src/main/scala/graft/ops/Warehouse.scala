@@ -361,6 +361,130 @@ object Warehouse {
        |ORDER BY col""".stripMargin
   }
 
+  // ---- q159: Merkle range-digest tree diff (anti-entropy table sync) ------
+  // The primitive that lets two 100 TB replicas agree on WHICH key ranges
+  // differ while exchanging only kilobytes of digests: doc_id space is
+  // range-bucketed into 256 leaves (width = (max_id div 256)+1, a scalar
+  // derived identically by both engines), each leaf's digest is the md5 of
+  // its rows' fingerprints in key order, and parents hash their two
+  // children up to a single root — 511 digests per replica. Sync walks the
+  // trees root-down and descends ONLY into differing subtrees, so the
+  // transcript is O(changed leaves × depth), not O(rows); the emitted
+  // leaf rows carry the exact [lo_doc, hi_doc] ranges to re-transfer —
+  // the Dynamo/Cassandra anti-entropy shape over Spark relations. The
+  // compared replica (snapV2) differs sparsely (~1% of docs re-crawled
+  // with n_chars+1, a handful deleted), so differing nodes are a thin
+  // root-to-leaf spine, not the whole tree (spec-pinned: the differing
+  // set is ancestor-closed and leaf count is bounded by changed docs;
+  // self-diff is empty). Empty leaves digest to a sentinel so the spine
+  // is total on both sides. Scale shape: one shuffle per tree level with
+  // level n+1 built from level n's 2× smaller relation; row fingerprints
+  // partial-aggregate per leaf, and the 8 upper levels are kilobyte
+  // relations.
+  private[graft] val merkleLeaves = 256
+  private[graft] val merkleDepth = 8 // log2(merkleLeaves)
+
+  /** The divergent replica: doc_id % 499 = 7 lost, % 97 = 13 re-crawled. */
+  private[graft] def snapV2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 499 =!= 7)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 97 === 13, col("n_chars") + 1)
+          .otherwise(col("n_chars")).as("n_chars"))
+
+  private val snapV2Sql =
+    """SELECT doc_id, lang, source,
+      |  CASE WHEN doc_id % 97 = 13 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |FROM documents WHERE doc_id % 499 <> 7""".stripMargin
+
+  /** Leaf width so every doc_id lands in [0, merkleLeaves). */
+  private[graft] def merkleWidth(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(expr(s"max(doc_id) div $merkleLeaves + 1").as("w"))
+
+  /** All 511 (level, idx, digest) nodes of one replica's Merkle tree;
+    * level `merkleDepth` = leaves, level 0 = root.
+    */
+  private[graft] def merkleNodes(
+      s: SparkSession, snap: DataFrame, widthDf: DataFrame): DataFrame = {
+    val observed = snap.crossJoin(broadcast(widthDf))
+      .select(expr("doc_id div w").as("idx"), col("doc_id"),
+        md5(concat_ws("\u0001", col("doc_id"), col("lang"), col("source"),
+          col("n_chars")).cast("binary")).as("rd"))
+      .groupBy("idx")
+      .agg(md5(expr(
+        "array_join(transform(sort_array(collect_list(struct(doc_id, rd))), x -> x.rd), ',')")
+        .cast("binary")).as("digest"))
+    var lvl = s.range(merkleLeaves).select(col("id").as("idx"))
+      .join(observed, Seq("idx"), "left")
+      .select(col("idx"), coalesce(col("digest"), lit("empty")).as("digest"))
+    var acc = lvl.withColumn("level", lit(merkleDepth))
+    for (l <- (merkleDepth - 1) to 0 by -1) {
+      lvl = lvl.groupBy(expr("idx div 2").as("idx"))
+        .agg(md5(expr(
+          "array_join(transform(sort_array(collect_list(struct(idx, digest))), x -> x.digest), ',')")
+          .cast("binary")).as("digest"))
+      acc = acc.unionByName(lvl.withColumn("level", lit(l)))
+    }
+    acc
+  }
+
+  def q159MerkleSync(s: SparkSession, dir: String): DataFrame = {
+    val widthDf = merkleWidth(s, dir)
+    val v1 = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val a = merkleNodes(s, v1, widthDf).as("a")
+    val b = merkleNodes(s, snapV2(s, dir), widthDf).as("b")
+    a.join(b, col("a.level") === col("b.level") && col("a.idx") === col("b.idx"))
+      .filter(col("a.digest") =!= col("b.digest"))
+      .select(col("a.level").as("level"), col("a.idx").as("idx"),
+        col("a.digest").as("v1_digest"), col("b.digest").as("v2_digest"))
+      .crossJoin(broadcast(widthDf))
+      .select(col("level"), col("idx"),
+        expr(s"idx * shiftleft(w, $merkleDepth - level)").as("lo_doc"),
+        expr(s"(idx + 1) * shiftleft(w, $merkleDepth - level) - 1").as("hi_doc"),
+        col("v1_digest"), col("v2_digest"))
+      .orderBy("level", "idx")
+  }
+
+  val q159Sql: String = {
+    def tree(src: String, tag: String): String = {
+      val leaves =
+        s"""r$tag AS (
+           |  SELECT doc_id // (SELECT w FROM wq) AS idx, doc_id,
+           |    md5(concat_ws(chr(1), doc_id, lang, source, n_chars)) AS rd
+           |  FROM $src),
+           |o$tag AS (
+           |  SELECT idx, md5(string_agg(rd, ',' ORDER BY doc_id)) AS digest
+           |  FROM r$tag GROUP BY idx),
+           |s${tag}_$merkleDepth AS (
+           |  SELECT b.bucket AS idx, COALESCE(o$tag.digest, 'empty') AS digest
+           |  FROM (SELECT range AS bucket FROM range($merkleLeaves)) b
+           |  LEFT JOIN o$tag ON o$tag.idx = b.bucket)""".stripMargin
+      val ups = ((merkleDepth - 1) to 0 by -1).map { l =>
+        s"""s${tag}_$l AS (
+           |  SELECT idx // 2 AS idx, md5(string_agg(digest, ',' ORDER BY idx)) AS digest
+           |  FROM s${tag}_${l + 1} GROUP BY 1)""".stripMargin
+      }
+      val union = (merkleDepth to 0 by -1)
+        .map(l => s"SELECT $l AS level, idx, digest FROM s${tag}_$l")
+        .mkString(s"n$tag AS (\n", "\nUNION ALL\n", ")")
+      (leaves +: ups :+ union).mkString(",\n")
+    }
+    s"""WITH wq AS (SELECT (max(doc_id) // $merkleLeaves) + 1 AS w FROM documents),
+       |v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+       |v2 AS ($snapV2Sql),
+       |${tree("v1", "a")},
+       |${tree("v2", "b")}
+       |SELECT na.level, na.idx,
+       |  na.idx * ((SELECT w FROM wq) << ($merkleDepth - na.level)) AS lo_doc,
+       |  (na.idx + 1) * ((SELECT w FROM wq) << ($merkleDepth - na.level)) - 1 AS hi_doc,
+       |  na.digest AS v1_digest, nb.digest AS v2_digest
+       |FROM na JOIN nb ON na.level = nb.level AND na.idx = nb.idx
+       |WHERE na.digest <> nb.digest
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
@@ -369,6 +493,7 @@ object Warehouse {
     "q130_snapshot_diff" -> q130SnapshotDiff _,
     "q131_incremental_view" -> q131IncrementalView _,
     "q133_stats_drift" -> q133StatsDrift _,
+    "q159_merkle_sync" -> q159MerkleSync _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -378,5 +503,6 @@ object Warehouse {
     "q130_snapshot_diff" -> q130Sql,
     "q131_incremental_view" -> q131Sql,
     "q133_stats_drift" -> q133Sql,
+    "q159_merkle_sync" -> q159Sql,
   )
 }

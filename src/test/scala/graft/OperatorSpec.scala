@@ -912,6 +912,37 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q159: Merkle diff is ancestor-closed, sparse, and build-stable") {
+    val widthDf = ops.Warehouse.merkleWidth(spark, sf)
+    val v1 = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // two independent builds must agree digest-for-digest (collect_list
+    // order is pinned by sort_array) — equivalently, a self-diff is empty
+    def treeMap() = ops.Warehouse.merkleNodes(spark, v1, widthDf).collect()
+      .map(r => (r.getInt(2), r.getLong(0)) -> r.getString(1)).toMap
+    val t1 = treeMap()
+    assert(t1 == treeMap(), "rebuild produced different digests")
+    assert(t1.size == 2 * ops.Warehouse.merkleLeaves - 1, "511-node tree")
+
+    val diff = ops.Warehouse.q159MerkleSync(spark, sf).collect()
+    val nodes = diff.map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(nodes.contains((0, 0L)), "replicas differ, so the root must differ")
+    nodes.filter(_._1 > 0).foreach { case (l, i) =>
+      assert(nodes.contains((l - 1, i / 2)),
+        s"node ($l,$i) differs but its parent doesn't — descent would miss it")
+    }
+    // the differing leaves cover exactly the changed keys, and there are
+    // no more of them than changed docs (the sparsity claim)
+    val w = widthDf.collect().head.getLong(0)
+    val changed = Tables.t(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).filter(id => id % 499 == 7 || id % 97 == 13)
+    val leafIdx = nodes.filter(_._1 == ops.Warehouse.merkleDepth).map(_._2)
+    changed.foreach(id => assert(leafIdx.contains(id / w),
+      s"changed doc $id not covered by any differing leaf"))
+    assert(leafIdx.size <= changed.length && changed.nonEmpty,
+      s"${leafIdx.size} differing leaves for ${changed.length} changed docs")
+  }
+
   test("q150: LPA communities strictly refine the connected components") {
     // the differentiation claim: labels never cross an island boundary
     // (a community is contained in one component), and LPA finds MORE
