@@ -285,6 +285,77 @@ object Analytics {
        |ORDER BY flag""".stripMargin
   }
 
+  // ---- q160: per-group OLS trend in exact rational arithmetic -------------
+  // Grouped least-squares — the "is this metric trending?" primitive of
+  // monitoring and curriculum scheduling — computed entirely in int64/
+  // decimal: per nation, monthly revenue cents regressed on the month
+  // index. The normal-equation slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) ships as
+  // the exact integer pair (slope_num, slope_den) plus a sign and a
+  // truncated |slope| in ppm — one integral DIV of nonnegatives, which
+  // floors identically in both engines (negative integral division does
+  // NOT: Spark truncates toward zero, DuckDB floors — the sign/abs split
+  // exists precisely to stay off that edge). x is re-based per group
+  // (midx − min(midx) via a window on the SAME key as the final groupBy —
+  // one shuffle serves both), keeping every moment far from int64 range
+  // even at 1000× the data. Scale shape: the month rollup partial-aggs
+  // before its shuffle; the per-group moment agg reuses the window's
+  // partitioning; nation is a broadcast.
+  def q160OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("midx"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("n_name", "midx")
+      .agg(sum("cents").as("y"))
+    val w = Window.partitionBy("n_name")
+    monthly.withColumn("x", col("midx") - min("midx").over(w))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_months"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_name"), col("n_months"),
+        (col("n_months") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_months") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_sign",
+        when(col("slope_num") > 0, 1).when(col("slope_num") < 0, -1)
+          .otherwise(0))
+      .withColumn("abs_slope_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(slope_num)) div " +
+          "CAST(slope_den AS DECIMAL(38,0)) AS BIGINT)"))
+      .orderBy("n_name")
+  }
+
+  val q160Sql: String =
+    """WITH monthly AS (
+      |  SELECT n.n_name, year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |pts AS (
+      |  SELECT n_name, midx - MIN(midx) OVER (PARTITION BY n_name) AS x, y
+      |  FROM monthly),
+      |agg AS (
+      |  SELECT n_name, COUNT(*) AS n_months,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT n_name, n_months,
+      |  n_months * sxy - sx * sy AS slope_num,
+      |  n_months * sxx - sx * sx AS slope_den,
+      |  CASE WHEN n_months * sxy - sx * sy > 0 THEN 1
+      |       WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS slope_sign,
+      |  CAST((CAST(1000000 AS HUGEINT) * abs(n_months * sxy - sx * sy))
+      |       // (n_months * sxx - sx * sx) AS BIGINT) AS abs_slope_ppm
+      |FROM agg
+      |ORDER BY n_name""".stripMargin
+
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
   // postings, the tiny query-term set applied as an `IN` filter BEFORE any
@@ -1076,6 +1147,7 @@ object Analytics {
     "q151_count_min" -> q151CountMin _,
     "q152_bm25" -> q152Bm25 _,
     "q157_hll_exact" -> q157HllExact _,
+    "q160_ols_trend" -> q160OlsTrend _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -1100,6 +1172,7 @@ object Analytics {
     "q151_count_min" -> q151Sql,
     "q152_bm25" -> q152Sql,
     "q157_hll_exact" -> q157Sql,
+    "q160_ols_trend" -> q160Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

@@ -912,6 +912,36 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q160: OLS slope matches a plain-BigInt reference fit, group by group") {
+    val monthly = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables.t(spark, sf, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("midx"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("n_name", "midx").agg(sum("cents").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = monthly.groupBy(_._1).map { case (nation, rows) =>
+      val mn = rows.map(_._2).min
+      val pts = rows.map(t => (BigInt(t._2 - mn), BigInt(t._3)))
+      val n = BigInt(pts.size)
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      nation -> (n * sxy - sx * sy, n * sxx - sx * sx)
+    }
+    val got = ops.Analytics.q160OlsTrend(spark, sf).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val (num, den) = ref(r.getString(0))
+      assert(BigInt(r.getLong(2)) == num && BigInt(r.getLong(3)) == den,
+        s"${r.getString(0)}: moments differ from reference")
+      assert(r.getInt(4) == num.signum, s"${r.getString(0)}: sign")
+      assert(BigInt(r.getLong(5)) == (BigInt(1000000) * num.abs) / den,
+        s"${r.getString(0)}: ppm magnitude")
+    }
+  }
+
   test("q159: Merkle diff is ancestor-closed, sparse, and build-stable") {
     val widthDf = ops.Warehouse.merkleWidth(spark, sf)
     val v1 = Tables.t(spark, sf, "documents")
