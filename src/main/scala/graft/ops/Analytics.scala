@@ -356,6 +356,58 @@ object Analytics {
       |FROM agg
       |ORDER BY n_name""".stripMargin
 
+  // ---- q161: skyline / Pareto frontier (two-phase sharded sweep) ----------
+  // The multi-objective "best parts" operator relational algebra lacks:
+  // rows not dominated on (price minimize, size maximize). Spark has no
+  // skyline primitive, and the textbook window formulation — one global
+  // sort by price with a running size max — is a single-partition window
+  // over the whole table. Instead the standard distributed decomposition:
+  // phase 1 runs the 2-D sweep per SHARD (dominated-in-shard ⇒
+  // dominated-globally, so drops are safe); phase 2 re-runs the same
+  // sweep over the union of shard frontiers, a candidate set that is
+  // O(frontier × shards), not O(rows) — the q145/q156 two-phase shape
+  // applied to dominance instead of prefix sums (plan-locked: the only
+  // window over the scan partitions by shard). Sweep rule per shard, in
+  // (price asc) RANGE frames: a row survives iff no strictly-cheaper row
+  // reaches its size (running max over prices < p) and it carries the max
+  // size among its exact price peers — equal (price, size) duplicates are
+  // mutually non-dominating and all survive. Exact cents/int64 only; the
+  // oracle is an independent NOT EXISTS dominance formulation.
+  private def paretoSweep(df: DataFrame, shard: Seq[String]): DataFrame = {
+    val w1 = Window.partitionBy(shard.map(col): _*).orderBy("price_cents")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val w2 = Window.partitionBy((shard :+ "price_cents").map(col): _*)
+    df.withColumn("m1", max("p_size").over(w1))
+      .withColumn("m2", max("p_size").over(w2))
+      .filter((col("m1").isNull || col("m1") < col("p_size"))
+        && col("p_size") === col("m2"))
+      .drop("m1", "m2")
+  }
+
+  def q161Skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "part").select(
+      col("p_partkey"),
+      expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("price_cents"),
+      col("p_size").cast("long").as("p_size"))
+    val candidates = paretoSweep(
+      pts.withColumn("shard", pmod(col("p_partkey"), lit(16))), Seq("shard"))
+      .drop("shard")
+    paretoSweep(candidates, Nil).orderBy("p_partkey")
+  }
+
+  val q161Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS p_size
+      |  FROM part)
+      |SELECT b.p_partkey, b.price_cents, b.p_size
+      |FROM p b
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p a
+      |  WHERE a.price_cents <= b.price_cents AND a.p_size >= b.p_size
+      |    AND (a.price_cents < b.price_cents OR a.p_size > b.p_size))
+      |ORDER BY b.p_partkey""".stripMargin
+
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
   // postings, the tiny query-term set applied as an `IN` filter BEFORE any
@@ -1148,6 +1200,7 @@ object Analytics {
     "q152_bm25" -> q152Bm25 _,
     "q157_hll_exact" -> q157HllExact _,
     "q160_ols_trend" -> q160OlsTrend _,
+    "q161_skyline" -> q161Skyline _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -1173,6 +1226,7 @@ object Analytics {
     "q152_bm25" -> q152Sql,
     "q157_hll_exact" -> q157Sql,
     "q160_ols_trend" -> q160Sql,
+    "q161_skyline" -> q161Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

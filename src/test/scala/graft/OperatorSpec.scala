@@ -942,6 +942,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q161: skyline equals brute-force dominance; two-phase ≡ one global sweep") {
+    val got = ops.Analytics.q161Skyline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Tables.t(spark, sf, "part").select(
+        col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 >= b._3 && (a._2 < b._2 || a._3 > b._3)
+    val ref = all.filter(b => !all.exists(a => dominates(a, b)))
+    assert(got.toSet == ref.toSet && got.length == ref.length,
+      s"skyline ${got.length} rows vs brute-force ${ref.length}")
+    // every dropped row is witnessed dominated by some frontier row
+    val frontier = got.toSet
+    all.filterNot(frontier).foreach { b =>
+      assert(got.exists(a => dominates(a, b)),
+        s"$b dropped but no frontier row dominates it")
+    }
+  }
+
   test("q159: Merkle diff is ancestor-closed, sparse, and build-stable") {
     val widthDf = ops.Warehouse.merkleWidth(spark, sf)
     val v1 = Tables.t(spark, sf, "documents")

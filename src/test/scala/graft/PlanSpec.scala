@@ -470,6 +470,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q156 has a cartesian product")
   }
 
+  test("q161: the skyline sweep over the scan partitions by shard") {
+    // phase 1's dominance sweep must run per shard (parallel); only the
+    // phase-2 re-sweep over the shard frontiers — a candidate set sized
+    // O(frontier × shards), not O(rows) — may use an unpartitioned window
+    val p = planOf("q161_skyline")
+    assert("""windowspecdefinition\(shard#""".r.findFirstIn(p).isDefined,
+      "phase-1 sweep must partition by shard")
+    assert("""\[shard#\d+""".r.findFirstIn(belowWindowExec(p, first = false))
+      .isDefined || belowWindowExec(p, first = false).contains("Scan parquet"),
+      "the window adjacent to the scan must be the sharded one")
+    assert(!p.contains("CartesianProduct"), "q161 has a cartesian product")
+  }
+
   test("q152: BM25 top-20 is bounded; df and corpus stats broadcast") {
     val p = planOf("q152_bm25")
     assert(p.contains("TakeOrderedAndProject"),
