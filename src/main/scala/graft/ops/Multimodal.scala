@@ -23,6 +23,18 @@ case class DecodedMedia(
     first_g: Int,
     first_b: Int)
 
+/** Decoded WAV metadata + int64 audio features (q162). */
+case class DecodedWav(
+    doc_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    n_channels: Int,
+    sample_rate: Int,
+    n_frames: Long,
+    energy: Long,
+    zero_crossings: Long,
+    peak_abs: Long)
+
 /** Decoded PNG chunk-walk metadata produced by the q147 header parser. */
 case class DecodedPng(
     doc_id: Long,
@@ -390,6 +402,192 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q162: WAV/RIFF chunk walk + int-domain audio features --------------
+  // The audio leg of the multimodal envelope (PPM q71 = raster, PNG q147 =
+  // chunked image): genuine little-endian RIFF bytes — RIFF size header,
+  // "WAVE" form, a 16-byte PCM "fmt " chunk, an unknown odd-length "note"
+  // chunk (so the walker must implement REAL RIFF even-byte padding and
+  // skip-unknown semantics), and an interleaved 16-bit PCM "data" chunk.
+  // The decoder validates every structural invariant loudly (magic, size
+  // field vs buffer, fmt-before-data, byteRate/blockAlign consistency,
+  // frame alignment, trailing bytes) and then computes the features a
+  // training pipeline actually extracts — total energy Σs², channel-0
+  // zero crossings, peak amplitude — entirely in int64. The oracle never
+  // parses bytes: it PREDICTS every field and feature from the generation
+  // parameters in SQL (the q147 discipline), so encoder, decoder, and
+  // feature math are checked against an independent formulation.
+  // Scale shape: one mapPartitions pass, no shuffle; payloads stay inside
+  // their partition (the codec-envelope batching contract).
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+    id.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32(data.length.toLong) ++ data ++ pad
+  }
+
+  /** Deterministic sample: channel `ch` of frame `i` of doc `docId`. */
+  private def wavSample(docId: Long, i: Int, ch: Int): Int =
+    (((docId * 31 + i * 17 + ch * 7) % 4001) - 2000).toInt
+
+  private[graft] def encodeWav(docId: Long, nChars: Long): Array[Byte] = {
+    val channels = 1 + (docId % 2).toInt
+    val rate = 8000 + 1000 * (nChars % 5).toInt
+    val frames = 32 + (nChars % 64).toInt
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate.toLong) ++
+      le32(rate.toLong * channels * 2) ++ le16(channels * 2) ++ le16(16)
+    val note = ("doc" + docId.toString)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val data = new Array[Byte](frames * channels * 2)
+    var k = 0
+    for (i <- 0 until frames; ch <- 0 until channels) {
+      val s = wavSample(docId, i, ch)
+      data(k) = (s & 0xff).toByte
+      data(k + 1) = ((s >> 8) & 0xff).toByte
+      k += 2
+    }
+    val body = "WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      riffChunk("fmt ", fmt) ++ riffChunk("note", note) ++ riffChunk("data", data)
+    "RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      le32(body.length.toLong) ++ body
+  }
+
+  /** REAL RIFF walker: validates RIFF/WAVE magics and the container size
+    * field, walks little-endian length-typed chunks with even-byte
+    * padding, skips unknown chunks, requires exactly one PCM "fmt "
+    * (format 1, 16-bit, consistent byteRate/blockAlign) BEFORE exactly
+    * one frame-aligned "data", then decodes interleaved int16 samples and
+    * computes int64 features. Any malformed byte fails loudly with the
+    * doc id and offset.
+    */
+  def decodeWav(m: MediaRow): DecodedWav = {
+    val b = m.payload
+    def ascii(at: Int) =
+      new String(b, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def rdLe32(at: Int): Long =
+      (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+        ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+    def rdLe16(at: Int): Int = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    require(b.length >= 12 && ascii(0) == "RIFF" && ascii(8) == "WAVE",
+      s"doc ${m.doc_id}: payload is not RIFF/WAVE")
+    require(rdLe32(4) == b.length - 8,
+      s"doc ${m.doc_id}: RIFF size field ${rdLe32(4)} != ${b.length - 8}")
+    var i = 12
+    var fmtAt = -1
+    var dataAt = -1
+    var dataLen = -1
+    while (i < b.length) {
+      require(b.length - i >= 8,
+        s"doc ${m.doc_id}: truncated chunk header at offset $i")
+      val id = ascii(i)
+      val len = rdLe32(i + 4)
+      require(len <= b.length - i - 8,
+        s"doc ${m.doc_id}: chunk $id length $len overruns payload at offset $i")
+      id match {
+        case "fmt " =>
+          require(fmtAt < 0, s"doc ${m.doc_id}: duplicate fmt chunk")
+          require(dataAt < 0, s"doc ${m.doc_id}: fmt chunk after data")
+          require(len == 16, s"doc ${m.doc_id}: fmt length $len != 16")
+          fmtAt = i + 8
+        case "data" =>
+          require(dataAt < 0, s"doc ${m.doc_id}: duplicate data chunk")
+          require(fmtAt >= 0, s"doc ${m.doc_id}: data chunk before fmt")
+          dataAt = i + 8
+          dataLen = len.toInt
+        case _ => () // unknown chunk: skip (the RIFF contract)
+      }
+      i += 8 + len.toInt + (len % 2).toInt // even-byte padding
+    }
+    require(i == b.length, s"doc ${m.doc_id}: trailing bytes after last chunk")
+    require(fmtAt >= 0 && dataAt >= 0, s"doc ${m.doc_id}: missing fmt or data")
+    val audioFormat = rdLe16(fmtAt)
+    val channels = rdLe16(fmtAt + 2)
+    val rate = rdLe32(fmtAt + 4)
+    val byteRate = rdLe32(fmtAt + 8)
+    val blockAlign = rdLe16(fmtAt + 12)
+    val bits = rdLe16(fmtAt + 14)
+    require(audioFormat == 1 && bits == 16,
+      s"doc ${m.doc_id}: not 16-bit PCM (format $audioFormat, $bits bits)")
+    require(channels >= 1 && blockAlign == channels * 2
+        && byteRate == rate * channels * 2,
+      s"doc ${m.doc_id}: inconsistent fmt ($channels ch, align $blockAlign, " +
+        s"byteRate $byteRate at rate $rate)")
+    require(dataLen % blockAlign == 0,
+      s"doc ${m.doc_id}: data length $dataLen not frame-aligned")
+    val frames = dataLen / blockAlign
+    var energy = 0L
+    var peak = 0L
+    var zc = 0L
+    var prevNeg = false
+    for (f <- 0 until frames; ch <- 0 until channels) {
+      val raw = rdLe16(dataAt + (f * channels + ch) * 2)
+      val s = (raw << 16) >> 16 // sign-extend int16
+      energy += s.toLong * s
+      if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+      if (ch == 0) {
+        if (f > 0 && ((s < 0) != prevNeg)) zc += 1
+        prevNeg = s < 0
+      }
+    }
+    DecodedWav(m.doc_id, m.media_type, b.length, channels, rate.toInt,
+      frames.toLong, energy, zc, peak)
+  }
+
+  def q162WavFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        decodeWav(MediaRow(id, encodeWav(id, n), "audio/wav"))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  // n_bytes = 12 (RIFF+size+WAVE) + 24 (fmt) + 8 + note + pad + 8 + data
+  val q162Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars,
+      |    1 + doc_id % 2 AS ch,
+      |    8000 + 1000 * (n_chars % 5) AS rate,
+      |    32 + n_chars % 64 AS frames,
+      |    3 + length(CAST(doc_id AS VARCHAR)) AS note_len
+      |  FROM documents),
+      |samp AS (
+      |  SELECT b.doc_id, r.i, c.chn,
+      |    ((b.doc_id * 31 + r.i * 17 + c.chn * 7) % 4001) - 2000 AS s
+      |  FROM base b
+      |  JOIN (SELECT range AS i FROM range(96)) r ON r.i < b.frames
+      |  JOIN (SELECT range AS chn FROM range(2)) c ON c.chn < b.ch),
+      |en AS (
+      |  SELECT doc_id, CAST(SUM(s * s) AS BIGINT) AS energy,
+      |    CAST(MAX(abs(s)) AS BIGINT) AS peak_abs
+      |  FROM samp GROUP BY 1),
+      |zc AS (
+      |  SELECT b.doc_id,
+      |    CAST(COUNT(*) FILTER (WHERE
+      |      (((b.doc_id * 31 + (r.i - 1) * 17) % 4001) - 2000 < 0)
+      |      <> (((b.doc_id * 31 + r.i * 17) % 4001) - 2000 < 0)) AS BIGINT)
+      |      AS zero_crossings
+      |  FROM base b
+      |  JOIN (SELECT range AS i FROM range(1, 96)) r ON r.i < b.frames
+      |  GROUP BY 1)
+      |SELECT b.doc_id, 'audio/wav' AS media_type,
+      |  CAST(12 + 24 + 8 + b.note_len + b.note_len % 2 + 8
+      |       + b.frames * b.ch * 2 AS INT) AS n_bytes,
+      |  CAST(b.ch AS INT) AS n_channels,
+      |  CAST(b.rate AS INT) AS sample_rate,
+      |  CAST(b.frames AS BIGINT) AS n_frames,
+      |  en.energy, zc.zero_crossings, en.peak_abs
+      |FROM base b
+      |JOIN en USING (doc_id)
+      |JOIN zc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_binary_meta" -> q70BinaryMeta _,
@@ -397,6 +595,7 @@ object Multimodal {
     "q73_resize_plan" -> q73ResizePlan _,
     "q74_frame_sample" -> q74FrameSample _,
     "q147_png_header" -> q147PngHeader _,
+    "q162_wav_features" -> q162WavFeatures _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -405,5 +604,6 @@ object Multimodal {
     "q73_resize_plan" -> q73Sql,
     "q74_frame_sample" -> q74Sql,
     "q147_png_header" -> q147Sql,
+    "q162_wav_features" -> q162Sql,
   )
 }

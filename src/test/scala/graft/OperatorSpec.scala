@@ -375,6 +375,48 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q162: WAV walker round-trips, honors RIFF padding, rejects corruption") {
+    import graft.ops.{MediaRow, Multimodal}
+    val good = Multimodal.encodeWav(43L, 137L) // 2 channels; "doc43" is odd-length
+    val dec = Multimodal.decodeWav(MediaRow(43L, good, "audio/wav"))
+    assert(dec.n_channels == 2 && dec.sample_rate == 8000 + 1000 * (137 % 5))
+    assert(dec.n_frames == 32 + 137 % 64 && dec.n_bytes == good.length)
+    // features match a direct recomputation from the generator formula
+    val frames = 32 + 137 % 64
+    val samples = for (i <- 0 until frames; ch <- 0 until 2)
+      yield ((43L * 31 + i * 17 + ch * 7) % 4001) - 2000
+    assert(dec.energy == samples.map(s => s * s).sum)
+    assert(dec.peak_abs == samples.map(math.abs).max)
+    val ch0 = (0 until frames).map(i => ((43L * 31 + i * 17) % 4001) - 2000)
+    assert(dec.zero_crossings ==
+      ch0.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)))
+    // the odd-length note chunk forces a REAL pad byte — whole file even
+    assert(good.length % 2 == 0)
+    // corruption classes: magic, size field, truncation, trailing bytes,
+    // a lying chunk length, and an inconsistent blockAlign all fail loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(1L, good.drop(1), "t"))
+    }
+    val badSize = good.clone(); badSize(4) = (badSize(4) ^ 1).toByte
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(2L, badSize, "t"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(3L, good.dropRight(3), "t"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(4L, good ++ Array(0.toByte, 0.toByte), "t"))
+    }
+    val lying = good.clone(); lying(16) = (lying(16) + 1).toByte // fmt len 17
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(5L, lying, "t"))
+    }
+    val badAlign = good.clone(); badAlign(32) = 5.toByte // blockAlign 4 → 5
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(MediaRow(6L, badAlign, "t"))
+    }
+  }
+
   test("q143: the appended index covers base ∪ batch exactly once") {
     // the serve oracle pins the top-10; this pins APPEND COMPLETENESS —
     // a silently dropped or duplicated vector would not necessarily
