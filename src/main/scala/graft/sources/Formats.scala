@@ -194,11 +194,46 @@ object Formats {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q163: custom DataSource V2 connector with real pushdown ------------
+  // Serve an aggregation THROUGH [[SeqSource]] (the full V2 read stack —
+  // provider, table, scan builder, batch, sliced partitions, row reader).
+  // The range predicate folds into the source (only ids [1000, 60000) are
+  // ever materialized) and column pruning drops `id` entirely — the
+  // reader builds (h, v) rows only. Both behaviors are locked on the
+  // executed plan's scan description in PlanSpec; the DuckDB oracle
+  // reconstructs the connector's deterministic relation from range() and
+  // hash-checks the served aggregate.
+  private[graft] val seqRows = 100000L
+  private[graft] val seqSlices = 8
+
+  def q163DsV2Source(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+      .filter(col("id") >= 1000L && col("id") < 60000L)
+      .groupBy(substring(col("h"), 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .orderBy("bucket")
+
+  val q163Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |WHERE id >= 1000 AND id < 60000
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
     "q112_schema_evolution" -> q112SchemaEvolution _,
     "q125_jdbc_roundtrip" -> q125JdbcRoundtrip _,
+    "q163_dsv2_source" -> q163DsV2Source _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -206,5 +241,6 @@ object Formats {
     "q88_orc_roundtrip" -> q88Sql,
     "q112_schema_evolution" -> q112Sql,
     "q125_jdbc_roundtrip" -> q125Sql,
+    "q163_dsv2_source" -> q163Sql,
   )
 }

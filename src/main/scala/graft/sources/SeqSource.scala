@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A complete DataSource V2 READ connector — the "extend Spark with a new
+  * source" surface none of the built-in-format queries (q87/q88/q125)
+  * exercise: TableProvider → Table → ScanBuilder → Scan/Batch →
+  * InputPartition → PartitionReader, with BOTH V2 pushdowns implemented
+  * for real:
+  *
+  *   - `SupportsPushDownFilters`: range predicates on `id` FOLD INTO THE
+  *     SOURCE — the scan serves only [lo, hi), so a filtered query never
+  *     materializes a row it won't keep (the difference between "filter
+  *     after scan" and "don't read it at all", which at 100 TB is the
+  *     difference between a full scan and an index seek). Unsupported
+  *     filters are returned as residuals for Spark to re-apply.
+  *   - `SupportsPushDownRequiredColumns`: the reader emits exactly the
+  *     pruned schema — project (h, v) and the `id` column is never built.
+  *
+  * The scan's `description()` prints the served range, the emitted
+  * columns, and the pushed filters, so PlanSpec locks pushdown on the
+  * EXECUTED plan text — if Catalyst ever stops delivering the predicates,
+  * the lock fails loudly rather than the scan silently widening.
+  *
+  * The table itself is a deterministic pure function of the row id
+  * (md5 hex + a Knuth multiplicative mix), so DuckDB reconstructs the
+  * whole relation from range() and the q163 oracle hash-checks results
+  * served THROUGH the connector. Partitioning: the (narrowed) range is
+  * ceil-sliced into `slices` independent InputPartitions — the same
+  * static-slice contract as the reference's file assignment
+  * (actuarial-reserve-modelling main.rs:23-33), expressed as a V2 Batch.
+  */
+class SeqSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SeqSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SeqTable(properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("slices", "8").toInt)
+}
+
+object SeqSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("h", StringType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  /** md5 hex of the decimal id — DuckDB twin: md5(CAST(id AS VARCHAR)). */
+  def hOf(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Knuth multiplicative mix mod a prime — exact int64 in both engines. */
+  def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
+}
+
+class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_seq($rows)"
+  override def schema(): StructType = SeqSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SeqScanBuilder(rows, slices)
+}
+
+class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var pushed = Array.empty[Filter]
+  private var required = SeqSource.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition {
+      case GreaterThanOrEqual("id", _: Number) => true
+      case GreaterThan("id", _: Number) => true
+      case LessThan("id", _: Number) => true
+      case LessThanOrEqual("id", _: Number) => true
+      case EqualTo("id", _: Number) => true
+      case _ => false
+    }
+    supported.foreach {
+      case GreaterThanOrEqual(_, v: Number) => lo = math.max(lo, v.longValue)
+      case GreaterThan(_, v: Number) => lo = math.max(lo, v.longValue + 1)
+      case LessThan(_, v: Number) => hi = math.min(hi, v.longValue)
+      case LessThanOrEqual(_, v: Number) => hi = math.min(hi, v.longValue + 1)
+      case EqualTo(_, v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue + 1)
+      case _ => ()
+    }
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SeqScan(lo, hi, slices, required, pushed)
+}
+
+class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft_seq range=[$lo,$hi) cols=${schema.fieldNames.mkString(",")} " +
+      s"pushed=[${pushed.mkString("; ")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(hi - lo, 0L)
+    val k = math.max(slices, 1)
+    val per = (n + k - 1) / k // ceil-slice, the reference's assignment rule
+    (0 until k).flatMap { i =>
+      val s0 = lo + i * per
+      val e0 = math.min(s0 + per, hi)
+      if (s0 < e0) Some(SeqPartition(s0, e0)) else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(schema)
+}
+
+case class SeqPartition(start: Long, end: Long) extends InputPartition
+
+class SeqReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    val fields = schema.fieldNames
+    new PartitionReader[InternalRow] {
+      private var cur = sp.start - 1
+      override def next(): Boolean = { cur += 1; cur < sp.end }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        fields.toSeq.map {
+          case "id" => cur
+          case "h" => UTF8String.fromString(SeqSource.hOf(cur))
+          case "v" => SeqSource.vOf(cur)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

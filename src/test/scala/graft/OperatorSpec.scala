@@ -417,6 +417,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q163: V2 source round-trips; EqualTo seeks one partition; residuals apply") {
+    import graft.sources.SeqSource
+    val df = spark.read.format("graft.sources.SeqSource")
+      .option("rows", "64").option("slices", "8").load()
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length == 64)
+    rows.foreach { case (id, h, v) =>
+      assert(h == SeqSource.hOf(id) && v == SeqSource.vOf(id),
+        s"row $id does not match the generator")
+    }
+    assert(df.rdd.getNumPartitions == 8, "ceil-slice must yield 8 partitions")
+    // equality pushdown narrows the range to ONE row → one planned split
+    val one = df.filter(col("id") === 17L)
+    assert(one.rdd.getNumPartitions == 1, "EqualTo must collapse the range")
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(17L))
+    // a non-id predicate is returned as residual and re-applied by Spark
+    val res = df.filter(col("id") >= 60L && col("v") % 2 === 0)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(res == (60L until 64L).filter(id => SeqSource.vOf(id) % 2 == 0),
+      "residual filter semantics broken")
+  }
+
   test("q143: the appended index covers base ∪ batch exactly once") {
     // the serve oracle pins the top-10; this pins APPEND COMPLETENESS —
     // a silently dropped or duplicated vector would not necessarily

@@ -483,6 +483,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q161 has a cartesian product")
   }
 
+  test("q163: V2 pushdown reaches the source — range narrowed, id pruned") {
+    // the scan description is printed by BatchScan in the executed plan;
+    // if Catalyst ever stops delivering the range predicates or the
+    // column pruning, the served range/cols widen and this fails loudly
+    val p = planOf("q163_dsv2_source")
+    assert(p.contains("range=[1000,60000)"),
+      s"filter pushdown did not narrow the source range:\n$p")
+    assert(p.contains("cols=h,v"),
+      s"column pruning did not drop the id column:\n$p")
+    assert(!p.contains("pushed=[]"), "no filters were pushed at all")
+  }
+
   test("q152: BM25 top-20 is bounded; df and corpus stats broadcast") {
     val p = planOf("q152_bm25")
     assert(p.contains("TakeOrderedAndProject"),
