@@ -855,6 +855,48 @@ object Analytics {
        |ORDER BY pr DESC, node""".stripMargin
   }
 
+  // ---- q164: single-source BFS hop distances ------------------------------
+  // The graph-distance primitive the motif/centrality family (q107 CC,
+  // q115/q139 PageRank, q129 k-core, q150 LPA) leaves out: fewest-hop
+  // distance from one vertex to every vertex of its component, over the
+  // same customer⊗supplier trade graph. Level-synchronous frontier BFS
+  // (Graph.bfsDistances — one keyed join per round, rounds = source
+  // eccentricity, loud cap). Source = the minimum vertex id, a scalar
+  // both engines derive from the data. The oracle is this repo's first
+  // WITH RECURSIVE twin: DuckDB's fixpoint union walks (node, depth)
+  // pairs and MIN-collapses them — a genuinely different formulation of
+  // shortest path than the engine's settled-set expansion.
+  def q164BfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+    val src = edges.agg(min(least(col("u"), col("v")))).first().getLong(0)
+    Graph.bfsDistances(edges, src)
+      .select(col("node"), col("dist"), (col("node") % 2 === 1).as("is_supplier"))
+      .orderBy("node")
+  }
+
+  val q164Sql: String =
+    """WITH RECURSIVE edges AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |sym AS MATERIALIZED (
+      |  SELECT src AS u, dst AS v FROM edges
+      |  UNION
+      |  SELECT dst, src FROM edges),
+      |s0 AS (SELECT MIN(u) AS s FROM sym),
+      |walk(node, d) AS (
+      |  SELECT s, 0 FROM s0
+      |  UNION
+      |  SELECT sym.v, walk.d + 1
+      |  FROM walk JOIN sym ON sym.u = walk.node
+      |  WHERE walk.d < 30)
+      |SELECT node, CAST(MIN(d) AS INT) AS dist, node % 2 = 1 AS is_supplier
+      |FROM walk
+      |GROUP BY node
+      |ORDER BY node""".stripMargin
+
   // ---- q139: convergence-stopped PageRank ---------------------------------
   // The production entry point q115 only approximates with a fixed count:
   // Graph.pageRankConverged iterates the SAME exact fixed-point recurrence
@@ -1201,6 +1243,7 @@ object Analytics {
     "q157_hll_exact" -> q157HllExact _,
     "q160_ols_trend" -> q160OlsTrend _,
     "q161_skyline" -> q161Skyline _,
+    "q164_bfs_distances" -> q164BfsDistances _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -1227,6 +1270,7 @@ object Analytics {
     "q157_hll_exact" -> q157Sql,
     "q160_ols_trend" -> q160Sql,
     "q161_skyline" -> q161Sql,
+    "q164_bfs_distances" -> q164Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

@@ -361,4 +361,43 @@ object Graph {
         .localCheckpoint(true)
     }
   }
+
+  /** Single-source BFS hop distances over an undirected edge list (cols
+    * `u`, `v`): one row (node, dist) per vertex of the source's component,
+    * dist = fewest hops from `src`. Level-synchronous frontier expansion —
+    * each round is ONE shuffle-on-key join (frontier ⋈ edges) plus an
+    * anti-join against the settled set; rounds = eccentricity of the
+    * source, the right trade at 100 TB where an all-pairs or closure
+    * approach is quadratic. Per-round `localCheckpoint` truncates lineage
+    * (the connectedComponents discipline) and the loop FAILS LOUDLY if the
+    * component is not exhausted within `maxRounds` — never a silent
+    * truncated distance table.
+    */
+  def bfsDistances(edgesIn: DataFrame, src: Long, maxRounds: Int = 30): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val sym = edgesIn.select(col("u"), col("v"))
+      .union(edgesIn.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && round < maxRounds) {
+      round += 1
+      val next = frontier.join(sym, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(round))
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    require(frontierSize == 0,
+      s"bfsDistances: frontier still growing after $maxRounds rounds — " +
+        "raise maxRounds (graph eccentricity exceeds the cap)")
+    dist
+  }
 }

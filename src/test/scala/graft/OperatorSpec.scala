@@ -1007,6 +1007,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q164: BFS distances carry a valid shortest-path certificate") {
+    val e = Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(p => (p._2, p._1))).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val d = ops.Analytics.q164BfsDistances(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val allNodes = adj.keySet
+    val src = allNodes.min
+    assert(d(src) == 0 && d.count(_._2 == 0) == 1, "unique zero at the min node")
+    // certificate: every covered edge moves distance by at most 1, and
+    // every non-source node has a parent witness one hop closer
+    e.foreach { case (u, v) =>
+      (d.get(u), d.get(v)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) <= 1, s"edge ($u,$v)")
+        case (None, None) => ()
+        case _ => fail(s"edge ($u,$v) half-covered by the distance table")
+      }
+    }
+    d.foreach { case (n, dd) =>
+      if (dd > 0) assert(adj(n).exists(m => d.get(m).contains(dd - 1)),
+        s"node $n at dist $dd has no neighbor at ${dd - 1}")
+    }
+    // coverage is exactly the source's component (reference reachability)
+    val reach = scala.collection.mutable.Set(src)
+    var frontier = Set(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)).diff(reach)
+      reach ++= frontier
+    }
+    assert(d.keySet == reach, "distance table must cover exactly the component")
+  }
+
   test("q161: skyline equals brute-force dominance; two-phase ≡ one global sweep") {
     val got = ops.Analytics.q161Skyline(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
