@@ -293,6 +293,70 @@ object Events {
       |       (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q165: calendar-spine gap fill + LOCF densify -----------------------
+  // The time-series densify every reporting/feature pipeline needs: the
+  // per-(user, day) revenue series has holes (most users do not transact
+  // daily); downstream models want a DENSE series. A calendar spine
+  // (min..max day × distinct users — a 1→k generator off a 1-row bounds
+  // aggregate, repartitioned before the explode per the scan-split note)
+  // left-joins the observed days; missing days carry the LAST OBSERVED
+  // value forward (LOCF) with an is_observed flag and the staleness in
+  // days — leading days before a user's first observation fill with 0 and
+  // staleness −1. The LOCF itself is formulated engine-portably: the
+  // running MAX of the conditional observation date (a plain window max —
+  // no IGNORE NULLS dialect differences) keyed back to the observed
+  // relation, so Spark and DuckDB share exact semantics. Scale shape: the
+  // window and both joins all partition on the series key (one shuffle
+  // family); the spine is |keys| × |days| rows, never a corpus product.
+  def q165GapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id", "d")
+      .agg(sum("cents").as("cents"))
+    val bounds = daily.agg(min("d").as("mn"), max("d").as("mx"))
+    val spine = daily.select(col("user_id")).distinct()
+      .repartition(col("user_id")) // the 1→k explode note: spread the span
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("lo_day",
+        max(when(col("cents").isNotNull, col("d"))).over(w))
+      .join(daily.select(col("user_id"), col("d").as("lo_day"),
+        col("cents").as("lo_cents")), Seq("user_id", "lo_day"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("lo_cents"), lit(0L)).as("cents_filled"),
+        col("cents").isNotNull.as("is_observed"),
+        coalesce(datediff(col("d"), col("lo_day")), lit(-1)).as("days_since_obs"))
+      .orderBy("user_id", "d")
+  }
+
+  val q165Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM bounds),
+      |spine AS (
+      |  SELECT u.user_id, days.d
+      |  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days),
+      |j AS (
+      |  SELECT s.user_id, s.d, dy.cents,
+      |    MAX(CASE WHEN dy.cents IS NOT NULL THEN s.d END)
+      |      OVER (PARTITION BY s.user_id ORDER BY s.d) AS lo_day
+      |  FROM spine s LEFT JOIN daily dy ON dy.user_id = s.user_id AND dy.d = s.d)
+      |SELECT j.user_id, j.d,
+      |  COALESCE(lo.cents, 0) AS cents_filled,
+      |  j.cents IS NOT NULL AS is_observed,
+      |  CAST(COALESCE(date_diff('day', j.lo_day, j.d), -1) AS INT) AS days_since_obs
+      |FROM j LEFT JOIN daily lo ON lo.user_id = j.user_id AND lo.d = j.lo_day
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
     "q61_events_sliding" -> q61Sliding _,
@@ -302,6 +366,7 @@ object Events {
     "q67_range_join" -> q67RangeJoin _,
     "q96_range_window" -> q96RangeWindow _,
     "q97_event_funnel" -> q97Funnel _,
+    "q165_gap_fill_locf" -> q165GapFillLocf _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -313,5 +378,6 @@ object Events {
     "q67_range_join" -> q67Sql,
     "q96_range_window" -> q96Sql,
     "q97_event_funnel" -> q97Sql,
+    "q165_gap_fill_locf" -> q165Sql,
   )
 }

@@ -1007,6 +1007,37 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q165: gap fill is dense and LOCF matches a sequential reference") {
+    val daily = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id", "d").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val (mn, mx) = (daily.map(_._2).min(Ordering.by[java.time.LocalDate, Long](
+      _.toEpochDay)), daily.map(_._2).maxBy(_.toEpochDay))
+    val nDays = mx.toEpochDay - mn.toEpochDay + 1
+    val byUser = daily.groupBy(_._1)
+    val got = ops.Events.q165GapFillLocf(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toLocalDate),
+        (r.getLong(2), r.getBoolean(3), r.getInt(4)))).toMap
+    assert(got.size == byUser.size * nDays, "spine must be dense: |users|×|days|")
+    byUser.foreach { case (u, rows) =>
+      val obs = rows.map(t => t._2 -> t._3).toMap
+      var lastDay: java.time.LocalDate = null
+      (0L until nDays).map(mn.plusDays).foreach { day =>
+        if (obs.contains(day)) lastDay = day
+        val (cents, isObs, stale) = got((u, day))
+        assert(isObs == obs.contains(day), s"user $u day $day observed flag")
+        if (lastDay == null)
+          assert(cents == 0L && stale == -1, s"user $u leading day $day")
+        else {
+          assert(cents == obs(lastDay), s"user $u day $day LOCF value")
+          assert(stale == (day.toEpochDay - lastDay.toEpochDay), s"user $u day $day staleness")
+        }
+      }
+    }
+  }
+
   test("q164: BFS distances carry a valid shortest-path certificate") {
     val e = Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
