@@ -293,6 +293,97 @@ object Events {
       |       (SELECT COUNT(*) FROM p) AS n_purchase_users""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q166: interval sweep — peak session concurrency per hour -----------
+  // The classic interval-overlap question ("how many sessions were open at
+  // once, and when?") answered without a global sort: q62's gap sessions
+  // become ±1 boundary deltas on the µs grid (+1 at start, −1 at
+  // end + 1µs — inclusive ends, so point sessions count), and the running
+  // level is swept TWO-PHASE: a window per hour bucket computes the local
+  // prefix, per-bucket delta totals prefix-sum over the tiny bucket
+  // relation (the q145/q156 shape) and broadcast back as each hour's
+  // carry-in. A synthetic level-probe delta (dd = 0) at each active
+  // hour's start makes the hour's INCOMING level a sampled point, so the
+  // hourly peak is the true sweep maximum over the hour, not just the
+  // post-transition levels. Tie order at equal timestamps is dd
+  // ascending (−1 < 0 < +1) — closes before probes before opens —
+  // identical in both engines. Output: hours that contain any boundary,
+  // with the peak level and the earliest instant achieving it.
+  def q166MaxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(runSum))
+      .groupBy("user_id", "session_id")
+      .agg(expr("unix_micros(CAST(MIN(ts) AS TIMESTAMP))").as("start_us"),
+        expr("unix_micros(CAST(MAX(ts) AS TIMESTAMP))").as("end_us"))
+    val hourUs = 3600000000L
+    val deltas = sessions.select(col("start_us").as("t"), lit(1).as("dd"))
+      .unionByName(sessions.select((col("end_us") + 1).as("t"), lit(-1).as("dd")))
+    val withB = deltas.withColumn("hb", expr(s"t div $hourUs"))
+    val probes = withB.select(col("hb")).distinct()
+      .select((col("hb") * hourUs).as("t"), lit(0).as("dd"), col("hb"))
+    val all = withB.unionByName(probes)
+    val wLocal = Window.partitionBy("hb").orderBy("t", "dd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = all.withColumn("run", sum("dd").over(wLocal))
+    val wCarry = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)
+    val carries = all.groupBy("hb").agg(sum("dd").as("tot"))
+      .withColumn("carry", coalesce(sum("tot").over(wCarry), lit(0L)))
+      .select(col("hb"), col("carry"))
+    local.join(broadcast(carries), "hb")
+      .withColumn("conc", col("run") + col("carry"))
+      .groupBy("hb")
+      .agg(max(struct(col("conc"), (-col("t")).as("nt"))).as("m"))
+      .select(expr(s"CAST(timestamp_micros(hb * $hourUs) AS timestamp_ntz)")
+        .as("hour_start"),
+        col("m.conc").as("peak_concurrency"),
+        (-col("m.nt")).as("peak_at_us"))
+      .orderBy("hour_start")
+  }
+
+  val q166Sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN lag(CAST(ts AS TIMESTAMP), 1) OVER w IS NULL
+       |         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP), 1) OVER w
+       |            > INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       |  SELECT user_id,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       |    ts
+       |  FROM flagged),
+       |bounds AS (
+       |  SELECT epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us
+       |  FROM sess GROUP BY user_id, session_id),
+       |deltas AS (
+       |  SELECT start_us AS t, 1 AS dd FROM bounds
+       |  UNION ALL
+       |  SELECT end_us + 1, -1 FROM bounds
+       |  UNION ALL
+       |  SELECT DISTINCT (start_us // 3600000000) * 3600000000, 0 FROM bounds
+       |  UNION ALL
+       |  SELECT DISTINCT ((end_us + 1) // 3600000000) * 3600000000, 0 FROM bounds),
+       |run AS (
+       |  SELECT t, dd,
+       |    CAST(SUM(dd) OVER (ORDER BY t, dd
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+       |  FROM deltas),
+       |hourly AS (SELECT t // 3600000000 AS hb, t, conc FROM run),
+       |peaks AS (SELECT hb, MAX(conc) AS mc FROM hourly GROUP BY 1)
+       |SELECT make_timestamp(p.hb * 3600000000) AS hour_start,
+       |  p.mc AS peak_concurrency, MIN(h.t) AS peak_at_us
+       |FROM peaks p JOIN hourly h ON h.hb = p.hb AND h.conc = p.mc
+       |GROUP BY 1, 2
+       |ORDER BY 1""".stripMargin
+
   // ---- q165: calendar-spine gap fill + LOCF densify -----------------------
   // The time-series densify every reporting/feature pipeline needs: the
   // per-(user, day) revenue series has holes (most users do not transact
@@ -367,6 +458,7 @@ object Events {
     "q96_range_window" -> q96RangeWindow _,
     "q97_event_funnel" -> q97Funnel _,
     "q165_gap_fill_locf" -> q165GapFillLocf _,
+    "q166_max_concurrency" -> q166MaxConcurrency _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -379,5 +471,6 @@ object Events {
     "q96_range_window" -> q96Sql,
     "q97_event_funnel" -> q97Sql,
     "q165_gap_fill_locf" -> q165Sql,
+    "q166_max_concurrency" -> q166Sql,
   )
 }

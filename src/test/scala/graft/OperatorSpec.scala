@@ -1007,6 +1007,43 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q166: hourly concurrency peaks match a sequential sweep reference") {
+    val hourUs = 3600000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 30L * 60 * 1000000
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(t => (t._2, t._3)).map(_._2)
+      val out = scala.collection.mutable.Buffer[(Long, Long)]()
+      var (s0, last) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - last > gap) { out += ((s0, last)); s0 = t }
+        last = t
+      }
+      out += ((s0, last)); out
+    }.toSeq
+    val deltas = sessions.flatMap { case (a, b) => Seq((a, 1), (b + 1, -1)) }
+    val probes = deltas.map(_._1 / hourUs).distinct.map(hb => (hb * hourUs, 0))
+    var level = 0L
+    val swept = (deltas ++ probes).sortBy(identity).map { case (t, dd) =>
+      level += dd; (t / hourUs, t, level)
+    }
+    val ref = swept.groupBy(_._1).map { case (hb, pts) =>
+      val mx = pts.map(_._3).max
+      hb -> (mx, pts.filter(_._3 == mx).map(_._2).min)
+    }
+    assert(swept.last._3 == 0, "sweep must end with every session closed")
+    assert(swept.forall(_._3 >= 0), "negative concurrency")
+    val got = ops.Events.q166MaxConcurrency(spark, sf).collect()
+      .map(r => (r.getLong(2) /* peak_at_us */, r.getLong(1))).toMap
+    assert(got.size == ref.size, s"hours: got ${got.size} vs ref ${ref.size}")
+    ref.values.foreach { case (mx, at) =>
+      assert(got.get(at).contains(mx), s"peak $mx at $at missing or wrong")
+    }
+  }
+
   test("q165: gap fill is dense and LOCF matches a sequential reference") {
     val daily = Tables.events(spark, sf)
       .select(col("user_id"), to_date(col("ts")).as("d"),
