@@ -408,6 +408,83 @@ object Analytics {
       |    AND (a.price_cents < b.price_cents OR a.p_size > b.p_size))
       |ORDER BY b.p_partkey""".stripMargin
 
+  // ---- q167: bitmap index — exact set algebra without rescanning ----------
+  // The low-cardinality-dimension index warehouses build: one dense
+  // bitmap per nation and per market segment over the customer key
+  // domain (BitmapAgg — 63-bit words, OR-mergeable, fixed size). Every
+  // (nation, segment) contingency cell is then answered ENTIRELY in the
+  // index: AND + popcount for intersections, OR + popcount for unions —
+  // 25×5 cells computed from kilobytes of bitmaps, the base table
+  // untouched after the two index builds. Exactness is cross-engine
+  // checkable bit for bit: each word equals Σ 2^(key mod 63) over its
+  // members (a plain BIGINT shift sum — no signed bit-63 edge), so the
+  // oracle reconstructs every word, digest, and popcount arithmetically.
+  // bit_count is codegen'd in Spark and intrinsic in DuckDB.
+  def q167BitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BitmapAgg
+    val cust = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"))
+    val words = (cust.agg(max("c_custkey")).first().getLong(0) / 63 + 1).toInt
+    val nat = cust.groupBy("nation")
+      .agg(BitmapAgg.bitmap(col("c_custkey"), words).as("bm_n"))
+    val seg = cust.groupBy("segment")
+      .agg(BitmapAgg.bitmap(col("c_custkey"), words).as("bm_s"))
+    def pop(arr: String) =
+      expr(s"aggregate($arr, CAST(0 AS BIGINT), (a, w) -> a + CAST(bit_count(w) AS BIGINT))")
+    nat.crossJoin(broadcast(seg))
+      .select(col("nation"), col("segment"),
+        pop("bm_n").as("n_nation"),
+        pop("bm_s").as("n_segment"),
+        pop("zip_with(bm_n, bm_s, (x, y) -> x & y)").as("n_intersect"),
+        pop("zip_with(bm_n, bm_s, (x, y) -> x | y)").as("n_union"),
+        md5(expr("array_join(transform(bm_n, x -> CAST(x AS STRING)), ',')")
+          .cast("binary")).as("nation_digest"))
+      .orderBy("nation", "segment")
+  }
+
+  val q167Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment AS segment
+      |  FROM customer),
+      |nwords AS (
+      |  SELECT unnest(range((SELECT MAX(k) // 63 FROM c) + 1)) AS w),
+      |nw AS (
+      |  SELECT n.nation, x.w, COALESCE(b.word, 0) AS word
+      |  FROM (SELECT DISTINCT nation FROM c) n
+      |  CROSS JOIN nwords x
+      |  LEFT JOIN (
+      |    SELECT nation, k // 63 AS w,
+      |      CAST(SUM(CAST(1 AS BIGINT) << CAST(k % 63 AS INT)) AS BIGINT) AS word
+      |    FROM c GROUP BY 1, 2) b ON b.nation = n.nation AND b.w = x.w),
+      |sw AS (
+      |  SELECT sg.segment, x.w, COALESCE(b.word, 0) AS word
+      |  FROM (SELECT DISTINCT segment FROM c) sg
+      |  CROSS JOIN nwords x
+      |  LEFT JOIN (
+      |    SELECT segment, k // 63 AS w,
+      |      CAST(SUM(CAST(1 AS BIGINT) << CAST(k % 63 AS INT)) AS BIGINT) AS word
+      |    FROM c GROUP BY 1, 2) b ON b.segment = sg.segment AND b.w = x.w),
+      |ndig AS (
+      |  SELECT nation,
+      |    md5(string_agg(CAST(word AS VARCHAR), ',' ORDER BY w)) AS nation_digest,
+      |    CAST(SUM(bit_count(word)) AS BIGINT) AS n_nation
+      |  FROM nw GROUP BY 1),
+      |sdig AS (
+      |  SELECT segment, CAST(SUM(bit_count(word)) AS BIGINT) AS n_segment
+      |  FROM sw GROUP BY 1),
+      |ix AS (
+      |  SELECT nw.nation, sw.segment,
+      |    CAST(SUM(bit_count(nw.word & sw.word)) AS BIGINT) AS n_intersect,
+      |    CAST(SUM(bit_count(nw.word | sw.word)) AS BIGINT) AS n_union
+      |  FROM nw JOIN sw ON nw.w = sw.w
+      |  GROUP BY 1, 2)
+      |SELECT ix.nation, ix.segment, ndig.n_nation, sdig.n_segment,
+      |  ix.n_intersect, ix.n_union, ndig.nation_digest
+      |FROM ix JOIN ndig USING (nation) JOIN sdig USING (segment)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
   // postings, the tiny query-term set applied as an `IN` filter BEFORE any
@@ -1244,6 +1321,7 @@ object Analytics {
     "q160_ols_trend" -> q160OlsTrend _,
     "q161_skyline" -> q161Skyline _,
     "q164_bfs_distances" -> q164BfsDistances _,
+    "q167_bitmap_index" -> q167BitmapIndex _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -1271,6 +1349,7 @@ object Analytics {
     "q160_ols_trend" -> q160Sql,
     "q161_skyline" -> q161Sql,
     "q164_bfs_distances" -> q164Sql,
+    "q167_bitmap_index" -> q167Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

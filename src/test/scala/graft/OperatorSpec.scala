@@ -1007,6 +1007,39 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q167: bitmap index is merge/multiplicity-invariant and exact") {
+    import graft.functions.BitmapAgg
+    val cust = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+    val words = (cust.agg(max("c_custkey")).first().getLong(0) / 63 + 1).toInt
+    val keys = cust.select(col("c_custkey"))
+    val one = keys.repartition(1)
+      .agg(BitmapAgg.bitmap(col("c_custkey"), words).as("b"))
+      .collect().head.getSeq[Long](0)
+    val many = keys.union(keys).repartition(32) // duplicates must be absorbed
+      .agg(BitmapAgg.bitmap(col("c_custkey"), words).as("b"))
+      .collect().head.getSeq[Long](0)
+    assert(one == many, "bitmap must not depend on partitioning or multiplicity")
+    // bit-for-bit against a plain-Scala reference build
+    val ref = new Array[Long](words)
+    val rows = cust.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    rows.foreach { case (k, _, _) => ref((k / 63).toInt) |= 1L << (k % 63).toInt }
+    assert(one == ref.toSeq, "bitmap words differ from reference")
+    // contingency cells from the index equal direct GROUP BY counts
+    val direct = rows.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val nNation = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val out = ops.Analytics.q167BitmapIndex(spark, sf).collect()
+    assert(out.length == nNation.size * rows.map(_._3).distinct.length)
+    out.foreach { r =>
+      val (n, g) = (r.getLong(0), r.getString(1))
+      assert(r.getLong(2) == nNation(n), s"popcount nation $n")
+      assert(r.getLong(4) == direct.getOrElse((n, g), 0), s"intersect ($n,$g)")
+      assert(r.getLong(5) == r.getLong(2) + r.getLong(3) - r.getLong(4),
+        s"inclusion-exclusion fails for ($n,$g)")
+    }
+  }
+
   test("q166: hourly concurrency peaks match a sequential sweep reference") {
     val hourUs = 3600000000L
     val ev = Tables.events(spark, sf)
