@@ -228,12 +228,58 @@ object Formats {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
+  // q163 reads through a custom V2 connector; q168 WRITES through one
+  // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
+  // cleanup, a job-level manifest). The round trip is the proof: the
+  // documents frame goes through the sink's full commit protocol, the
+  // committed CSVs are read back, and the per-lang digest (count, char
+  // sum, md5 of the ordered id list) must hash-match the DuckDB oracle's
+  // read of the ORIGINAL parquet — any row lost, duplicated, or mangled
+  // by the writer/commit path breaks the compare. The manifest is
+  // asserted to cover exactly the committed files before reading.
+  def q168DsV2Sink(s: SparkSession, dir: String): DataFrame = {
+    val sinkParts = 4
+    val staged = graft.TempDirs.staged(s"dsv2_sink:$dir") { p =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(sinkParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.format("graft.sources.DigestSink")
+        .option("path", p.toString)
+        .mode("append").save()
+    }
+    val manifest = java.nio.file.Files.readAllLines(staged.resolve("_MANIFEST"))
+    require(manifest.size == sinkParts,
+      s"q168: manifest lists ${manifest.size} files, expected $sinkParts")
+    manifest.forEach { line =>
+      val name = line.split(",")(0)
+      require(java.nio.file.Files.exists(staged.resolve(name)),
+        s"q168: manifest names missing file $name")
+    }
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/part-*.csv")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang")
+  }
+
+  val q168Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
     "q112_schema_evolution" -> q112SchemaEvolution _,
     "q125_jdbc_roundtrip" -> q125JdbcRoundtrip _,
     "q163_dsv2_source" -> q163DsV2Source _,
+    "q168_dsv2_sink" -> q168DsV2Sink _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -242,5 +288,6 @@ object Formats {
     "q112_schema_evolution" -> q112Sql,
     "q125_jdbc_roundtrip" -> q125Sql,
     "q163_dsv2_source" -> q163Sql,
+    "q168_dsv2_sink" -> q168Sql,
   )
 }

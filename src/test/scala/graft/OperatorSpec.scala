@@ -440,6 +440,46 @@ class OperatorSpec extends SparkSpec {
       "residual filter semantics broken")
   }
 
+  test("q168: sink two-phase commit — staged attempts, rename, abort cleanup") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.{DigestBatchWrite, DigestCommitMessage, DigestDataWriter}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_spec_")
+    def files() = {
+      val l = java.nio.file.Files.list(dir)
+      try l.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally l.close()
+    }
+    // an aborted attempt leaves NO output at all
+    val w1 = new DigestDataWriter(dir.toString, 0, 101L)
+    w1.write(InternalRow(1L, UTF8String.fromString("en"), 10L))
+    w1.abort()
+    assert(files().isEmpty, s"abort left ${files()}")
+    // a committed attempt renames its staged file to the final name
+    val w2 = new DigestDataWriter(dir.toString, 0, 102L)
+    w2.write(InternalRow(1L, UTF8String.fromString("en"), 10L))
+    w2.write(InternalRow(2L, UTF8String.fromString("fr"), 20L))
+    val msg = w2.commit().asInstanceOf[DigestCommitMessage]
+    assert(msg.rows == 2L && files() == Vector("part-00000.csv"))
+    // the job-level commit publishes the manifest over the messages
+    new DigestBatchWrite(dir.toString).commit(Array(msg))
+    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
+      .get(0) == "part-00000.csv,2")
+    // end-to-end through the engine: round-trip digest equals a direct
+    // aggregation of the source parquet
+    val got = sources.Formats.q168DsV2Sink(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val direct = Tables.t(spark, sf, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sc"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.sorted.toSeq == direct.sorted.toSeq,
+      "sink round-trip digest differs from the source table")
+  }
+
   test("q143: the appended index covers base ∪ batch exactly once") {
     // the serve oracle pins the top-10; this pins APPEND COMPLETENESS —
     // a silently dropped or duplicated vector would not necessarily
