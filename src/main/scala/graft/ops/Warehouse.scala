@@ -485,6 +485,111 @@ object Warehouse {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q169: constraint audit suite (FK / uniqueness / not-null) ----------
+  // The declarative data-quality gate (the dbt-tests / Deequ shape)
+  // complementing q133's statistical drift: hard relational CONSTRAINTS
+  // checked as one suite — every foreign key across the star schema
+  // (orphan counts via anti-joins; dimension sides broadcast), key
+  // uniqueness (duplicated-key counts), and key not-null counts. The
+  // clean checks must PASS; to keep the violation path honest rather
+  // than vacuously green, the suite also audits a simulated partial-loss
+  // scenario (orders with o_orderkey % 50 = 3 dropped, as after a failed
+  // backfill) whose lineitem FK check must FAIL with exactly the planted
+  // orphan count. One row per check: (check_name, violations, pass).
+  // The suite also SURFACES a real property of this corpus: the
+  // synthetic lineitem does not follow TPC-H (orderkey, linenumber)
+  // uniqueness — that check reports the duplicated-pair count and fails,
+  // which is precisely the audit doing its job (spec-pinned to the
+  // exact count).
+  // Scale shape: each FK check is one anti-join that broadcasts its
+  // dimension side or co-locates on the bucketed key; uniqueness is a
+  // partial-agged groupBy-HAVING; the suite unions kilobyte results.
+  def q169ConstraintAudit(s: SparkSession, dir: String): DataFrame = {
+    def row(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("violations"))
+        .select(lit(name).as("check_name"), col("violations"),
+          (col("violations") === 0).as("pass"))
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String) =
+      fact.select(col(fk)).join(broadcast(dim.select(col(pk))),
+        col(fk) === col(pk), "left_anti")
+    def dupKeys(df: DataFrame, keys: Seq[String]) =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+    val checks = Seq(
+      row("fk_lineitem_orders",
+        orphans(li, "l_orderkey", ord, "o_orderkey")),
+      row("fk_lineitem_part",
+        orphans(li, "l_partkey", t(s, dir, "part"), "p_partkey")),
+      row("fk_lineitem_supplier",
+        orphans(li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey")),
+      row("fk_orders_customer",
+        orphans(ord, "o_custkey", cust, "c_custkey")),
+      row("fk_customer_nation",
+        orphans(cust, "c_nationkey", t(s, dir, "nation"), "n_nationkey")),
+      row("fk_nation_region",
+        orphans(t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey")),
+      row("unique_orders_pk", dupKeys(ord, Seq("o_orderkey"))),
+      row("unique_lineitem_pk", dupKeys(li, Seq("l_orderkey", "l_linenumber"))),
+      row("unique_customer_pk", dupKeys(cust, Seq("c_custkey"))),
+      row("notnull_lineitem_keys",
+        li.filter(col("l_orderkey").isNull || col("l_partkey").isNull
+          || col("l_suppkey").isNull)),
+      row("notnull_orders_keys",
+        ord.filter(col("o_orderkey").isNull || col("o_custkey").isNull)),
+      // planted scenario: a partial order loss MUST surface as FK orphans
+      row("fk_lineitem_orders_after_partial_loss",
+        orphans(li, "l_orderkey",
+          ord.filter(col("o_orderkey") % 50 =!= 3), "o_orderkey")))
+    checks.reduce(_ unionByName _).orderBy("check_name")
+  }
+
+  val q169Sql: String =
+    """WITH t AS (
+      |  SELECT 'fk_lineitem_orders' AS check_name, CAST(COUNT(*) AS BIGINT) AS violations
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_part', COUNT(*)
+      |  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_supplier', COUNT(*)
+      |  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'fk_orders_customer', COUNT(*)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'fk_customer_nation', COUNT(*)
+      |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      |  UNION ALL
+      |  SELECT 'fk_nation_region', COUNT(*)
+      |  FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+      |  UNION ALL
+      |  SELECT 'unique_orders_pk', COUNT(*) FROM (
+      |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'unique_lineitem_pk', COUNT(*) FROM (
+      |    SELECT l_orderkey, l_linenumber FROM lineitem
+      |    GROUP BY 1, 2 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'unique_customer_pk', COUNT(*) FROM (
+      |    SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'notnull_lineitem_keys', COUNT(*) FROM lineitem
+      |  WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL
+      |  UNION ALL
+      |  SELECT 'notnull_orders_keys', COUNT(*) FROM orders
+      |  WHERE o_orderkey IS NULL OR o_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'fk_lineitem_orders_after_partial_loss', COUNT(*)
+      |  FROM lineitem WHERE l_orderkey NOT IN (
+      |    SELECT o_orderkey FROM orders WHERE o_orderkey % 50 <> 3))
+      |SELECT check_name, violations, violations = 0 AS pass
+      |FROM t
+      |ORDER BY check_name""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
@@ -494,6 +599,7 @@ object Warehouse {
     "q131_incremental_view" -> q131IncrementalView _,
     "q133_stats_drift" -> q133StatsDrift _,
     "q159_merkle_sync" -> q159MerkleSync _,
+    "q169_constraint_audit" -> q169ConstraintAudit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -504,5 +610,6 @@ object Warehouse {
     "q131_incremental_view" -> q131Sql,
     "q133_stats_drift" -> q133Sql,
     "q159_merkle_sync" -> q159Sql,
+    "q169_constraint_audit" -> q169Sql,
   )
 }

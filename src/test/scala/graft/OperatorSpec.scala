@@ -1080,6 +1080,42 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q169: clean constraints pass; the planted partial-loss check fails exactly") {
+    val out = ops.Warehouse.q169ConstraintAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val planted = out("fk_lineitem_orders_after_partial_loss")
+    val expected = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_orderkey") % 50 === 3).count()
+    assert(planted == (expected, false),
+      s"planted orphans: got $planted, expected ($expected, false)")
+    // a GENUINE finding: this corpus's lineitem does not follow TPC-H
+    // (orderkey, linenumber) uniqueness — the audit must report exactly
+    // the duplicated-pair count, not pass vacuously
+    val dupPairs = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_orderkey", "l_linenumber").count().filter(col("count") > 1)
+      .count()
+    assert(dupPairs > 0 && out("unique_lineitem_pk") == (dupPairs, false),
+      s"lineitem pk audit: got ${out("unique_lineitem_pk")}, expected ($dupPairs, false)")
+    (out - "fk_lineitem_orders_after_partial_loss" - "unique_lineitem_pk")
+      .foreach { case (name, (v, p)) =>
+        assert(v == 0L && p, s"clean check $name reported $v violations")
+      }
+  }
+
+  test("q170: histogram-refined quantiles equal the sorted-array reference") {
+    val sorted = Tables.t(spark, sf, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = sorted.length.toLong
+    val got = ops.Analytics.q170ExactQuantiles(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(50, 90, 99))
+    got.foreach { case (pct, r, v) =>
+      assert(r == (n * pct + 99) / 100, s"p$pct rank")
+      assert(v == sorted((r - 1).toInt), s"p$pct value: got $v")
+    }
+  }
+
   test("q166: hourly concurrency peaks match a sequential sweep reference") {
     val hourUs = 3600000000L
     val ev = Tables.events(spark, sf)
