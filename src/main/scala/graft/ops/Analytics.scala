@@ -485,6 +485,63 @@ object Analytics {
       |FROM ix JOIN ndig USING (nation) JOIN sdig USING (segment)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q170: EXACT quantiles without a global sort (histogram refine) -----
+  // q26/q82 cover windowed and approximate percentiles; q170 computes
+  // EXACT corpus-wide order statistics the way it must be done at 100 TB,
+  // where a global sort is the thing to avoid: (1) one partial-agged
+  // histogram pass over 4096 fixed-width buckets of the value domain;
+  // (2) a prefix sum over the ≤4096-row bucket relation locates the
+  // bucket holding each target rank (ceil-rank percentile_disc
+  // semantics); (3) one more scan, filtered to those few buckets
+  // (broadcast join), ranks the ~n/4096 surviving rows per target with a
+  // window PARTITIONED BY pct — two scans and a kilobyte relation
+  // instead of an O(n log n) shuffle sort (plan-locked: the only window
+  // over data partitions by pct, and the bucket filter rides a
+  // broadcast). The tie-free value identity holds regardless of
+  // row_number tie order: the value AT a rank of a sorted multiset is
+  // well-defined. The oracle takes the opposite, oracle-legal route —
+  // one global sort with row_number — so the two formulations are
+  // independent.
+  def q170ExactQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val buckets = 4096L
+    val vals = t(s, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+    val st = vals.agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).first()
+    val (mn, mx, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    val w = (mx - mn) / buckets + 1
+    val hist = vals.groupBy(expr(s"(v - $mn) div $w").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("c").over(Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    import s.implicits._
+    val targets = Seq(50, 90, 99).toDF("pct")
+      .withColumn("r", expr(s"CAST((${n}L * pct + 99) div 100 AS BIGINT)"))
+      .join(cum, col("r") > col("cum_before")
+        && col("r") <= col("cum_before") + col("c"))
+      .select(col("pct"), col("r"), col("b"), col("cum_before"))
+    vals.withColumn("b", expr(s"(v - $mn) div $w"))
+      .join(broadcast(targets), "b")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("pct").orderBy("v")))
+      .filter(col("rk") === col("r") - col("cum_before"))
+      .select(col("pct"), col("r"), col("v").as("value_cents"))
+      .orderBy("pct")
+  }
+
+  val q170Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+      |t AS (
+      |  SELECT pct, (n.n * pct + 99) // 100 AS r
+      |  FROM (VALUES (50), (90), (99)) p(pct), n)
+      |SELECT t.pct, t.r, ranked.v AS value_cents
+      |FROM t JOIN ranked ON ranked.rk = t.r
+      |ORDER BY pct""".stripMargin
+
   // ---- q104: inverted-index keyword search (top-k by match) --------------
   // Search = the read side of an inverted index: exploded (doc, token)
   // postings, the tiny query-term set applied as an `IN` filter BEFORE any
@@ -1322,6 +1379,7 @@ object Analytics {
     "q161_skyline" -> q161Skyline _,
     "q164_bfs_distances" -> q164BfsDistances _,
     "q167_bitmap_index" -> q167BitmapIndex _,
+    "q170_exact_quantiles" -> q170ExactQuantiles _,
     "q120_skew_profile" -> q120SkewProfile _,
     "q126_sketch_stats" -> q126SketchStats _,
     "q129_kcore" -> q129KCore _,
@@ -1350,6 +1408,7 @@ object Analytics {
     "q161_skyline" -> q161Sql,
     "q164_bfs_distances" -> q164Sql,
     "q167_bitmap_index" -> q167Sql,
+    "q170_exact_quantiles" -> q170Sql,
     "q129_kcore" -> q129Sql,
     "q134_hybrid_rrf" -> q134Sql,
     "q140_zorder_pruned_scan" -> q140Sql,

@@ -495,6 +495,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("pushed=[]"), "no filters were pushed at all")
   }
 
+  test("q170: exact quantiles never globally sort the data") {
+    // the scale claim: the only window over row data partitions by pct
+    // (the few target-bucket survivors), and the bucket filter rides a
+    // broadcast — an O(n log n) global sort would show an unpartitioned
+    // ranking window directly over the scan
+    val p = planOf("q170_exact_quantiles")
+    assert("""windowspecdefinition\(pct#""".r.findFirstIn(p).isDefined,
+      "phase-2 ranking must partition by pct")
+    assert(p.contains("BroadcastHashJoin"),
+      "target buckets must broadcast onto the value scan")
+    assert(!p.contains("CartesianProduct"), "q170 has a cartesian product")
+  }
+
   test("q152: BM25 top-20 is bounded; df and corpus stats broadcast") {
     val p = planOf("q152_bm25")
     assert(p.contains("TakeOrderedAndProject"),
