@@ -590,6 +590,48 @@ object Warehouse {
       |FROM t
       |ORDER BY check_name""".stripMargin
 
+  // ---- q171: observed job metrics (one pass, no audit re-scan) ------------
+  // The `Dataset.observe` surface: a curation job (drop returned lines)
+  // carries its own audit metrics — rows scanned, rows dropped, money
+  // scanned — collected by a CollectMetrics node DURING the job's single
+  // pass. At 100 TB this is the difference between "the pipeline reports
+  // its input profile for free" and "a second full scan to audit what
+  // the first one did". The job's kept-count and the observed metrics
+  // are emitted as one row; the oracle recomputes all four numbers from
+  // the source, and n_kept + n_returned = n_scanned is internally
+  // cross-checked loudly. Plan-locked: the metrics ride the SAME scan
+  // (exactly one lineitem scan in the executed plan).
+  def q171ObservedMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      s"q171_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val job = t(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_scanned"),
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("sum_cents"))
+      .filter(col("l_returnflag") =!= "R")
+    q171LastPlan = { val p = job.queryExecution.executedPlan.toString; p }
+    val kept = job.count() // the one action: job + metrics in a single pass
+    val m = obs.get
+    val (scanned, returned, cents) = (m("n_scanned").asInstanceOf[Long],
+      m("n_returned").asInstanceOf[Long], m("sum_cents").asInstanceOf[Long])
+    require(kept + returned == scanned,
+      s"q171: observed metrics inconsistent ($kept + $returned != $scanned)")
+    Seq((scanned, kept, returned, cents))
+      .toDF("n_scanned", "n_kept", "n_returned", "sum_cents")
+  }
+
+  /** Executed plan of the last q171 job, for the single-scan lock. */
+  @volatile private[graft] var q171LastPlan: String = ""
+
+  val q171Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned,
+      |  CAST(COUNT(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
@@ -600,6 +642,7 @@ object Warehouse {
     "q133_stats_drift" -> q133StatsDrift _,
     "q159_merkle_sync" -> q159MerkleSync _,
     "q169_constraint_audit" -> q169ConstraintAudit _,
+    "q171_observed_metrics" -> q171ObservedMetrics _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -611,5 +654,6 @@ object Warehouse {
     "q133_stats_drift" -> q133Sql,
     "q159_merkle_sync" -> q159Sql,
     "q169_constraint_audit" -> q169Sql,
+    "q171_observed_metrics" -> q171Sql,
   )
 }

@@ -1116,6 +1116,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q171: observed metrics ride the job's single scan") {
+    val out = ops.Warehouse.q171ObservedMetrics(spark, sf).collect().head
+    val direct = Tables.t(spark, sf, "lineitem")
+      .agg(count(lit(1)), count(when(col("l_returnflag") === "R", 1)),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")))
+      .collect().head
+    assert(out.getLong(0) == direct.getLong(0), "n_scanned")
+    assert(out.getLong(2) == direct.getLong(1), "n_returned")
+    assert(out.getLong(3) == direct.getLong(2), "sum_cents")
+    assert(out.getLong(1) == out.getLong(0) - out.getLong(2), "kept identity")
+    val plan = ops.Warehouse.q171LastPlan
+    assert(plan.contains("CollectMetrics"), "metrics node missing from the job")
+    val scans = plan.split("Scan parquet|FileScan parquet").length - 1
+    assert(scans == 1, s"job must read lineitem exactly once, saw $scans scans")
+  }
+
   test("q166: hourly concurrency peaks match a sequential sweep reference") {
     val hourUs = 3600000000L
     val ev = Tables.events(spark, sf)
