@@ -217,6 +217,82 @@ object Pipeline {
        |WHERE rk <= $strataQuota
        |ORDER BY lang, rk""".stripMargin
 
+  // ---- q172: batch padding-efficiency stats (arrival vs length-bucketed) --
+  // The measurement behind every "sort by length before batching" line in
+  // a training recipe: fixed-size batches of 8 docs padded to the batch
+  // max. Strategy `arrival` batches in corpus order (doc_id div 8);
+  // strategy `length_bucketed` groups docs into 16-token length buckets
+  // and batches within each bucket in (n_tokens, doc_id) order — the
+  // batching windows PARTITION BY bucket, so no strategy needs a global
+  // sort (the q145 discipline; a fully-sorted-corpus strategy would).
+  // Per strategy: batch count, real tokens, padded slots
+  // (Σ batch_size·batch_max), and the waste in ppm — one integral
+  // division of nonnegatives. The length-bucketed waste must come in
+  // far below arrival order (spec-pinned), which is the whole point.
+  private val padBatch = 8L
+  private val padBucketTokens = 16L
+
+  def q172PaddingStats(s: SparkSession, dir: String): DataFrame = {
+    val nTok = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(lower(col("text"))), "\\s+")))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"))
+    val arrival = docs
+      .withColumn("strategy", lit("arrival"))
+      .withColumn("batch", expr(s"doc_id div $padBatch"))
+    val bucketed = docs
+      .withColumn("strategy", lit("length_bucketed"))
+      .withColumn("bucket", expr(s"n_tokens div $padBucketTokens"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")))
+      .withColumn("batch",
+        col("bucket") * 1000000L + expr(s"(rk - 1) div $padBatch"))
+      .drop("bucket", "rk")
+    arrival.unionByName(bucketed)
+      .groupBy("strategy", "batch")
+      .agg(count(lit(1)).as("bsz"), sum("n_tokens").as("real"),
+        max("n_tokens").as("mx"))
+      .groupBy("strategy")
+      .agg(count(lit(1)).as("n_batches"),
+        sum("real").as("real_tokens"),
+        sum(col("bsz") * col("mx")).as("padded_slots"))
+      .withColumn("waste_ppm",
+        expr("((padded_slots - real_tokens) * 1000000) div padded_slots"))
+      .orderBy("strategy")
+  }
+
+  val q172Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END
+       |      AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |arrival AS (
+       |  SELECT 'arrival' AS strategy, doc_id // $padBatch AS batch, n_tokens
+       |  FROM toks),
+       |bucketed AS (
+       |  SELECT 'length_bucketed' AS strategy,
+       |    (n_tokens // $padBucketTokens) * 1000000
+       |      + (row_number() OVER (PARTITION BY n_tokens // $padBucketTokens
+       |         ORDER BY n_tokens, doc_id) - 1) // $padBatch AS batch,
+       |    n_tokens
+       |  FROM toks),
+       |batches AS (
+       |  SELECT strategy, batch, COUNT(*) AS bsz,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS real, MAX(n_tokens) AS mx
+       |  FROM (SELECT * FROM arrival UNION ALL SELECT * FROM bucketed) u
+       |  GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT strategy, COUNT(*) AS n_batches,
+       |    CAST(SUM(real) AS BIGINT) AS real_tokens,
+       |    CAST(SUM(bsz * mx) AS BIGINT) AS padded_slots
+       |  FROM batches GROUP BY 1)
+       |SELECT strategy, n_batches, real_tokens, padded_slots,
+       |  ((padded_slots - real_tokens) * 1000000) // padded_slots AS waste_ppm
+       |FROM agg
+       |ORDER BY strategy""".stripMargin
+
   // ---- q81: temperature-scaled mixture weights ----------------------------
   // Per (lang, source) corpus shard: sampling weight ∝ n_tokens^0.5 — the
   // standard temperature reweighting (multilingual LM mixing, T=2 ⇔
@@ -433,6 +509,7 @@ object Pipeline {
     "q84_weighted_sample" -> q84WeightedSample _,
     "q85_pii_redact" -> q85PiiRedact _,
     "q99_split_manifest" -> q99SplitManifest _,
+    "q172_padding_stats" -> q172PaddingStats _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -444,5 +521,6 @@ object Pipeline {
     "q84_weighted_sample" -> q84Sql,
     "q85_pii_redact" -> q85Sql,
     "q99_split_manifest" -> q99Sql,
+    "q172_padding_stats" -> q172Sql,
   )
 }

@@ -1116,6 +1116,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q172: length-bucketed batching wastes far less padding than arrival") {
+    val out = ops.Pipeline.q172PaddingStats(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, realA, slotsA, wasteA) = out("arrival")
+    val (_, realB, slotsB, wasteB) = out("length_bucketed")
+    assert(realA == realB, "both strategies carry the same real tokens")
+    assert(slotsA >= realA && slotsB >= realB, "slots can never undercount")
+    assert(wasteB * 2 <= wasteA,
+      s"length bucketing should at least halve waste: $wasteB vs $wasteA ppm")
+    // conservation: waste_ppm is exactly the integral of (slots - real)
+    assert(wasteA == (slotsA - realA) * 1000000 / slotsA)
+    assert(wasteB == (slotsB - realB) * 1000000 / slotsB)
+  }
+
   test("q171: observed metrics ride the job's single scan") {
     val out = ops.Warehouse.q171ObservedMetrics(spark, sf).collect().head
     val direct = Tables.t(spark, sf, "lineitem")
