@@ -103,6 +103,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "might_contain(bloom, itemHash) takes exactly 2 arguments")
       }))
+    e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(text, n) => WordNgrams(text, n)
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams(text, n) takes exactly 2 arguments")
+      }))
     e.injectOptimizerRule(_ => RewriteDotProduct)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -454,6 +454,40 @@ object Corpus {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q173: native Generator (UDTF) — per-source trigram vocabulary ------
+  // Drives [[graft.functions.WordNgrams]] — a native Catalyst Generator
+  // (the 1→k table-valued expression class explode/posexplode subclass,
+  // completing the custom-extension matrix) — from SQL TEXT through the
+  // session extensions: `word_ngrams(text, 3)` in a select list, exactly
+  // like a built-in generator. Emits rows straight off the token walk
+  // with no intermediate array-of-structs per doc (the transform+
+  // posexplode composition materializes and copies one). The aggregate —
+  // distinct trigram vocabulary and total trigram volume per source —
+  // shuffles once on (source, gram) via the standard two-phase distinct
+  // expansion. FunctionsSpec pins the generator's output equal to the
+  // built-in composition row-for-row on the real corpus.
+  def q173NgramGenerator(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .selectExpr("source", "word_ngrams(text, 3)")
+      .groupBy("source")
+      .agg(countDistinct(col("gram")).as("n_distinct_grams"),
+        count(lit(1)).as("n_grams"))
+      .orderBy("source")
+
+  val q173Sql: String =
+    """WITH d AS (
+      |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |g AS (
+      |  SELECT source, array_to_string(ws[i : i + 2], ' ') AS gram
+      |  FROM d, unnest(range(1, len(ws) - 1)) AS u(i)
+      |  WHERE len(ws) >= 3)
+      |SELECT source, COUNT(DISTINCT gram) AS n_distinct_grams,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM g
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_paragraph_dedup" -> q113ParagraphDedup _,
@@ -463,6 +497,7 @@ object Corpus {
     "q123_span_corruption" -> q123SpanCorruption _,
     "q124_bigram_lm" -> q124BigramLm _,
     "q128_lm_score" -> q128LmScore _,
+    "q173_ngram_generator" -> q173NgramGenerator _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -473,5 +508,6 @@ object Corpus {
     "q123_span_corruption" -> q123Sql,
     "q124_bigram_lm" -> q124Sql,
     "q128_lm_score" -> q128Sql,
+    "q173_ngram_generator" -> q173Sql,
   )
 }

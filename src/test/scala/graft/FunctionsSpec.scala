@@ -22,6 +22,31 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 32.0)
   }
 
+  test("word_ngrams generator ≡ the built-in transform+posexplode composition") {
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    val native = docs.selectExpr("doc_id", "word_ngrams(text, 3)")
+    val composed = docs
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("ws"))
+      .select(col("doc_id"), expr(
+        "posexplode(CASE WHEN size(ws) < 3 THEN CAST(array() AS array<string>) " +
+          "ELSE transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', slice(ws, i + 1, 3))) END)"))
+      .select(col("doc_id"), col("pos"), col("col").as("gram"))
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+      "generator output differs from the built-in composition")
+  }
+
+  test("word_ngrams rejects bad arity and non-literal n at analysis time") {
+    intercept[Exception] {
+      spark.sql("SELECT word_ngrams('a b c')").collect()
+    }
+    intercept[Exception] {
+      Tables.t(spark, sf, "documents")
+        .selectExpr("word_ngrams(text, CAST(n_chars AS INT))").collect()
+    }
+  }
+
   test("dot_product null handling matches the builtin on every edge input") {
     // null array, length mismatch, null element: the builtin composition
     // yields NULL on all three (zip_with null-pads, null poisons the sum);
