@@ -90,15 +90,21 @@ case class CountMinAgg(
 
 object CountMinAgg {
 
+  /** Per-thread digest: `MessageDigest.getInstance` walks the provider
+    * registry on every call, which shows up when update runs d=4 hashes
+    * per input row; `digest()` leaves the instance reset, so reuse is
+    * safe.
+    */
+  private[functions] val tlMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Row-j bucket of `key`: the first four lowercase-hex chars of
     * md5("j:key"), mixed through their ASCII codes — the exact integer
     * arithmetic the SQL twin `(ascii(substr(h,1,1))*1009 + … ) % w`
-    * performs. Hot path allocates one digest per call; the aggregate is
-    * bandwidth-bound on the shuffle, not on md5.
+    * performs.
     */
   def bucket(j: Int, key: String, w: Int): Int = {
-    val h = MessageDigest.getInstance("MD5")
-      .digest(s"$j:$key".getBytes(StandardCharsets.UTF_8))
+    val h = tlMd5.get().digest(s"$j:$key".getBytes(StandardCharsets.UTF_8))
     // first 4 hex chars = high/low nibbles of the first 2 bytes
     def hexChar(nibble: Int): Int = {
       val c = if (nibble < 10) '0' + nibble else 'a' + (nibble - 10)

@@ -2,7 +2,6 @@ package graft.functions
 
 import java.nio.ByteBuffer
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -115,10 +114,11 @@ object HllAgg {
       .multiply(java.math.BigInteger.valueOf(M.toLong * M))
       .multiply(java.math.BigInteger.TWO.pow(61))
 
-  /** (bucket, rho) of a key — the JVM twin of the SQL hex-string walk. */
+  /** (bucket, rho) of a key — the JVM twin of the SQL hex-string walk.
+    * Uses the shared per-thread digest (one md5 per input row).
+    */
   def bucketRho(key: String): (Int, Long) = {
-    val h = MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(StandardCharsets.UTF_8))
+    val h = CountMinAgg.tlMd5.get().digest(key.getBytes(StandardCharsets.UTF_8))
     // bucket = first two hex chars = both nibbles of byte 0
     val b = ((h(0) >> 4) & 0xf) * 16 + (h(0) & 0xf)
     // rho over hex chars 3..17 = 15 nibbles = bytes 1..7 + high nibble of 8
