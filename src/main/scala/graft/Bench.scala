@@ -6,14 +6,14 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-10-FINAL QUERY SET (the 169 queries present at
-  * the end of round 10, PLANS.md "Round 10 addendum") must stay ≤ 154 s
-  * (1.3 × the 118.5 s round-10-final anchor run; in that same run the
-  * older 151-query subset read 102.2 s, inside its prior 112 s ceiling).
-  * Queries added in later rounds are excluded from the ratchet until the
-  * anchor is re-taken on a quiet run that includes them. A quiet-host
-  * total past the ceiling is a regression to fix, not variance to wave
-  * at.
+  * total over the ROUND-10-FINAL QUERY SET (the 170 queries present at
+  * the end of round 10, PLANS.md "Round 10 addendum") must stay ≤ 135 s
+  * (1.3 × the 103.5 s round-10-final anchor run — all 170 queries,
+  * zero failures; the pre-addendum 151-query subset read ~89 s in that
+  * run, inside its prior 112 s ceiling). Queries added in later rounds
+  * are excluded from the ratchet until the anchor is re-taken on a
+  * quiet run that includes them. A quiet-host total past the ceiling is
+  * a regression to fix, not variance to wave at.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
