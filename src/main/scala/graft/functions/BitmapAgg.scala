@@ -4,10 +4,10 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, AbstractDataType}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Dense bitmap index over a bounded integer key domain as a mergeable
@@ -36,11 +36,13 @@ case class BitmapAgg(
     words: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // update() reads the child as Long — reject non-long at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
 

@@ -6,11 +6,11 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, AbstractDataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-min sketch (Cormode & Muthukrishnan 2005) as one mergeable custom
@@ -39,11 +39,15 @@ case class CountMinAgg(
     w: Int = 4096,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Analysis-time contract: update() reads the child as UTF8String, so a
+  // non-string child must fail in the analyzer, not as an executor-side
+  // ClassCastException mid-job.
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
 

@@ -5,11 +5,11 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, AbstractDataType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** HyperLogLog (Flajolet et al. 2007) as a mergeable custom aggregate whose
@@ -49,11 +49,13 @@ case class HllAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // update() reads the child as UTF8String — reject non-string at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](HllAgg.M)

@@ -7,10 +7,10 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, AbstractDataType}
 import org.apache.spark.sql.types.{DataType, LongType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,11 +39,14 @@ case class MisraGriesAgg(
     k: Int = 4096,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+    with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
+  // update() reads the child as UTF8String — reject non-string at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty

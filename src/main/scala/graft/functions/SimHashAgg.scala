@@ -4,9 +4,9 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn}
+import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, AbstractDataType}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 64-bit SimHash signature as a single custom aggregate — the
@@ -25,13 +25,15 @@ case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Int]] {
+    extends TypedImperativeAggregate[Array[Int]] with ExpectsInputTypes {
 
   private val nBits = 64
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
+  // update() reads the child as Long — reject non-long at analysis.
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](nBits)
 

@@ -325,8 +325,13 @@ object Analytics {
         when(col("slope_num") > 0, 1).when(col("slope_num") < 0, -1)
           .otherwise(0))
       .withColumn("abs_slope_ppm",
-        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(slope_num)) div " +
-          "CAST(slope_den AS DECIMAL(38,0)) AS BIGINT)"))
+        // n_months = 1 gives slope_den = 0: Spark's div yields NULL (ANSI
+        // off) but DuckDB's // raises, so the oracle run would CRASH
+        // rather than mismatch — make the undefined-slope case an
+        // explicit NULL in both engines
+        expr("CASE WHEN slope_den = 0 THEN NULL ELSE " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(slope_num)) div " +
+          "CAST(slope_den AS DECIMAL(38,0)) AS BIGINT) END"))
       .orderBy("n_name")
   }
 
@@ -351,8 +356,9 @@ object Analytics {
       |  n_months * sxx - sx * sx AS slope_den,
       |  CASE WHEN n_months * sxy - sx * sy > 0 THEN 1
       |       WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS slope_sign,
-      |  CAST((CAST(1000000 AS HUGEINT) * abs(n_months * sxy - sx * sy))
-      |       // (n_months * sxx - sx * sx) AS BIGINT) AS abs_slope_ppm
+      |  CASE WHEN n_months * sxx - sx * sx = 0 THEN NULL
+      |       ELSE CAST((CAST(1000000 AS HUGEINT) * abs(n_months * sxy - sx * sy))
+      |            // (n_months * sxx - sx * sx) AS BIGINT) END AS abs_slope_ppm
       |FROM agg
       |ORDER BY n_name""".stripMargin
 
@@ -608,8 +614,13 @@ object Analytics {
       .crossJoin(broadcast(stats))
       .withColumn("idf", length(bin(col("d_total"))) - length(bin(col("df"))))
       .withColumn("w_ppm",
+        // the ppm numerator 22*tf*T*1e6 exceeds int64 once T ~ 1e9 tokens
+        // (a high-tf doc wraps silently with ANSI off while the DuckDB
+        // twin raises) — widen to DECIMAL(38,0) so the product is exact at
+        // any corpus size; the quotient is ppm-scale and casts back down
         col("idf").cast("long") * expr(
-          "(22 * tf * t_total * 1000000) div (10 * t_total * tf + 3 * t_total + 9 * dl * d_total)"))
+          "CAST((CAST(22 AS DECIMAL(38,0)) * tf * t_total * 1000000) div " +
+            "(10 * t_total * tf + 3 * t_total + 9 * dl * d_total) AS BIGINT)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("w_ppm").as("score_ppm"))
       .orderBy(desc("score_ppm"), col("doc_id"))
@@ -632,7 +643,7 @@ object Analytics {
        |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY tok)
        |SELECT doc_id, COUNT(*) AS n_terms,
        |  CAST(SUM((length(bin(d_total)) - length(bin(df)))
-       |    * ((22 * tf * t_total * 1000000)
+       |    * ((CAST(22 AS HUGEINT) * tf * t_total * 1000000)
        |       // (10 * t_total * tf + 3 * t_total + 9 * dl * d_total))) AS BIGINT)
        |    AS score_ppm
        |FROM tfs JOIN dfreq USING (tok) CROSS JOIN st
@@ -785,7 +796,7 @@ object Analytics {
     s.read.parquet(p.resolve("documents_compact").toString)
       .groupBy(col("source"), col("bin").cast("long").as("bin"))
       .agg(
-        count(lit(1)).as("n_files"),
+        count(lit(1)).as("n_rows"),
         sum(col("n_chars")).as("bytes"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"),
@@ -802,7 +813,7 @@ object Analytics {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM documents)
       |SELECT source, CAST((cum - n_chars) // 16384 AS BIGINT) AS bin,
-      |  COUNT(*) AS n_files,
+      |  COUNT(*) AS n_rows,
       |  CAST(SUM(n_chars) AS BIGINT) AS bytes,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
       |  md5(string_agg(

@@ -405,13 +405,56 @@ object TextOps {
   // narrow 1→k lambda explode, one partial-agged groupBy(l, r) weighted
   // by word frequency, arg-max collected to the driver as ONE row (the
   // q54 centroid-literal pattern — merges are inherently sequential), and
-  // the merge applied vocab-wide as a narrow literal string replace over
-  // the space-joined symbol strings (' l r ' → ' lr ': non-overlapping
-  // left-to-right replace IS greedy BPE application; boundary spaces stop
-  // partial-symbol matches). Ties break (count desc, left, right) —
-  // deterministic, so the DuckDB twin UNROLLS all 12 rounds with the
-  // same replace trick and the merge table matches exactly. Per-round
-  // localCheckpoint truncates the 12-deep replace lineage.
+  // the merge applied vocab-wide as a GREEDY left-to-right symbol walk
+  // (subword-nmt's i+=2 rule: a match emits l+r and the walk resumes
+  // AFTER the merged token) — an `aggregate` lambda over the symbol
+  // array, NOT a string replace: a single non-overlapping replace of
+  // ' l r ' misses every second occurrence of back-to-back pairs (the
+  // two matches in ' a b a b ' share a boundary space), silently
+  // mis-merging runs like 'abab' or 'aaaa'. Ties break (count desc,
+  // left, right) — deterministic, so the DuckDB twin UNROLLS all 12
+  // rounds with the SAME greedy walk (list_reduce over a '#'-encoded
+  // (emitted, pending) state) and the merge table matches exactly.
+  // Per-round localCheckpoint truncates the 12-deep walk lineage.
+  /** Greedy left-to-right application of ONE learned merge (l, r) over a
+    * symbol array, as a SQL `aggregate` lambda: state = (emitted tokens,
+    * pending symbol); a match emits l+r and clears the pending slot so the
+    * merged token is never reconsidered in this pass (subword-nmt's i+=2
+    * walk). `l`/`r` are [a-z0-9]+ runs — safe to inline as SQL literals.
+    */
+  private[graft] def greedyMergeArr(arr: String, l: String, r: String): String =
+    s"aggregate($arr, " +
+      "named_struct('out', cast(array() as array<string>), 'pend', ''), " +
+      "(acc, x) -> CASE " +
+      "WHEN acc.pend = '' THEN named_struct('out', acc.out, 'pend', x) " +
+      s"WHEN acc.pend = '$l' AND x = '$r' " +
+      s"THEN named_struct('out', array_append(acc.out, '$l$r'), 'pend', '') " +
+      "ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x) END, " +
+      "acc -> CASE WHEN acc.pend = '' THEN acc.out " +
+      "ELSE array_append(acc.out, acc.pend) END)"
+
+  /** DuckDB twin of [[greedyMergeArr]]: list_reduce has no initial-value
+    * form, so the running (emitted, pending) state rides in ONE VARCHAR as
+    * `emitted || '#' || pending` — a raw first element (no '#') reads as
+    * "nothing emitted, first symbol pending", and '#' cannot collide with
+    * the [a-z0-9|]+ symbol alphabet. `l`/`r` must be COLUMN references
+    * (DuckDB lambdas capture outer columns but reject subqueries).
+    */
+  private def duckGreedyEnc(ls: String, l: String, r: String): String =
+    s"list_reduce($ls, (acc, x) -> CASE " +
+      "WHEN strpos(acc, '#') = 0 THEN " +
+      s"CASE WHEN acc = $l AND x = $r THEN ' ' || $l || $r || '#' " +
+      "ELSE ' ' || acc || '#' || x END " +
+      "ELSE CASE WHEN split_part(acc, '#', 2) = '' THEN acc || x " +
+      s"WHEN split_part(acc, '#', 2) = $l AND x = $r " +
+      s"THEN split_part(acc, '#', 1) || ' ' || $l || $r || '#' " +
+      "ELSE split_part(acc, '#', 1) || ' ' || split_part(acc, '#', 2) || '#' || x END END)"
+
+  /** Decode of the '#'-encoded walk state in a column named `enc`. */
+  private val duckGreedyDecode: String =
+    "CASE WHEN strpos(enc, '#') = 0 THEN enc " +
+      "ELSE trim(split_part(enc, '#', 1) || ' ' || split_part(enc, '#', 2)) END"
+
   private val bpeRounds = 12
 
   def q153BpeMerges(s: SparkSession, dir: String): DataFrame = {
@@ -438,9 +481,8 @@ object TextOps {
         .limit(1).collect().head
       val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((k, l, r, l + r, cnt))
-      // symbols are [a-z0-9] runs — safe to inline as SQL literals
       words = words.select(col("freq"),
-        expr(s"trim(replace(concat(' ', sym, ' '), ' $l $r ', ' $l$r '))").as("sym"))
+        expr(s"array_join(${greedyMergeArr("split(sym, ' ')", l, r)}, ' ')").as("sym"))
         .localCheckpoint(true)
     }
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
@@ -457,9 +499,9 @@ object TextOps {
          |  GROUP BY l, r),
          |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |w$k AS MATERIALIZED (
-         |  SELECT freq, trim(replace(' ' || sym || ' ',
-         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS sym
-         |  FROM w${k - 1}, b$k b)""".stripMargin
+         |  SELECT freq, $duckGreedyDecode AS sym FROM (
+         |    SELECT freq, ${duckGreedyEnc("string_split(sym, ' ')", "b.l", "b.r")} AS enc
+         |    FROM w${k - 1}, b$k b) e)""".stripMargin
     }.mkString(",\n")
     val sel = (1 to bpeRounds).map(k =>
       s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM b$k")
@@ -477,16 +519,20 @@ object TextOps {
   // ---- q154: BPE encode (apply the learned vocabulary) --------------------
   // The other half of the tokenizer: q153 TRAINS the merge table, q154
   // ENCODES the corpus with it and reports per-document compression. A
-  // document becomes one spaced symbol stream with '|' as the word
-  // boundary (corpus is [a-z0-9 ] — checked — so '|' can never collide
-  // with a symbol, and no learned pair spans it); applying the 12 merges
-  // in rank order is 12 chained literal replaces — a NARROW map over the
-  // corpus, embarrassingly parallel, no shuffle. The merges come from the
+  // document becomes one symbol array with '|' as the word boundary
+  // (corpus is [a-z0-9 ] — checked — so '|' can never collide with a
+  // symbol, and no learned pair spans it); applying the 12 merges in rank
+  // order is 12 chained greedy walks (the q153 `aggregate` lambda — same
+  // i+=2 semantics as training, so back-to-back pair runs merge the way
+  // the learned table expects) — a NARROW map over the corpus,
+  // embarrassingly parallel, no shuffle. The merges come from the
   // memoized q153 result (one train per session). The oracle cannot
   // hardcode learned merges (they are data-dependent), so it RECOMPUTES
-  // them via the q153 CTE chain and applies them through scalar
-  // subqueries — the SQL text stays data-independent while the applied
-  // vocabulary always matches the input.
+  // them via the q153 CTE chain and walks them through a chain of
+  // per-merge CTE stages that CROSS JOIN the one-row b$k relations —
+  // DuckDB lambdas capture those columns but reject subqueries — keeping
+  // the SQL text data-independent while the applied vocabulary always
+  // matches the input.
   private val bpeMergeCache = new graft.SessionCache[Seq[(String, String)]]()
   private def bpeMergesMemo(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeMergeCache.getOrCompute(s, dir)(
@@ -494,14 +540,15 @@ object TextOps {
 
   def q154BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMergesMemo(s, dir)
-    val symExpr = merges.foldLeft(
-      "concat(' ', regexp_replace(regexp_replace(trim(lower(text)), '\\\\s+', '|'), '(.)', '$1 '))") {
-      case (acc, (l, r)) => s"replace($acc, ' $l $r ', ' $l$r ')"
+    val arrExpr = merges.foldLeft(
+      "split(trim(regexp_replace(regexp_replace(trim(lower(text)), '\\\\s+', '|')," +
+        " '(.)', '$1 ')), ' ')") {
+      case (acc, (l, r)) => greedyMergeArr(acc, l, r)
     }
     t(s, dir, "documents")
       .filter(!isBlank)
       .select(col("doc_id"), toks(lower(col("text"))).as("ws"),
-        expr(s"filter(split(trim($symExpr), ' '), x -> x != '|')").as("bpe"))
+        expr(s"filter($arrExpr, x -> x != '|')").as("bpe"))
       .select(col("doc_id"),
         size(col("ws")).cast("int").as("n_ws_tokens"),
         size(col("bpe")).cast("int").as("n_bpe_tokens"),
@@ -511,23 +558,28 @@ object TextOps {
 
   val q154Sql: String = {
     val base =
-      "' ' || regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '|', 'g'), '(.)', '\\1 ', 'g')"
-    val enc = (1 to bpeRounds).foldLeft(base) { (acc, k) =>
-      s"replace($acc, ' ' || (SELECT l FROM b$k) || ' ' || (SELECT r FROM b$k) || ' ', " +
-        s"' ' || (SELECT l FROM b$k) || (SELECT r FROM b$k) || ' ')"
-    }
+      "trim(regexp_replace(regexp_replace(trim(lower(text)), '\\s+', '|', 'g'), '(.)', '\\1 ', 'g'))"
+    val stages = (1 to bpeRounds).map { k =>
+      s"""enc$k AS (
+         |  SELECT doc_id, n_ws,
+         |    ${duckGreedyEnc("string_split(sym, ' ')", s"b$k.l", s"b$k.r")} AS enc
+         |  FROM e${k - 1}, b$k),
+         |e$k AS (SELECT doc_id, n_ws, $duckGreedyDecode AS sym FROM enc$k)""".stripMargin
+    }.mkString(",\n")
     val trainCtes = q153Sql.substring("WITH ".length, q153Sql.indexOf("\nSELECT * FROM"))
-    s"""WITH $trainCtes
-       |SELECT doc_id,
-       |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
-       |  CAST(len(list_filter(string_split(trim($enc), ' '), x -> x <> '|')) AS INT)
+    s"""WITH $trainCtes,
+       |e0 AS (
+       |  SELECT doc_id,
+       |    CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws,
+       |    $base AS sym
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |$stages
+       |SELECT doc_id, n_ws AS n_ws_tokens,
+       |  CAST(len(list_filter(string_split(sym, ' '), x -> x <> '|')) AS INT)
        |    AS n_bpe_tokens,
-       |  (CAST(len(list_filter(string_split(trim($enc), ' '), x -> x <> '|')) AS BIGINT)
-       |   * 1000000)
-       |    // CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-       |    AS compression_ppm
-       |FROM documents
-       |WHERE length(trim(text)) > 0
+       |  (CAST(len(list_filter(string_split(sym, ' '), x -> x <> '|')) AS BIGINT)
+       |   * 1000000) // CAST(n_ws AS BIGINT) AS compression_ppm
+       |FROM e$bpeRounds
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -169,4 +169,25 @@ class FunctionsSpec extends SparkSpec {
       .select(RandExponential.rand_exponential(col("rate"), 5L)).collect()
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
   }
+
+  test("sketch aggregates reject mistyped input at analysis time, " +
+      "not as an executor-side ClassCastException") {
+    import graft.functions.{BitmapAgg, CountMinAgg, HllAgg, MinHashAgg, MisraGriesAgg, SimHashAgg}
+    val df = Seq((1L, "k")).toDF("n", "s")
+    def rejected(c: => org.apache.spark.sql.Column): Unit = {
+      intercept[org.apache.spark.sql.AnalysisException] { df.agg(c).collect() }
+      ()
+    }
+    // string-keyed sketches fed a long
+    rejected(CountMinAgg.count_min(col("n")))
+    rejected(HllAgg.hll_registers(col("n")))
+    rejected(MisraGriesAgg.misra_gries(col("n")))
+    // long-keyed sketches fed a string
+    rejected(BitmapAgg.bitmap(col("s"), 8))
+    rejected(MinHashAgg.minhash_agg(col("s")))
+    rejected(SimHashAgg.simhash_agg(col("s")))
+    // and the correctly-typed calls still analyze
+    df.agg(CountMinAgg.count_min(col("s")).as("a"),
+      BitmapAgg.bitmap(col("n"), 8).as("b")).collect()
+  }
 }

@@ -948,6 +948,53 @@ class OperatorSpec extends SparkSpec {
     assert(got.toSeq == ref, s"merge tables differ:\n got $got\n ref $ref")
   }
 
+  test("q153/q154: the greedy merge walk handles back-to-back pair " +
+      "occurrences — the shapes a single non-overlapping replace drops") {
+    import spark.implicits._
+    // plain-Scala subword-nmt walk (i += 2 after a match)
+    def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    def engine(streams: Seq[Seq[String]], l: String, r: String): Seq[String] =
+      streams.map(_.mkString(" ")).toDF("sym")
+        .select(expr("array_join(" +
+          ops.TextOps.greedyMergeArr("split(sym, ' ')", l, r) + ", ' ')"))
+        .collect().map(_.getString(0)).toSeq
+    // the exact adversaries from the replace-trick failure mode: adjacent
+    // occurrences share the boundary space (' a b a b ' has two matches
+    // of ' a b ' overlapping at one space), and same-symbol runs
+    val hard = Seq(
+      (Seq("a", "b", "a", "b"), ("a", "b")),
+      (Seq("a", "a", "a", "a", "a", "a"), ("a", "a")),
+      (Seq("a", "a", "a", "a", "a"), ("a", "a")),
+      (Seq("b", "a", "b", "a", "b"), ("a", "b")),
+      (Seq("x", "a", "b", "y"), ("a", "b")),
+      (Seq("a"), ("a", "a")))
+    hard.foreach { case (syms, (l, r)) =>
+      val got = engine(Seq(syms), l, r).head
+      assert(got == applyMerge(syms, l, r).mkString(" "),
+        s"walk diverged on $syms with merge ($l,$r): $got")
+    }
+    // randomized cross-check over a tiny alphabet, one engine pass per pair
+    val rnd = new scala.util.Random(11)
+    val alpha = Vector("a", "b", "ab", "c")
+    val streams =
+      Seq.fill(60)(Seq.fill(1 + rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size))))
+    Seq(("a", "b"), ("a", "a"), ("b", "a"), ("ab", "c")).foreach { case (l, r) =>
+      engine(streams, l, r).zip(streams).foreach { case (g, syms) =>
+        assert(g == applyMerge(syms, l, r).mkString(" "),
+          s"walk diverged on $syms with merge ($l,$r): $g")
+      }
+    }
+  }
+
   test("q151: count-min sketch is merge-invariant and only overcounts") {
     // mergeability: elementwise addition commutes, so the sketch must be
     // bit-identical whether built from 1 partition or 32; one-sided error:
