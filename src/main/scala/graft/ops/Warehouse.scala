@@ -127,10 +127,17 @@ object Warehouse {
   // change count) share ONE hashpartitioning exchange on user_id — the q90
   // discipline; no global sort, no self-join. At 100 TB the log is
   // additionally bucketed by key so reapplication is shuffle-free.
-  def q117CdcApply(s: SparkSession, dir: String): DataFrame = {
+  def q117CdcApply(s: SparkSession, dir: String): DataFrame =
+    cdcCollapse(graft.Tables.events(s, dir))
+
+  /** The latest-wins collapse over a changelog frame with (user_id, ts,
+    * event_id, event_type) — shared by q117 (batch apply) and q174 (the
+    * same log round-tripped through the epoch-committing streaming sink).
+    */
+  def cdcCollapse(log: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
     val wAll = Window.partitionBy("user_id")
-    graft.Tables.events(s, dir)
+    log
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
       .withColumn("rk", row_number().over(wOrd))

@@ -611,6 +611,68 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q174: the same CDC changelog as q119, driven through a CUSTOM
+    * DataSource V2 STREAMING sink ([[graft.sources.EpochSink]]) instead of
+    * foreachBatch — `Write.toStreaming` → per-epoch writer factory →
+    * epoch-scoped two-phase commit, the exactly-once contract streaming
+    * table formats implement. Each micro-batch (epoch) stages
+    * attempt-keyed files, task-commits by rename, and epoch-commits by
+    * publishing an atomic `_EPOCH_E_COMMIT` manifest; a replayed epoch
+    * (driver failure between sink commit and checkpoint) re-commits
+    * idempotently — first marker wins (the replay-sequencing contract is
+    * additionally spec-pinned by direct protocol calls).
+    *
+    * The round trip is then read back THROUGH the manifests (only
+    * committed epochs are visible) and collapsed with the q117 batch
+    * changelog apply — so the oracle is the SAME SQL as q117/q119:
+    * streaming write path, commit protocol, serialization, and manifest
+    * read path all sit on the hash-checked line. Timestamps travel as
+    * epoch micros (UTC session), so reconstruction is bit-exact.
+    *
+    * Scale shape: writer parallelism is the stream's partitioning (no
+    * driver funnel); per-epoch driver commit is O(files). At 100 TB the
+    * rename becomes an object-store multipart-complete and the marker a
+    * table-format snapshot — the protocol is unchanged.
+    */
+  def q174StreamEpochSink(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"events_cdc:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4, col("user_id"))
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val sinkDir = graft.TempDirs.staged(s"epoch_sink:$dir")()
+    val ckpt = graft.TempDirs.staged(s"epoch_sink_ckpt:$dir")()
+    val feed = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val q = feed
+      .select(col("event_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("user_id"), col("event_type"))
+      .writeStream
+      .format(classOf[graft.sources.EpochSink].getName)
+      .option("path", sinkDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val files = graft.sources.EpochSink.committedFiles(sinkDir.toString)
+    if (files.isEmpty)
+      throw new IllegalStateException("epoch sink committed no epochs")
+    val back = s.read.schema(graft.sources.EpochSink.rowSchema).csv(files: _*)
+      .select(col("user_id"),
+        expr("CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ)").as("ts"),
+        col("event_id"), col("event_type"))
+    graft.ops.Warehouse.cdcCollapse(back)
+  }
+
   /** q132: the Spark-4 `transformWithState` arbitrary-state surface — the
     * successor API to q64's `flatMapGroupsWithState` (explicit
     * `StatefulProcessor` lifecycle, named typed state slots, RocksDB
@@ -1070,6 +1132,7 @@ object EventStream {
     "q142_state_primitives" -> (q142StatePrimitives _),
     "q155_stream_sketch" -> (q155StreamSketch _),
     "q158_stream_static_join" -> (q158StreamStaticJoin _),
+    "q174_stream_epoch_sink" -> (q174StreamEpochSink _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1087,5 +1150,8 @@ object EventStream {
     "q142_state_primitives" -> q142Sql,
     "q155_stream_sketch" -> q155Sql,
     "q158_stream_static_join" -> q158Sql,
+    // the epoch-sink round trip must land on the batch changelog apply —
+    // q117's oracle is ALSO q174's oracle (write path on the hashed line)
+    "q174_stream_epoch_sink" -> graft.ops.Warehouse.q117Sql,
   )
 }
