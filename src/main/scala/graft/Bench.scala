@@ -49,7 +49,17 @@ object Bench {
     // that measures 56 s quiet (q36 42.5 s vs 4.1 s, q55 17.1 s vs 0.3 s) —
     // both reps landed under load; a third rep buys another chance.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY="q91,q17" (same contract as Verify) times just those
+    // queries — for targeted noise-vs-regression checks. A filtered total is
+    // partial by construction and never re-anchors the ratchet.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(ks) => SparkEntry.queries.toSeq.filter { case (name, _) =>
+        ks(name) || ks(name.takeWhile(_ != '_')) }
+      case None => SparkEntry.queries.toSeq
+    }
+    val results = selected.map { case (name, fn) =>
       val attempts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
