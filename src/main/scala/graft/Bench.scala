@@ -25,7 +25,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // expensive lambda exprs must not be re-inlined into scan filters
       .config("spark.sql.constraintPropagation.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      // events.parquet ts unit has drifted across testdata generations (ns/µs);
+      // the loader adapts (Tables.events). nanosAsLong stays on: required for
+      // ns files, harmless for µs ones.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,17 +15,29 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor to
-    * microseconds as TIMESTAMP_NTZ — identical to DuckDB's ns→µs cast, so
-    * oracle comparisons line up.
+  /** `events.parquet` has shipped with `ts` as either TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to
+    * the unit actually on disk instead of assuming one:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set at construction in Verify/Bench/tests). Deliberately NOT set
-    * here: mutating session conf as a read side effect leaks the legacy
-    * behavior into every later parquet read in the session.
+    *   - NANOS: Spark's parquet reader surfaces it as a raw nanos `long`
+    *     (under `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    *     construction in Verify/Bench/tests — harmless for µs files, so it
+    *     stays on unconditionally). Floor to microseconds — identical to
+    *     DuckDB's ns→µs cast, so oracle comparisons line up.
+    *   - MICROS: arrives as a timestamp already; just normalize to
+    *     TIMESTAMP_NTZ.
+    *
+    * The conf is deliberately NOT set here: mutating session conf as a read
+    * side effect would leak the legacy behavior into every later parquet
+    * read in the session.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 }

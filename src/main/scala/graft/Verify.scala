@@ -13,7 +13,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // expensive lambda exprs must not be re-inlined into scan filters
       .config("spark.sql.constraintPropagation.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) — see Tables.events
+      // events.parquet ts unit has drifted across testdata generations (ns/µs);
+      // the loader adapts (Tables.events). nanosAsLong stays on: required for
+      // ns files, harmless for µs ones.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -29,11 +31,20 @@ object Verify {
       .filter(_.nonEmpty)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // A throwing query must be first-class in the correctness artifact, not
+    // a silently-missing key (the r11 failure mode: 21 errors surfaced only
+    // on stderr). Collect errors and dump them as _errors.json alongside
+    // the result parquets; also leave a per-query <name>._error marker so a
+    // breakage is visible even to a plain directory listing.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        Files.writeString(Paths.get(s"$outDir/$name._error"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -51,6 +62,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

@@ -1305,6 +1305,95 @@ object Analytics {
       .orderBy("col")
   }
 
+  // ---- q178: CBO — catalog statistics DRIVE the broadcast decision --------
+  // q111/q126 COLLECT the statistics; this feeds them back into the
+  // optimizer, closing the loop. The tables are registered in the session
+  // catalog and ANALYZEd (table-level totalSize/rowCount + column-level
+  // NDV/min/max — the q111 surface, stored where the planner reads it).
+  // Under `spark.sql.cbo.enabled=true` the filter on the dimension is
+  // estimated through column stats (selectivity ≈ 1/ndv per equality
+  // conjunct), the estimated output lands UNDER the broadcast threshold,
+  // and the join plans as BroadcastHashJoin; without CBO the filter's size
+  // estimate stays the full scan size (36 KB+ at spec scale) and the same
+  // query sort-merges. PlanSpec locks BOTH sides of that flip; the oracled
+  // result pins correctness of the stats-fed plan. AQE is disabled inside
+  // the scope so the lock is on the STATIC stats-driven decision, not a
+  // runtime rescue; the 1-row aggregate is materialized inside the conf
+  // scope (bounded), so no optimizer conf leaks to other queries.
+  private val cboTables = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cboTableFor(s: SparkSession, dir: String, table: String,
+      statCols: String): String = {
+    val name = s"g178_${table}_${math.abs(dir.hashCode).toString}"
+    cboTables.computeIfAbsent(s"$dir/$table", _ => {
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+        s"LOCATION '$dir/$table.parquet'")
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $statCols")
+      name
+    })
+  }
+
+  /** The q178 join planned (and, if `execute`, run) under the given CBO
+    * setting — shared by the query (cbo=true) and the PlanSpec flip lock
+    * (both values). Returns (result rows if executed, executed-plan text).
+    */
+  private[graft] def q178Under(s: SparkSession, dir: String, cbo: Boolean,
+      execute: Boolean): (Seq[org.apache.spark.sql.Row], String) = {
+    val orders = cboTableFor(s, dir, "orders",
+      "o_orderkey, o_orderpriority, o_orderstatus")
+    val lineitem = cboTableFor(s, dir, "lineitem", "l_orderkey")
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> cbo.toString,
+      // 4 KB sits between the no-CBO estimate of the filtered dim (the
+      // projected scan size — 7.3 KB at spec scale; Project scales the
+      // file size by column-width ratio even without CBO, which is why
+      // 16 KB would broadcast on both sides) and the CBO estimate
+      // (rowCount through two equality selectivities — 1.6 KB)
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val dim = s.table(orders)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      val joined = s.table(lineitem)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)")) * 100).cast("long")
+            .as("price_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+      val rows = if (execute) joined.collect().toSeq else Seq.empty
+      (rows, joined.queryExecution.executedPlan.toString)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  def q178CboBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val (rows, plan) = q178Under(s, dir, cbo = true, execute = true)
+    lastCboPlan = plan
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("price_cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_orders",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Plan of the last q178 run (CBO on), for the PlanSpec lock. */
+  @volatile private[graft] var lastCboPlan: String = ""
+
+  val q178Sql: String =
+    """SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'""".stripMargin
+
   val q111Sql: String = {
     val branches = (statCols.map(c => (c, c)) :+ ("l_shipday", "CAST(l_shipdate AS DATE)"))
       .map { case (name, e) =>
@@ -1381,6 +1470,7 @@ object Analytics {
     "q108_retention_cohorts" -> q108RetentionCohorts _,
     "q110_hll_rollup" -> q110HllRollup _,
     "q111_table_stats" -> q111TableStats _,
+    "q178_cbo_broadcast" -> q178CboBroadcast _,
     "q115_pagerank" -> q115PageRank _,
     "q150_label_prop" -> q150LabelProp _,
     "q151_count_min" -> q151CountMin _,
@@ -1409,6 +1499,7 @@ object Analytics {
     "q107_triangle_count" -> q107Sql,
     "q108_retention_cohorts" -> q108Sql,
     "q111_table_stats" -> q111Sql,
+    "q178_cbo_broadcast" -> q178Sql,
     "q115_pagerank" -> q115Sql,
     "q150_label_prop" -> q150Sql,
     "q120_skew_profile" -> q120Sql,

@@ -863,6 +863,80 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q177: AQE skew join (runtime split, no replication) ----------------
+  // q101 is the MANUAL skew defense (salt + replicate-dim — planner
+  // independent, costs nSalts× the dim). This is the production path: let
+  // AQE's OptimizeSkewedJoin measure the actual shuffle-partition sizes at
+  // runtime and split only the partitions that ARE skewed, duplicating only
+  // the matching dim partition — no static salt factor to tune, no cost on
+  // the 99% of keys that aren't hot. The skew is PLANTED deterministically
+  // (60% of fact rows collapse onto one hot key — SQL-expressible, so
+  // DuckDB hash-checks the result), the join is forced to sort-merge
+  // (broadcast would hide the skew), and the skew thresholds are lowered to
+  // fire at test scale — at production scale the defaults (256 MB / 5×
+  // median) play the same role. The aggregate is materialized INSIDE the
+  // conf scope (it is 5 rows — bounded) because lowered thresholds and a
+  // disabled broadcast limit must not leak into other queries' plans; the
+  // executed adaptive plan is kept for the spec's OptimizeSkewedJoin lock.
+  //
+  // Two probed-not-guessed preconditions for the split to be POSSIBLE:
+  //   * the skewed reduce partition is split by MAP-OUTPUT ranges, so the
+  //     fact shuffle needs multiple mappers — a single small parquet file
+  //     scans as ONE map task and the hot partition is then unsplittable
+  //     (observed: skew=false at every threshold). The round-robin
+  //     repartition(8) provides the mapper granularity; at warehouse scale
+  //     the thousands of scan tasks do this for free.
+  //   * skew detection compares COMPRESSED shuffle-block bytes, and the hot
+  //     partition (one repeated key) compresses far better than the uniform
+  //     ones — at this scale the byte ratio is < 2× even though the row
+  //     ratio is 7×, so the factor is 1 with a positive byte floor rather
+  //     than the default 5.
+  def q177AqeSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = t(s, dir, "lineitem")
+        .repartition(8) // mapper granularity for the skew split (see above)
+        .select(expr("CASE WHEN l_orderkey % 10 < 6 THEN 7 ELSE l_orderkey END")
+          .as("jk"), col("l_extendedprice"))
+      val dim = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      val joined = fact.join(dim, fact("jk") === dim("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          (sum(money(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val rows = joined.collect() // ≤ |priorities| rows — bounded driver state
+      lastSkewJoinPlan = joined.queryExecution.executedPlan.toString
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+        .orderBy("o_orderpriority")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Final adaptive plan of the last q177 run, for the PlanSpec skew lock. */
+  @volatile private[graft] var lastSkewJoinPlan: String = ""
+
+  val q177Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |  COUNT(*) AS n
+      |FROM (SELECT CASE WHEN l_orderkey % 10 < 6 THEN 7 ELSE l_orderkey END AS jk,
+      |        l_extendedprice
+      |      FROM lineitem) f
+      |JOIN orders ON f.jk = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -900,6 +974,7 @@ object Relational {
     "q94_map_explode" -> q94MapExplode _,
     "q95_unpivot" -> q95Unpivot _,
     "q101_salted_join" -> q101SaltedJoin _,
+    "q177_aqe_skew_join" -> q177AqeSkewJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -936,5 +1011,6 @@ object Relational {
     "q94_map_explode" -> q94Sql,
     "q95_unpivot" -> q95Sql,
     "q101_salted_join" -> q101Sql,
+    "q177_aqe_skew_join" -> q177Sql,
   )
 }

@@ -273,6 +273,55 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q175: Avro container round-trip through [[AvroSource]] -------------
+  // The last mainstream format next to q87/q88/q125 — no Avro connector on
+  // this classpath, so the round trip runs through the repo's own DSv2
+  // connector built on the Avro core library (see AvroSource scaladoc).
+  // The digest pins the logical-type mapping end-to-end: o_orderdate
+  // travels as `local-timestamp-micros` and must come back as the same NTZ
+  // wall-clock the oracle reads from the original parquet; cents pins
+  // double fidelity; min/max keys pin long fidelity; the group keys pin
+  // string fidelity.
+  private val ordersAvroSchema: String =
+    """{"type":"record","name":"order","namespace":"graft","fields":[
+      |  {"name":"o_orderkey","type":"long"},
+      |  {"name":"o_custkey","type":"long"},
+      |  {"name":"o_orderstatus","type":"string"},
+      |  {"name":"o_orderdate","type":{"type":"long","logicalType":"local-timestamp-micros"}},
+      |  {"name":"o_totalprice","type":"double"},
+      |  {"name":"o_orderpriority","type":"string"}]}""".stripMargin
+
+  def q175AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"avro_roundtrip:$dir") { p =>
+      AvroSource.write(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .repartition(4, col("o_orderkey")),
+        p.resolve("orders").toString, ordersAvroSchema)
+    }
+    s.read.format("graft.sources.AvroSource")
+      .option("path", s"$staged/orders")
+      .load()
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+        min("o_orderdate").as("first_ts"), max("o_orderdate").as("last_ts"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val q175Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+      |  MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_ts,
+      |  MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_ts,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -280,6 +329,7 @@ object Formats {
     "q125_jdbc_roundtrip" -> q125JdbcRoundtrip _,
     "q163_dsv2_source" -> q163DsV2Source _,
     "q168_dsv2_sink" -> q168DsV2Sink _,
+    "q175_avro_roundtrip" -> q175AvroRoundtrip _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,5 +339,6 @@ object Formats {
     "q125_jdbc_roundtrip" -> q125Sql,
     "q163_dsv2_source" -> q163Sql,
     "q168_dsv2_sink" -> q168Sql,
+    "q175_avro_roundtrip" -> q175Sql,
   )
 }

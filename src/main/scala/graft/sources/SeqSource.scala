@@ -45,7 +45,8 @@ class SeqSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SeqTable(properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      properties.getOrDefault("columnar", "true").toBoolean)
 }
 
 object SeqSource {
@@ -64,16 +65,16 @@ object SeqSource {
   def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
 }
 
-class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class SeqTable(rows: Long, slices: Int, columnar: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, slices)
+    new SeqScanBuilder(rows, slices, columnar)
 }
 
-class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo = 0L
   private var hi = rows
@@ -104,15 +105,15 @@ class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(lo, hi, slices, required, pushed)
+  override def build(): Scan = new SeqScan(lo, hi, slices, required, pushed, columnar)
 }
 
 class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], columnar: Boolean) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft_seq range=[$lo,$hi) cols=${schema.fieldNames.mkString(",")} " +
-      s"pushed=[${pushed.mkString("; ")}]"
+      s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -126,12 +127,25 @@ class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(schema)
+    new SeqReaderFactory(schema, columnar)
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition
 
-class SeqReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Row AND columnar readers over the same sliced partitions. The columnar
+  * path (the default) hands Spark whole [[ColumnarBatch]]es of
+  * `OnHeapColumnVector`s — the scan then enters the query as a vectorized
+  * input (`ColumnarToRow` in the plan, locked in PlanSpec), the same
+  * execution shape as the built-in parquet reader: per-batch virtual calls
+  * instead of per-row, and the generated `ColumnarToRow` loop reads
+  * vectors positionally. Row mode stays available (`columnar=false`) as
+  * the semantics twin — OperatorSpec pins both paths to identical results.
+  */
+class SeqReaderFactory(schema: StructType, columnar: Boolean)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeqPartition]
     val fields = schema.fieldNames
@@ -145,6 +159,47 @@ class SeqReaderFactory(schema: StructType) extends PartitionReaderFactory {
           case "v" => SeqSource.vOf(cur)
         })
       override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    val fields = schema.fieldNames
+    val batchSize = 4096
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur = sp.start
+      private var batch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (cur >= sp.end) return false
+        val n = math.min(batchSize.toLong, sp.end - cur).toInt
+        val vecs = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          .allocateColumns(n, schema)
+        var i = 0
+        while (i < n) {
+          val id = cur + i
+          var c = 0
+          while (c < fields.length) {
+            fields(c) match {
+              case "id" => vecs(c).putLong(i, id)
+              case "h" =>
+                val b = SeqSource.hOf(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vecs(c).putByteArray(i, b, 0, b.length)
+              case "v" => vecs(c).putLong(i, SeqSource.vOf(id))
+            }
+            c += 1
+          }
+          i += 1
+        }
+        cur += n
+        batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+          vecs.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]], n)
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = if (batch != null) batch.close()
     }
   }
 }

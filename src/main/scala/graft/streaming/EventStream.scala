@@ -57,6 +57,75 @@ class RunningAggProcessor
   }
 }
 
+/** `StatefulProcessor` for q176 — PROCESSING-TIME timers, the last
+  * `transformWithState` time mode left unexercised by q132 (TimeMode.None)
+  * and q138/q142 (event time): a per-key wall-clock flush, the "emit my
+  * state every N seconds even without input" pattern (periodic dashboards,
+  * idle-key eviction).
+  *
+  * Semantics kept deterministic on purpose: the fold is q132's running
+  * aggregate, `handleInputRows` emits the running row, and each input batch
+  * re-arms ONE timer expiring immediately (`currentProcessingTime`), so the
+  * flush fires at the head of the NEXT micro-batch. A timer flush re-emits
+  * the key's running row — content is a prefix of the input-driven
+  * emission stream (state only changes on input), so the max-struct
+  * collapse is invariant to WHEN wall-clock fires timers, and the result
+  * equals the batch GROUP BY (q132's oracle) while the timer path is
+  * genuinely exercised. Fires are counted in [[PtFlushProcessor.fires]]
+  * (one JVM in local mode) so the spec can assert the path actually ran.
+  */
+class PtFlushProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserRunning] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningAgg] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[RunningAgg]("agg",
+      org.apache.spark.sql.Encoders.product[RunningAgg],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+    val prev = if (state.exists()) state.get() else RunningAgg(0L, Long.MinValue, 0L)
+    var n = prev.n; var last = prev.last_us; var cents = prev.cents
+    var folded = 0L
+    rows.foreach { e =>
+      n += 1
+      folded += 1
+      if (e.ts_us > last) last = e.ts_us
+      cents += e.cents
+    }
+    PtFlushProcessor.inputRows.addAndGet(folded)
+    state.update(RunningAgg(n, last, cents))
+    // one live timer per key: re-arm at "now" so it expires at the next
+    // wall-clock timer sweep (processing-time timers fire when expiry <
+    // the batch's wall-clock timestamp)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(tv.getCurrentProcessingTimeInMs())
+    Iterator.single(UserRunning(key, n, last, cents))
+  }
+
+  override def handleExpiredTimer(key: Long,
+      tv: org.apache.spark.sql.streaming.TimerValues,
+      info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[UserRunning] = {
+    PtFlushProcessor.fires.incrementAndGet()
+    if (!state.exists()) return Iterator.empty
+    val a = state.get()
+    Iterator.single(UserRunning(key, a.n, a.last_us, a.cents))
+  }
+}
+
+object PtFlushProcessor {
+  /** Timer-fire count across the JVM — spec instrumentation AND the q176
+    * stop condition (valid in local mode, where all state partitions share
+    * this classloader).
+    */
+  val fires = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Input rows folded so far — q176's progress signal (see its run loop). */
+  val inputRows = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** Wire row for the timer sessionizer: event time is ALREADY floored to
   * milliseconds at the source, so watermark, timer, and gap arithmetic all
   * live on one exact ms grid (event-time timers are a ms API).
@@ -196,18 +265,15 @@ class TypedStateProcessor
   */
 object EventStream {
 
-  /** Raw schema with ts as nanos-long (see [[graft.Tables.events]]). */
-  private val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream of events with µs TIMESTAMP_NTZ `ts`. Requires
-    * `spark.sql.legacy.parquet.nanosAsLong=true` at session construction
-    * (see [[graft.Tables.events]]).
+  /** File-source stream of events with µs TIMESTAMP `ts`.
+    *
+    * The streaming file source needs an explicit schema, and the unit of
+    * `ts` on disk has drifted across testdata generations (TIMESTAMP(NANOS)
+    * → raw nanos `long` under `nanosAsLong=true`; TIMESTAMP(MICROS) → a
+    * real timestamp). Hard-coding either unit silently corrupts the other
+    * (µs read as ns lands every event in Jan 1970), so the schema is taken
+    * from the parquet footer via a one-off batch read and the ts branch
+    * mirrors [[graft.Tables.events]].
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     // The streaming file source monitors a DIRECTORY; the testdata table is
@@ -218,12 +284,16 @@ object EventStream {
         p.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
     }
-    spark.readStream
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream
       .schema(rawSchema)
       .parquet(staged.toString)
-      // TimestampType (not NTZ): watermarks require an event-time zone;
-      // sessions pin UTC, so wall values match the NTZ batch path.
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // TimestampType (not NTZ): watermarks require an event-time zone;
+    // sessions pin UTC, so wall values match the NTZ batch path.
+    rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark — the
@@ -737,6 +807,89 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** q176: `transformWithState` under `TimeMode.ProcessingTime()` — see
+    * [[PtFlushProcessor]]. Same staging and collapse as q132 (round-robin
+    * 4-chunk replay, max-struct per user), so the oracle is q132's batch
+    * GROUP BY; what changes is the time mode and the wall-clock timer
+    * flushes riding alongside the input-driven emissions.
+    *
+    * Run protocol: a processing-time stateful operator reports
+    * "should run another batch" UNCONDITIONALLY (a timer may expire at any
+    * wall-clock instant), so `Trigger.AvailableNow` never terminates — it
+    * spins empty timer-sweep batches forever (observed, not theorized: the
+    * first cut of this query hung exactly there). A wall-clock stream is
+    * stopped, not drained: run with a real ProcessingTime trigger, watch
+    * the processor's own progress counters ([[PtFlushProcessor.inputRows]]
+    * / `fires`), and `stop()` once every input row is folded, at least one
+    * timer has fired, AND the last input-carrying batch has COMMITTED to
+    * the sink (stopping between that batch's tasks and its commit would
+    * drop the final emissions — the sink row count is polled to stability
+    * to close that race). A two-minute deadline turns "never happened"
+    * into a loud failure instead of a silent hang.
+    */
+  def q176PtTimerFlush(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = s"stream_pt_timer_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = graft.TempDirs.staged(s"events_tws:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val totalRows = s.read.parquet(staged.toString).count()
+    val feed = s.readStream
+      .schema(s.read.parquet(staged.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[UserEvent]
+    PtFlushProcessor.fires.set(0L)
+    PtFlushProcessor.inputRows.set(0L)
+    withRocksDBProvider(s) {
+      val q = feed
+        .groupByKey(_.user_id)
+        .transformWithState(new PtFlushProcessor,
+          org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Append)
+        .toDF()
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        def ready: Boolean =
+          PtFlushProcessor.inputRows.get() >= totalRows &&
+            PtFlushProcessor.fires.get() > 0L
+        while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(100L)
+        if (!ready) throw new IllegalStateException(
+          s"q176: stream did not fold all $totalRows rows + fire a timer " +
+            s"within deadline (folded=${PtFlushProcessor.inputRows.get()}, " +
+            s"fires=${PtFlushProcessor.fires.get()})")
+        // commit race: wait until the sink stops growing before stopping
+        var prev = -1L
+        var cur = s.table(name).count()
+        while (cur != prev && System.currentTimeMillis() < deadline) {
+          Thread.sleep(300L)
+          prev = cur
+          cur = s.table(name).count()
+        }
+      } finally {
+        q.stop()
+        q.awaitTermination()
+      }
+    }
+    s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("last_us"), col("cents"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        expr("timestamp_micros(f.last_us)").cast("timestamp_ntz").as("last_ts"),
+        col("f.cents").as("cents"))
+      .orderBy("user_id")
+  }
+
   /** Runs `f` with the RocksDB state-store provider set on the session
     * conf and RESTORES the previous provider afterwards —
     * `transformWithState` requires RocksDB (multiple column families),
@@ -1133,6 +1286,7 @@ object EventStream {
     "q155_stream_sketch" -> (q155StreamSketch _),
     "q158_stream_static_join" -> (q158StreamStaticJoin _),
     "q174_stream_epoch_sink" -> (q174StreamEpochSink _),
+    "q176_pt_timer_flush" -> (q176PtTimerFlush _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1153,5 +1307,8 @@ object EventStream {
     // the epoch-sink round trip must land on the batch changelog apply —
     // q117's oracle is ALSO q174's oracle (write path on the hashed line)
     "q174_stream_epoch_sink" -> graft.ops.Warehouse.q117Sql,
+    // timer flushes only DUPLICATE running rows; the collapse lands on the
+    // same batch GROUP BY — q132's oracle IS q176's oracle
+    "q176_pt_timer_flush" -> q132Sql,
   )
 }

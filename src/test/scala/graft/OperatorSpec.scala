@@ -440,6 +440,23 @@ class OperatorSpec extends SparkSpec {
       "residual filter semantics broken")
   }
 
+  test("q163: columnar and row read paths serve identical batches") {
+    // same connector, both PartitionReaderFactory paths: the vectorized
+    // reader (default) must be value-identical to the row reader across
+    // multiple batches (rows > 4096 forces several ColumnarBatches per
+    // partition) and under pushdown + pruning
+    def read(columnar: Boolean) = spark.read.format("graft.sources.SeqSource")
+      .option("rows", "20000").option("slices", "3")
+      .option("columnar", columnar.toString).load()
+      .filter(col("id") >= 100L && col("id") < 15000L)
+      .select(col("h"), col("v"))
+    val c = read(columnar = true)
+    val r = read(columnar = false)
+    assert(c.count() == 14900L)
+    assert(c.exceptAll(r).isEmpty && r.exceptAll(c).isEmpty,
+      "columnar read path diverged from the row path")
+  }
+
   test("q168: sink two-phase commit — staged attempts, rename, abort cleanup") {
     import scala.jdk.CollectionConverters._
     import graft.sources.{DigestBatchWrite, DigestCommitMessage, DigestDataWriter}

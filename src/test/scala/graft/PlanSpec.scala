@@ -493,6 +493,66 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cols=h,v"),
       s"column pruning did not drop the id column:\n$p")
     assert(!p.contains("pushed=[]"), "no filters were pushed at all")
+    // the default read path is VECTORIZED: the scan must enter the query
+    // through ColumnarToRow (the parquet-reader execution shape), not
+    // per-row readers. The ColumnarToRow boundary only materializes in the
+    // FINAL adaptive plan, so execute before inspecting.
+    assert(p.contains("mode=columnar"),
+      s"q163 scan did not take the columnar read path:\n$p")
+    val df = SparkEntry.queries("q163_dsv2_source")(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ColumnarToRow"),
+      s"columnar scan did not surface a ColumnarToRow boundary:\n$executed")
+  }
+
+  test("q177: AQE OptimizeSkewedJoin splits the planted hot key at runtime") {
+    import org.apache.spark.sql.functions._
+    // q177 materializes inside its conf scope and keeps the FINAL adaptive
+    // plan; the lock is on that executed plan: the sort-merge join must be
+    // marked skew-handled (OptimizeSkewedJoin split the hot partition) —
+    // if the thresholds or the skew planting rot, the marker disappears
+    // and this fails loudly rather than the skew silently serializing on
+    // one task
+    val out = SparkEntry.queries("q177_aqe_skew_join")(spark, sf)
+    val p = ops.Relational.lastSkewJoinPlan
+    assert(p.contains("skew=true"),
+      s"no skew-handled join in the final adaptive plan:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"q177 must exercise the sort-merge path (broadcast hides skew):\n$p")
+    // equality with the MANUAL defense: the q101-style salted join over
+    // the same planted-skew fact must produce the identical aggregate
+    val nSalts = 8
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(expr("CASE WHEN l_orderkey % 10 < 6 THEN 7 ELSE l_orderkey END").as("jk"),
+        col("l_extendedprice"), col("l_linenumber"))
+      .withColumn("salt", pmod(xxhash64(col("jk"), col("l_linenumber")), lit(nSalts)).cast("int"))
+    val dim = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    val salted = fact.join(dim,
+        fact("jk") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg((sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")) * 100).cast("long")
+        .as("price_cents"), count(lit(1)).as("n"))
+    assert(out.exceptAll(salted).isEmpty && salted.exceptAll(out).isEmpty,
+      "AQE skew join diverged from the hand-salted twin")
+  }
+
+  test("q178: CBO column stats flip the filtered-dim join to broadcast") {
+    // same query, same catalog stats, same 16 KB threshold, AQE off — the
+    // ONLY difference is spark.sql.cbo.enabled. Off: the filter's size
+    // estimate is the full scan (36 KB+ here) and the join sort-merges.
+    // On: FilterEstimation shrinks the dim through the ANALYZEd column
+    // stats and the planner broadcasts it. Both directions are locked so
+    // the flip can't silently become "always broadcast" (threshold rot) or
+    // "never broadcast" (stats not reaching the planner).
+    val (_, without) = ops.Analytics.q178Under(spark, sf, cbo = false, execute = false)
+    assert(without.contains("SortMergeJoin") && !without.contains("BroadcastHashJoin"),
+      s"without CBO the dim should NOT broadcast under the 16 KB threshold:\n$without")
+    val (_, withCbo) = ops.Analytics.q178Under(spark, sf, cbo = true, execute = false)
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"CBO stats did not flip the join to broadcast:\n$withCbo")
   }
 
   test("q170: exact quantiles never globally sort the data") {

@@ -304,6 +304,96 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
+  test("q176: processing-time timers fire between AvailableNow micro-batches " +
+      "and the collapse matches the batch GROUP BY") {
+    graft.streaming.PtFlushProcessor.fires.set(0L)
+    val out = EventStream.q176PtTimerFlush(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts").cast("timestamp")).cast("timestamp_ntz").as("last_ts"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      .orderBy("user_id")
+    assert(out.exceptAll(batch).isEmpty && batch.exceptAll(out).isEmpty,
+      s"q176 collapse diverged from batch GROUP BY (out=${out.count()}, batch=${batch.count()})")
+    // the timer path must have actually run: every key seen in batch k
+    // re-arms an immediate timer, so fires >= keys alive before the last
+    // micro-batch — zero means the ProcessingTime mode never swept timers
+    val fires = graft.streaming.PtFlushProcessor.fires.get()
+    assert(fires > 0L, "no processing-time timer fired across the 4-batch replay")
+  }
+
+  test("events loader yields identical wall-clock rows for ns-long and µs-timestamp files") {
+    // Regression for the r11 red round: the driver regenerated
+    // events.parquet with ts as TIMESTAMP(MICROS) where it used to be
+    // TIMESTAMP(NANOS), and the hardcoded ns→µs division broke 29 queries
+    // (batch: analysis error; streaming: every ts silently landed in Jan
+    // 1970). Tables.events / EventStream.eventsStream now branch on the
+    // footer dtype; this spec writes the same five events in BOTH units and
+    // asserts both loaders read identical wall-clock rows from each.
+    //
+    // The ns fixture stores ts as a raw int64 of nanos: Spark cannot WRITE
+    // TIMESTAMP(NANOS), and under nanosAsLong=true a genuine NANOS file
+    // surfaces to the loader as exactly this LongType shape, so the raw
+    // long exercises the same loader branch.
+    val rows = Seq(
+      (1L, "2024-03-01 10:15:30.123456", 7L, "click", 1.5, "{}"),
+      (2L, "2024-03-01 10:45:00.000001", 7L, "view", 2.0, "{}"),
+      (3L, "2024-03-01 11:05:59.999999", 8L, "click", 0.5, "{}"),
+      (4L, "2024-03-02 00:00:00.000000", 9L, "purchase", 9.9, "{}"),
+      (5L, "2024-03-02 23:59:59.500000", 9L, "view", 3.3, "{}"))
+      .toDF("event_id", "ts_str", "user_id", "event_type", "value", "props")
+      .withColumn("ts_ntz", expr("CAST(ts_str AS TIMESTAMP_NTZ)"))
+
+    // each fixture dir holds a single file named events.parquet — the
+    // driver's testdata layout, which both loaders expect
+    def writeSingle(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val stage = Files.createTempDirectory(s"graft_tsunit_${tag}_stage_")
+      df.coalesce(1).write.parquet(s"$stage/out")
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$stage/out"))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dir = Files.createTempDirectory(s"graft_tsunit_${tag}_")
+      Files.copy(part, dir.resolve("events.parquet"))
+      dir.toString
+    }
+    val cols = Seq("event_id", "ts_ntz", "user_id", "event_type", "value", "props")
+    val usDir = writeSingle(
+      rows.select(col("event_id"), col("ts_ntz").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")), "us")
+    val nsDir = writeSingle(
+      rows.select(col("event_id"),
+        expr("unix_micros(CAST(ts_ntz AS TIMESTAMP)) * 1000L").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")), "ns")
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("event_id"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("w"))
+        .orderBy("event_id")
+        .collect().map(r => s"${r.getLong(0)}|${r.getString(1)}").toSeq
+
+    val batchUs = canon(Tables.events(spark, usDir))
+    val batchNs = canon(Tables.events(spark, nsDir))
+    assert(batchUs == batchNs, s"batch loader diverged:\nus=$batchUs\nns=$batchNs")
+    assert(batchUs.exists(_.contains("2024-03-01 10:15:30.123456")),
+      s"µs precision lost in batch loader: $batchUs")
+    // loader must yield a timestamp type either way, never a raw long
+    assert(Tables.events(spark, usDir).schema("ts").dataType.typeName.startsWith("timestamp"))
+    assert(Tables.events(spark, nsDir).schema("ts").dataType.typeName.startsWith("timestamp"))
+
+    def canonStream(dir: String, tag: String): Seq[String] = {
+      val name = s"tsunit_$tag"
+      val q = EventStream.eventsStream(spark, dir)
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      canon(spark.table(name))
+    }
+    val streamUs = canonStream(usDir, "us")
+    val streamNs = canonStream(nsDir, "ns")
+    assert(streamUs == streamNs, s"stream loader diverged:\nus=$streamUs\nns=$streamNs")
+    assert(streamUs == batchUs, s"stream vs batch diverged:\nstream=$streamUs\nbatch=$batchUs")
+  }
+
   test("q158: stream-static join broadcasts the dimension in the micro-batch plan") {
     // the static side of a stream-static join must ride a broadcast —
     // never shuffle the stream for an enrichment join (the q4 star-join
