@@ -36,12 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     fields are decoder-skipped (no string/byte materialization), the
   *     honest Avro analogue of parquet column pruning.
   *
-  * Scale notes: one partition per file here; the production refinement is
-  * sync-marker splitting (Avro blocks are independently decodable after
-  * `DataFileReader.sync(pos)`), which turns each container into N
-  * byte-range splits exactly like parquet row-groups. File listing is a
-  * driver-side directory walk — at object-store scale that becomes a
-  * manifest read (q168's discipline).
+  * Scale notes: containers are SPLIT by sync markers into byte-range
+  * InputPartitions (`splitBytes`, default 32 MB) — the same contract as
+  * parquet row-group splits: each reader `sync(start)`s to the first block
+  * boundary after its range start and stops once `pastSync(end)`, so
+  * blocks tile exactly once across splits and a large container fans out
+  * over the cluster instead of serializing on one task (files under the
+  * split size stay one partition each). File listing is a driver-side
+  * directory walk — at object-store scale that becomes a manifest read
+  * (q168's discipline).
   */
 class AvroSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -51,10 +54,14 @@ class AvroSource extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AvroTable(properties.get("path"), schema)
+    new AvroTable(properties.get("path"), schema,
+      properties.getOrDefault("splitBytes", AvroSource.defaultSplitBytes.toString).toLong)
 }
 
 object AvroSource {
+
+  /** Default byte-range split size — same order as a parquet row-group. */
+  val defaultSplitBytes: Long = 32L * 1024 * 1024
 
   def listFiles(dir: String): Seq[String] = {
     val d = java.nio.file.Paths.get(dir)
@@ -142,39 +149,58 @@ object AvroSource {
   }
 }
 
-class AvroTable(path: String, schema: StructType) extends Table with SupportsRead {
+class AvroTable(path: String, schema: StructType, splitBytes: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_avro($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, schema)
+    new AvroScanBuilder(path, schema, splitBytes)
 }
 
-class AvroScanBuilder(path: String, full: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+class AvroScanBuilder(path: String, full: StructType, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new AvroScan(path, required)
+  override def build(): Scan = new AvroScan(path, required, splitBytes)
 }
 
-class AvroScan(path: String, schema: StructType) extends Scan with Batch {
+class AvroScan(path: String, schema: StructType, splitBytes: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft_avro path=$path cols=${schema.fieldNames.mkString(",")}"
+    s"graft_avro path=$path cols=${schema.fieldNames.mkString(",")} " +
+      s"splitBytes=$splitBytes"
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.listFiles(path).map(AvroFilePartition.apply).toArray
+
+  /** Sync-marker byte-range splits: every container larger than
+    * `splitBytes` fans out into ceil(len/splitBytes) ranges; the reader's
+    * sync/pastSync pair assigns each Avro block to exactly the range its
+    * preceding sync marker falls in (the standard container split rule).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(splitBytes, 1L)
+    AvroSource.listFiles(path).flatMap { f =>
+      val len = new java.io.File(f).length()
+      if (len <= per) Seq(AvroFilePartition(f, 0L, len))
+      else (0L until len by per).map { s0 =>
+        AvroFilePartition(f, s0, math.min(s0 + per, len))
+      }
+    }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(schema)
 }
 
-case class AvroFilePartition(file: String) extends InputPartition
+case class AvroFilePartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[AvroFilePartition].file
+    val sp = p.asInstanceOf[AvroFilePartition]
+    val file = sp.file
     val writer = AvroSource.writerSchema(file)
     // Avro schema resolution does the column pruning: the reader schema
     // keeps only the required fields (writer order), and the decoder
@@ -191,12 +217,17 @@ class AvroReaderFactory(schema: StructType) extends PartitionReaderFactory {
     val reader = new DataFileReader[GenericRecord](
       new SeekableFileInput(new java.io.File(file)),
       new GenericDatumReader[GenericRecord](null.asInstanceOf[ASchema], readerSchema))
+    // position at the first block boundary inside this byte range (the
+    // header itself ends with a sync marker, so start=0 lands on block 1)
+    reader.sync(sp.start)
     // emit in the REQUESTED column order, not writer order
     val order = schema.fieldNames.map(n => readerSchema.getField(n).pos())
     new PartitionReader[InternalRow] {
       private var rec: GenericRecord = _
       override def next(): Boolean = {
-        if (reader.hasNext) { rec = reader.next(rec); true } else false
+        if (reader.hasNext && !reader.pastSync(sp.end)) {
+          rec = reader.next(rec); true
+        } else false
       }
       override def get(): InternalRow = InternalRow.fromSeq(
         order.toSeq.map { i =>
