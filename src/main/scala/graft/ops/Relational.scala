@@ -926,6 +926,62 @@ object Relational {
   /** Final adaptive plan of the last q177 run, for the PlanSpec skew lock. */
   @volatile private[graft] var lastSkewJoinPlan: String = ""
 
+  // ---- q179: runtime bloom-filter join pushdown (planner-injected) --------
+  // q92 builds and applies a bloom prefilter BY HAND (aggregate the dim
+  // keys into a bloom, semi-filter the fact before the join). This is the
+  // production path: Catalyst's InjectRuntimeFilter sees a selective
+  // predicate on the dim side of a shuffle join and plants a
+  // bloom_filter_agg subquery + BloomFilterMightContain predicate on the
+  // FACT side scan — rows that cannot join are dropped before the fact
+  // shuffle, which at 100 TB is the difference between shuffling the whole
+  // fact table and shuffling the matching ~quarter. The bloom is
+  // false-positive-only, so the join result is EXACT and the plain-join
+  // oracle hash-checks it. The application-side size threshold defaults to
+  // 10 GB (nothing this size qualifies), so it is lowered to 0 inside the
+  // restored conf scope; broadcast is disabled because a broadcast join
+  // needs no runtime filter (the closure q177 forces SMJ for the same
+  // reason). Materialized inside the scope; plan kept for the spec lock.
+  def q179RuntimeBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val fact = t(s, dir, "lineitem").select(col("l_partkey"), col("l_extendedprice"))
+      val dim = t(s, dir, "part")
+        .filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          (sum(money(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+      val rows = joined.collect() // ≤ |brands| rows — bounded driver state
+      lastBloomJoinPlan = joined.queryExecution.executedPlan.toString
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+        .orderBy("p_brand")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Final plan of the last q179 run, for the PlanSpec bloom lock. */
+  @volatile private[graft] var lastBloomJoinPlan: String = ""
+
+  val q179Sql: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 10
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val q177Sql: String =
     """SELECT o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
@@ -975,6 +1031,7 @@ object Relational {
     "q95_unpivot" -> q95Unpivot _,
     "q101_salted_join" -> q101SaltedJoin _,
     "q177_aqe_skew_join" -> q177AqeSkewJoin _,
+    "q179_runtime_bloom_join" -> q179RuntimeBloomJoin _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1012,5 +1069,6 @@ object Relational {
     "q95_unpivot" -> q95Sql,
     "q101_salted_join" -> q101Sql,
     "q177_aqe_skew_join" -> q177Sql,
+    "q179_runtime_bloom_join" -> q179Sql,
   )
 }

@@ -539,6 +539,22 @@ class PlanSpec extends SparkSpec {
       "AQE skew join diverged from the hand-salted twin")
   }
 
+  test("q179: the planner injects a runtime bloom filter on the fact side") {
+    // the lock is on the executed plan kept by q179: the fact scan must
+    // carry a planner-injected BloomFilterMightContain fed by a
+    // bloom_filter_agg subquery over the filtered dim — the automatic twin
+    // of q92's hand-built bloom. If the injection conditions rot (conf
+    // names, thresholds, selective-predicate detection) the plan silently
+    // reverts to a full fact shuffle and this fails loudly.
+    val out = SparkEntry.queries("q179_runtime_bloom_join")(spark, sf)
+    assert(out.count() > 0)
+    val p = ops.Relational.lastBloomJoinPlan
+    assert(p.toLowerCase.contains("mightcontain") || p.contains("might_contain"),
+      s"no runtime bloom filter on the fact side:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"q179 must exercise the shuffle-join path (broadcast needs no runtime filter):\n$p")
+  }
+
   test("q178: CBO column stats flip the filtered-dim join to broadcast") {
     // same query, same catalog stats, same 16 KB threshold, AQE off — the
     // ONLY difference is spark.sql.cbo.enabled. Off: the filter's size
