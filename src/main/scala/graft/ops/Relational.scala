@@ -973,6 +973,54 @@ object Relational {
   /** Final plan of the last q179 run, for the PlanSpec bloom lock. */
   @volatile private[graft] var lastBloomJoinPlan: String = ""
 
+  // ---- q180: DYNAMIC partition pruning (runtime, via a join) --------------
+  // q49 prunes partitions with a LITERAL predicate the planner sees at
+  // compile time. The 100 TB warehouse shape is different: the fact is
+  // partitioned on a key (ship month) and the predicate arrives THROUGH A
+  // JOIN with a filtered dimension — no literal partition value exists in
+  // the query text. Dynamic partition pruning closes that gap: the planner
+  // plants a DynamicPruningExpression on the fact scan's PartitionFilters,
+  // fed by the dim's broadcast, so only the matching month directories are
+  // listed and read. The dim here is a month dimension derived once from
+  // the fact (month → calendar attributes), staged as its own parquet
+  // table; the filter (first-quarter months) selects 3 of ~84 partitions.
+  // The oracle reconstructs the same join from the raw table — layout and
+  // pruning must never change results (q49's discipline).
+  def q180DynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"lineitem_by_month:$dir") { p =>
+      t(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate").cast("date"), "yyyy-MM").as("l_shipmonth"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").partitionBy("l_shipmonth")
+        .parquet(p.resolve("fact").toString)
+      t(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate").cast("date"), "yyyy-MM").as("month"))
+        .distinct()
+        .withColumn("mm", substring(col("month"), 6, 2))
+        .write.mode("overwrite").parquet(p.resolve("months").toString)
+    }
+    val fact = s.read.parquet(s"$staged/fact")
+    val dim = s.read.parquet(s"$staged/months")
+      .filter(col("mm").isin("01", "02", "03"))
+    fact.join(dim, col("l_shipmonth") === col("month"))
+      .groupBy("month")
+      .agg(
+        (sum(money(col("l_extendedprice"))) * 100).cast("long").as("price_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("month")
+  }
+
+  val q180Sql: String =
+    """SELECT month,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
+      |  COUNT(*) AS n
+      |FROM (SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+      |        l_extendedprice
+      |      FROM lineitem) f
+      |WHERE substr(month, 6, 2) IN ('01', '02', '03')
+      |GROUP BY month
+      |ORDER BY month""".stripMargin
+
   val q179Sql: String =
     """SELECT p_brand,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS price_cents,
@@ -1032,6 +1080,7 @@ object Relational {
     "q101_salted_join" -> q101SaltedJoin _,
     "q177_aqe_skew_join" -> q177AqeSkewJoin _,
     "q179_runtime_bloom_join" -> q179RuntimeBloomJoin _,
+    "q180_dynamic_partition_pruning" -> q180DynamicPartitionPruning _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1070,5 +1119,6 @@ object Relational {
     "q101_salted_join" -> q101Sql,
     "q177_aqe_skew_join" -> q177Sql,
     "q179_runtime_bloom_join" -> q179Sql,
+    "q180_dynamic_partition_pruning" -> q180Sql,
   )
 }

@@ -555,6 +555,19 @@ class PlanSpec extends SparkSpec {
       s"q179 must exercise the shuffle-join path (broadcast needs no runtime filter):\n$p")
   }
 
+  test("q180: the fact scan carries a dynamic partition-pruning filter") {
+    // no literal partition value exists in the query — the month predicate
+    // arrives through the dim join, so the fact scan's PartitionFilters
+    // must hold a planner-inserted dynamicpruningexpression (fed by the
+    // dim broadcast). A plain PartitionFilters literal (q49's shape) or an
+    // empty filter list means DPP regressed to a full directory listing.
+    val df = SparkEntry.queries("q180_dynamic_partition_pruning")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition-pruning filter on the fact scan:\n$p")
+  }
+
   test("q178: CBO column stats flip the filtered-dim join to broadcast") {
     // same query, same catalog stats, same 16 KB threshold, AQE off — the
     // ONLY difference is spark.sql.cbo.enabled. Off: the filter's size
