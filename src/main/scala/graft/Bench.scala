@@ -114,14 +114,27 @@ object Bench {
       .flatten.map(_._1).toSet
     def key(k: String): String = if (collide(k)) k else short(k)
     def r2(v: Double): String = if (v < 0) "-1" else (math.rint(v * 100) / 100).toString
-    val qsShort = results.map { case (k, v, _, _) => jstr(key(k)) + ":" + r2(v) }
-      .mkString("{", ",", "}")
     val failShort = results.collect { case (k, _, Some(_), _) => jstr(key(k)) }
       .mkString("[", ",", "]")
     val flakyShort = results.collect { case (k, _, None, Some(_)) => jstr(key(k)) }
       .mkString("[", ",", "]")
-    val compact =
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qsShort,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"flaky":$flakyShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
-    println(compact)
+    // The final line must stay under the driver's 2000-char log-tail parse
+    // window NO MATTER how many queries exist (at 175+ queries the full
+    // map alone is ~2.1 KB — the r01/r02 overflow failure mode returning).
+    // Budget the queries map explicitly: slowest-first (the informative
+    // end), stop before the line can exceed ~1900 chars, and say how many
+    // were omitted; full per-query data is always in bench_full.json.
+    def compactLine(entries: Seq[String], omitted: Int): String = {
+      val qs = entries.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"flaky":$flakyShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
+    }
+    val bySlowest = results.sortBy { case (_, v, _, _) => -v }
+      .map { case (k, v, _, _) => jstr(key(k)) + ":" + r2(v) }
+    val budget = 1900 - compactLine(Seq.empty, results.size).length
+    val kept = {
+      var used = 0
+      bySlowest.takeWhile { e => used += e.length + 1; used <= budget }
+    }
+    println(compactLine(kept, results.size - kept.size))
   }
 }

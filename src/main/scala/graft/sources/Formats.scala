@@ -228,6 +228,28 @@ object Formats {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---- q181: DSv2 AGGREGATE pushdown through the q163 connector -----------
+  // The third V2 pushdown next to q163's filters + column pruning:
+  // COUNT(*)/MIN(id)/MAX(id) fold INTO the source, which answers them
+  // closed-form from its (filter-narrowed) range — one tiny pre-aggregated
+  // row per slice, no data row ever materialized. Spark plans the final
+  // merge (SUM of partial counts, MIN/MAX of partial bounds) on top, so
+  // the result is exact; the oracle recomputes from range(). PlanSpec
+  // locks `pushedAgg=[...]` on the scan description.
+  def q181DsV2AggPushdown(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+      .filter(col("id") >= 2500L && col("id") < 77500L)
+      .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+
+  val q181Sql: String =
+    s"""WITH src AS (SELECT range AS id FROM range($seqRows))
+       |SELECT COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM src
+       |WHERE id >= 2500 AND id < 77500""".stripMargin
+
   // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
   // q163 reads through a custom V2 connector; q168 WRITES through one
   // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
@@ -330,6 +352,7 @@ object Formats {
     "q163_dsv2_source" -> q163DsV2Source _,
     "q168_dsv2_sink" -> q168DsV2Sink _,
     "q175_avro_roundtrip" -> q175AvroRoundtrip _,
+    "q181_dsv2_agg_pushdown" -> q181DsV2AggPushdown _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -340,5 +363,6 @@ object Formats {
     "q163_dsv2_source" -> q163Sql,
     "q168_dsv2_sink" -> q168Sql,
     "q175_avro_roundtrip" -> q175Sql,
+    "q181_dsv2_agg_pushdown" -> q181Sql,
   )
 }

@@ -75,11 +75,42 @@ class SeqTable(rows: Long, slices: Int, columnar: Boolean) extends Table with Su
 }
 
 class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = SeqSource.fullSchema
+  private var aggPushed: Option[Seq[String]] = None
+
+  /** Aggregate pushdown: COUNT(*)/MIN(id)/MAX(id) over the (already
+    * filter-narrowed) range are CLOSED-FORM in this source — count =
+    * hi-lo, min = lo, max = hi-1 per slice — so a pushed aggregate scan
+    * emits one tiny pre-aggregated row per slice and NEVER materializes
+    * the data rows (the V2 contract production parquet/JDBC connectors
+    * implement; Spark plans the final merge — SUM of partial counts,
+    * MIN of mins, MAX of maxes — on top). Anything else (ungrouped v
+    * sums, group-bys) is declined and Spark falls back to the row scan.
+    */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames().sameElements(Array("id"))
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) return false
+    val names = agg.aggregateExpressions().map {
+      case _: CountStar => "count"
+      case m: Min if isId(m.column()) => "min_id"
+      case m: Max if isId(m.column()) => "max_id"
+      case _ => return false
+    }
+    aggPushed = Some(names.toSeq)
+    true
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition {
@@ -105,15 +136,22 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBui
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SeqScan(lo, hi, slices, required, pushed, columnar)
+  override def build(): Scan =
+    new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed)
 }
 
 class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
-    pushed: Array[Filter], columnar: Boolean) extends Scan with Batch {
-  override def readSchema(): StructType = schema
+    pushed: Array[Filter], columnar: Boolean,
+    aggPushed: Option[Seq[String]] = None) extends Scan with Batch {
+  override def readSchema(): StructType = aggPushed match {
+    // pre-aggregated row shape, in the pushed aggregate order
+    case Some(names) => StructType(names.map(n => StructField(n, LongType)))
+    case None => schema
+  }
   override def description(): String =
-    s"graft_seq range=[$lo,$hi) cols=${schema.fieldNames.mkString(",")} " +
-      s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}"
+    s"graft_seq range=[$lo,$hi) cols=${readSchema().fieldNames.mkString(",")} " +
+      s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}" +
+      aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("")
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -126,8 +164,30 @@ class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
       if (s0 < e0) Some(SeqPartition(s0, e0)) else None
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SeqReaderFactory(schema, columnar)
+  override def createReaderFactory(): PartitionReaderFactory = aggPushed match {
+    case Some(names) => new SeqAggReaderFactory(names)
+    case None => new SeqReaderFactory(schema, columnar)
+  }
+}
+
+/** One closed-form pre-aggregated row per slice — O(1) work regardless of
+  * the range width; Spark's final merge turns the partials into the exact
+  * global aggregate.
+  */
+class SeqAggReaderFactory(names: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SeqPartition]
+    new PartitionReader[InternalRow] {
+      private var served = false
+      override def next(): Boolean = { val r = !served; served = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(names.map {
+        case "count" => sp.end - sp.start
+        case "min_id" => sp.start
+        case "max_id" => sp.end - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition

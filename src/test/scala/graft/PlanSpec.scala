@@ -539,6 +539,21 @@ class PlanSpec extends SparkSpec {
       "AQE skew join diverged from the hand-salted twin")
   }
 
+  test("q181: aggregates fold into the V2 source — no data row materialized") {
+    // the scan description must carry the pushed aggregate list AND the
+    // closed-form answers must be exact (the oracle re-checks at sf0.01;
+    // this pins the split-merge arithmetic at spec scale): slices serve
+    // partial (count, min, max) rows and Spark's final merge reassembles
+    // the global aggregate
+    val df = SparkEntry.queries("q181_dsv2_agg_pushdown")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAgg=[count,min_id,max_id]"),
+      s"aggregates were not pushed into the source:\n$p")
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (75000L, 2500L, 77499L),
+      s"pushed-aggregate merge arithmetic wrong: $r")
+  }
+
   test("q179: the planner injects a runtime bloom filter on the fact side") {
     // the lock is on the executed plan kept by q179: the fact scan must
     // carry a planner-injected BloomFilterMightContain fed by a
