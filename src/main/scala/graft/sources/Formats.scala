@@ -250,6 +250,47 @@ object Formats {
        |FROM src
        |WHERE id >= 2500 AND id < 77500""".stripMargin
 
+  // ---- q182: DSv2 RUNTIME filtering (the connector twin of q180 DPP) ------
+  // q180 prunes parquet partition DIRECTORIES with a join-delivered
+  // predicate; this delivers the same runtime predicate INTO a custom V2
+  // connector: SeqScan implements SupportsRuntimeV2Filtering, so after the
+  // broadcast build side executes, Spark hands the dim's join-key set to
+  // the scan as an IN predicate and the scan narrows its served range to
+  // the values' envelope BEFORE planning partitions — a zone-map-style
+  // skip a 100 TB connector performs against its own storage index. The
+  // dim is a tiny staged parquet (10 scattered ids, half flagged); only
+  // flagged ids survive its filter, so the scan serves a sliver of the
+  // 100k-row range. The oracle reconstructs both sides from range().
+  def q182DsV2RuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"dsv2_runtime_dim:$dir") { p =>
+      // flag is an INT equality target, not a bare boolean: DPP's
+      // isLikelySelective recognizes comparisons/IN/LIKE but NOT a lone
+      // boolean attribute, so `WHERE flag` would never arm the runtime
+      // filter (probed)
+      s.range(10).selectExpr("id * 8000 + 7 AS id", "CAST(id % 2 AS INT) AS flag")
+        .coalesce(1).write.parquet(p.resolve("dim").toString)
+    }
+    val fact = s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+    val dim = s.read.parquet(s"$staged/dim").filter(col("flag") === 0)
+    fact.join(dim, fact("id") === dim("id"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(fact("id")).as("min_id"), max(fact("id")).as("max_id"))
+  }
+
+  val q182Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows)),
+       |dim AS (
+       |  SELECT k * 8000 + 7 AS id FROM (SELECT unnest(range(10)) AS k)
+       |  WHERE k % 2 = 0)
+       |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+       |  MIN(src.id) AS min_id, MAX(src.id) AS max_id
+       |FROM src JOIN dim ON src.id = dim.id""".stripMargin
+
   // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
   // q163 reads through a custom V2 connector; q168 WRITES through one
   // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
@@ -353,6 +394,7 @@ object Formats {
     "q168_dsv2_sink" -> q168DsV2Sink _,
     "q175_avro_roundtrip" -> q175AvroRoundtrip _,
     "q181_dsv2_agg_pushdown" -> q181DsV2AggPushdown _,
+    "q182_dsv2_runtime_filter" -> q182DsV2RuntimeFilter _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -364,5 +406,6 @@ object Formats {
     "q168_dsv2_sink" -> q168Sql,
     "q175_avro_roundtrip" -> q175Sql,
     "q181_dsv2_agg_pushdown" -> q181Sql,
+    "q182_dsv2_runtime_filter" -> q182Sql,
   )
 }

