@@ -291,6 +291,34 @@ object Formats {
        |  MIN(src.id) AS min_id, MAX(src.id) AS max_id
        |FROM src JOIN dim ON src.id = dim.id""".stripMargin
 
+  // ---- q183: DSv2 LIMIT / TOP-N pushdown + reported statistics ------------
+  // The last two V2 read interfaces: ORDER BY id LIMIT n folds into the
+  // source (ids are served ascending, so top-n IS the range prefix — `hi`
+  // narrows to lo+n and no row beyond the limit is built), and the scan
+  // reports exact statistics (rows × row width) so the planner sizes it
+  // without an ANALYZE step — a narrowed scan becomes a broadcast
+  // candidate automatically (PlanSpec locks both). isPartiallyPushed stays
+  // true: Spark re-applies its own n-row sort/limit, so correctness never
+  // rests on the source's ordering claim.
+  def q183DsV2TopN(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+      .filter(col("id") >= 5000L)
+      .orderBy("id")
+      .limit(20)
+      .select(col("id"), col("h"), col("v"))
+
+  val q183Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT id, h, v FROM src
+       |WHERE id >= 5000
+       |ORDER BY id LIMIT 20""".stripMargin
+
   // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
   // q163 reads through a custom V2 connector; q168 WRITES through one
   // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
@@ -395,6 +423,7 @@ object Formats {
     "q175_avro_roundtrip" -> q175AvroRoundtrip _,
     "q181_dsv2_agg_pushdown" -> q181DsV2AggPushdown _,
     "q182_dsv2_runtime_filter" -> q182DsV2RuntimeFilter _,
+    "q183_dsv2_topn" -> q183DsV2TopN _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +436,6 @@ object Formats {
     "q175_avro_roundtrip" -> q175Sql,
     "q181_dsv2_agg_pushdown" -> q181Sql,
     "q182_dsv2_runtime_filter" -> q182Sql,
+    "q183_dsv2_topn" -> q183Sql,
   )
 }

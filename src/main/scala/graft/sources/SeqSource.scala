@@ -76,7 +76,9 @@ class SeqTable(rows: Long, slices: Int, columnar: Boolean) extends Table with Su
 
 class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
@@ -136,18 +138,73 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBui
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT / ORDER BY id LIMIT n pushdown: the source serves ids in
+    * ascending order across and within slices, so the first n rows ARE
+    * [lo, lo+n) — both pushdowns collapse to narrowing `hi`, and no data
+    * row beyond the limit is ever built. `isPartiallyPushed` stays true
+    * (the default) so Spark re-applies its own (now n-row) sort/limit —
+    * correctness never rests on the source's ordering claim.
+    */
+  private var limitPushed: Option[Int] = None
+
+  // both limit traits carry a default isPartiallyPushed — Scala requires
+  // an explicit override to disambiguate; true = Spark re-applies its own
+  // sort/limit over the pushed prefix
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushLimit(n: Int): Boolean = {
+    hi = math.min(hi, lo + n)
+    limitPushed = Some(n)
+    true
+  }
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val idAsc = orders match {
+      case Array(so) => (so.expression() match {
+        case nr: NamedReference => nr.fieldNames().sameElements(Array("id"))
+        case _ => false
+      }) && so.direction() == SortDirection.ASCENDING
+      case _ => false
+    }
+    if (!idAsc) return false
+    hi = math.min(hi, lo + n)
+    limitPushed = Some(n)
+    true
+  }
+
   override def build(): Scan =
-    new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed)
+    new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed, limitPushed)
 }
 
 class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     pushed: Array[Filter], columnar: Boolean,
-    aggPushed: Option[Seq[String]] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    aggPushed: Option[Seq[String]] = None,
+    limitPushed: Option[Int] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // compile-time range, narrowed further by runtime (DPP-style) filters
   // delivered just before partition planning
   @volatile private var lo = lo0
   @volatile private var hi = hi0
+
+  /** Exact statistics off the served range — the numbers a cost-based
+    * planner needs to size joins (a small narrowed scan becomes a
+    * broadcast candidate with no ANALYZE step; locked in PlanSpec).
+    * 49 bytes/row = 8 (id) + 32+overhead (md5 hex string) + 8 (v), the
+    * UnsafeRow footprint of the full schema.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val n = math.max(hi - lo, 0L)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * 49L)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
 
   override def readSchema(): StructType = aggPushed match {
     // pre-aggregated row shape, in the pushed aggregate order
@@ -157,7 +214,8 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
   override def description(): String =
     s"graft_seq range=[$lo0,$hi0) cols=${readSchema().fieldNames.mkString(",")} " +
       s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}" +
-      aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("")
+      aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("") +
+      limitPushed.map(n => s" pushedLimit=$n").getOrElse("")
   override def toBatch: Batch = this
 
   /** Runtime (DPP-style) filtering — the V2 twin of q180's directory

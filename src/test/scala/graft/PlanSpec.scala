@@ -554,6 +554,32 @@ class PlanSpec extends SparkSpec {
       s"pushed-aggregate merge arithmetic wrong: $r")
   }
 
+  test("q183: top-n folds into the V2 source and reported stats drive broadcast") {
+    // (a) ORDER BY id LIMIT 20 must reach the scan (pushedLimit in the
+    // description — no row beyond the prefix is built) and the result must
+    // be exactly ids 5000..5019
+    val df = SparkEntry.queries("q183_dsv2_topn")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedLimit=20"),
+      s"top-n was not pushed into the source:\n$p")
+    val ids = df.collect().map(_.getLong(0)).toSeq
+    assert(ids == (5000L until 5020L), s"top-n result wrong: $ids")
+    // (b) the scan REPORTS statistics, so a small narrowed connector scan
+    // is sized as broadcastable with no ANALYZE step: joining a 500-row
+    // seq relation to lineitem must broadcast the connector side
+    import org.apache.spark.sql.functions.col
+    val small = spark.read.format("graft.sources.SeqSource")
+      .option("rows", "500").option("slices", "2").load()
+      .select(col("id"), col("v"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").select(col("l_orderkey"))
+    val j = li.join(small, li("l_orderkey") === small("id"))
+      .groupBy().count()
+    j.collect()
+    val jp = j.queryExecution.executedPlan.toString
+    assert(jp.contains("BroadcastHashJoin"),
+      s"reported statistics did not make the small V2 scan a broadcast side:\n$jp")
+  }
+
   test("q182: the V2 scan receives a runtime join filter and narrows itself") {
     // the BatchScan line must list a dynamicpruning runtime filter (Spark
     // delivered the dim's key set to the scan), and the narrowed scan must
