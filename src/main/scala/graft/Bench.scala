@@ -6,12 +6,15 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-12 QUERY SET (all 175 queries, PLANS.md
-  * "Round 12") must stay ≤ 184 s (1.3 × the 141.5 s round-12 anchor run
-  * — zero failures; the round-10 170-query subset read 132.4 s in that
-  * run, inside its prior 135 s ceiling). Queries added in later rounds
-  * are excluded from the ratchet until the anchor is re-taken on a
-  * quiet run that includes them. A quiet-host total past the ceiling is
+  * total over the ROUND-12 QUERY SET (the 175 queries q1–q178 present at
+  * the PLANS.md "Round 12" anchor — i.e. everything EXCEPT the
+  * post-anchor q179–q183) must stay ≤ 184 s (1.3 × the 141.5 s round-12
+  * anchor run — zero failures; the round-10 170-query subset read
+  * 132.4 s in that run, inside its prior 135 s ceiling). Queries added
+  * after an anchor (currently q179+) are excluded from the ratchet until
+  * the anchor is re-taken on a quiet run that includes them — see
+  * PLANS.md "Round 13" for the current full-set anchor once taken. A
+  * quiet-host total past the ceiling is
   * a regression to fix, not variance to wave at — EXCEPT the stateful
   * streaming family (q75/q119/q132/q138/q142/q176), whose RocksDB +
   * checkpoint I/O swings ±50% between back-to-back quiet runs (PLANS.md

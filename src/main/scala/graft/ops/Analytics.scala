@@ -1324,14 +1324,24 @@ object Analytics {
 
   private def cboTableFor(s: SparkSession, dir: String, table: String,
       statCols: String): String = {
-    val name = s"g178_${table}_${math.abs(dir.hashCode).toString}"
-    cboTables.computeIfAbsent(s"$dir/$table", _ => {
-      s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
-        s"LOCATION '$dir/$table.parquet'")
-      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
-      s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $statCols")
-      name
-    })
+    // hex, not math.abs — abs(Int.MinValue) is still negative
+    val name = s"g178_${table}_${Integer.toHexString(dir.hashCode)}"
+    // the CREATE/ANALYZE live in the SESSION catalog, but this cache is
+    // JVM-global — a fresh SparkSession (stop + rebuild in a test) would
+    // hit the cache and skip registration, so the fast path re-verifies
+    // against THIS session's catalog before trusting the cache
+    cboTables.computeIfAbsent(s"$dir/$table", _ => register(s, name, dir, table, statCols))
+    if (!s.catalog.tableExists(name)) register(s, name, dir, table, statCols)
+    name
+  }
+
+  private def register(s: SparkSession, name: String, dir: String,
+      table: String, statCols: String): String = {
+    s.sql(s"CREATE TABLE IF NOT EXISTS $name USING parquet " +
+      s"LOCATION '$dir/$table.parquet'")
+    s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS $statCols")
+    name
   }
 
   /** The q178 join planned (and, if `execute`, run) under the given CBO

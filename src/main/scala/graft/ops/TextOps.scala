@@ -320,7 +320,7 @@ object TextOps {
     * gram array — one linear pass; equal grams are adjacent after sort.
     */
   private def runStats(grams: Column): Column = {
-    val z = struct(lit(" ").as("prev"), lit(0L).as("run"),
+    val z = struct(lit("\u0000").as("prev"), lit(0L).as("run"),
       lit(0L).as("best"), lit(0L).as("dup"))
     aggregate(array_sort(grams), z,
       (acc, x) => {

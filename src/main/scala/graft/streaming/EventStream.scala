@@ -818,14 +818,14 @@ object EventStream {
     * wall-clock instant), so `Trigger.AvailableNow` never terminates — it
     * spins empty timer-sweep batches forever (observed, not theorized: the
     * first cut of this query hung exactly there). A wall-clock stream is
-    * stopped, not drained: run with a real ProcessingTime trigger, watch
-    * the processor's own progress counters ([[PtFlushProcessor.inputRows]]
-    * / `fires`), and `stop()` once every input row is folded, at least one
-    * timer has fired, AND the last input-carrying batch has COMMITTED to
-    * the sink (stopping between that batch's tasks and its commit would
-    * drop the final emissions — the sink row count is polled to stability
-    * to close that race). A two-minute deadline turns "never happened"
-    * into a loud failure instead of a silent hang.
+    * stopped, not drained: run with a real ProcessingTime trigger and
+    * `stop()` once at least one timer has fired AND every input row's
+    * batch has COMMITTED — gated on `recentProgress` (progress is
+    * reported only for committed batches), because stopping between a
+    * batch's tasks and its commit would drop the final emissions, and
+    * the processor's own fold counters flip mid-task, before commit. A
+    * two-minute deadline turns "never happened" into a loud failure
+    * instead of a silent hang.
     */
   def q176PtTimerFlush(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -860,22 +860,31 @@ object EventStream {
         .start()
       try {
         val deadline = System.currentTimeMillis() + 120000L
+        // COMMIT-level stop gate: StreamingQueryProgress is reported only
+        // for committed batches, so "cumulative committed numInputRows ==
+        // totalRows" proves the last input-carrying batch's sink commit
+        // landed — unlike sink count-stability polling, which a slow
+        // RocksDB commit (>~600ms between equal counts) could misread as
+        // "final batch done" and drop the tail emissions. recentProgress
+        // is a bounded ring, so fold entries into a batchId-keyed map as
+        // we poll; no-data progress reuses the last batchId with 0 rows,
+        // hence the max-merge.
+        val committed = scala.collection.mutable.Map.empty[Long, Long]
+        def committedRows(): Long = {
+          q.recentProgress.foreach { p =>
+            committed(p.batchId) =
+              math.max(committed.getOrElse(p.batchId, 0L), p.numInputRows)
+          }
+          committed.values.sum
+        }
         def ready: Boolean =
-          PtFlushProcessor.inputRows.get() >= totalRows &&
-            PtFlushProcessor.fires.get() > 0L
+          committedRows() >= totalRows && PtFlushProcessor.fires.get() > 0L
         while (!ready && System.currentTimeMillis() < deadline) Thread.sleep(100L)
         if (!ready) throw new IllegalStateException(
-          s"q176: stream did not fold all $totalRows rows + fire a timer " +
-            s"within deadline (folded=${PtFlushProcessor.inputRows.get()}, " +
+          s"q176: stream did not commit all $totalRows rows + fire a timer " +
+            s"within deadline (committed=${committedRows()}, " +
+            s"folded=${PtFlushProcessor.inputRows.get()}, " +
             s"fires=${PtFlushProcessor.fires.get()})")
-        // commit race: wait until the sink stops growing before stopping
-        var prev = -1L
-        var cur = s.table(name).count()
-        while (cur != prev && System.currentTimeMillis() < deadline) {
-          Thread.sleep(300L)
-          prev = cur
-          cur = s.table(name).count()
-        }
       } finally {
         q.stop()
         q.awaitTermination()
