@@ -319,6 +319,66 @@ object Formats {
        |WHERE id >= 5000
        |ORDER BY id LIMIT 20""".stripMargin
 
+  // ---- q184: DSv2 MICRO-BATCH streaming source ----------------------------
+  // The streaming cell of the V2 matrix: the q163 connector served through
+  // MicroBatchStream — initialOffset/latestOffset/planInputPartitions(start,
+  // end)/commit, with ADMISSION CONTROL (rowsPerBatch caps each batch's
+  // advance) and Trigger.AvailableNow run-to-completion (target pinned at
+  // prepare time, drained across ceil(rows/rowsPerBatch) batches). This is
+  // the reference's event-driven gather trigger (stack.py:386-391 —
+  // "process exactly the newly-arrived increment") generalized into a real
+  // incremental source. The streaming aggregate's final (complete-mode)
+  // state must equal the batch read of the same range — same reader
+  // factory, same rows, different batching — which the DuckDB oracle
+  // hash-checks from range(); PlanSpec asserts the offset PROGRESSION
+  // (monotone, stride ≤ rowsPerBatch, lands exactly on rows) via
+  // [[SeqStreamRegistry]], so multi-batch execution is proven, not assumed.
+  private[graft] val streamRows = 20000L
+  private[graft] val streamPerBatch = 3000L
+
+  def q184DsV2StreamSource(s: SparkSession, dir: String): DataFrame = {
+    val tag = s"dsv2_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.format("graft.sources.SeqSource")
+      .option("rows", streamRows.toString)
+      .option("slices", "4")
+      .option("columnar", "false")
+      .option("rowsPerBatch", streamPerBatch.toString)
+      .option("streamTag", tag)
+      .load()
+      .groupBy(substring(col("h"), 1, 1).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(tag)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // loud multi-batch proof in the query itself: AvailableNow over 20k
+    // rows at 3k/batch plans ⌈20000/3000⌉ = 7 batches landing exactly on
+    // rows; the engine confirms all but the final one (a batch's source-
+    // commit arrives when the NEXT batch starts — none follows the last)
+    val plan = SeqStreamRegistry.plannedOffsets(tag)
+    val offs = SeqStreamRegistry.committedOffsets(tag)
+    require(plan.size == 7 && plan.last == streamRows,
+      s"q184: expected 7 planned batches ending at $streamRows, got $plan")
+    require(offs == plan.dropRight(1),
+      s"q184: engine-committed offsets must be the planned prefix: $offs vs $plan")
+    SeqStreamRegistry.clear(tag)
+    s.table(tag).orderBy("bucket")
+  }
+
+  val q184Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($streamRows))
+       |SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
   // q163 reads through a custom V2 connector; q168 WRITES through one
   // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
@@ -424,6 +484,7 @@ object Formats {
     "q181_dsv2_agg_pushdown" -> q181DsV2AggPushdown _,
     "q182_dsv2_runtime_filter" -> q182DsV2RuntimeFilter _,
     "q183_dsv2_topn" -> q183DsV2TopN _,
+    "q184_dsv2_stream_source" -> q184DsV2StreamSource _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -437,5 +498,6 @@ object Formats {
     "q181_dsv2_agg_pushdown" -> q181Sql,
     "q182_dsv2_runtime_filter" -> q182Sql,
     "q183_dsv2_topn" -> q183Sql,
+    "q184_dsv2_stream_source" -> q184Sql,
   )
 }

@@ -46,7 +46,9 @@ class SeqSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SeqTable(properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("columnar", "true").toBoolean)
+      properties.getOrDefault("columnar", "true").toBoolean,
+      properties.getOrDefault("rowsPerBatch", "1000").toLong,
+      properties.getOrDefault("streamTag", "").toString)
 }
 
 object SeqSource {
@@ -65,16 +67,19 @@ object SeqSource {
   def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
 }
 
-class SeqTable(rows: Long, slices: Int, columnar: Boolean) extends Table with SupportsRead {
+class SeqTable(rows: Long, slices: Int, columnar: Boolean,
+    rowsPerBatch: Long = 1000L, streamTag: String = "")
+    extends Table with SupportsRead {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SeqScanBuilder(rows, slices, columnar)
+    new SeqScanBuilder(rows, slices, columnar, rowsPerBatch, streamTag)
 }
 
-class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBuilder
+class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
+    rowsPerBatch: Long = 1000L, streamTag: String = "") extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
@@ -177,13 +182,16 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean) extends ScanBui
   }
 
   override def build(): Scan =
-    new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed, limitPushed)
+    new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed,
+      limitPushed, rowsPerBatch, streamTag)
 }
 
 class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     pushed: Array[Filter], columnar: Boolean,
     aggPushed: Option[Seq[String]] = None,
-    limitPushed: Option[Int] = None) extends Scan with Batch
+    limitPushed: Option[Int] = None,
+    rowsPerBatch: Long = 1000L,
+    streamTag: String = "") extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // compile-time range, narrowed further by runtime (DPP-style) filters
@@ -218,6 +226,15 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
       limitPushed.map(n => s" pushedLimit=$n").getOrElse("")
   override def toBatch: Batch = this
 
+  /** The MICRO-BATCH half of the same scan — offsets are absolute row ids
+    * over the (pushdown-narrowed) [lo, hi) range, so a filtered stream
+    * reads exactly what the filtered batch scan would, just sliced into
+    * admission-controlled increments. See [[SeqMicroBatchStream]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SeqMicroBatchStream(lo0, hi0, slices, schema, rowsPerBatch, streamTag)
+
   /** Runtime (DPP-style) filtering — the V2 twin of q180's directory
     * pruning: when `id` is a join key against a broadcastable filtered
     * dim, Spark delivers the dim's key set as an IN predicate AFTER the
@@ -235,11 +252,14 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
     predicates.foreach { p =>
       if (p.name() == "IN") {
-        val values: Array[Long] = p.children().collect {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            l.value() match {
-              case n: Number => n.longValue()
-            }
+        // guarded flatMap, not a nested match: a non-Number IN literal
+        // (string/decimal key in some future query) must be SKIPPED per
+        // the best-effort contract above, not crash planning
+        val values: Array[Long] = p.children().flatMap {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            Some(l.value().asInstanceOf[Number].longValue())
+          case _ => None
         }
         if (values.nonEmpty) {
           lo = math.max(lo, values.min)
@@ -356,4 +376,139 @@ class SeqReaderFactory(schema: StructType, columnar: Boolean)
       override def close(): Unit = if (batch != null) batch.close()
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// Streaming (micro-batch) half of the connector — SURVEY §2.1/§2.7's "extend
+// Spark with a new STREAMING source" cell, the generalization of the
+// reference's event-driven gather trigger (stack.py:386-391: "new input
+// arrived → process exactly that increment") into a real incremental source.
+// ---------------------------------------------------------------------------
+
+/** Offset = the absolute row id the stream has read UP TO (exclusive).
+  * Serialized as the bare decimal so a checkpoint restart reconstructs it
+  * with a parse, no codec.
+  */
+case class SeqOffset(off: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = off.toString
+}
+
+/** Per-stream observability for specs: each `commit(end)` appends the
+  * committed offset under the stream's `streamTag`, so a test can assert
+  * the offset PROGRESSION (monotone, stride ≤ rowsPerBatch, lands exactly
+  * on `hi`) — not just the final result. Keyed registry, not a global,
+  * so concurrent suites don't cross-talk.
+  */
+object SeqStreamRegistry {
+  private val committed =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
+  private val planned =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
+  private def append(m: java.util.concurrent.ConcurrentHashMap[String, Vector[Long]],
+      tag: String, off: Long): Unit =
+    if (tag.nonEmpty)
+      m.compute(tag, (_, v) => (if (v == null) Vector.empty else v) :+ off)
+  def record(tag: String, off: Long): Unit = append(committed, tag, off)
+  // the engine calls planInputPartitions several times per batch (plan
+  // construction + per-stage re-planning, all with the same [start, end))
+  // — collapse consecutive repeats so the progression reads one end per batch
+  def recordPlanned(tag: String, off: Long): Unit =
+    if (tag.nonEmpty)
+      planned.compute(tag, (_, v) => {
+        val cur = if (v == null) Vector.empty else v
+        if (cur.lastOption.contains(off)) cur else cur :+ off
+      })
+  def committedOffsets(tag: String): Vector[Long] =
+    committed.getOrDefault(tag, Vector.empty)
+  def plannedOffsets(tag: String): Vector[Long] =
+    planned.getOrDefault(tag, Vector.empty)
+  def clear(tag: String): Unit = { committed.remove(tag); planned.remove(tag) }
+}
+
+/** MicroBatchStream over the deterministic seq relation:
+  *
+  *   - `initialOffset` = `lo` (the pushdown-narrowed range start);
+  *   - ADMISSION CONTROL (`SupportsAdmissionControl`): `latestOffset(start,
+  *     limit)` advances by at most `rowsPerBatch` rows per micro-batch —
+  *     the V2 contract behind `maxOffsetsPerTrigger`-style throttling; a
+  *     100 TB backlog is drained in bounded, checkpointable increments
+  *     instead of one unbounded batch;
+  *   - `Trigger.AvailableNow` (`SupportsTriggerAvailableNow`): the target
+  *     is pinned at prepare time, the stream drains to it across as many
+  *     admission-sized batches as needed, then terminates — run-to-
+  *     completion semantics with rate-limit economics;
+  *   - `planInputPartitions(start, end)` ceil-slices the batch's [start,
+  *     end) range into `slices` independent partitions — the same
+  *     assignment rule as the batch scan, per increment;
+  *   - `commit(end)` is the engine's "this batch is durably processed"
+  *     callback — recorded per-stream so specs assert the progression.
+  *
+  * Readers are the row-mode [[SeqReaderFactory]] — identical row
+  * construction to the batch path, which is what makes "AvailableNow
+  * result ≡ batch read of the same range" a meaningful equivalence (q184's
+  * oracle) rather than two codepaths that happen to agree.
+  */
+class SeqMicroBatchStream(lo: Long, hi: Long, slices: Int, schema: StructType,
+    rowsPerBatch: Long, streamTag: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  // AvailableNow pins the drain target before the first batch; a plain
+  // ProcessingTime stream just sees "everything" available immediately
+  @volatile private var target: Long = hi
+
+  override def prepareForTriggerAvailableNow(): Unit = { target = hi }
+
+  override def initialOffset(): Offset = SeqOffset(lo)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(rowsPerBatch, 1L))
+
+  // the no-limit overload must still respect admission: MicroBatchStream
+  // requires it, but with SupportsAdmissionControl the engine calls the
+  // 2-arg form; this one reports the full backlog end
+  override def latestOffset(): Offset = SeqOffset(target)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SeqOffset].off
+    val step = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => math.max(rowsPerBatch, 1L)
+    }
+    SeqOffset(math.min(s + math.max(step, 1L), target))
+  }
+
+  override def reportLatestOffset(): Offset = SeqOffset(target)
+
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SeqOffset].off
+    val e = end.asInstanceOf[SeqOffset].off
+    SeqStreamRegistry.recordPlanned(streamTag, e)
+    val n = math.max(e - s, 0L)
+    val k = math.max(slices, 1)
+    val per = (n + k - 1) / math.max(k, 1)
+    if (n == 0L) Array.empty
+    else (0 until k).flatMap { i =>
+      val s0 = s + i * per
+      val e0 = math.min(s0 + per, e)
+      if (s0 < e0) Some(SeqPartition(s0, e0)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SeqReaderFactory(schema, columnar = false)
+
+  // the engine delivers a batch's source-commit when the NEXT batch
+  // starts, so under AvailableNow the final batch's commit never arrives
+  // (observed: n batches → n−1 commits) — specs assert the committed
+  // prefix against the PLANNED progression, which does land on the target
+  override def commit(end: Offset): Unit =
+    SeqStreamRegistry.record(streamTag, end.asInstanceOf[SeqOffset].off)
+
+  override def stop(): Unit = ()
 }

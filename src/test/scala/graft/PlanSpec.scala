@@ -596,6 +596,52 @@ class PlanSpec extends SparkSpec {
       s"runtime-filtered join result wrong: $r")
   }
 
+  test("q184: micro-batch offsets progress in admission-sized strides to the end") {
+    import org.apache.spark.sql.functions._
+    // drive the streaming connector directly with a pinned tag and assert
+    // the offset PROGRESSION, not just the final answer: AvailableNow over
+    // 5000 rows at 800/batch must PLAN strictly-increasing ends with
+    // stride ≤ 800, across ⌈5000/800⌉ = 7 batches, landing exactly on 5000
+    // — proof the admission control throttled each batch and the drain
+    // terminated at the prepare-time target. The engine confirms each
+    // batch when the next one starts, so committed = planned minus the
+    // final batch (none follows it under AvailableNow).
+    val rows = 5000L; val per = 800L
+    val tag = "plan_spec_q184"
+    sources.SeqStreamRegistry.clear(tag)
+    val q = spark.readStream.format("graft.sources.SeqSource")
+      .option("rows", rows.toString).option("slices", "3")
+      .option("columnar", "false")
+      .option("rowsPerBatch", per.toString).option("streamTag", tag)
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .writeStream.outputMode("complete").format("memory").queryName(tag)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val plan = sources.SeqStreamRegistry.plannedOffsets(tag)
+    val offs = sources.SeqStreamRegistry.committedOffsets(tag)
+    sources.SeqStreamRegistry.clear(tag)
+    assert(plan.size == 7, s"expected 7 planned micro-batches, got $plan")
+    assert(plan == plan.sorted && plan.distinct == plan,
+      s"planned ends must strictly increase: $plan")
+    assert(plan.last == rows, s"drain must land exactly on $rows: $plan")
+    val strides = (0L +: plan).sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(strides.forall(s => s > 0 && s <= per),
+      s"every stride must be in (0, $per]: $strides")
+    assert(offs == plan.dropRight(1),
+      s"engine-committed offsets must be the planned prefix: $offs vs $plan")
+    // and the streamed complete-mode state equals the batch read — same
+    // reader factory, different batching
+    val r = spark.table(tag).collect().head
+    val b = spark.read.format("graft.sources.SeqSource")
+      .option("rows", rows.toString).option("slices", "3").load()
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (b.getLong(0), b.getLong(1)),
+      s"streamed drain diverged from batch read: streamed=$r batch=$b")
+  }
+
   test("q179: the planner injects a runtime bloom filter on the fact side") {
     // the lock is on the executed plan kept by q179: the fact scan must
     // carry a planner-injected BloomFilterMightContain fed by a

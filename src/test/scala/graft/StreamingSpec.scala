@@ -304,7 +304,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
   }
 
-  test("q176: processing-time timers fire between AvailableNow micro-batches " +
+  test("q176: processing-time timers fire between ProcessingTime micro-batches " +
       "and the collapse matches the batch GROUP BY") {
     graft.streaming.PtFlushProcessor.fires.set(0L)
     val out = EventStream.q176PtTimerFlush(spark, sf)
