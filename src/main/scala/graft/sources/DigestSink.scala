@@ -6,8 +6,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -33,13 +35,33 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * source table — writer, commit protocol, and serialization all sit on
   * the hash-checked path. The task/job commit sequencing and the abort
   * cleanup contract are additionally spec-pinned directly.
+  *
+  * Two write-side V2 surfaces layer on top of the base protocol:
+  *
+  *   - ROW-LEVEL OVERWRITE (q186, `SupportsOverwrite`): in lang-split
+  *     mode (the [[GraftCatalog]] flavor) files are laid out one-per-lang
+  *     (`lang_<v>-part-...csv`) and `overwrite(lang = 'x')` REPLACES ONLY
+  *     that lang's files at job commit — untouched langs' files and
+  *     manifest entries survive byte-identical, the V2 alternative to a
+  *     full-table rewrite (at 100 TB: rewrite one partition, not the
+  *     table). The manifest merge is the commit point: surviving old
+  *     entries + new entries, published atomically via temp-file rename.
+  *   - WRITER-DECLARED DISTRIBUTION (q187,
+  *     `RequiresDistributionAndOrdering`): with `requireDistribution=true`
+  *     the Write DECLARES clustering by `lang` and ordering
+  *     (lang, doc_id) and THE ENGINE injects the exchange + sort — the
+  *     query carries no repartition/sortWithinPartitions of its own. This
+  *     is how a production sink gets layout guarantees (one writer per
+  *     clustering key, sorted files) without trusting every caller.
   */
 class DigestSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DigestSink.rowSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new DigestSinkTable(properties.get("path"))
+    new DigestSinkTable(properties.get("path"),
+      langSplit = false,
+      requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
 }
 
 object DigestSink {
@@ -47,34 +69,127 @@ object DigestSink {
     org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
     org.apache.spark.sql.types.StructField("lang", StringType, nullable = false),
     org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = false)))
+
+  /** Parse a manifest line: `fileName,rows` (flat) / same with the lang
+    * recoverable from the `lang_<v>-` file-name prefix (split mode).
+    */
+  private[sources] def langOf(fileName: String): Option[String] =
+    if (fileName.startsWith("lang_")) Some(fileName.drop(5).takeWhile(_ != '-'))
+    else None
 }
 
-class DigestSinkTable(path: String) extends Table with SupportsWrite {
+class DigestSinkTable(path: String, langSplit: Boolean = false,
+    requireDist: Boolean = false) extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "DigestSink requires a path option")
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (langSplit)
+      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.OVERWRITE_BY_FILTER)
+    else
+      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new DigestBatchWrite(path)
-      }
-    }
+    new DigestWriteBuilder(path, langSplit, requireDist)
 }
 
-class DigestBatchWrite(path: String) extends BatchWrite {
+class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean)
+    extends WriteBuilder with SupportsOverwrite {
+  // None = append; Some(filters) = overwrite the matching region
+  private var overwriteFilters: Option[Array[Filter]] = None
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    // reject what we cannot delete-by: overwrite semantics must never
+    // silently widen or narrow the replaced region
+    filters.foreach {
+      case _: AlwaysTrue => ()
+      case EqualTo("lang", _: String) => ()
+      case In("lang", _) => ()
+      case f => throw new UnsupportedOperationException(
+        s"graft_digest overwrite supports lang equality/IN filters, got $f")
+    }
+    overwriteFilters = Some(filters)
+    this
+  }
+
+  override def build(): Write =
+    new DigestWrite(path, langSplit, requireDist, overwriteFilters)
+}
+
+class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
+    overwriteFilters: Option[Array[Filter]])
+    extends Write with RequiresDistributionAndOrdering {
+
+  // q187: the sink-declared layout contract. Clustering by lang puts each
+  // lang's rows in exactly one writer task; ordering (lang, doc_id) makes
+  // every committed file internally sorted. Unspecified when the caller
+  // didn't opt in — the base q168 path plans exactly as before.
+  override def requiredDistribution(): Distribution =
+    if (requireDist || langSplit)
+      Distributions.clustered(Array(Expressions.column("lang")))
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (requireDist || langSplit)
+      Array(
+        Expressions.sort(Expressions.column("lang"), SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
+    else Array.empty
+
+  override def requiredNumPartitions(): Int =
+    if (requireDist || langSplit) 4 else 0
+
+  override def toBatch: BatchWrite =
+    new DigestBatchWrite(path, langSplit, overwriteFilters)
+}
+
+class DigestBatchWrite(path: String, langSplit: Boolean = false,
+    overwriteFilters: Option[Array[Filter]] = None) extends BatchWrite {
+  def this(path: String) = this(path, false, None)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DigestWriterFactory(path)
+    new DigestWriterFactory(path, langSplit)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // the job-level commit point: publish the manifest of committed files
-    val lines = messages.collect { case m: DigestCommitMessage =>
-      s"${m.fileName},${m.rows}"
-    }.sorted
-    Files.write(Paths.get(path, "_MANIFEST"),
-      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    val old: Seq[String] =
+      if (Files.exists(manifestPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.toSeq
+      else Seq.empty
+
+    // the overwritten region: delete ONLY its files; everything else
+    // survives untouched (file and manifest entry alike)
+    val surviving: Seq[String] = overwriteFilters match {
+      case None => old // append: keep all previously committed entries
+      case Some(filters) =>
+        val all = filters.exists(_.isInstanceOf[AlwaysTrue])
+        val langs: Set[String] = filters.collect {
+          case EqualTo("lang", v: String) => Seq(v)
+          case In("lang", vs) => vs.toSeq.map(String.valueOf)
+        }.flatten.toSet
+        def replaced(fileName: String): Boolean =
+          all || DigestSink.langOf(fileName).exists(langs.contains)
+        val (dead, keep) = old.partition(l => replaced(l.split(",")(0)))
+        // a fresh file may land on the SAME final name as the dead entry
+        // it replaces (same lang, same partition id — rename-in-place):
+        // deleting by old name would destroy the just-committed file, so
+        // the fresh names are carved out of the deletion set
+        val freshNames = fresh.map(_.fileName).toSet
+        dead.map(_.split(",")(0)).filterNot(freshNames.contains)
+          .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+        keep
+    }
+
+    // job-level commit point: publish the merged manifest atomically
+    // (temp + rename) so a reader never observes a half-written listing
+    val lines = (surviving ++ fresh.map(f => s"${f.fileName},${f.rows}")).sorted
+    val tmp = Paths.get(path, "_MANIFEST.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -88,12 +203,18 @@ class DigestBatchWrite(path: String) extends BatchWrite {
   }
 }
 
-case class DigestCommitMessage(fileName: String, rows: Long)
+/** One committed file's identity in a task's commit message. */
+case class CommittedFile(fileName: String, rows: Long)
+
+case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
 
-class DigestWriterFactory(path: String) extends DataWriterFactory {
+class DigestWriterFactory(path: String, langSplit: Boolean = false)
+    extends DataWriterFactory {
+  def this(path: String) = this(path, false)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DigestDataWriter(path, partitionId, taskId)
+    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId)
+    else new DigestDataWriter(path, partitionId, taskId)
 }
 
 /** One task attempt's writer: staged file keyed by the ATTEMPT (taskId),
@@ -117,11 +238,58 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long)
     out.close()
     val fin = Paths.get(path, f"part-$partitionId%05d.csv")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
-    DigestCommitMessage(fin.getFileName.toString, rows)
+    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
   }
 
   override def abort(): Unit = {
     out.close()
+    Files.deleteIfExists(staged)
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Lang-split writer (q186): one staged file PER LANG seen by this task —
+  * with the clustered-by-lang distribution the Write declares, that is one
+  * file per lang in the whole job, which is exactly the granularity the
+  * overwrite-by-filter commit replaces. Same attempt-staging + rename-on-
+  * commit protocol per file.
+  */
+class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  Files.createDirectories(Paths.get(path))
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, Path, Long)]
+
+  private def safe(lang: String): String = {
+    require(lang.nonEmpty && lang.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"lang value not filesystem-safe: '$lang'")
+    lang
+  }
+
+  override def write(r: InternalRow): Unit = {
+    val lang = safe(r.getUTF8String(1).toString)
+    val (w, p, n) = open.getOrElseUpdate(lang, {
+      val staged = Paths.get(path,
+        f"lang_$lang-part-$partitionId%05d-attempt-$taskId.staged")
+      (Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged, 0L)
+    })
+    w.write(s"${r.getLong(0)},$lang,${r.getLong(2)}\n")
+    open(lang) = (w, p, n + 1)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.toSeq.map { case (lang, (w, staged, n)) =>
+      w.close()
+      val fin = Paths.get(path, f"lang_$lang-part-$partitionId%05d.csv")
+      Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
+      CommittedFile(fin.getFileName.toString, n)
+    }
+    DigestCommitMessage(files)
+  }
+
+  override def abort(): Unit = open.values.foreach { case (w, staged, _) =>
+    w.close()
     Files.deleteIfExists(staged)
   }
 

@@ -379,6 +379,40 @@ object Formats {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---- q185: V2 TableCatalog — catalog-qualified identifier resolution ----
+  // The q163 connector behind a NAME instead of a path: [[GraftCatalog]] is
+  // registered as `spark.sql.catalog.graft`, DDL creates the table entry
+  // (`CREATE TABLE graft.ns.seq100k ... TBLPROPERTIES('rows'=...)` routes
+  // to TableCatalog.createTable), and the read resolves `graft.ns.seq100k`
+  // through CatalogManager → loadTable → SeqTable — the full V2 identifier
+  // chain, with every pushdown the path-based load proves (PlanSpec locks
+  // the narrowed range on the catalog-resolved scan AND the DDL lifecycle:
+  // create → list → rename → drop). Catalog configs are resolved lazily,
+  // so the runtime conf.set works on an already-built session.
+  def q185CatalogTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS graft.ns.seq100k (id BIGINT, h STRING, v BIGINT)
+             |USING graft_seq TBLPROPERTIES ('rows'='$seqRows', 'slices'='$seqSlices')""".stripMargin)
+    s.sql(s"""SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+             |  CAST(SUM(v) AS BIGINT) AS sum_v
+             |FROM graft.ns.seq100k
+             |WHERE id >= 3000 AND id < 90000
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin)
+  }
+
+  val q185Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |WHERE id >= 3000 AND id < 90000
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   // ---- q168: custom DataSource V2 SINK with two-phase commit --------------
   // q163 reads through a custom V2 connector; q168 WRITES through one
   // ([[DigestSink]] — staged per-attempt files, rename-on-commit, abort
@@ -423,6 +457,119 @@ object Formats {
       |FROM documents
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  // ---- q186: row-level V2 overwrite — replace ONE partition's files -------
+  // The write-side twin of partition pruning: the documents table goes
+  // through the catalog-registered lang-split digest sink (one file per
+  // lang — the clustered-by-lang distribution the Write declares makes
+  // that exact), then an UPDATED 'de' slice commits through
+  // `writeTo(t).overwrite(lang = 'de')` — the V2 `SupportsOverwrite` path.
+  // At job commit the sink deletes ONLY lang_de files and merges the
+  // manifest; the require() below proves every other lang's file and
+  // manifest entry survived BYTE-IDENTICAL (at 100 TB: rewrite one
+  // partition, not the table — the MERGE-commit economics q89 wants). The
+  // read-back digest must then equal the oracle's view of documents with
+  // the de-update applied — any row lost, duplicated, or double-applied
+  // breaks the hash.
+  def q186OverwriteByFilter(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docsink_${Integer.toHexString(dir.hashCode)}"
+    val staged = graft.TempDirs.staged(s"dsv2_overwrite:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.writeTo(tbl).append()
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala.toSeq
+      def untouched(m: Seq[String]): Set[String] =
+        m.filterNot(_.startsWith("lang_de-")).toSet
+      def fileBytes(m: Seq[String]): Map[String, Long] =
+        m.map(_.split(",")(0)).filterNot(_.startsWith("lang_de-"))
+          .map(f => f -> java.nio.file.Files.size(sink.resolve(f))).toMap
+      def deContent(m: Seq[String]): Seq[String] =
+        m.map(_.split(",")(0)).filter(_.startsWith("lang_de-")).sorted
+          .flatMap(f => java.nio.file.Files.readAllLines(sink.resolve(f)).asScala)
+      val before = manifest()
+      val sizes0 = fileBytes(before)
+      val deBefore = deContent(before)
+      docs.filter(col("lang") === "de")
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .writeTo(tbl).overwrite(col("lang") === lit("de"))
+      val after = manifest()
+      require(untouched(before) == untouched(after),
+        s"q186: overwrite disturbed non-matched manifest entries:\n$before\nvs\n$after")
+      require(fileBytes(after) == sizes0,
+        "q186: overwrite rewrote files outside the matched partition")
+      // the replaced file keeps its name and row count (same 'de' docs,
+      // updated n_chars) — replacement is proven by CONTENT, not the entry
+      require(after.exists(_.startsWith("lang_de-")) &&
+        deContent(after) != deBefore,
+        "q186: the matched partition's files were not replaced")
+    }
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/sink/lang_*-part-*.csv")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang")
+  }
+
+  val q186Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q187: writer-declared distribution and ordering --------------------
+  // The query hands the sink an UNORGANIZED frame — no repartition, no
+  // sortWithinPartitions — and the Write DECLARES clustering by lang +
+  // ordering (lang, doc_id) via RequiresDistributionAndOrdering; the
+  // ENGINE injects the exchange and sort into the write plan (PlanSpec
+  // locks them). The staging-time require() proves the contract
+  // physically: every committed file is internally sorted by
+  // (lang, doc_id) and each lang lands in exactly one file — the layout a
+  // production sink needs (compaction-friendly, merge-on-read-sorted)
+  // without trusting any caller to pre-arrange it. Round-trip digest is
+  // oracle-checked as in q168.
+  def q187WriteDistribution(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"dsv2_distribution:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.format("graft.sources.DigestSink")
+        .option("path", p.toString)
+        .option("requireDistribution", "true")
+        .mode("append").save()
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".csv")).toVector.sorted
+      val perFile = files.map { f =>
+        val rows = java.nio.file.Files.readAllLines(p.resolve(f)).asScala
+          .map { l => val a = l.split(","); (a(1), a(0).toLong) }
+        require(rows == rows.sortBy(identity),
+          s"q187: engine-injected sort missing — $f is not (lang, doc_id)-sorted")
+        f -> rows.map(_._1).toSet
+      }
+      val langHomes = perFile.flatMap { case (f, langs) => langs.map(_ -> f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      require(langHomes.values.forall(_.size == 1),
+        s"q187: clustering violated — a lang spans several files: $langHomes")
+    }
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/part-*.csv")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang")
+  }
+
+  val q187Sql: String = q168Sql
 
   // ---- q175: Avro container round-trip through [[AvroSource]] -------------
   // The last mainstream format next to q87/q88/q125 — no Avro connector on
@@ -485,6 +632,9 @@ object Formats {
     "q182_dsv2_runtime_filter" -> q182DsV2RuntimeFilter _,
     "q183_dsv2_topn" -> q183DsV2TopN _,
     "q184_dsv2_stream_source" -> q184DsV2StreamSource _,
+    "q185_catalog_table" -> q185CatalogTable _,
+    "q186_overwrite_by_filter" -> q186OverwriteByFilter _,
+    "q187_write_distribution" -> q187WriteDistribution _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -499,5 +649,8 @@ object Formats {
     "q182_dsv2_runtime_filter" -> q182Sql,
     "q183_dsv2_topn" -> q183Sql,
     "q184_dsv2_stream_source" -> q184Sql,
+    "q185_catalog_table" -> q185Sql,
+    "q186_overwrite_by_filter" -> q186Sql,
+    "q187_write_distribution" -> q187Sql,
   )
 }

@@ -509,7 +509,7 @@ class OperatorSpec extends SparkSpec {
     w2.write(InternalRow(1L, UTF8String.fromString("en"), 10L))
     w2.write(InternalRow(2L, UTF8String.fromString("fr"), 20L))
     val msg = w2.commit().asInstanceOf[DigestCommitMessage]
-    assert(msg.rows == 2L && files() == Vector("part-00000.csv"))
+    assert(msg.files.map(_.rows).sum == 2L && files() == Vector("part-00000.csv"))
     // the job-level commit publishes the manifest over the messages
     new DigestBatchWrite(dir.toString).commit(Array(msg))
     assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
@@ -526,6 +526,44 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(got.sorted.toSeq == direct.sorted.toSeq,
       "sink round-trip digest differs from the source table")
+  }
+
+  test("q186: overwrite-by-filter commit — only matched langs' files replaced, " +
+      "rename-in-place survives") {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.{DigestBatchWrite, DigestCommitMessage, LangSplitDataWriter}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_ow_spec_")
+    def row(id: Long, lang: String, n: Long) =
+      InternalRow(id, UTF8String.fromString(lang), n)
+    def lines(f: String) =
+      java.nio.file.Files.readAllLines(dir.resolve(f)).asScala.toSeq
+    // baseline: one task carrying two langs → two files, one manifest
+    val w0 = new LangSplitDataWriter(dir.toString, 0, 1L)
+    w0.write(row(1L, "en", 10L)); w0.write(row(2L, "de", 20L))
+    val m0 = w0.commit().asInstanceOf[DigestCommitMessage]
+    assert(m0.files.map(_.fileName).sorted ==
+      Seq("lang_de-part-00000.csv", "lang_en-part-00000.csv"))
+    new DigestBatchWrite(dir.toString, langSplit = true, None).commit(Array(m0))
+    val enBefore = lines("lang_en-part-00000.csv")
+    // overwrite lang='de' with updated content; the fresh de file lands on
+    // the SAME partition id → same final name (rename-in-place) — the
+    // commit must not delete what it just renamed
+    val w1 = new LangSplitDataWriter(dir.toString, 0, 2L)
+    w1.write(row(2L, "de", 999L))
+    val m1 = w1.commit().asInstanceOf[DigestCommitMessage]
+    new DigestBatchWrite(dir.toString, langSplit = true,
+      Some(Array(EqualTo("lang", "de")))).commit(Array(m1))
+    assert(lines("lang_de-part-00000.csv") == Seq("2,de,999"),
+      "overwrite did not replace the matched lang's file content")
+    assert(lines("lang_en-part-00000.csv") == enBefore,
+      "overwrite disturbed an unmatched lang's file")
+    val manifest = lines("_MANIFEST")
+    assert(manifest.sorted ==
+      Seq("lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1"),
+      s"manifest merge wrong: $manifest")
   }
 
   test("q174: epoch sink commit sequencing — replayed epoch commits " +

@@ -642,6 +642,78 @@ class PlanSpec extends SparkSpec {
       s"streamed drain diverged from batch read: streamed=$r batch=$b")
   }
 
+  test("q185: catalog-qualified reads resolve through the V2 catalog with pushdown") {
+    // (a) the read plan must carry the CATALOG-RESOLVED identifier (a V2
+    // relation named graft.ns.seq100k), not a path-based relation, and the
+    // pushdowns must survive the identifier route: range narrowed + id
+    // kept only as needed
+    val df = SparkEntry.queries("q185_catalog_table")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[3000,90000)"),
+      s"pushdown did not reach the catalog-resolved scan:\n$p")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft.ns.seq100k"),
+      s"read did not resolve through the catalog identifier:\n$analyzed")
+    // (b) DDL lifecycle against the catalog: create → list → rename → drop
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ns.scratch (id BIGINT) " +
+      "USING graft_seq TBLPROPERTIES ('rows'='10')")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ns = Array("ns")
+    assert(cat.tableExists(Identifier.of(ns, "scratch")), "created table missing")
+    assert(cat.listTables(ns).map(_.name()).contains("scratch"))
+    // the RENAME target is parsed relative to the source's catalog — a
+    // catalog-qualified target would read as a 2-level namespace
+    spark.sql("ALTER TABLE graft.ns.scratch RENAME TO ns.scratch2")
+    assert(!cat.tableExists(Identifier.of(ns, "scratch")) &&
+      cat.tableExists(Identifier.of(ns, "scratch2")), "rename did not move the entry")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ns.scratch2")
+      .collect().head.getLong(0) == 10L, "renamed table must stay readable")
+    spark.sql("DROP TABLE graft.ns.scratch2")
+    assert(!cat.tableExists(Identifier.of(ns, "scratch2")), "drop left the entry")
+  }
+
+  test("q187: the engine injects the sink-declared exchange and sort into the write plan") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // the query hands the sink an unorganized frame; the Write declares
+    // clustered(lang) + order(lang, doc_id), so the WRITE plan must carry
+    // an engine-injected shuffle on lang and a sort — captured via a
+    // QueryExecutionListener (the write's QueryExecution isn't otherwise
+    // reachable from the DataFrameWriter API)
+    @volatile var captured: String = null
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("graft_digest_sink") || p.contains("AppendData")) captured = p
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("graft_dist_spec_")
+      Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("requireDistribution", "true")
+        .mode("append").save()
+      // listener delivery is async on the listener bus
+      val deadline = System.currentTimeMillis() + 10000L
+      while (captured == null && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(captured != null, "no write QueryExecution captured")
+      assert(captured.contains("Exchange hashpartitioning(lang"),
+        s"engine did not inject the sink-declared clustering exchange:\n$captured")
+      assert(captured.contains("Sort [lang") && captured.contains("doc_id"),
+        s"engine did not inject the sink-declared ordering:\n$captured")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q179: the planner injects a runtime bloom filter on the fact side") {
     // the lock is on the executed plan kept by q179: the fact scan must
     // carry a planner-injected BloomFilterMightContain fed by a
