@@ -1022,6 +1022,52 @@ object Analytics {
       .orderBy("node")
   }
 
+  // ---- q188: NATIVE recursive CTE (WITH RECURSIVE) ------------------------
+  // Spark 4.1 ships WITH RECURSIVE — but UNION-dedup recursion (the q164
+  // oracle's fixpoint shape) is not yet supported
+  // ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE], probed on this build): only
+  // UNION ALL recursion exists, which on a cyclic/dense graph enumerates
+  // every WALK, not every node — exponential. So the native twin runs
+  // where UNION ALL recursion IS exact BFS: a tree. A binary hierarchy is
+  // derived over custkeys (parent = key DIV 2, kept only when the parent
+  // key exists), rooted at the minimum key — each node has one path from
+  // the root, so the recursive member's single walk-reference yields one
+  // row per node with its exact depth: the org-chart / BOM traversal that
+  // is THE canonical recursive-CTE workload. Three-way equivalence:
+  // native CTE ≡ Graph.bfsDistances DataFrame loop over the same edges
+  // (PlanSpec, which also locks the UnionLoop recursion node in the
+  // plan) ≡ DuckDB's WITH RECURSIVE (the driver oracle).
+  def q188RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").select(col("c_custkey"))
+      .createOrReplaceTempView("g188_cust")
+    s.sql("""WITH RECURSIVE edges AS (
+            |  SELECT p.c_custkey AS parent, c.c_custkey AS child
+            |  FROM g188_cust c JOIN g188_cust p ON p.c_custkey = c.c_custkey DIV 2
+            |  WHERE c.c_custkey > (SELECT MIN(c_custkey) FROM g188_cust)),
+            |walk(node, dist) AS (
+            |  SELECT MIN(c_custkey), 0 FROM g188_cust
+            |  UNION ALL
+            |  SELECT e.child, w.dist + 1
+            |  FROM walk w JOIN edges e ON e.parent = w.node)
+            |SELECT node, CAST(dist AS INT) AS dist FROM walk
+            |ORDER BY node""".stripMargin)
+  }
+
+  val q188Sql: String =
+    """WITH RECURSIVE ckeys AS MATERIALIZED (
+      |  SELECT c_custkey FROM customer),
+      |edges AS MATERIALIZED (
+      |  SELECT p.c_custkey AS parent, c.c_custkey AS child
+      |  FROM ckeys c JOIN ckeys p ON p.c_custkey = c.c_custkey // 2
+      |  WHERE c.c_custkey > (SELECT MIN(c_custkey) FROM ckeys)),
+      |walk(node, dist) AS (
+      |  SELECT MIN(c_custkey), 0 FROM ckeys
+      |  UNION ALL
+      |  SELECT e.child, w.dist + 1
+      |  FROM walk w JOIN edges e ON e.parent = w.node)
+      |SELECT node, CAST(dist AS INT) AS dist FROM walk
+      |ORDER BY node""".stripMargin
+
   val q164Sql: String =
     """WITH RECURSIVE edges AS MATERIALIZED (
       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -1489,6 +1535,7 @@ object Analytics {
     "q160_ols_trend" -> q160OlsTrend _,
     "q161_skyline" -> q161Skyline _,
     "q164_bfs_distances" -> q164BfsDistances _,
+    "q188_recursive_cte" -> q188RecursiveCte _,
     "q167_bitmap_index" -> q167BitmapIndex _,
     "q170_exact_quantiles" -> q170ExactQuantiles _,
     "q120_skew_profile" -> q120SkewProfile _,
@@ -1519,6 +1566,7 @@ object Analytics {
     "q160_ols_trend" -> q160Sql,
     "q161_skyline" -> q161Sql,
     "q164_bfs_distances" -> q164Sql,
+    "q188_recursive_cte" -> q188Sql,
     "q167_bitmap_index" -> q167Sql,
     "q170_exact_quantiles" -> q170Sql,
     "q129_kcore" -> q129Sql,

@@ -714,6 +714,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("q188: native WITH RECURSIVE equals the DataFrame BFS fixpoint loop") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q188_recursive_cte")(spark, sf)
+    out.collect()
+    // (a) the recursion must be NATIVE — the plan carries Spark's
+    // UnionLoop recursion node, not some rewritten self-join chain
+    val p = out.queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"q188 did not plan a native recursive union:\n$p")
+    // (b) equivalence with the generic frontier-expansion loop over the
+    // SAME derived tree: Graph.bfsDistances from the same root must
+    // produce the identical (node, dist) set — the native fixpoint and
+    // the hand-rolled level-synchronous loop agree row-for-row
+    val ck = Tables.t(spark, sf, "customer").select(col("c_custkey"))
+    val minKey = ck.agg(min("c_custkey")).first().getLong(0)
+    val edges = ck.as("c").join(ck.as("p"),
+        col("p.c_custkey") === expr("c.c_custkey DIV 2"))
+      .filter(col("c.c_custkey") > minKey)
+      .select(col("p.c_custkey").as("u"), col("c.c_custkey").as("v"))
+    val loop = ops.Graph.bfsDistances(edges, minKey)
+      .select(col("node"), col("dist").cast("int").as("dist"))
+    assert(out.exceptAll(loop).isEmpty && loop.exceptAll(out).isEmpty,
+      s"native recursion diverged from the DataFrame loop " +
+        s"(cte=${out.count()}, loop=${loop.count()})")
+    assert(out.count() > 100L, "q188 walked a trivial tree")
+  }
+
   test("q179: the planner injects a runtime bloom filter on the fact side") {
     // the lock is on the executed plan kept by q179: the fact scan must
     // carry a planner-injected BloomFilterMightContain fed by a
