@@ -448,6 +448,111 @@ object Events {
       |FROM j LEFT JOIN daily lo ON lo.user_id = j.user_id AND lo.d = j.lo_day
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q190: VARIANT semi-structured column (open-schema successor to q65)
+  // q65 parses `props` with a FIXED from_json schema; VARIANT (Spark 4's
+  // binary semi-structured type, the Parquet/Iceberg `variant` logical
+  // type) needs none: `parse_json` ingests arbitrary JSON once into a
+  // typed binary encoding and `variant_get` extracts typed paths lazily —
+  // the shape a 100 TB metadata column actually has (heterogeneous,
+  // evolving, mostly-unread). The document built here nests an object, an
+  // array, and the raw `props` object verbatim; extraction exercises
+  //   - a nested object path cast to BIGINT ($.meta.u),
+  //   - an array index ($.vals[1]),
+  //   - a path INTO the embedded open JSON ($.props.k),
+  //   - try_variant_get with an impossible cast (STRING→INT ⇒ NULL, not
+  //     error), and
+  //   - schema_of_variant (per-row inferred logical schema, constant here
+  //     because the corpus is shape-uniform — grouped to prove it).
+  // Every extracted value is predictable from the source columns, so the
+  // whole binary encode→path-walk round trip is DuckDB-hash-checkable.
+  // Scale shape: pure per-row expressions + one partial-final aggregate —
+  // no shuffle beyond the group-by; VARIANT decode stays inside codegen.
+  def q190VariantProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        parse_json(concat(
+          lit("""{"meta": {"t": """"), col("event_type"),
+          lit("""", "u": """), col("user_id"),
+          lit("""}, "vals": ["""), col("event_id") % 7,
+          lit(", "), (col("event_id") % 7) * 2,
+          lit("""], "props": """), col("props"), lit("}"))).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.meta.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.vals[1]', 'int')").as("v1"),
+        expr("variant_get(v, '$.props.k', 'int')").as("pk"),
+        expr("try_variant_get(v, '$.meta.t', 'int')").as("bad_cast"),
+        expr("schema_of_variant(v)").as("vschema"))
+      .groupBy("event_type", "vschema")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(col("v1")).cast("long").as("sum_v1"),
+        sum(col("pk")).cast("long").as("sum_pk"),
+        count(col("bad_cast")).as("n_bad_cast"))
+      .orderBy("event_type")
+
+  val q190Sql: String =
+    """SELECT event_type,
+      |  'OBJECT<meta: OBJECT<t: STRING, u: BIGINT>, props: OBJECT<k: BIGINT>, vals: ARRAY<BIGINT>>' AS vschema,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_u,
+      |  CAST(SUM((event_id % 7) * 2) AS BIGINT) AS sum_v1,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INT)) AS BIGINT) AS sum_pk,
+      |  0 AS n_bad_cast
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---- q195: native batch session windows (session_window) ----------------
+  // q62 hand-builds gap sessions from lag + running sum; q64/q72 do it in
+  // streaming state. This is the NATIVE batch operator: `session_window`
+  // turns each row into a provisional [ts, ts+gap) window and the
+  // aggregation MERGES overlapping windows per key — physically a
+  // partial-merge aggregate after one shuffle on user_id, no per-user
+  // window function pass at all (the plan q62's lag() can never have).
+  // Boundary semantics differ from q62 deliberately and the oracle
+  // encodes them: windows are half-open, so a gap of EXACTLY 30:00 starts
+  // a new session (q62's `>` keeps it). session_end is the window end
+  // (last ts + gap), not the last event time — both are emitted.
+  // Scale shape: one hash shuffle on the session key; merge work is
+  // per-key linear. At 100 TB this beats q62's sort-based window exchange.
+  def q195SessionWindowBatch(s: SparkSession, dir: String): DataFrame = {
+    val sessions = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    sessions
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("cents"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val q195Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+      |    CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |           OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+      |              >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+      |s AS (
+      |  SELECT user_id, ts, cents,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_events_hourly" -> q60Hourly _,
     "q61_events_sliding" -> q61Sliding _,
@@ -459,6 +564,8 @@ object Events {
     "q97_event_funnel" -> q97Funnel _,
     "q165_gap_fill_locf" -> q165GapFillLocf _,
     "q166_max_concurrency" -> q166MaxConcurrency _,
+    "q190_variant_props" -> q190VariantProps _,
+    "q195_session_window_batch" -> q195SessionWindowBatch _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -472,5 +579,7 @@ object Events {
     "q97_event_funnel" -> q97Sql,
     "q165_gap_fill_locf" -> q165Sql,
     "q166_max_concurrency" -> q166Sql,
+    "q190_variant_props" -> q190Sql,
+    "q195_session_window_batch" -> q195Sql,
   )
 }

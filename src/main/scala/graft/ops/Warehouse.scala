@@ -640,6 +640,92 @@ object Warehouse {
       |FROM lineitem""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q191: SQL-defined routines — the full declarative UDF surface ------
+  // Everything q-numbered so far extends the engine from SCALA (Catalyst
+  // expressions, Aggregators, V2 plugins); this is the surface a
+  // SQL-ONLY user extends it from, new in Spark 4: SQL scalar UDFs
+  // (CREATE FUNCTION ... RETURNS ... RETURN expr), SQL TABLE UDFs
+  // (RETURNS TABLE ... RETURN query — a parameterized view), session
+  // VARIABLEs (DECLARE / SET VAR), EXECUTE IMMEDIATE with a USING bind
+  // from a variable, and listagg WITHIN GROUP. All five compose in one
+  // statement chain: the table UDF calls the scalar UDF per row, the
+  // outer aggregate binds the UDF's argument through EXECUTE IMMEDIATE
+  // from a session variable, and listagg proves deterministic ordered
+  // string aggregation. These are pure analysis-time expansions — the
+  // optimized plan is identical to writing the query inline (the scalar
+  // UDF inlines into codegen; the table UDF is a named subquery), so the
+  // 100 TB plan shape is exactly q1's partial-final aggregate.
+  def q191SqlUdfSurface(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q191")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q191_band(p DOUBLE)
+            |RETURNS STRING
+            |RETURN CASE WHEN p < 100000 THEN 'low'
+            |            WHEN p < 300000 THEN 'mid' ELSE 'high' END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION q191_orders(st STRING)
+            |RETURNS TABLE (okey BIGINT, band STRING, cents BIGINT)
+            |RETURN SELECT o_orderkey, q191_band(o_totalprice),
+            |  CAST(floor(o_totalprice * 100) AS BIGINT)
+            |FROM orders_q191 WHERE o_orderstatus = st""".stripMargin)
+    s.sql("DECLARE OR REPLACE VARIABLE q191_status STRING DEFAULT 'O'")
+    s.sql("SET VAR q191_status = 'F'")
+    s.sql("""EXECUTE IMMEDIATE
+            |'SELECT band, COUNT(*) AS n, SUM(cents) AS sum_cents,
+            |   substr(listagg(CAST(okey AS STRING), '','') WITHIN GROUP (ORDER BY okey), 1, 40) AS first_keys
+            | FROM q191_orders(?) GROUP BY band ORDER BY band'
+            |USING q191_status""".stripMargin)
+  }
+
+  val q191Sql: String =
+    """SELECT band, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  substr(string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey), 1, 40) AS first_keys
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_totalprice < 100000 THEN 'low'
+      |         WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band,
+      |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderstatus = 'F') x
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  // ---- q198: SQL scripting — procedural control flow in the engine --------
+  // Spark 4.1's SQL scripting (BEGIN...END compound statements, DECLARE
+  // locals, WHILE/IF, SET) — the declarative twin of a driver-side Scala
+  // loop: the whole iterative program ships as ONE statement and each
+  // contained query is still a full Catalyst plan. The script below walks
+  // the 12 calendar months, accumulating order cents into a local for ODD
+  // months only (exercising IF) and counting loop iterations; DuckDB
+  // predicts both closed-form, so the oracle proves the loop executed
+  // exactly 12 times with the branch taken on the right months. Scale
+  // note: each iteration is an independent aggregate over a month — the
+  // scripting layer adds driver-side control only, never a collect of
+  // data rows. (The conf flag is session-wide but scoped-set here; it
+  // only gates parsing of compound statements.)
+  def q198SqlScripting(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q198")
+    s.sql("SET spark.sql.scripting.enabled=true")
+    s.sql("""BEGIN
+            |  DECLARE m INT DEFAULT 1;
+            |  DECLARE iters INT DEFAULT 0;
+            |  DECLARE odd_cents BIGINT DEFAULT 0;
+            |  WHILE m <= 12 DO
+            |    IF m % 2 = 1 THEN
+            |      SET odd_cents = odd_cents + (
+            |        SELECT COALESCE(CAST(SUM(floor(o_totalprice * 100)) AS BIGINT), 0)
+            |        FROM orders_q198 WHERE month(o_orderdate) = m);
+            |    END IF;
+            |    SET iters = iters + 1;
+            |    SET m = m + 1;
+            |  END WHILE;
+            |  SELECT iters, odd_cents;
+            |END""".stripMargin)
+  }
+
+  val q198Sql: String =
+    """SELECT 12 AS iters,
+      |  CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS odd_cents
+      |FROM orders
+      |WHERE month(o_orderdate) % 2 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_merge_upsert" -> q89MergeUpsert _,
     "q90_scd2_intervals" -> q90Scd2Intervals _,
@@ -650,6 +736,8 @@ object Warehouse {
     "q159_merkle_sync" -> q159MerkleSync _,
     "q169_constraint_audit" -> q169ConstraintAudit _,
     "q171_observed_metrics" -> q171ObservedMetrics _,
+    "q191_sql_udf_surface" -> q191SqlUdfSurface _,
+    "q198_sql_scripting" -> q198SqlScripting _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -662,5 +750,7 @@ object Warehouse {
     "q159_merkle_sync" -> q159Sql,
     "q169_constraint_audit" -> q169Sql,
     "q171_observed_metrics" -> q171Sql,
+    "q191_sql_udf_surface" -> q191Sql,
+    "q198_sql_scripting" -> q198Sql,
   )
 }

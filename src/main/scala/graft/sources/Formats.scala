@@ -620,6 +620,41 @@ object Formats {
       |GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---- q189: V2 FunctionCatalog — catalog-resolved scalar + aggregate ----
+  // The FUNCTION half of the q185 identifier chain: `graft.ns.poly_mix`
+  // (ScalarFunction — analysis finds the magic `invoke(Long, Int)` by
+  // reflection and plans a codegen-inlined Invoke, never per-row
+  // InternalRow boxing) and `graft.ns.lsum` (AggregateFunction — V2
+  // partial states updated per partition and merged across the shuffle,
+  // i.e. a map-side-combining distributed aggregate shipped BY the
+  // catalog). Both run against the catalog-resolved table, so one
+  // statement exercises identifier → table AND identifier → function
+  // resolution; all arithmetic is integer-exact for the DuckDB twin.
+  // PlanSpec locks the magic-Invoke path and the partial/final V2
+  // aggregate split.
+  def q189FunctionCatalog(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS graft.ns.seq100k (id BIGINT, h STRING, v BIGINT)
+             |USING graft_seq TBLPROPERTIES ('rows'='$seqRows', 'slices'='$seqSlices')""".stripMargin)
+    s.sql("""SELECT graft.ns.poly_mix(id, 97) AS bucket, COUNT(*) AS n,
+            |  graft.ns.lsum(v) AS sum_v
+            |FROM graft.ns.seq100k
+            |WHERE id < 50000
+            |GROUP BY 1
+            |ORDER BY 1""".stripMargin)
+  }
+
+  val q189Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT (id * 31 + 7) % 97 AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |WHERE id < 50000
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -635,6 +670,7 @@ object Formats {
     "q185_catalog_table" -> q185CatalogTable _,
     "q186_overwrite_by_filter" -> q186OverwriteByFilter _,
     "q187_write_distribution" -> q187WriteDistribution _,
+    "q189_function_catalog" -> q189FunctionCatalog _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -652,5 +688,6 @@ object Formats {
     "q185_catalog_table" -> q185Sql,
     "q186_overwrite_by_filter" -> q186Sql,
     "q187_write_distribution" -> q187Sql,
+    "q189_function_catalog" -> q189Sql,
   )
 }

@@ -676,6 +676,27 @@ class PlanSpec extends SparkSpec {
     assert(!cat.tableExists(Identifier.of(ns, "scratch2")), "drop left the entry")
   }
 
+  test("q189: catalog functions run the magic-Invoke path and a V2 partial/final aggregate") {
+    val df = SparkEntry.queries("q189_function_catalog")(spark, sf)
+    df.collect()
+    val analyzed = df.queryExecution.analyzed.toString
+    // scalar: analysis must have picked the MAGIC method (an Invoke on
+    // PolyMixBound.invoke), not the row-boxing ApplyFunctionExpression
+    assert(analyzed.contains("invoke") && analyzed.contains("PolyMixBound"),
+      s"poly_mix did not resolve to the magic Invoke path:\n$analyzed")
+    assert(!analyzed.contains("ApplyFunctionExpression"),
+      s"poly_mix fell back to the produceResult row path:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
+    // aggregate: the V2 aggregator must split map-side partial + final
+    // merge across the exchange (the distributed-aggregate contract)
+    assert(p.contains("partial_v2aggregator") && p.contains("v2aggregator"),
+      s"lsum is not planned as a partial/final V2 aggregate:\n$p")
+    // the function route must not cost the table route anything: filter
+    // pushdown and column pruning still reach the connector scan
+    assert(p.contains("range=[0,50000)") && p.contains("cols=id,v"),
+      s"pushdown/pruning lost on the function-using scan:\n$p")
+  }
+
   test("q187: the engine injects the sink-declared exchange and sort into the write plan") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
