@@ -5,13 +5,15 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The WRITE half of the DataSource V2 surface ([[SeqSource]] is the read
   * half): WriteBuilder → BatchWrite → per-partition DataWriter with the
@@ -79,19 +81,72 @@ object DigestSink {
 }
 
 class DigestSinkTable(path: String, langSplit: Boolean = false,
-    requireDist: Boolean = false) extends Table with SupportsWrite {
+    requireDist: Boolean = false) extends Table with SupportsWrite
+    with SupportsRead with SupportsDelete {
   require(path != null && path.nonEmpty, "DigestSink requires a path option")
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
     if (langSplit)
-      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.OVERWRITE_BY_FILTER)
     else
-      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DigestWriteBuilder(path, langSplit, requireDist)
+
+  // MANIFEST-GATED read-back: partitions are exactly the job-committed
+  // manifest entries — a reader can never observe a staged attempt or a
+  // torn job, and each committed file is one independent read split
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DigestScanBuilder(path)
+
+  // ---- q192: metadata-only DELETE (SupportsDelete) ------------------------
+  // `DELETE FROM t WHERE <lang predicate>` executes WITHOUT a rewrite job:
+  // the condition must be fully expressible against the lang-split file
+  // layout, and then deletion is dropping whole files + republishing the
+  // manifest — the "metadata delete" fast path table formats take when
+  // the predicate aligns with partitioning. canDeleteWhere is the honesty
+  // gate: anything finer than whole-lang predicates is REFUSED (Spark
+  // surfaces the error) rather than approximated — a row-level delete
+  // must go through the q186 overwrite path instead.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    langSplit && filters.forall {
+      case _: AlwaysTrue => true
+      case EqualTo("lang", _: String) => true
+      case In("lang", _) => true
+      case _ => false
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters), s"undeletable filters: ${filters.mkString(",")}")
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    val old: Seq[String] =
+      if (Files.exists(manifestPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.toSeq
+      else Seq.empty
+    val all = filters.exists(_.isInstanceOf[AlwaysTrue])
+    val langs: Set[String] = filters.collect {
+      case EqualTo("lang", v: String) => Seq(v)
+      case In("lang", vs) => vs.toSeq.map(String.valueOf)
+    }.flatten.toSet
+    val (dead, keep) = old.partition { line =>
+      val f = line.split(",")(0)
+      all || DigestSink.langOf(f).exists(langs.contains)
+    }
+    dead.map(_.split(",")(0))
+      .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    // same atomic publish as job commit: temp + rename, so a reader never
+    // observes a manifest naming already-deleted files
+    val tmp = Paths.get(path, "_MANIFEST.tmp")
+    Files.write(tmp, keep.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean)
@@ -201,6 +256,57 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
       } finally listing.close()
     }
   }
+}
+
+/** The read path of the digest table: one input partition per
+  * manifest-committed file (split listing = manifest read, done once on
+  * the driver at planning; at scale the manifest is the table's own
+  * statistics-bearing metadata layer, exactly how table formats plan
+  * scans without listing the object store).
+  */
+class DigestScanBuilder(path: String) extends ScanBuilder {
+  override def build(): Scan = new DigestScan(path)
+}
+
+class DigestScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType = DigestSink.rowSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_digest manifest-read $path"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    if (!Files.exists(manifestPath)) Array.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(manifestPath)).asScala
+      .filter(_.nonEmpty)
+      .map(l => DigestFilePartition(path, l.split(",")(0)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DigestReaderFactory
+}
+
+case class DigestFilePartition(path: String, file: String) extends InputPartition
+
+class DigestReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new DigestFileReader(p.asInstanceOf[DigestFilePartition])
+}
+
+class DigestFileReader(p: DigestFilePartition)
+    extends PartitionReader[InternalRow] {
+  private val lines =
+    Files.readAllLines(Paths.get(p.path, p.file)).iterator()
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (lines.hasNext) {
+      val a = lines.next().split(",")
+      current = InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong)
+      true
+    } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** One committed file's identity in a task's commit message. */

@@ -526,6 +526,109 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q193: metadata columns — source-known provenance on demand ---------
+  // `_slice` / `_pos` exist on the q163 connector only as METADATA columns
+  // (SupportsMetadataColumns): invisible to SELECT *, materialized when
+  // named — the connector twin of `_metadata.file_name` on file sources.
+  // The query filters (pushdown narrows the served range FIRST), then
+  // groups by the slice that served each row: provenance must reflect the
+  // narrowed planning (8 ceil-slices over [30000, 100000), per = 8750),
+  // which the oracle reconstructs arithmetically — so a connector that
+  // planned slices before pushdown, or shifted `_pos` off the narrowed
+  // slice start, hash-fails. PlanSpec locks that requesting provenance
+  // keeps the pushdown and the columnar read path intact.
+  def q193MetadataColumns(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS graft.ns.seq100k (id BIGINT, h STRING, v BIGINT)
+             |USING graft_seq TBLPROPERTIES ('rows'='$seqRows', 'slices'='$seqSlices')""".stripMargin)
+    s.sql("""SELECT _slice, COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id,
+            |  MAX(_pos) AS max_pos, CAST(SUM(v) AS BIGINT) AS sum_v
+            |FROM graft.ns.seq100k
+            |WHERE id >= 30000
+            |GROUP BY _slice
+            |ORDER BY _slice""".stripMargin)
+  }
+
+  val q193Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows) WHERE range >= 30000)
+       |SELECT CAST((id - 30000) // 8750 AS INT) AS _slice, COUNT(*) AS n,
+       |  MIN(id) AS min_id, MAX(id) AS max_id,
+       |  CAST(MAX((id - 30000) % 8750) AS BIGINT) AS max_pos,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---- q192: DELETE FROM — V2 metadata-only delete ------------------------
+  // The third row-level verb next to append (q168) and overwrite-by-filter
+  // (q186): `DELETE FROM graft.ns.t WHERE lang IN ('de','fr')` routes
+  // through SupportsDelete.canDeleteWhere/deleteWhere — and because the
+  // predicate aligns with the sink's lang-split layout, execution is a
+  // METADATA operation: drop whole files, republish the manifest, never
+  // scan or rewrite a surviving row (the economics that make retention
+  // deletes affordable at 100 TB). The require()s prove exactly that:
+  // matched files gone, every surviving file byte-identical, manifest
+  // shrunk to the survivors. The read-back digest equals the oracle's
+  // anti-filtered view of the source — rows outside the predicate must
+  // all survive exactly once. OperatorSpec additionally pins the honesty
+  // gate: a row-level predicate (n_chars) is REFUSED, not approximated.
+  def q192DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docdel_${Integer.toHexString(dir.hashCode)}"
+    val staged = graft.TempDirs.staged(s"dsv2_delete:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(tbl).append()
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala.toSeq
+      val before = manifest()
+      val survivorBytes = before.map(_.split(",")(0))
+        .filterNot(f => f.startsWith("lang_de-") || f.startsWith("lang_fr-"))
+        .map(f => f -> java.nio.file.Files.size(sink.resolve(f))).toMap
+      require(before.exists(_.startsWith("lang_de-")) &&
+        before.exists(_.startsWith("lang_fr-")),
+        "q192: precondition — both doomed langs must have committed files")
+      s.sql(s"DELETE FROM $tbl WHERE lang IN ('de', 'fr')")
+      val after = manifest()
+      require(!after.exists(l => l.startsWith("lang_de-") || l.startsWith("lang_fr-")),
+        s"q192: deleted langs still in manifest:\n$after")
+      require(after.toSet == before.filterNot(l =>
+        l.startsWith("lang_de-") || l.startsWith("lang_fr-")).toSet,
+        s"q192: manifest must shrink to exactly the survivors:\n$before\nvs\n$after")
+      val gone = before.map(_.split(",")(0))
+        .filter(f => f.startsWith("lang_de-") || f.startsWith("lang_fr-"))
+      require(gone.forall(f => !java.nio.file.Files.exists(sink.resolve(f))),
+        "q192: matched files must be deleted from disk")
+      require(survivorBytes.forall { case (f, n) =>
+        java.nio.file.Files.size(sink.resolve(f)) == n },
+        "q192: a surviving file was rewritten — delete must be metadata-only")
+    }
+    // read back THROUGH the table (the sink's manifest-gated V2 read
+    // path): the scan plans one partition per surviving manifest entry,
+    // so the digest only matches if the post-delete manifest governs
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q192Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang NOT IN ('de', 'fr')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- q187: writer-declared distribution and ordering --------------------
   // The query hands the sink an UNORGANIZED frame — no repartition, no
   // sortWithinPartitions — and the Write DECLARES clustering by lang +
@@ -671,6 +774,8 @@ object Formats {
     "q186_overwrite_by_filter" -> q186OverwriteByFilter _,
     "q187_write_distribution" -> q187WriteDistribution _,
     "q189_function_catalog" -> q189FunctionCatalog _,
+    "q192_delete_where" -> q192DeleteWhere _,
+    "q193_metadata_columns" -> q193MetadataColumns _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -689,5 +794,7 @@ object Formats {
     "q186_overwrite_by_filter" -> q186Sql,
     "q187_write_distribution" -> q187Sql,
     "q189_function_catalog" -> q189Sql,
+    "q192_delete_where" -> q192Sql,
+    "q193_metadata_columns" -> q193Sql,
   )
 }

@@ -69,13 +69,41 @@ object SeqSource {
 
 class SeqTable(rows: Long, slices: Int, columnar: Boolean,
     rowsPerBatch: Long = 1000L, streamTag: String = "")
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft_seq($rows)"
   override def schema(): StructType = SeqSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SeqScanBuilder(rows, slices, columnar, rowsPerBatch, streamTag)
+
+  // ---- q193: METADATA columns — provenance the source knows and the
+  // data rows don't carry. `_slice` (which ceil-slice partition served
+  // the row — the connector twin of `_metadata.file_name` on file
+  // sources) and `_pos` (row position within its slice). Hidden from
+  // SELECT * by contract; they materialize only when a query names them,
+  // and then flow through the SAME pruned-schema path as data columns —
+  // so requesting provenance never disables filter pushdown or the
+  // columnar read path (PlanSpec locks this). Values are a pure function
+  // of (range, slices), keeping every provenance query DuckDB-checkable.
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "zero-based index of the ceil-slice partition that served the row"
+    },
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position within its slice"
+    })
 }
 
 class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
@@ -275,7 +303,7 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     (0 until k).flatMap { i =>
       val s0 = lo + i * per
       val e0 = math.min(s0 + per, hi)
-      if (s0 < e0) Some(SeqPartition(s0, e0)) else None
+      if (s0 < e0) Some(SeqPartition(s0, e0, i)) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = aggPushed match {
@@ -304,7 +332,8 @@ class SeqAggReaderFactory(names: Seq[String]) extends PartitionReaderFactory {
   }
 }
 
-case class SeqPartition(start: Long, end: Long) extends InputPartition
+case class SeqPartition(start: Long, end: Long, index: Int = -1)
+    extends InputPartition
 
 /** Row AND columnar readers over the same sliced partitions. The columnar
   * path (the default) hands Spark whole [[ColumnarBatch]]es of
@@ -331,6 +360,8 @@ class SeqReaderFactory(schema: StructType, columnar: Boolean)
           case "id" => cur
           case "h" => UTF8String.fromString(SeqSource.hOf(cur))
           case "v" => SeqSource.vOf(cur)
+          case "_slice" => sp.index
+          case "_pos" => cur - sp.start
         })
       override def close(): Unit = ()
     }
@@ -362,6 +393,8 @@ class SeqReaderFactory(schema: StructType, columnar: Boolean)
                 val b = SeqSource.hOf(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
                 vecs(c).putByteArray(i, b, 0, b.length)
               case "v" => vecs(c).putLong(i, SeqSource.vOf(id))
+              case "_slice" => vecs(c).putInt(i, sp.index)
+              case "_pos" => vecs(c).putLong(i, id - sp.start)
             }
             c += 1
           }

@@ -1281,6 +1281,72 @@ object EventStream {
        |GROUP BY 1, 2
        |ORDER BY hour_start, n_name""".stripMargin
 
+  // ---- q194: OFFLINE STATE INSPECTION — the `statestore` batch source ----
+  // Streaming state is normally a black box inside the checkpoint; Spark
+  // 4's state data source opens it to BATCH queries: after a 4-micro-batch
+  // streaming aggregation commits, `spark.read.format("statestore")`
+  // reconstructs every (key, aggregation buffer) pair straight from the
+  // checkpoint — no stream restart, no sink involvement. That is the
+  // production debugging/audit surface at 100 TB (is state skewed? which
+  // key's buffer exploded? what exactly survived the watermark?) and the
+  // proof obligation here is end-to-end: the OFFLINE view of the final
+  // state must hash-equal the batch GROUP BY of all input — so buffer
+  // encoding, multi-batch merge, and the reader's checkpoint walk all sit
+  // on the oracle path. The `state-metadata` source is asserted in-query:
+  // the state really accumulated across 4 committed micro-batches (the
+  // q132 staging), not one collapsed batch.
+  def q194StateStoreRead(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = graft.TempDirs.staged(s"events_tws:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft_ss_ck_").toString
+    val q = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val md = s.read.format("state-metadata").load(ck)
+      .select("operatorName", "maxBatchId").collect()
+    require(md.length == 1 && md.head.getString(0) == "stateStoreSave" &&
+      md.head.getLong(1) == 3L,
+      s"q194: expected one agg operator with 4 committed batches, got " +
+        md.mkString(","))
+    // buffer field names are the CANONICAL internal ones (count/sum) —
+    // part of the state encoding this query pins
+    s.read.format("statestore").load(ck)
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("cents"))
+      .orderBy("user_id")
+  }
+
+  val q194Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_stream_hourly" -> (q63StreamHourly _),
     "q64_stream_sessions" -> (q64StreamSessions _),
@@ -1296,6 +1362,7 @@ object EventStream {
     "q158_stream_static_join" -> (q158StreamStaticJoin _),
     "q174_stream_epoch_sink" -> (q174StreamEpochSink _),
     "q176_pt_timer_flush" -> (q176PtTimerFlush _),
+    "q194_statestore_read" -> (q194StateStoreRead _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1319,5 +1386,6 @@ object EventStream {
     // timer flushes only DUPLICATE running rows; the collapse lands on the
     // same batch GROUP BY — q132's oracle IS q176's oracle
     "q176_pt_timer_flush" -> q132Sql,
+    "q194_statestore_read" -> q194Sql,
   )
 }

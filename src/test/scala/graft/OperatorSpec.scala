@@ -566,6 +566,35 @@ class OperatorSpec extends SparkSpec {
       s"manifest merge wrong: $manifest")
   }
 
+  test("q192: DELETE honesty gate — row-level predicates refused; lang delete " +
+      "is metadata-only and the table read follows the manifest") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_spec_")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ns.delspec " +
+      s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING graft_digest " +
+      s"TBLPROPERTIES ('path'='$dir')")
+    Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+      .writeTo("graft.ns.delspec").append()
+    // a predicate finer than the lang-split layout must be REFUSED (the
+    // sink cannot express it as whole-file deletion), never approximated
+    val e = intercept[Throwable] {
+      spark.sql("DELETE FROM graft.ns.delspec WHERE n_chars > 15")
+    }
+    assert(e.getMessage != null && e.getMessage.toLowerCase.contains("delete"),
+      s"wrong refusal: $e")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.ns.delspec")
+      .first().getLong(0) == 3L, "refused delete must not remove anything")
+    // a layout-aligned predicate executes as metadata-only file drop and
+    // the V2 read path (manifest-gated) observes exactly the survivors
+    spark.sql("DELETE FROM graft.ns.delspec WHERE lang = 'de'")
+    assert(spark.sql("SELECT doc_id FROM graft.ns.delspec ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "post-delete table read must follow the shrunk manifest")
+    spark.sql("DROP TABLE graft.ns.delspec")
+  }
+
   test("q174: epoch sink commit sequencing — replayed epoch commits " +
       "idempotently, uncommitted epochs stay invisible") {
     import scala.jdk.CollectionConverters._

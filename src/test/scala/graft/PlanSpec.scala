@@ -676,6 +676,23 @@ class PlanSpec extends SparkSpec {
     assert(!cat.tableExists(Identifier.of(ns, "scratch2")), "drop left the entry")
   }
 
+  test("q193: requesting metadata columns keeps pushdown and the columnar path") {
+    val df = SparkEntry.queries("q193_metadata_columns")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[30000,100000)"),
+      s"filter pushdown lost when metadata columns are requested:\n$p")
+    assert(p.contains("_slice") && p.contains("_pos"),
+      s"metadata columns missing from the scan:\n$p")
+    assert(p.contains("ColumnarToRow"),
+      s"metadata columns knocked the scan off the columnar path:\n$p")
+    // hidden-by-default contract: SELECT * must NOT surface them
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val star = spark.sql("SELECT * FROM graft.ns.seq100k LIMIT 1")
+    assert(star.columns.toSeq == Seq("id", "h", "v"),
+      s"metadata columns leaked into SELECT *: ${star.columns.mkString(",")}")
+  }
+
   test("q189: catalog functions run the magic-Invoke path and a V2 partial/final aggregate") {
     val df = SparkEntry.queries("q189_function_catalog")(spark, sf)
     df.collect()
