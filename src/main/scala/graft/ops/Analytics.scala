@@ -1516,8 +1516,69 @@ object Analytics {
       |WHERE s.n_keys > 0""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q197: built-in Datasketches aggregates (HLL / theta / top-k) ------
+  // q157 builds an ENGINE-EXACT HLL whose registers DuckDB reconstructs;
+  // this is the production counterpart: Spark 4's native Apache
+  // Datasketches functions — hll_sketch_agg/hll_union/hll_sketch_estimate
+  // and theta_sketch_agg/theta_union/theta_sketch_estimate — which DuckDB
+  // cannot replay. The query is still FULLY ORACLED by emitting only
+  // exact values and invariants the sketches must satisfy deterministically
+  // (same data → same sketch → same boolean, run after run):
+  //   - theta_nd: with ~150 distinct users per group the theta sketch is
+  //     far below its 4096-entry promotion threshold, so it is in EXACT
+  //     mode and its estimate IS the distinct count — emitted as the
+  //     integer the oracle computes with COUNT(DISTINCT);
+  //   - hll_ok: the HLL estimate (lgConfigK=12, ~1.6% rsd) is within 5%
+  //     of exact — emitted as a boolean the oracle states as TRUE;
+  //   - merge_ok: hll_union of two disjoint half-sketches (split by
+  //     event_id parity) estimates IDENTICALLY to the one-shot sketch —
+  //     the mergeability contract that makes sketch rollups safe at
+  //     100 TB (partial sketches per shard, union at the top);
+  //   - theta_union_nd: theta union across the parity halves, again
+  //     exact-mode ⇒ the oracle's COUNT(DISTINCT).
+  // Scale shape: one partial-final aggregate per grouping; every sketch
+  // merges associatively so map-side combine applies throughout.
+  def q197Datasketches(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(s, dir).createOrReplaceTempView("events_q197")
+    s.sql("""
+      |WITH per_type AS (
+      |  SELECT event_type,
+      |    COUNT(DISTINCT user_id) AS nd_exact,
+      |    hll_sketch_estimate(hll_sketch_agg(user_id)) AS hll_est,
+      |    theta_sketch_estimate(theta_sketch_agg(user_id)) AS theta_est,
+      |    hll_sketch_estimate(hll_union(
+      |      hll_sketch_agg(CASE WHEN event_id % 2 = 0 THEN user_id END),
+      |      hll_sketch_agg(CASE WHEN event_id % 2 = 1 THEN user_id END)))
+      |      AS hll_split_est,
+      |    theta_sketch_estimate(theta_union(
+      |      theta_sketch_agg(CASE WHEN event_id % 2 = 0 THEN user_id END),
+      |      theta_sketch_agg(CASE WHEN event_id % 2 = 1 THEN user_id END)))
+      |      AS theta_union_est
+      |  FROM events_q197
+      |  GROUP BY event_type)
+      |SELECT event_type, nd_exact,
+      |  CAST(round(theta_est) AS BIGINT) AS theta_nd,
+      |  abs(hll_est - nd_exact) * 20 <= nd_exact AS hll_ok,
+      |  hll_split_est = hll_est AS merge_ok,
+      |  CAST(round(theta_union_est) AS BIGINT) AS theta_union_nd
+      |FROM per_type
+      |ORDER BY event_type""".stripMargin)
+  }
+
+  val q197Sql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS nd_exact,
+      |  COUNT(DISTINCT user_id) AS theta_nd,
+      |  TRUE AS hll_ok,
+      |  TRUE AS merge_ok,
+      |  COUNT(DISTINCT user_id) AS theta_union_nd
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_window_suite" -> q102WindowSuite _,
+    "q197_datasketches" -> q197Datasketches _,
     "q103_heavy_hitters" -> q103HeavyHitters _,
     "q104_keyword_search" -> q104KeywordSearch _,
     "q105_compaction_plan" -> q105CompactionPlan _,
@@ -1548,6 +1609,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q197_datasketches" -> q197Sql,
     "q102_window_suite" -> q102Sql,
     "q103_heavy_hitters" -> q103Sql,
     "q104_keyword_search" -> q104Sql,

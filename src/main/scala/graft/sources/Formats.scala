@@ -526,6 +526,125 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q200: binaryFile source — opaque-blob ingestion --------------------
+  // The ingestion front door for multimodal corpora (ops/Multimodal
+  // processes binary PAYLOAD columns; this is how those columns get INTO
+  // the engine from raw object-store files): every 5th document is
+  // materialized as a standalone `doc_<id>.bin` file BY THE EXECUTORS
+  // (foreachPartition — the write parallelizes like any task, no driver
+  // collect), then read back through Spark's built-in `binaryFile` source
+  // with a pathGlobFilter. Identity is recovered from the file PATH (the
+  // only metadata an opaque blob has), and the (length, md5(content))
+  // digest must match the oracle's byte-accurate view of the source text
+  // — UTF-8 encoding, file write, listing, and blob read all on the hash
+  // path. Scale shape: one task per file batch on read (binaryFile is
+  // not splittable — correct for whole-blob semantics); listing
+  // parallelizes via the file index exactly like parquet.
+  def q200BinaryFileSource(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"binary_files:$dir") { p =>
+      val target = p.toString
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(target, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(staged.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q200Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |WHERE doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q199: UserDefinedType parquet round trip ---------------------------
+  // [[graft.functions.Vec2]] (annotation-registered UDT) flows through a
+  // Dataset map, a parquet WRITE (footer carries the UDT class in the
+  // Spark schema metadata), a fresh READ (schema reconstitutes the UDT —
+  // require()d), a typed deserialize back to Vec2 objects, and a grouped
+  // aggregate over the extracted components. Values are integral cents /
+  // user ids carried as doubles, so the whole serialize → store →
+  // deserialize chain is exact and the oracle reads the same numbers off
+  // the SOURCE table — any drift in the UDT codec breaks the hash.
+  // OperatorSpec additionally proves the STORAGE stays open (the same
+  // file reads as a plain array<double> with no UDT class involved).
+  def q199UdtRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = graft.TempDirs.staged(s"udt_roundtrip:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("user_id"))
+        .as[(Long, String, Long, Long)]
+        .map { case (id, tpe, cents, uid) =>
+          (id, tpe, graft.functions.Vec2(cents.toDouble, uid.toDouble)) }
+        .toDF("event_id", "event_type", "vec")
+        .write.mode("overwrite").parquet(p.resolve("vecs").toString)
+    }
+    val back = s.read.parquet(s"$staged/vecs")
+    require(back.schema("vec").dataType.isInstanceOf[graft.functions.Vec2UDT],
+      s"q199: read-back did not reconstitute the UDT: ${back.schema("vec").dataType}")
+    back.as[(Long, String, graft.functions.Vec2)]
+      .map { case (_, tpe, v) => (tpe, v.x.toLong, v.y.toLong) }
+      .toDF("event_type", "cents", "uid")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        sum("uid").as("sum_uid"), max("cents").as("max_cents"))
+      .orderBy("event_type")
+  }
+
+  val q199Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+      |  MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---- q196: XML round trip (to_xml / from_xml / xpath) -------------------
+  // The last mainstream semi-structured text format next to JSON (q87/
+  // q190): each document serializes to an XML element via `to_xml`, comes
+  // back through BOTH native Spark 4 `from_xml` (typed schema) and the
+  // Hive-lineage `xpath_string` path query, and the row digest must match
+  // the oracle's view of the ORIGINAL table — so XML entity escaping
+  // (&, <, >, quotes in free text) is proven lossless in each direction,
+  // and the two extraction routes are proven consistent (`lang` travels
+  // through from_xml, `lang_xpath` through xpath; the hash pins both).
+  // Scale shape: pure per-row expressions, no shuffle before the final
+  // sort; XML parse stays inside the projection like any string function.
+  def q196XmlRoundtrip(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").as("src_id"),
+        expr("to_xml(named_struct('doc_id', doc_id, 'lang', lang, " +
+          "'n_chars', n_chars, 'text', text))").as("xml"))
+      .select(col("src_id"),
+        expr("from_xml(xml, 'doc_id BIGINT, lang STRING, n_chars BIGINT, text STRING')")
+          .as("r"),
+        expr("xpath_string(xml, '/ROW/lang')").as("lang_xpath"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("lang_xpath"), col("r.n_chars").as("n_chars"),
+        md5(col("r.text").cast("binary")).as("text_md5"))
+      .orderBy("doc_id")
+
+  val q196Sql: String =
+    """SELECT doc_id, lang, lang AS lang_xpath, n_chars, md5(text) AS text_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // ---- q193: metadata columns — source-known provenance on demand ---------
   // `_slice` / `_pos` exist on the q163 connector only as METADATA columns
   // (SupportsMetadataColumns): invisible to SELECT *, materialized when
@@ -776,6 +895,9 @@ object Formats {
     "q189_function_catalog" -> q189FunctionCatalog _,
     "q192_delete_where" -> q192DeleteWhere _,
     "q193_metadata_columns" -> q193MetadataColumns _,
+    "q196_xml_roundtrip" -> q196XmlRoundtrip _,
+    "q199_udt_roundtrip" -> q199UdtRoundtrip _,
+    "q200_binary_file_source" -> q200BinaryFileSource _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -796,5 +918,8 @@ object Formats {
     "q189_function_catalog" -> q189Sql,
     "q192_delete_where" -> q192Sql,
     "q193_metadata_columns" -> q193Sql,
+    "q196_xml_roundtrip" -> q196Sql,
+    "q199_udt_roundtrip" -> q199Sql,
+    "q200_binary_file_source" -> q200Sql,
   )
 }

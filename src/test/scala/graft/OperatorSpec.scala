@@ -595,6 +595,26 @@ class OperatorSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.ns.delspec")
   }
 
+  test("q199: UDT storage stays open — the parquet reads as a plain array<double>") {
+    // run the query once so the staged parquet exists (and oracle-shape holds)
+    assert(SparkEntry.queries("q199_udt_roundtrip")(spark, sf).count() > 0)
+    val staged = graft.TempDirs.staged(s"udt_roundtrip:$sf")()
+    // a reader WITHOUT the UDT in its requested schema must see the
+    // underlying sqlType — vendor-neutral storage, not an engine-private
+    // encoding (any engine reading array<double> gets the numbers)
+    val plain = spark.read
+      .schema("event_id LONG, event_type STRING, vec ARRAY<DOUBLE>")
+      .parquet(s"$staged/vecs")
+    val r = plain.selectExpr("sum(vec[0])", "sum(vec[1])", "count(*)").first()
+    val expect = Tables.events(spark, sf)
+      .selectExpr("sum(CAST(round(value * 100) AS BIGINT))", "sum(user_id)",
+        "count(*)").first()
+    assert(r.getDouble(0) == expect.getLong(0).toDouble &&
+      r.getDouble(1) == expect.getLong(1).toDouble &&
+      r.getLong(2) == expect.getLong(2),
+      s"plain-schema read of the UDT file diverged: $r vs $expect")
+  }
+
   test("q174: epoch sink commit sequencing — replayed epoch commits " +
       "idempotently, uncommitted epochs stay invisible") {
     import scala.jdk.CollectionConverters._
