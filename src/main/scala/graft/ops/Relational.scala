@@ -1042,7 +1042,47 @@ object Relational {
       |ORDER BY o_orderpriority""".stripMargin
 
   // -------------------------------------------------------------------------
+  // ---- q201: native SQL PIVOT → UNPIVOT round trip ------------------------
+  // q25/q95 cover the Dataset pivot/unpivot API; this is the SQL-clause
+  // surface (a different parser/analyzer path: PIVOT with MULTIPLE
+  // aliased aggregates per cell and aliased IN values — producing the
+  // `<value>_<agg>` column matrix — then UNPIVOT melting that matrix
+  // straight back to long form in the same statement). The round trip is
+  // the semantic proof: pivot∘unpivot must land on exactly the flat
+  // GROUP BY the oracle computes, so header naming, cell routing, and
+  // the melt all hash-check. Default EXCLUDE NULLS applies; the 5×3
+  // priority×status grid is fully populated at every sf, so no cell is
+  // dropped. Scale shape: one partial-final aggregate, then per-row
+  // generators — same plan class as q25 + q95 composed.
+  def q201SqlPivotUnpivot(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q201")
+    s.sql("""
+      |SELECT o_orderpriority, metric, val
+      |FROM (
+      |  SELECT * FROM (
+      |    SELECT o_orderpriority, o_orderstatus,
+      |      CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |    FROM orders_q201)
+      |  PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+      |         FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)))
+      |UNPIVOT (val FOR metric IN (f_n, f_cents, o_n, o_cents, p_n, p_cents))
+      |ORDER BY o_orderpriority, metric""".stripMargin)
+  }
+
+  val q201Sql: String =
+    """WITH agg AS (
+      |  SELECT o_orderpriority, lower(o_orderstatus) AS st, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders
+      |  GROUP BY 1, 2)
+      |SELECT o_orderpriority, metric, val FROM (
+      |  SELECT o_orderpriority, st || '_n' AS metric, n AS val FROM agg
+      |  UNION ALL
+      |  SELECT o_orderpriority, st || '_cents' AS metric, cents AS val FROM agg)
+      |ORDER BY o_orderpriority, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_sql_pivot_unpivot" -> q201SqlPivotUnpivot _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1084,6 +1124,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q201_sql_pivot_unpivot" -> q201Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,

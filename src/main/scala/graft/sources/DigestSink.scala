@@ -173,7 +173,8 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
-    overwriteFilters: Option[Array[Filter]])
+    overwriteFilters: Option[Array[Filter]],
+    cols: Array[Int] = Array(0, 1, 2))
     extends Write with RequiresDistributionAndOrdering {
 
   // q187: the sink-declared layout contract. Clustering by lang puts each
@@ -196,15 +197,18 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     if (requireDist || langSplit) 4 else 0
 
   override def toBatch: BatchWrite =
-    new DigestBatchWrite(path, langSplit, overwriteFilters)
+    new DigestBatchWrite(path, langSplit, overwriteFilters, cols)
 }
 
 class DigestBatchWrite(path: String, langSplit: Boolean = false,
-    overwriteFilters: Option[Array[Filter]] = None) extends BatchWrite {
+    overwriteFilters: Option[Array[Filter]] = None,
+    cols: Array[Int] = Array(0, 1, 2)) extends BatchWrite {
+  def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
+    this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DigestWriterFactory(path, langSplit)
+    new DigestWriterFactory(path, langSplit, cols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
@@ -254,6 +258,58 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
       try listing.forEach { p =>
         if (p.getFileName.toString.endsWith(".staged")) Files.deleteIfExists(p)
       } finally listing.close()
+    }
+  }
+}
+
+/** The ROW-LEVEL-OPERATIONS flavor of the digest table (q203/q204,
+  * `TBLPROPERTIES('rowlevel'='true')`): SQL UPDATE and MERGE INTO resolve
+  * through `SupportsRowLevelOperations` and Spark rewrites them into the
+  * GROUP-BASED plan — scan the affected groups through the operation's
+  * own ScanBuilder, recompute rows (carrying unmatched rows through
+  * unchanged), and commit the replacement through the operation's
+  * WriteBuilder in ONE two-phase-committed job. This connector's group
+  * granularity is the whole table (the manifest is one rewrite unit), so
+  * the write is an overwrite-all; a partition-file-granular engine would
+  * return only the touched groups from the scan and overwrite just those
+  * — same contract, finer groups. Kept as a SEPARATE flavor from the base
+  * table deliberately: a table that does NOT declare row-level support
+  * must keep REFUSING sub-file predicates on DELETE (q192's honesty gate)
+  * instead of silently upgrading them to full rewrites.
+  */
+class DigestRloTable(path: String)
+    extends DigestSinkTable(path, langSplit = true)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new DigestRowLevelOperation(path, info.command())
+}
+
+class DigestRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_digest row-level $cmd"
+  // the operation scans through the same manifest-gated read path …
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DigestScanBuilder(path)
+  // … and commits the recomputed rows as a full-group replacement (the
+  // whole table is one group here), through the standard staged-attempt
+  // two-phase commit
+  // the rewrite plan's write schema is NOT guaranteed to be the table
+  // schema verbatim (column order follows the rewritten query), so the
+  // writer resolves (doc_id, lang, n_chars) positions BY NAME from the
+  // LogicalWriteInfo — the bug class this guards is silent column
+  // transposition in row-level rewrites
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val sch = info.schema()
+    val cols = Array("doc_id", "lang", "n_chars").map(sch.fieldIndex)
+    new WriteBuilder {
+      override def build(): Write =
+        new DigestWrite(path, langSplit = true, requireDist = true,
+          Some(Array(new AlwaysTrue)), cols)
     }
   }
 }
@@ -315,19 +371,21 @@ case class CommittedFile(fileName: String, rows: Long)
 case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
 
-class DigestWriterFactory(path: String, langSplit: Boolean = false)
+class DigestWriterFactory(path: String, langSplit: Boolean = false,
+    cols: Array[Int] = Array(0, 1, 2))
     extends DataWriterFactory {
-  def this(path: String) = this(path, false)
+  def this(path: String) = this(path, false, Array(0, 1, 2))
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId)
-    else new DigestDataWriter(path, partitionId, taskId)
+    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols)
+    else new DigestDataWriter(path, partitionId, taskId, cols)
 }
 
 /** One task attempt's writer: staged file keyed by the ATTEMPT (taskId),
   * final name keyed by the PARTITION — rename-on-commit makes exactly one
   * attempt's output visible however many attempts ran.
   */
-class DigestDataWriter(path: String, partitionId: Int, taskId: Long)
+class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
+    cols: Array[Int] = Array(0, 1, 2))
     extends DataWriter[InternalRow] {
   private val staged: Path =
     Paths.get(path, f"part-$partitionId%05d-attempt-$taskId.staged")
@@ -336,7 +394,8 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long)
   private var rows = 0L
 
   override def write(r: InternalRow): Unit = {
-    out.write(s"${r.getLong(0)},${r.getUTF8String(1)},${r.getLong(2)}\n")
+    val base = r.numFields - 3 // see LangSplitDataWriter.write
+    out.write(s"${r.getLong(base + cols(0))},${r.getUTF8String(base + cols(1))},${r.getLong(base + cols(2))}\n")
     rows += 1
   }
 
@@ -361,7 +420,8 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long)
   * overwrite-by-filter commit replaces. Same attempt-staging + rename-on-
   * commit protocol per file.
   */
-class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long)
+class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
+    cols: Array[Int] = Array(0, 1, 2))
     extends DataWriter[InternalRow] {
   Files.createDirectories(Paths.get(path))
   private val open = scala.collection.mutable.LinkedHashMap
@@ -374,13 +434,17 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long)
   }
 
   override def write(r: InternalRow): Unit = {
-    val lang = safe(r.getUTF8String(1).toString)
+    // ReplaceData (q203/q204) prepends engine-side columns (e.g.
+    // __row_operation) that are NOT in LogicalWriteInfo.schema(); the
+    // data columns sit at the END, so index them from the right
+    val base = r.numFields - 3
+    val lang = safe(r.getUTF8String(base + cols(1)).toString)
     val (w, p, n) = open.getOrElseUpdate(lang, {
       val staged = Paths.get(path,
         f"lang_$lang-part-$partitionId%05d-attempt-$taskId.staged")
       (Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged, 0L)
     })
-    w.write(s"${r.getLong(0)},$lang,${r.getLong(2)}\n")
+    w.write(s"${r.getLong(base + cols(0))},$lang,${r.getLong(base + cols(2))}\n")
     open(lang) = (w, p, n + 1)
   }
 

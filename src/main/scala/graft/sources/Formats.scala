@@ -526,6 +526,154 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q203: SQL UPDATE via SupportsRowLevelOperations --------------------
+  // The first of the two REWRITING verbs (q204 is MERGE): `UPDATE ... SET
+  // ... WHERE lang = 'de'` on the row-level table flavor becomes Spark's
+  // group-based plan — scan every group through the operation's
+  // ScanBuilder, recompute matched rows, CARRY UNMATCHED ROWS THROUGH
+  // UNCHANGED, and commit the replacement via the operation's
+  // WriteBuilder (full 2PC, engine-injected lang clustering). The
+  // read-back digest covers every row, so a rewrite that drops, dups, or
+  // fails to carry an unmatched row breaks the hash — exactly the
+  // carry-through bug class group-based engines must guard.
+  def q203SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docupd_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_sql_update:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'rowlevel'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q203")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q203")
+      s.sql(s"UPDATE $tbl SET n_chars = n_chars + 1000 WHERE lang = 'de'")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q203Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q204: SQL MERGE INTO — all three clause families -------------------
+  // The full MERGE surface q89 models relationally, now executed AS the
+  // STATEMENT against the row-level table: WHEN MATCHED → UPDATE (every
+  // doc_id % 3 == 0 re-crawled with more content), WHEN NOT MATCHED →
+  // INSERT (derived +1000000 keys), WHEN NOT MATCHED BY SOURCE AND
+  // lang = 'fr' → DELETE (unrefreshed French docs retired). One
+  // group-based rewrite job applies all three actions; the digest
+  // read-back must equal the oracle's three-way CASE over the source —
+  // pinning clause routing, the not-matched-by-source predicate, and
+  // unmatched-row carry-through in a single hash.
+  def q204SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docmrg_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_sql_merge:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'rowlevel'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q204")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q204")
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+               |  FROM docs_q204 WHERE doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars
+               |  FROM docs_q204 WHERE doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)
+               |WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr' THEN DELETE""".stripMargin)
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q204Sql: String =
+    """WITH merged AS (
+      |  -- survivors of the base table: matched rows take the update;
+      |  -- fr rows not matched by the source are deleted
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (lang = 'fr' AND doc_id % 3 <> 0)
+      |  UNION ALL
+      |  -- not-matched source rows insert under derived keys
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q202: SQL DML — INSERT INTO / INSERT OVERWRITE on the V2 table -----
+  // The q186/q192 verbs arrive through the DataFrame writeTo API; this is
+  // the SQL-DML route into the SAME write stack: `INSERT INTO` appends
+  // through the two-phase commit, `INSERT OVERWRITE` (no static partition
+  // spec → truncate semantics, the AlwaysTrue overwrite filter) replaces
+  // the whole table content in one committed job. The in-query requires
+  // pin the state transitions (manifest covers all langs after the
+  // append, exactly the en/zh survivors after the overwrite), and the
+  // read-back — through the table's manifest-gated scan — must equal the
+  // oracle's filtered view of the source. Together with q185 (DDL), q186
+  // (overwrite-by-filter), q192 (DELETE) this completes the SQL verb set
+  // a warehouse user touches on a connector table.
+  def q202SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docins_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_sql_insert:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q202")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q202")
+      def langs(): Set[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala
+          .flatMap(l => DigestSink.langOf(l.split(",")(0))).toSet
+      require(langs() == Set("de", "en", "es", "fr", "zh"),
+        s"q202: INSERT INTO must commit every lang, got ${langs()}")
+      s.sql(s"""INSERT OVERWRITE $tbl
+               |SELECT doc_id, lang, n_chars FROM docs_q202
+               |WHERE lang IN ('en', 'zh')""".stripMargin)
+      require(langs() == Set("en", "zh"),
+        s"q202: INSERT OVERWRITE must leave only the new content, got ${langs()}")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q202Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'zh')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- q200: binaryFile source — opaque-blob ingestion --------------------
   // The ingestion front door for multimodal corpora (ops/Multimodal
   // processes binary PAYLOAD columns; this is how those columns get INTO
@@ -898,6 +1046,9 @@ object Formats {
     "q196_xml_roundtrip" -> q196XmlRoundtrip _,
     "q199_udt_roundtrip" -> q199UdtRoundtrip _,
     "q200_binary_file_source" -> q200BinaryFileSource _,
+    "q202_sql_insert" -> q202SqlInsert _,
+    "q203_sql_update" -> q203SqlUpdate _,
+    "q204_sql_merge" -> q204SqlMerge _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -921,5 +1072,8 @@ object Formats {
     "q196_xml_roundtrip" -> q196Sql,
     "q199_udt_roundtrip" -> q199Sql,
     "q200_binary_file_source" -> q200Sql,
+    "q202_sql_insert" -> q202Sql,
+    "q203_sql_update" -> q203Sql,
+    "q204_sql_merge" -> q204Sql,
   )
 }

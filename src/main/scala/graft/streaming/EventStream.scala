@@ -279,10 +279,22 @@ object EventStream {
     // The streaming file source monitors a DIRECTORY; the testdata table is
     // a single read-only file, so stage a dir with a symlink to it — one
     // staged dir per source table per JVM (TempDirs), not per call.
+    // A Spark-WRITTEN table (e.g. the GenScale sf1 soak data) is itself a
+    // DIRECTORY of part files; the file-stream source does not recurse
+    // into nested directories, so a dir-shaped table is FLATTENED — one
+    // symlink per contained parquet part (silently reading 0 rows was the
+    // round-13 soak failure mode for the symlink-the-dir form).
     val staged = graft.TempDirs.staged(s"events_stream:$dir") { p =>
-      java.nio.file.Files.createSymbolicLink(
-        p.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val listing = java.nio.file.Files.list(src)
+        try listing.forEach { f =>
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.createSymbolicLink(p.resolve(f.getFileName), f)
+        } finally listing.close()
+      } else {
+        java.nio.file.Files.createSymbolicLink(p.resolve("events.parquet"), src)
+      }
     }
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream
