@@ -1576,9 +1576,39 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---- q205: approx_top_k + mode (bounded-sketch heavy hitters) -----------
+  // The BUILT-IN counterpart of q103's Misra-Gries: `approx_top_k` tracks
+  // a bounded item set (default 10k) and — when the true cardinality fits
+  // inside it, as here (5 event types) — returns EXACT counts, so the
+  // whole sketch path is oracle-checkable against COUNT(*) ranking. The
+  // single-row sketch result is exploded back to relational (rank, item,
+  // count) rows; `mode()` (Spark 4 built-in) rides along as the k=1
+  // special case. Counts are distinct in this corpus, so the desc-count
+  // ordering is total — no tie nondeterminism on the hashed path. Scale
+  // shape: one mergeable partial-final aggregate, same as any sketch.
+  def q205ApproxTopK(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .agg(expr("approx_top_k(event_type, 3)").as("t"),
+        expr("mode(event_type)").as("mode_type"))
+      .select(posexplode(col("t")).as(Seq("pos", "e")), col("mode_type"))
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.item").as("item"), col("e.count").as("cnt"), col("mode_type"))
+      .orderBy("rank")
+
+  val q205Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC) AS INT) AS rank,
+      |  event_type AS item, n AS cnt,
+      |  (SELECT event_type FROM c ORDER BY n DESC LIMIT 1) AS mode_type
+      |FROM c
+      |ORDER BY n DESC
+      |LIMIT 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q102_window_suite" -> q102WindowSuite _,
     "q197_datasketches" -> q197Datasketches _,
+    "q205_approx_top_k" -> q205ApproxTopK _,
     "q103_heavy_hitters" -> q103HeavyHitters _,
     "q104_keyword_search" -> q104KeywordSearch _,
     "q105_compaction_plan" -> q105CompactionPlan _,
@@ -1610,6 +1640,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q197_datasketches" -> q197Sql,
+    "q205_approx_top_k" -> q205Sql,
     "q102_window_suite" -> q102Sql,
     "q103_heavy_hitters" -> q103Sql,
     "q104_keyword_search" -> q104Sql,

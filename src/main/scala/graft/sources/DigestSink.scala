@@ -314,40 +314,249 @@ class DigestRowLevelOperation(path: String,
   }
 }
 
+// ---------------------------------------------------------------------------
+// DELTA (merge-on-read) flavor — q207. The SECOND row-level strategy next to
+// q203/q204's group-based rewrite: `SupportsDelta` declares a row id
+// (doc_id) and Spark plans WriteDelta, streaming per-row VERBS
+// (insert/update/delete) into [[DigestDeltaWriter]] instead of rewriting
+// groups. The sink appends the verbs as a `delta-*` log file; BASE FILES
+// ARE NEVER TOUCHED (the in-query requires pin them byte-identical), and
+// the READ path merges base + log latest-wins — exactly merge-on-read
+// economics: a MERGE costs O(changed rows), readers pay the apply until a
+// compaction (q146's shape) folds the log down.
+// ---------------------------------------------------------------------------
+
+class DigestDeltaTable(path: String)
+    extends DigestSinkTable(path, langSplit = true)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new DigestDeltaOperation(path, info.command())
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DigestScanBuilder(path, mergeDeltas = true)
+}
+
+class DigestDeltaOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_digest delta $cmd"
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("doc_id"))
+  // the operation reads CURRENT state (base + any earlier deltas) so a
+  // MERGE matches against what a reader would see
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DigestScanBuilder(path, mergeDeltas = true)
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val sch = info.schema()
+    val cols = Array("doc_id", "lang", "n_chars").map(sch.fieldIndex)
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new DigestDeltaBatchWrite(path, cols)
+        }
+    }
+  }
+}
+
+class DigestDeltaBatchWrite(path: String, cols: Array[Int])
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    DigestDeltaWriterFactory(path, cols)
+
+  // job commit: append the delta files to the manifest (same atomic
+  // temp+rename publish); base entries survive untouched by construction
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    val old: Seq[String] =
+      if (Files.exists(manifestPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.toSeq
+      else Seq.empty
+    val lines = old ++ fresh.map(f => s"${f.fileName},${f.rows}")
+    val tmp = Paths.get(path, "_MANIFEST.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach { p =>
+        if (p.getFileName.toString.endsWith(".staged")) Files.deleteIfExists(p)
+      } finally listing.close()
+    }
+  }
+}
+
+case class DigestDeltaWriterFactory(path: String, cols: Array[Int])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new DigestDeltaWriter(path, partitionId, taskId, cols)
+}
+
+/** Per-task delta-log writer: one staged `delta-` file of verb lines
+  * (`D,id` / `U,id,lang,n_chars` / `I,id,lang,n_chars`), attempt-staged
+  * and renamed on task commit like every other writer in this sink.
+  */
+class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
+    cols: Array[Int]) extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  Files.createDirectories(Paths.get(path))
+  private val staged =
+    Paths.get(path, f"delta-part-$partitionId%05d-attempt-$taskId.staged")
+  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    out.write(s"D,${id.getLong(0)}\n"); rows += 1
+  }
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    out.write(s"U,${row.getLong(cols(0))},${row.getUTF8String(cols(1))},${row.getLong(cols(2))}\n")
+    rows += 1
+  }
+  override def insert(row: InternalRow): Unit = {
+    out.write(s"I,${row.getLong(cols(0))},${row.getUTF8String(cols(1))},${row.getLong(cols(2))}\n")
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val fin = Paths.get(path, f"delta-part-$partitionId%05d.csv")
+    Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
+    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
+  }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(staged) }
+  override def close(): Unit = ()
+}
+
 /** The read path of the digest table: one input partition per
   * manifest-committed file (split listing = manifest read, done once on
   * the driver at planning; at scale the manifest is the table's own
   * statistics-bearing metadata layer, exactly how table formats plan
   * scans without listing the object store).
+  *
+  * With `mergeDeltas` (the q207 flavor) the scan performs MERGE-ON-READ:
+  * the driver folds the manifest's `delta-` log files into a latest-wins
+  * intent per row id (update → replace-in-place, delete → skip, insert →
+  * new row; I-then-U collapses to I, I-then-D annihilates), ships each
+  * base partition its overrides, and adds one partition serving the
+  * surviving inserts. The log is small relative to base by construction
+  * (it holds CHANGES); production compaction folds it down periodically.
   */
-class DigestScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new DigestScan(path)
+class DigestScanBuilder(path: String, mergeDeltas: Boolean = false)
+    extends ScanBuilder {
+  def this(path: String) = this(path, false)
+  override def build(): Scan = new DigestScan(path, mergeDeltas)
 }
 
-class DigestScan(path: String) extends Scan with Batch {
+/** Latest-wins merged intent for one row id: None = delete, Some(row) =
+  * replacement/insert payload.
+  */
+private[graft] object DeltaFold {
+  type Row3 = (Long, String, Long)
+
+  /** Fold verb lines (in log order) into (overrides for base rows,
+    * surviving inserts).
+    */
+  def fold(lines: Seq[String]): (Map[Long, Option[Row3]], Seq[Row3]) = {
+    // intent per id: Left(base override) or Right(insert payload)
+    val state = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Either[Option[Row3], Option[Row3]]]
+    lines.foreach { l =>
+      val a = l.split(",")
+      val id = a(1).toLong
+      a(0) match {
+        case "I" => state(id) = Right(Some((id, a(2), a(3).toLong)))
+        case "U" =>
+          state.get(id) match {
+            case Some(Right(_)) => state(id) = Right(Some((id, a(2), a(3).toLong)))
+            case _ => state(id) = Left(Some((id, a(2), a(3).toLong)))
+          }
+        case "D" =>
+          state.get(id) match {
+            case Some(Right(_)) => state.remove(id) // I then D annihilates
+            case _ => state(id) = Left(None)
+          }
+      }
+    }
+    val overrides = state.collect { case (id, Left(v)) => id -> v }.toMap
+    val inserts = state.values.collect { case Right(Some(r)) => r }.toSeq
+    (overrides, inserts)
+  }
+}
+
+class DigestScan(path: String, mergeDeltas: Boolean = false)
+    extends Scan with Batch {
+  def this(path: String) = this(path, false)
   override def readSchema(): StructType = DigestSink.rowSchema
   override def toBatch: Batch = this
-  override def description(): String = s"graft_digest manifest-read $path"
+  override def description(): String =
+    s"graft_digest manifest-read $path" + (if (mergeDeltas) " merge-on-read" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestPath = Paths.get(path, "_MANIFEST")
-    if (!Files.exists(manifestPath)) Array.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(
+    if (!Files.exists(manifestPath)) return Array.empty
+    val entries = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestPath)).asScala
-      .filter(_.nonEmpty)
-      .map(l => DigestFilePartition(path, l.split(",")(0)): InputPartition)
-      .toArray
+      .filter(_.nonEmpty).map(_.split(",")(0)).toSeq
+    val (deltaFiles, baseFiles) = entries.partition(_.startsWith("delta-"))
+    if (!mergeDeltas) {
+      require(deltaFiles.isEmpty,
+        s"graft_digest: delta log present but scan is not merge-on-read: $deltaFiles")
+      baseFiles.map(f => DigestFilePartition(path, f): InputPartition).toArray
+    } else {
+      val verbLines = deltaFiles.sorted.flatMap { f =>
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(Paths.get(path, f))).asScala
+      }
+      val (overrides, inserts) = DeltaFold.fold(verbLines.toSeq)
+      val base = baseFiles.map(f =>
+        DigestFilePartition(path, f, overrides): InputPartition)
+      val ins: Seq[InputPartition] =
+        if (inserts.nonEmpty) Seq(DigestInsertsPartition(inserts)) else Nil
+      (base ++ ins).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DigestReaderFactory
 }
 
-case class DigestFilePartition(path: String, file: String) extends InputPartition
+case class DigestFilePartition(path: String, file: String,
+    overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty)
+    extends InputPartition
+
+case class DigestInsertsPartition(rows: Seq[(Long, String, Long)])
+    extends InputPartition
 
 class DigestReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DigestFileReader(p.asInstanceOf[DigestFilePartition])
+    p match {
+      case fp: DigestFilePartition => new DigestFileReader(fp)
+      case ip: DigestInsertsPartition =>
+        new PartitionReader[InternalRow] {
+          private val it = ip.rows.iterator
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) {
+              val (id, lang, n) = it.next()
+              current = InternalRow(id, UTF8String.fromString(lang), n)
+              true
+            } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
+        }
+    }
 }
 
 class DigestFileReader(p: DigestFilePartition)
@@ -355,12 +564,22 @@ class DigestFileReader(p: DigestFilePartition)
   private val lines =
     Files.readAllLines(Paths.get(p.path, p.file)).iterator()
   private var current: InternalRow = _
-  override def next(): Boolean =
-    if (lines.hasNext) {
+  override def next(): Boolean = {
+    while (lines.hasNext) {
       val a = lines.next().split(",")
-      current = InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong)
-      true
-    } else false
+      val id = a(0).toLong
+      p.overrides.get(id) match {
+        case None => // no delta intent: base row as written
+          current = InternalRow(id, UTF8String.fromString(a(1)), a(2).toLong)
+          return true
+        case Some(Some((rid, lang, n))) => // replaced in place
+          current = InternalRow(rid, UTF8String.fromString(lang), n)
+          return true
+        case Some(None) => // deleted: skip and keep scanning
+      }
+    }
+    false
+  }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }

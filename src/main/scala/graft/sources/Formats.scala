@@ -624,6 +624,81 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q207: delta-based MERGE (SupportsDelta — merge-on-read) ------------
+  // The SECOND row-level strategy, completing the pair with q203/q204's
+  // group-based rewrite: the delta table declares `doc_id` as its row id,
+  // so Spark plans WriteDelta and streams per-row VERBS (matched-update /
+  // matched-delete / not-matched-insert) into the sink's delta-log writer
+  // — base files are NEVER rewritten (require()d byte-identical below;
+  // the MERGE costs O(changed rows), not O(table)) and the table's scan
+  // merges base + log latest-wins on read. Three clause families with
+  // CONDITIONS route the verbs: re-crawled docs (id % 3 = 0) update,
+  // stale docs (id % 7 = 0, not re-crawled) delete, derived +1000000 keys
+  // insert. The read-back digest covers every row of the merged view, so
+  // verb routing, the log encoding, and the merge-on-read apply are all
+  // on the oracle path. PlanSpec locks the WriteDelta plan (vs q203's
+  // ReplaceData).
+  def q207DeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docdelta_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_delta_merge:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q207")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q207")
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala.toSeq
+      val baseBytes = manifest().map(_.split(",")(0))
+        .map(f => f -> java.nio.file.Files.size(sink.resolve(f))).toMap
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+               |  FROM docs_q207 WHERE doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id, lang, n_chars, 'D' AS tag
+               |  FROM docs_q207 WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+               |  FROM docs_q207 WHERE doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+               |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      val after = manifest()
+      require(after.exists(_.startsWith("delta-")),
+        s"q207: MERGE must commit a delta log file:\n$after")
+      require(baseBytes.forall { case (f, n) =>
+        java.nio.file.Files.size(sink.resolve(f)) == n },
+        "q207: a base file was rewritten — delta MERGE must be O(changes)")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q207Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- q202: SQL DML — INSERT INTO / INSERT OVERWRITE on the V2 table -----
   // The q186/q192 verbs arrive through the DataFrame writeTo API; this is
   // the SQL-DML route into the SAME write stack: `INSERT INTO` appends
@@ -1049,6 +1124,7 @@ object Formats {
     "q202_sql_insert" -> q202SqlInsert _,
     "q203_sql_update" -> q203SqlUpdate _,
     "q204_sql_merge" -> q204SqlMerge _,
+    "q207_delta_merge" -> q207DeltaMerge _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1075,5 +1151,6 @@ object Formats {
     "q202_sql_insert" -> q202Sql,
     "q203_sql_update" -> q203Sql,
     "q204_sql_merge" -> q204Sql,
+    "q207_delta_merge" -> q207Sql,
   )
 }

@@ -1293,6 +1293,55 @@ object EventStream {
        |GROUP BY 1, 2
        |ORDER BY hour_start, n_name""".stripMargin
 
+  // ---- q206: CHAINED stateful operators — two windowed aggs, one query ---
+  // Until Spark 3.5 a streaming query allowed ONE stateful operator;
+  // this exercises the multi-stateful chain: a 10-minute windowed
+  // aggregation feeding a 1-hour rollup aggregation IN THE SAME streaming
+  // query, stitched with `window_time()` (the event-time column of a
+  // finished window — what makes the second watermark propagate).
+  // Append-mode emission: an hour emits once its end passes the final
+  // watermark (max ts − 1 h here); the oracle states that as a batch
+  // predicate, and because 10-minute windows tile hours exactly, the
+  // chained rollup must equal the DIRECT hour aggregation on the
+  // finalized range — any drift in window alignment, watermark
+  // propagation, or partial-agg routing between the two stateful
+  // operators breaks the hash. Scale shape: two keyed state stores, each
+  // shuffled once on (window, key) — the rollup state is 6× smaller per
+  // key; this is the standard pre-aggregation ladder for high-rate
+  // streams at 100 TB/day.
+  def q206ChainedWindowAggs(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = eventsStream(s, dir)
+      .select(col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("cents"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy("hour_start", "event_type")
+  }
+
+  val q206Sql: String =
+    """WITH wm AS (
+      |  SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |GROUP BY 1, 2
+      |HAVING hour_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---- q194: OFFLINE STATE INSPECTION — the `statestore` batch source ----
   // Streaming state is normally a black box inside the checkpoint; Spark
   // 4's state data source opens it to BATCH queries: after a 4-micro-batch
@@ -1375,6 +1424,7 @@ object EventStream {
     "q174_stream_epoch_sink" -> (q174StreamEpochSink _),
     "q176_pt_timer_flush" -> (q176PtTimerFlush _),
     "q194_statestore_read" -> (q194StateStoreRead _),
+    "q206_chained_window_aggs" -> (q206ChainedWindowAggs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1399,5 +1449,6 @@ object EventStream {
     // same batch GROUP BY — q132's oracle IS q176's oracle
     "q176_pt_timer_flush" -> q132Sql,
     "q194_statestore_read" -> q194Sql,
+    "q206_chained_window_aggs" -> q206Sql,
   )
 }

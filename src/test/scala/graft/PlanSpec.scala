@@ -676,6 +676,81 @@ class PlanSpec extends SparkSpec {
     assert(!cat.tableExists(Identifier.of(ns, "scratch2")), "drop left the entry")
   }
 
+  test("q203/q204: row-level SQL rewrites plan as ReplaceData; the non-RLO table refuses") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val d = java.nio.file.Files.createTempDirectory("graft_rlo_spec_")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ns.rlospec " +
+      s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING graft_digest " +
+      s"TBLPROPERTIES ('path'='$d', 'rowlevel'='true')")
+    import spark.implicits._
+    Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("doc_id", "lang", "n_chars")
+      .writeTo("graft.ns.rlospec").append()
+    // (a) plan lock WITHOUT executing (commands run eagerly otherwise):
+    // UPDATE must analyze to the group-based ReplaceData rewrite
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      "UPDATE graft.ns.rlospec SET n_chars = n_chars + 1 WHERE lang = 'de'")
+    val qe = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], parsed,
+      mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+    val analyzed = qe.analyzed.toString
+    assert(analyzed.contains("ReplaceData"),
+      s"UPDATE did not rewrite to the group-based ReplaceData plan:\n$analyzed")
+    // (b) executing it must carry the unmatched row through unchanged
+    spark.sql("UPDATE graft.ns.rlospec SET n_chars = n_chars + 1 WHERE lang = 'de'")
+    assert(spark.sql("SELECT lang, n_chars FROM graft.ns.rlospec ORDER BY doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("en", 10L), ("de", 21L)), "update/carry-through wrong")
+    spark.sql("DROP TABLE graft.ns.rlospec")
+    // (c) a table that did NOT declare row-level support refuses UPDATE
+    // outright instead of silently full-rewriting
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rlo_spec2_")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ns.norlo " +
+      s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING graft_digest " +
+      s"TBLPROPERTIES ('path'='$d2')")
+    val e = intercept[Throwable] {
+      spark.sql("UPDATE graft.ns.norlo SET n_chars = 0 WHERE lang = 'de'")
+    }
+    assert(e.getMessage != null && e.getMessage.toUpperCase.contains("UPDATE"),
+      s"wrong refusal: $e")
+    spark.sql("DROP TABLE graft.ns.norlo")
+  }
+
+  test("q207: delta MERGE plans as WriteDelta with the doc_id row id; verbs fold " +
+      "latest-wins") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val d = java.nio.file.Files.createTempDirectory("graft_delta_spec_")
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ns.deltaspec " +
+      s"(doc_id BIGINT, lang STRING, n_chars BIGINT) USING graft_digest " +
+      s"TBLPROPERTIES ('path'='$d', 'delta'='true')")
+    import spark.implicits._
+    Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("doc_id", "lang", "n_chars")
+      .writeTo("graft.ns.deltaspec").append()
+    // (a) plan lock without executing: the MERGE must analyze to the
+    // DELTA strategy (WriteDelta), not the group-based ReplaceData
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      "MERGE INTO graft.ns.deltaspec t USING (SELECT 1L AS doc_id, 'en' AS lang, " +
+        "99L AS n_chars) u ON t.doc_id = u.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars")
+    val qe = new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], parsed,
+      mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+    val analyzed = qe.analyzed.toString
+    assert(analyzed.contains("WriteDelta"),
+      s"delta table's MERGE did not plan as WriteDelta:\n$analyzed")
+    assert(!analyzed.contains("ReplaceData"),
+      s"delta table fell back to the group-based rewrite:\n$analyzed")
+    // (b) the DeltaFold intent algebra: I→U collapses to insert-with-new-
+    // payload, I→D annihilates, U→D on a base row deletes, bare U replaces
+    val (ov, ins) = graft.sources.DeltaFold.fold(Seq(
+      "I,10,fr,5", "U,10,fr,6",   // insert then update → one insert, payload 6
+      "I,11,es,7", "D,11",        // insert then delete → nothing
+      "U,1,en,99", "D,1",         // update then delete of a base row → delete
+      "U,2,de,21"))               // plain base replace
+    assert(ov == Map(1L -> None, 2L -> Some((2L, "de", 21L))), s"overrides: $ov")
+    assert(ins == Seq((10L, "fr", 6L)), s"inserts: $ins")
+    spark.sql("DROP TABLE graft.ns.deltaspec")
+  }
+
   test("q193: requesting metadata columns keeps pushdown and the columnar path") {
     val df = SparkEntry.queries("q193_metadata_columns")(spark, sf)
     df.collect()
