@@ -1293,6 +1293,144 @@ object EventStream {
        |GROUP BY 1, 2
        |ORDER BY hour_start, n_name""".stripMargin
 
+  // ---- q209: streaming observe() — in-flight metric collection ------------
+  // q171 proves Dataset.observe for batch; streams are where it earns its
+  // keep: per-micro-batch audit metrics collected in the SAME pass as the
+  // pipeline (no second scan), surfaced through StreamingQueryProgress.
+  // The 4-chunk replay runs with an observe("audit", count, sum(cents),
+  // count(error)) on the pre-aggregation stream; after completion the
+  // progress log must show EXACTLY 4 data-carrying batches whose observed
+  // metrics SUM to the whole table's audit numbers — the oracle states
+  // those totals from the source, so lost batches, double-counted
+  // replays, or metrics computed off a different pass all fail the hash.
+  // This (with q194's offline state read) is the streaming observability
+  // story at 100 TB: audit in-flight, inspect state offline.
+  def q209StreamObserve(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_obs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val staged = graft.TempDirs.staged(s"events_tws:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val q = s.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .observe("audit",
+        count(lit(1)).as("rows"),
+        sum("cents").as("cents"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val audits = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => Option(p.observedMetrics.get("audit")).getOrElse(
+        sys.error(s"q209: data batch ${p.batchId} reported no audit metrics")))
+    import s.implicits._
+    Seq((audits.size,
+      audits.map(_.getLong(0)).sum,
+      audits.map(_.getLong(1)).sum,
+      audits.map(_.getLong(2)).sum))
+      .toDF("n_batches", "n_rows", "sum_cents", "n_errors")
+  }
+
+  val q209Sql: String =
+    """SELECT 4 AS n_batches, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+      |FROM events""".stripMargin
+
+  // ---- q208: stream-stream LEFT OUTER interval join -----------------------
+  // q75 proves the inner stream-stream join; OUTER is its own semantics
+  // class: an unmatched click can only emit (null-padded) once the
+  // WATERMARK proves no future purchase can still match — i.e. after
+  // click_ts + 30 min falls behind the 2-hour watermark. The oracle
+  // states exactly that: all matched pairs (identical to q75's relation)
+  // UNION the unmatched clicks whose join window has expired at the final
+  // watermark (max ts − 2 h); clicks still inside the window at
+  // end-of-stream are legitimately WITHHELD, and a sink that emitted them
+  // anyway (or dropped an expired one) hash-fails. State shape at scale:
+  // both sides keyed on user_id, watermark bounds the buffered range —
+  // the outer variant adds only the expiry tracking, not more state.
+  def q208StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = s"stream_oj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "2 hours")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // null-padded outer columns carry the q90 sentinels (9999-12-31 / -1):
+    // null timestamps (NaT) never survive the driver's hash compare
+    s.table(name)
+      .select(col("user_id"), col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("click_ts"),
+        coalesce(col("purchase_ts"),
+          lit("9999-12-31 00:00:00").cast("timestamp_ntz")).as("purchase_ts"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  // PROBED ENGINE FACT: the global watermark is the MIN over the two
+  // watermarked INPUT streams (each max event-time − delay) — an oracle
+  // using the overall max emits 2 extra expired clicks at sf0.01 (the
+  // purchase side's max ts trails the click side's by ~13 min).
+  val q208Sql: String =
+    """WITH wm AS (
+      |  SELECT LEAST(
+      |    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'click'),
+      |    (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events WHERE event_type = 'purchase')
+      |  ) - INTERVAL 2 HOUR AS w),
+      |c AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |UNION ALL
+      |SELECT c.user_id, c.event_id, -1, c.ts, TIMESTAMP '9999-12-31 00:00:00'
+      |FROM c
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+      |      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |  AND c.ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---- q206: CHAINED stateful operators — two windowed aggs, one query ---
   // Until Spark 3.5 a streaming query allowed ONE stateful operator;
   // this exercises the multi-stateful chain: a 10-minute windowed
@@ -1425,6 +1563,8 @@ object EventStream {
     "q176_pt_timer_flush" -> (q176PtTimerFlush _),
     "q194_statestore_read" -> (q194StateStoreRead _),
     "q206_chained_window_aggs" -> (q206ChainedWindowAggs _),
+    "q208_stream_outer_join" -> (q208StreamOuterJoin _),
+    "q209_stream_observe" -> (q209StreamObserve _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1450,5 +1590,7 @@ object EventStream {
     "q176_pt_timer_flush" -> q132Sql,
     "q194_statestore_read" -> q194Sql,
     "q206_chained_window_aggs" -> q206Sql,
+    "q208_stream_outer_join" -> q208Sql,
+    "q209_stream_observe" -> q209Sql,
   )
 }
