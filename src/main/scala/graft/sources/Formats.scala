@@ -699,6 +699,70 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q211: delta-log COMPACTION — fold merge-on-read debt back to base --
+  // q207 leaves the table correct but with read-time debt (every scan
+  // re-applies the log); compaction pays it down: snapshot the MERGED
+  // view, INSERT OVERWRITE it back through the truncate-overwrite path —
+  // one committed job after which the manifest holds ONLY fresh lang-
+  // split base files (require()d: no delta- entries survive) and the
+  // read-back digest is IDENTICAL to the pre-compaction merged view
+  // (same oracle as q207 — compaction must be a pure physical-layout
+  // change). This is the maintenance cycle every merge-on-read format
+  // runs at 100 TB: cheap O(changes) commits absorb writes, periodic
+  // compaction restores O(1)-apply reads.
+  def q211DeltaCompaction(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doccmp_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_delta_compact:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q211")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q211")
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+               |  FROM docs_q211 WHERE doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id, lang, n_chars, 'D' AS tag
+               |  FROM docs_q211 WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+               |  FROM docs_q211 WHERE doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+               |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala.toSeq
+      require(manifest().exists(_.startsWith("delta-")),
+        "q211: precondition — the MERGE must have produced a delta log")
+      // compaction: snapshot the merged view OUTSIDE the table, then
+      // replace the table content through the truncate-overwrite commit
+      val snap = p.resolve("snapshot").toString
+      s.table(tbl).write.mode("overwrite").parquet(snap)
+      s.read.parquet(snap).createOrReplaceTempView("q211_snap")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT doc_id, lang, n_chars FROM q211_snap")
+      val after = manifest()
+      require(!after.exists(_.startsWith("delta-")),
+        s"q211: compaction must retire the delta log:\n$after")
+      require(after.nonEmpty && after.forall(_.startsWith("lang_")),
+        s"q211: compacted manifest must hold only lang-split base files:\n$after")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  /** Compaction changes layout, never content: q207's oracle IS q211's. */
+  val q211Sql: String = q207Sql
+
   // ---- q202: SQL DML — INSERT INTO / INSERT OVERWRITE on the V2 table -----
   // The q186/q192 verbs arrive through the DataFrame writeTo API; this is
   // the SQL-DML route into the SAME write stack: `INSERT INTO` appends
@@ -1125,6 +1189,7 @@ object Formats {
     "q203_sql_update" -> q203SqlUpdate _,
     "q204_sql_merge" -> q204SqlMerge _,
     "q207_delta_merge" -> q207DeltaMerge _,
+    "q211_delta_compaction" -> q211DeltaCompaction _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1152,5 +1217,6 @@ object Formats {
     "q203_sql_update" -> q203Sql,
     "q204_sql_merge" -> q204Sql,
     "q207_delta_merge" -> q207Sql,
+    "q211_delta_compaction" -> q211Sql,
   )
 }
