@@ -1129,9 +1129,91 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- q212: SQL pipe syntax (|>) + GROUP BY ALL + SELECT * EXCEPT --------
+  // Spark 4's linear SQL dialect: the query reads as a top-to-bottom
+  // pipeline (FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER BY) — the
+  // textual form of what the DataFrame API expresses in Scala, parsed to
+  // the SAME logical plan as the nested-SELECT oracle (proven by the
+  // hash). GROUP BY ALL (infer keys = non-aggregate columns) and
+  // SELECT * EXCEPT ride the chain. Analysis-layer surface only — the
+  // optimized plan is plan-for-plan the classic form's.
+  def q212SqlPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q212")
+    // |> AGGREGATE rejects GROUP BY ALL by design (probed) — keys are
+    // explicit in the pipe; ALL-inference is exercised in the classic
+    // quarterly rollup on top
+    s.sql("""FROM orders_q212
+            ||> WHERE o_orderstatus = 'F'
+            ||> EXTEND CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+            ||> EXTEND month(o_orderdate) AS m
+            ||> SELECT * EXCEPT (o_orderkey, o_custkey, o_orderstatus,
+            |                    o_totalprice, o_orderdate, o_orderpriority)
+            ||> AGGREGATE COUNT(*) AS n, SUM(cents) AS sum_cents GROUP BY m""".stripMargin)
+      .createOrReplaceTempView("q212_monthly")
+    s.sql("""SELECT CAST((m - 1) div 3 + 1 AS INT) AS quarter,
+            |  CAST(SUM(n) AS BIGINT) AS n,
+            |  CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+            |FROM q212_monthly
+            |GROUP BY ALL
+            |ORDER BY ALL""".stripMargin)
+  }
+
+  val q212Sql: String =
+    """SELECT CAST((month(o_orderdate) - 1) // 3 + 1 AS INT) AS quarter,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q213: IGNORE NULLS analytic functions ------------------------------
+  // The null-skipping window family q165's LOCF builds BY HAND (running
+  // max of observation keys) — here as the native spellings: per-user
+  // event streams where only purchases carry an amount, LAST_VALUE ...
+  // IGNORE NULLS carries the most recent purchase forward across
+  // non-purchase events, and NTH_VALUE(.., 2) IGNORE NULLS recalls each
+  // user's second-ever purchase. Engine-exact integers; DuckDB's
+  // IGNORE NULLS agrees form-for-form (probed). One window partition
+  // spec → one exchange, the q102 discipline.
+  def q213IgnoreNulls(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(s, dir).createOrReplaceTempView("events_q213")
+    s.sql("""SELECT event_id, user_id,
+            |  LAST_VALUE(p_cents) IGNORE NULLS OVER (
+            |    PARTITION BY user_id ORDER BY ts, event_id
+            |    ROWS UNBOUNDED PRECEDING) AS last_purchase_cents,
+            |  NTH_VALUE(p_cents, 2) IGNORE NULLS OVER (
+            |    PARTITION BY user_id ORDER BY ts, event_id
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            |    AS second_purchase_cents
+            |FROM (SELECT event_id, user_id, ts,
+            |        CASE WHEN event_type = 'purchase'
+            |             THEN CAST(round(value * 100) AS BIGINT) END AS p_cents
+            |      FROM events_q213)
+            |ORDER BY event_id""".stripMargin)
+      .na.fill(-1L, Seq("last_purchase_cents", "second_purchase_cents"))
+  }
+
+  val q213Sql: String =
+    """SELECT event_id, user_id,
+      |  COALESCE(LAST_VALUE(p_cents IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING), -1) AS last_purchase_cents,
+      |  COALESCE(NTH_VALUE(p_cents, 2 IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), -1)
+      |    AS second_purchase_cents
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        CASE WHEN event_type = 'purchase'
+      |             THEN CAST(round(value * 100) AS BIGINT) END AS p_cents
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_sql_pivot_unpivot" -> q201SqlPivotUnpivot _,
     "q210_cache_table" -> q210CacheTable _,
+    "q212_sql_pipe_syntax" -> q212SqlPipeSyntax _,
+    "q213_ignore_nulls" -> q213IgnoreNulls _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1175,6 +1257,8 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q201_sql_pivot_unpivot" -> q201Sql,
     "q210_cache_table" -> q210Sql,
+    "q212_sql_pipe_syntax" -> q212Sql,
+    "q213_ignore_nulls" -> q213Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,
