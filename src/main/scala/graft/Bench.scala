@@ -6,19 +6,22 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-12 QUERY SET (the 175 queries q1–q178 present at
-  * the PLANS.md "Round 12" anchor — i.e. everything EXCEPT the
-  * post-anchor q179–q183) must stay ≤ 184 s (1.3 × the 141.5 s round-12
-  * anchor run — zero failures; the round-10 170-query subset read
-  * 132.4 s in that run, inside its prior 135 s ceiling). Queries added
-  * after an anchor (currently q179+) are excluded from the ratchet until
-  * the anchor is re-taken on a quiet run that includes them — see
-  * PLANS.md "Round 13" for the current full-set anchor once taken. A
-  * quiet-host total past the ceiling is
-  * a regression to fix, not variance to wave at — EXCEPT the stateful
-  * streaming family (q75/q119/q132/q138/q142/q176), whose RocksDB +
-  * checkpoint I/O swings ±50% between back-to-back quiet runs (PLANS.md
-  * round 12); judge them per-query against their own band, not the sum.
+  * total over the ROUND-13 QUERY SET (all 210 queries, q1–q213) must
+  * stay ≤ 226 s (1.3 × the 174.2 s round-13 anchor — a zero-failure
+  * full run on the round-13 build host; within it the round-12
+  * 180-query subset read 132.4 s, inside its prior 184 s ceiling).
+  * Queries added after this anchor are excluded from the ratchet until
+  * it is re-taken on a quiet run that includes them — see PLANS.md
+  * "Round 13 anchor". A quiet-host total past the ceiling is a
+  * regression to fix, not variance to wave at — EXCEPT (a) the stateful
+  * streaming family (q75/q119/q132/q138/q142/q176, now also
+  * q184/q194/q206/q208/q209), whose RocksDB/checkpoint I/O and
+  * wall-clock trigger protocols swing ±50% between back-to-back quiet
+  * runs (PLANS.md round 12), and (b) iterative graph queries inside a
+  * FULL 210-query run, which read up to ~1.5× their targeted-run cost
+  * from same-JVM GC pressure (q150: 5.6 s in the anchor run, 3.7 s
+  * min-of-3 targeted immediately after — PLANS.md round 13). Judge both
+  * families per-query against their own band, not the sum.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
