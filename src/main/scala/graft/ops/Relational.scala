@@ -1209,11 +1209,78 @@ object Relational {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  // ---- q215: DISTRIBUTE BY / SORT BY — explicit physical layout in SQL ----
+  // The SQL spelling of repartition + sortWithinPartitions: DISTRIBUTE BY
+  // hash-shuffles on the key, SORT BY orders WITHIN each partition with
+  // NO global sort (the plan lock: hashpartitioning exchange + a
+  // global=false Sort, and no rangepartitioning anywhere) — the layout
+  // clause a 100 TB ETL job uses to organize output for a downstream
+  // bucketed consumer without paying a total order. Layout never changes
+  // CONTENT: the aggregate on top must hash-match the plain oracle.
+  def q215DistributeSortBy(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q215")
+    val clustered = s.sql(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |FROM lineitem_q215
+        |DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""".stripMargin)
+    val plan = clustered.queryExecution.executedPlan.toString
+    require(plan.contains("hashpartitioning"),
+      s"q215: DISTRIBUTE BY must hash-shuffle:\n$plan")
+    require(plan.contains("Sort") && !plan.contains("rangepartitioning"),
+      s"q215: SORT BY must sort within partitions, never globally:\n$plan")
+    clustered
+      .groupBy((col("l_orderkey") % 97).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("bucket")
+  }
+
+  val q215Sql: String =
+    """SELECT l_orderkey % 97 AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q216: script TRANSFORM (Hive-style pipe through a subprocess) ------
+  // The escape hatch predating UDFs: `SELECT TRANSFORM(...) USING 'cmd'`
+  // serializes rows to tab-separated lines on the child's stdin and
+  // parses its stdout back — the ScriptTransformation operator, running
+  // WITHOUT Hive (the default row format). `tr a-z A-Z` uppercases the
+  // whole line (digits and tabs pass through), so the subprocess hop is
+  // proven by content: lang comes back uppercased, doc_id survives
+  // numerically, and the aggregate hash-matches the oracle's upper().
+  // Scale shape: one subprocess per task, rows streamed — the same
+  // contract as any external-binary feature extractor in a pipeline.
+  def q216ScriptTransform(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents_q216")
+    s.sql("""SELECT TRANSFORM(doc_id, lang, n_chars)
+            |  USING 'tr a-z A-Z'
+            |  AS (doc_id BIGINT, lang_upper STRING, n_chars BIGINT)
+            |FROM documents_q216""".stripMargin)
+      .groupBy("lang_upper")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang_upper")
+  }
+
+  val q216Sql: String =
+    """SELECT upper(lang) AS lang_upper, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_sql_pivot_unpivot" -> q201SqlPivotUnpivot _,
     "q210_cache_table" -> q210CacheTable _,
     "q212_sql_pipe_syntax" -> q212SqlPipeSyntax _,
     "q213_ignore_nulls" -> q213IgnoreNulls _,
+    "q215_distribute_sort_by" -> q215DistributeSortBy _,
+    "q216_script_transform" -> q216ScriptTransform _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1259,6 +1326,8 @@ object Relational {
     "q210_cache_table" -> q210Sql,
     "q212_sql_pipe_syntax" -> q212Sql,
     "q213_ignore_nulls" -> q213Sql,
+    "q215_distribute_sort_by" -> q215Sql,
+    "q216_script_transform" -> q216Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,

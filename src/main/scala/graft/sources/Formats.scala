@@ -699,6 +699,64 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q214: dynamic partition overwrite on a partitioned parquet table ---
+  // The FILE-source twin of q186's V2 overwrite-by-filter: a
+  // `partitionBy(lang)` parquet table receives an overwrite that carries
+  // ONLY the re-crawled 'de' slice, with partitionOverwriteMode=dynamic —
+  // the writer replaces exactly the partitions present in the incoming
+  // data and leaves every other lang directory untouched (require()d:
+  // identical file listing + sizes; static mode would have truncated the
+  // whole table). This is how 100 TB partitioned tables absorb daily
+  // re-deliveries without full rewrites. Read-back digest covers every
+  // row — replaced and carried partitions both on the hash path.
+  def q214DynamicPartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"dyn_overwrite:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val tablePath = p.resolve("docs").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      docs.write.partitionBy("lang").mode("overwrite").parquet(tablePath)
+      def files(): Map[String, Long] = {
+        val walk = java.nio.file.Files.walk(p.resolve("docs"))
+        try walk.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(f => p.resolve("docs").relativize(f).toString ->
+            java.nio.file.Files.size(f)).toMap
+        finally walk.close()
+      }
+      val before = files()
+      docs.filter(col("lang") === "de")
+        .withColumn("n_chars", col("n_chars") + lit(1000L))
+        .write.partitionBy("lang")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tablePath)
+      val after = files()
+      val untouchedBefore = before.filterNot(_._1.startsWith("lang=de"))
+      val untouchedAfter = after.filterNot(_._1.startsWith("lang=de"))
+      require(untouchedBefore == untouchedAfter,
+        s"q214: dynamic overwrite disturbed unmatched partitions:\n$before\nvs\n$after")
+      require(after.keys.exists(_.startsWith("lang=de")) &&
+        before.keys.filter(_.startsWith("lang=de")).toSet !=
+          after.keys.filter(_.startsWith("lang=de")).toSet,
+        "q214: the delivered partition was not replaced")
+    }
+    s.read.parquet(s"$staged/docs")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang")
+  }
+
+  val q214Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- q211: delta-log COMPACTION — fold merge-on-read debt back to base --
   // q207 leaves the table correct but with read-time debt (every scan
   // re-applies the log); compaction pays it down: snapshot the MERGED
@@ -1190,6 +1248,7 @@ object Formats {
     "q204_sql_merge" -> q204SqlMerge _,
     "q207_delta_merge" -> q207DeltaMerge _,
     "q211_delta_compaction" -> q211DeltaCompaction _,
+    "q214_dynamic_partition_overwrite" -> q214DynamicPartitionOverwrite _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1218,5 +1277,6 @@ object Formats {
     "q204_sql_merge" -> q204Sql,
     "q207_delta_merge" -> q207Sql,
     "q211_delta_compaction" -> q211Sql,
+    "q214_dynamic_partition_overwrite" -> q214Sql,
   )
 }
