@@ -1293,6 +1293,79 @@ object EventStream {
        |GROUP BY 1, 2
        |ORDER BY hour_start, n_name""".stripMargin
 
+  // ---- q217: ForeachWriter sink — the per-row streaming sink API ----------
+  // The last streaming-sink surface next to the V2 EpochSink (q174):
+  // `ForeachWriter`'s open(partition, epoch)/process/close contract, the
+  // convenience API for pushing rows at external systems. Correct use is
+  // EPOCH-AWARE: each (partition, epoch) opens one output unit, so a
+  // replayed epoch OVERWRITES its own unit instead of duplicating (the
+  // at-least-once → effectively-once upgrade the open() signature
+  // exists for). The 4-batch update-mode aggregation emits per-epoch
+  // running rows; the read-back keeps each user's LATEST epoch emission
+  // — which must equal the batch GROUP BY (same oracle as q194). A sink
+  // that dropped an epoch file, mixed epochs, or emitted stale rows as
+  // final fails the hash.
+  private class Q217Writer(dirPath: String)
+      extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    @transient private var out: java.io.BufferedWriter = _
+    @transient private var epoch: Long = _
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      epoch = epochId
+      out = java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(dirPath, s"p$partitionId-e$epochId.csv"))
+      true
+    }
+    override def process(r: org.apache.spark.sql.Row): Unit =
+      out.write(s"$epoch,${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}\n")
+    override def close(errorOrNull: Throwable): Unit =
+      if (out != null) out.close()
+  }
+
+  def q217ForeachWriterSink(s: SparkSession, dir: String): DataFrame = {
+    val staged = graft.TempDirs.staged(s"events_tws:$dir") { p =>
+      graft.Tables.events(s, dir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(p.toString)
+    }
+    val sink = graft.TempDirs.staged(s"foreach_sink:$dir") { out =>
+      val q = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .select(col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+        .writeStream
+        .outputMode("update")
+        .foreach(new Q217Writer(out.toString))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(desc("epoch"))
+    s.read
+      .schema("epoch LONG, user_id LONG, n_events LONG, cents LONG")
+      .csv(s"$sink/p*-e*.csv")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "n_events", "cents")
+      .orderBy("user_id")
+  }
+
+  /** Latest-epoch emissions ≡ the batch aggregate — q194's oracle.
+    * (lazy: q194Sql is declared later in the file — a strict val here
+    * would initialize to null under top-down object init)
+    */
+  lazy val q217Sql: String = q194Sql
+
   // ---- q209: streaming observe() — in-flight metric collection ------------
   // q171 proves Dataset.observe for batch; streams are where it earns its
   // keep: per-micro-batch audit metrics collected in the SAME pass as the
@@ -1565,6 +1638,7 @@ object EventStream {
     "q206_chained_window_aggs" -> (q206ChainedWindowAggs _),
     "q208_stream_outer_join" -> (q208StreamOuterJoin _),
     "q209_stream_observe" -> (q209StreamObserve _),
+    "q217_foreach_writer_sink" -> (q217ForeachWriterSink _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1592,5 +1666,6 @@ object EventStream {
     "q206_chained_window_aggs" -> q206Sql,
     "q208_stream_outer_join" -> q208Sql,
     "q209_stream_observe" -> q209Sql,
+    "q217_foreach_writer_sink" -> q217Sql,
   )
 }
