@@ -1274,6 +1274,207 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q218: ANSI error-safe arithmetic (try_* family) --------------------
+  // Spark 4 runs ANSI mode by default: overflow/÷0/bad casts THROW unless
+  // the query opts into the three-valued `try_*` forms, which return NULL
+  // exactly where the strict form would error — the contract a 100 TB
+  // pipeline needs to quarantine poison rows instead of dying mid-job.
+  // Each family is exercised on deterministically-placed edges (÷0 on
+  // doc_id % 5, long overflow on doc_id % 3, unparsable casts from text,
+  // a bounded to_number format) and the oracle restates every NULL
+  // placement as CASE logic, so the exact null semantics of all four
+  // functions sit under the hash. Sums stay integer (`div`), never the
+  // try_divide double.
+  def q218TrySafeArithmetic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("text"),
+        expr("try_divide(n_chars, doc_id % 5)").as("d"),
+        expr("try_multiply(9223372036854775807L, CASE WHEN doc_id % 3 = 0 THEN 2L ELSE 1L END)").as("m"),
+        expr("try_cast(substr(text, 1, 2) AS INT)").as("c"),
+        expr("try_to_number(CAST(n_chars AS STRING), '999')").as("p"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("d").isNull, 1)).as("n_div_zero"),
+        count(when(col("m").isNull, 1)).as("n_overflow"),
+        count(col("c")).as("n_cast_ok"),
+        count(col("p")).as("n_parsed"),
+        sum(expr("n_chars div nullif(doc_id % 5, 0)")).as("sum_quot"))
+      .orderBy("lang")
+
+  val q218Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN doc_id % 5 = 0 THEN 1 END) AS n_div_zero,
+      |  COUNT(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS n_overflow,
+      |  COUNT(CASE WHEN regexp_matches(substr(text, 1, 2), '^[0-9]+$') THEN 1 END) AS n_cast_ok,
+      |  COUNT(CASE WHEN n_chars <= 999 THEN 1 END) AS n_parsed,
+      |  CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN n_chars // (doc_id % 5) END) AS BIGINT) AS sum_quot
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q219: collated strings (UTF8_LCASE) --------------------------------
+  // Spark 4's collation support: strings carry a COLLATION and every
+  // comparison/grouping honors it. A mixed-case key (upper(lang) on even
+  // doc_ids) groups under UTF8_LCASE into case-classes; the emitted
+  // representative is MIN under BINARY collation ('EN' < 'en'), so the
+  // output is deterministic and the oracle can restate the whole thing
+  // with lower()+min(). A collated equality against an UPPERCASE
+  // dimension literal proves comparisons too ('EN' = 'en' under LCASE).
+  // At scale collation is a property of the exchange hash — grouping
+  // collated keys shuffles case-insensitively with no lower() rewrite.
+  def q219Collations(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents_q219")
+    s.sql("""SELECT COLLATE(mixed, 'UTF8_LCASE') AS k,
+            |  MIN(COLLATE(mixed, 'UTF8_BINARY')) AS min_key,
+            |  COUNT(*) AS n,
+            |  COUNT(CASE WHEN COLLATE(mixed, 'UTF8_LCASE') = COLLATE(upper(mixed), 'UTF8_LCASE')
+            |             THEN 1 END) AS n_eq_upper
+            |FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mixed
+            |      FROM documents_q219)
+            |GROUP BY k
+            |ORDER BY min_key""".stripMargin)
+      .drop("k")
+  }
+
+  val q219Sql: String =
+    """SELECT MIN(mixed) AS min_key, COUNT(*) AS n, COUNT(*) AS n_eq_upper
+      |FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS mixed
+      |      FROM documents) x
+      |GROUP BY lower(mixed)
+      |ORDER BY 1""".stripMargin
+
+  // ---- q220: ANSI interval types — typed durations as data ----------------
+  // Day-time and year-month INTERVALS as first-class column values:
+  // ts − midnight is a DayTimeInterval, SUM/AVG aggregate them natively,
+  // and CAST(interval AS BIGINT) yields exact integral seconds/months —
+  // so the whole typed-duration path (construction, arithmetic,
+  // aggregation, cast-out) is integer-exact under the oracle, which
+  // computes the same totals from epoch arithmetic. AVG truncation to
+  // whole seconds is part of the pinned semantics (cast truncates the
+  // fractional second).
+  def q220IntervalArithmetic(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .select(col("event_type"),
+        // whole-second flooring first: ts carries microseconds, and the
+        // oracle's date_diff('second') floors per row — the interval sum
+        // must aggregate the same floored quantities
+        (date_trunc("second", col("ts")).cast("timestamp")
+          - date_trunc("day", col("ts")).cast("timestamp"))
+          .as("since_midnight"),
+        expr("make_ym_interval(0, CAST(month(ts) AS INT))").as("ym"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(since_midnight) AS BIGINT)").as("sum_sec"),
+        expr("CAST(AVG(since_midnight) AS BIGINT)").as("avg_sec"),
+        expr("CAST(SUM(ym) AS INT)").as("sum_months"))
+      .orderBy("event_type")
+
+  val q220Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(sec) AS BIGINT) AS sum_sec,
+      |  CAST(SUM(sec) // COUNT(*) AS BIGINT) AS avg_sec,
+      |  CAST(SUM(month(ts)) AS INT) AS sum_months
+      |FROM (SELECT event_type, ts,
+      |        date_diff('second', date_trunc('day', CAST(ts AS TIMESTAMP)),
+      |                  CAST(ts AS TIMESTAMP)) AS sec
+      |      FROM events) e
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q221: map-typed higher-order functions -----------------------------
+  // The map-HOF family completing q91/q94: a per-order map of
+  // priority→cents is built with map_from_entries, then reshaped entirely
+  // inside codegen'd lambdas — transform_values (scale), transform_keys
+  // (prefix), map_filter (threshold), map_zip_with (merge with a
+  // same-keyed count map) — and flattened back to relational rows for the
+  // oracle, which reconstructs every entry arithmetically. No shuffle
+  // until the final group-by: map algebra is projection work.
+  def q221MapHofs(s: SparkSession, dir: String): DataFrame =
+    // per-(custkey, priority) MAX first: map keys are then unique and the
+    // map content is order-independent (collect_list order never matters)
+    t(s, dir, "orders")
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(max(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        count(lit(1)).as("n"))
+      .groupBy("o_custkey")
+      .agg(expr("map_from_entries(collect_list(struct(o_orderpriority, cents)))").as("m"),
+        sum("n").as("n_orders"))
+      .select(col("o_custkey"), col("n_orders"),
+        expr("map_filter(transform_values(m, (k, v) -> v * 2), (k, v) -> v >= 40000000)").as("big2x"),
+        expr("transform_keys(m, (k, v) -> concat('p_', substr(k, 1, 1)))").as("pk"))
+      .select(col("o_custkey"), col("n_orders"),
+        expr("cardinality(big2x)").as("n_big"),
+        expr("aggregate(map_values(big2x), 0L, (a, x) -> a + x)").as("sum_big2x"),
+        expr("aggregate(map_values(map_zip_with(pk, pk, (k, a, b) -> a + b)), 0L, (acc, x) -> acc + x)").as("sum_self_merge"))
+      .orderBy("o_custkey")
+
+  val q221Sql: String =
+    """WITH pm AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders
+      |  GROUP BY 1, 2),
+      |n AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+      |SELECT pm.o_custkey, n.n_orders,
+      |  COUNT(CASE WHEN pm.cents * 2 >= 40000000 THEN 1 END) AS n_big,
+      |  CAST(COALESCE(SUM(CASE WHEN pm.cents * 2 >= 40000000 THEN pm.cents * 2 END), 0) AS BIGINT) AS sum_big2x,
+      |  CAST(SUM(pm.cents * 2) AS BIGINT) AS sum_self_merge
+      |FROM pm JOIN n ON n.o_custkey = pm.o_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1""".stripMargin
+
+  // ---- q222: generator breadth — stack / inline / posexplode_outer --------
+  // The remaining row-generator spellings next to explode/sequence (q61,
+  // q173): `stack` folds wide columns into rows, `inline` flattens an
+  // array<struct> directly, and `posexplode_outer` KEEPS the parent row
+  // when the array is empty (emitting nulls) — the outer-generator
+  // semantics that silently drop rows when forgotten. Empty arrays are
+  // planted deterministically (doc_id % 4 = 0), and the oracle restates
+  // all three expansions as UNION ALL / CASE relational algebra.
+  def q222GeneratorBreadth(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("documents_q222")
+    s.sql("""
+      |WITH stacked AS (
+      |  SELECT doc_id, metric, val FROM (
+      |    SELECT doc_id, stack(2, 'chars', n_chars, 'words',
+      |      CAST(size(split(text, ' ')) AS BIGINT)) AS (metric, val)
+      |    FROM documents_q222)),
+      |inlined AS (
+      |  SELECT doc_id, pos, tok FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 4 = 0 THEN array()
+      |           ELSE array(struct(1 AS pos, lang AS tok),
+      |                      struct(2 AS pos, source AS tok)) END AS arr
+      |    FROM documents_q222)
+      |  LATERAL VIEW OUTER inline(arr) t AS pos, tok)
+      |SELECT s.metric,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(s.val) AS BIGINT) AS sum_val,
+      |  COUNT(CASE WHEN i.pos IS NULL THEN 1 END) AS n_kept_empty
+      |FROM stacked s JOIN inlined i ON i.doc_id = s.doc_id
+      |GROUP BY s.metric
+      |ORDER BY s.metric""".stripMargin)
+  }
+
+  val q222Sql: String =
+    """WITH stacked AS (
+      |  SELECT doc_id, 'chars' AS metric, n_chars AS val FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'words',
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      |  FROM documents),
+      |inlined AS (
+      |  SELECT doc_id, 1 AS pos FROM documents WHERE doc_id % 4 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 2 FROM documents WHERE doc_id % 4 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL FROM documents WHERE doc_id % 4 = 0)
+      |SELECT s.metric, COUNT(*) AS n, CAST(SUM(s.val) AS BIGINT) AS sum_val,
+      |  COUNT(CASE WHEN i.pos IS NULL THEN 1 END) AS n_kept_empty
+      |FROM stacked s JOIN inlined i ON i.doc_id = s.doc_id
+      |GROUP BY s.metric
+      |ORDER BY s.metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_sql_pivot_unpivot" -> q201SqlPivotUnpivot _,
     "q210_cache_table" -> q210CacheTable _,
@@ -1281,6 +1482,11 @@ object Relational {
     "q213_ignore_nulls" -> q213IgnoreNulls _,
     "q215_distribute_sort_by" -> q215DistributeSortBy _,
     "q216_script_transform" -> q216ScriptTransform _,
+    "q218_try_safe_arithmetic" -> q218TrySafeArithmetic _,
+    "q219_collations" -> q219Collations _,
+    "q220_interval_arithmetic" -> q220IntervalArithmetic _,
+    "q221_map_hofs" -> q221MapHofs _,
+    "q222_generator_breadth" -> q222GeneratorBreadth _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_top_revenue" -> q3TopRevenue _,
@@ -1328,6 +1534,11 @@ object Relational {
     "q213_ignore_nulls" -> q213Sql,
     "q215_distribute_sort_by" -> q215Sql,
     "q216_script_transform" -> q216Sql,
+    "q218_try_safe_arithmetic" -> q218Sql,
+    "q219_collations" -> q219Sql,
+    "q220_interval_arithmetic" -> q220Sql,
+    "q221_map_hofs" -> q221Sql,
+    "q222_generator_breadth" -> q222Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_top_revenue" -> q3Sql,
