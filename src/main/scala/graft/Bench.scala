@@ -6,14 +6,15 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-13 QUERY SET (all 214 queries, q1–q217) must
-  * stay ≤ 205 s (1.3 × the 157.6 s round-13 final anchor — a
-  * zero-failure full run on the round-13 build host; an earlier 210-query
-  * run on the same host read 174.2 s under ambient load, and within it
-  * the round-12 180-query subset read 132.4 s, inside its prior 184 s
-  * ceiling). Queries added after this anchor are excluded from the
-  * ratchet until it is re-taken on a quiet run that includes them — see
-  * PLANS.md "Round 13 anchor". A quiet-host total past the ceiling is a
+  * total over the ROUND-13 QUERY SET (all 219 queries, q1–q222) must
+  * stay ≤ 207 s (1.3 × the 159.1 s round-13 final anchor — a
+  * zero-failure, zero-flaky full run on the round-13 build host; the
+  * 214-query set read 157.6 s in the preceding anchor on the same host,
+  * and within the earlier runs the round-12 180-query subset read
+  * 132.4 s, inside its prior 184 s ceiling). Queries added after this
+  * anchor are excluded from the ratchet until it is re-taken on a quiet
+  * run that includes them — see PLANS.md "Round 13 anchor".
+  * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
   * q184/q194/q206/q208/q209), whose RocksDB/checkpoint I/O and
