@@ -43,6 +43,7 @@ object Verify {
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: $msg")
+        e.printStackTrace()
         errors(name) = msg
         Files.writeString(Paths.get(s"$outDir/$name._error"), msg)
       }

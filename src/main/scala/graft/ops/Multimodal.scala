@@ -588,6 +588,91 @@ object Multimodal {
       |JOIN zc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q227: JPEG decode — a REAL lossy codec in the envelope -------------
+  // PPM (q71), PNG (q147), and WAV (q162) are hand-walked containers; JPEG
+  // — the dominant crawl-image format — exercises an actual CODEC LIBRARY
+  // inside the same partition-batched envelope, using only the JDK's
+  // built-in `javax.imageio` (no new dependency). Each document gets a
+  // solid-color JPEG with dimensions derived from its columns; the decode
+  // extracts geometry (exactly recoverable — JPEG is lossy in PIXELS,
+  // never in dimensions/bands, so the oracle predicts them from the
+  // source table) plus the center pixel, and the query GATES fidelity on
+  // the oracled path: every decoded channel must sit within the codec's
+  // tolerance of the encoded color (a broken encode/decode pairing fails
+  // the require before any row reaches the compare). Corruption classes —
+  // truncated stream, wrong magic — are spec-pinned to fail loudly.
+  private[graft] def encodeJpeg(docId: Long, nChars: Long): Array[Byte] = {
+    val w = 32 + (nChars % 32).toInt
+    val h = 32 + (docId % 24).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = ((docId % 256).toInt << 16) | ((nChars % 256).toInt << 8) |
+      ((docId + nChars) % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      s"doc $docId: no JPEG writer available")
+    bos.toByteArray
+  }
+
+  def decodeJpeg(m: MediaRow): DecodedMedia = {
+    val b = m.payload
+    // SOI marker first — reject non-JPEG bytes BEFORE handing them to the
+    // codec (a decoder that sniffs formats silently is how corrupt crawl
+    // payloads end up decoded as the wrong thing)
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      s"doc ${m.doc_id}: payload lacks the JPEG SOI marker")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, s"doc ${m.doc_id}: JPEG stream undecodable")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = img.getRGB(w / 2, h / 2)
+    DecodedMedia(m.doc_id, m.media_type, b.length, w, h,
+      img.getRaster.getNumBands, "jpeg",
+      (px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+  }
+
+  def q227JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val decoded = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaRow(id, encodeJpeg(id, n), "image/jpeg")
+      })
+      .mapPartitions(_.map(decodeJpeg))
+      .toDF()
+    // fidelity gate on the oracled path: lossy channels within tolerance
+    // of the encoded solid color (solid fields survive JPEG nearly exact;
+    // 12/255 is far beyond any compliant codec's drift on them)
+    val offTolerance = decoded
+      .join(t(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      .filter(
+        greatest(
+          abs(col("first_r") - col("doc_id") % 256),
+          abs(col("first_g") - col("n_chars") % 256),
+          abs(col("first_b") - (col("doc_id") + col("n_chars")) % 256)) > 12)
+      .count()
+    require(offTolerance == 0,
+      s"q227: $offTolerance decoded JPEGs drifted beyond codec tolerance")
+    decoded
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("channels"), col("format"))
+      .orderBy("doc_id")
+  }
+
+  val q227Sql: String =
+    """SELECT doc_id, 'image/jpeg' AS media_type,
+      |  CAST(32 + n_chars % 32 AS INT) AS width,
+      |  CAST(32 + doc_id % 24 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels, 'jpeg' AS format
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_binary_meta" -> q70BinaryMeta _,
@@ -596,6 +681,7 @@ object Multimodal {
     "q74_frame_sample" -> q74FrameSample _,
     "q147_png_header" -> q147PngHeader _,
     "q162_wav_features" -> q162WavFeatures _,
+    "q227_jpeg_decode" -> q227JpegDecode _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -605,5 +691,6 @@ object Multimodal {
     "q74_frame_sample" -> q74Sql,
     "q147_png_header" -> q147Sql,
     "q162_wav_features" -> q162Sql,
+    "q227_jpeg_decode" -> q227Sql,
   )
 }

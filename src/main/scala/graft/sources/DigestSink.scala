@@ -80,10 +80,80 @@ object DigestSink {
     else None
 }
 
+/** The table's COMMIT LOG. Every manifest publish goes through here: the
+  * new listing is first snapshotted as the next numbered version
+  * (`_MANIFEST.v<N>`, a fresh file no current reader can be holding), its
+  * (version, epoch-micros) pair is appended to `_VERSIONS`, and only then
+  * does the atomic temp+rename flip `_MANIFEST` — so the CURRENT pointer
+  * moves last and a versioned snapshot exists for every state the table
+  * ever published. This is the metadata layer `VERSION AS OF` /
+  * `TIMESTAMP AS OF` (q224) resolves against — the same
+  * snapshot-log-plus-current-pointer shape every production table format
+  * uses, at manifest granularity.
+  */
+private[graft] object DigestManifest {
+  private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Atomically publish `lines` as the current manifest; returns the
+    * version number the snapshot was recorded under.
+    */
+  def publish(path: String, lines: Seq[String]): Int = synchronized {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val v = currentVersion(path) + 1
+    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    Files.write(dir.resolve(s"_MANIFEST.v$v"), bytes)
+    // strictly monotone micros: two commits inside one clock tick must
+    // still be distinguishable by TIMESTAMP AS OF
+    val now = System.currentTimeMillis() * 1000L
+    val ts = lastMicros.updateAndGet(prev => math.max(now, prev + 1))
+    Files.write(dir.resolve("_VERSIONS"), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    val tmp = dir.resolve("_MANIFEST.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, dir.resolve("_MANIFEST"), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  def currentVersion(path: String): Int = {
+    val vf = Paths.get(path, "_VERSIONS")
+    if (!Files.exists(vf)) 0
+    else {
+      val ls = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(vf)).asScala.filter(_.nonEmpty)
+      if (ls.isEmpty) 0 else ls.map(_.split(",")(0).toInt).max
+    }
+  }
+
+  /** Resolve `TIMESTAMP AS OF` micros to the latest version committed at
+    * or before it (the standard as-of semantics).
+    */
+  def versionAt(path: String, micros: Long): Int = {
+    val vf = Paths.get(path, "_VERSIONS")
+    require(Files.exists(vf), s"graft_digest: no commit log at $path")
+    val entries = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(vf)).asScala.filter(_.nonEmpty)
+      .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong) }
+    val at = entries.filter(_._2 <= micros)
+    require(at.nonEmpty,
+      s"graft_digest: no committed version at or before timestamp $micros " +
+        s"(earliest commit: ${entries.map(_._2).min})")
+    at.map(_._1).max
+  }
+}
+
 class DigestSinkTable(path: String, langSplit: Boolean = false,
     requireDist: Boolean = false) extends Table with SupportsWrite
     with SupportsRead with SupportsDelete {
   require(path != null && path.nonEmpty, "DigestSink requires a path option")
+  /** When true (the time-travel-capable delta flavor), commits RETIRE
+    * manifest entries but never physically delete the files they name —
+    * every `_MANIFEST.v<N>` snapshot stays resolvable forever (history
+    * expiry would be a separate maintenance action, like snapshot expiry
+    * in any table format).
+    */
+  protected def retainHistory: Boolean = false
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -96,7 +166,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DigestWriteBuilder(path, langSplit, requireDist)
+    new DigestWriteBuilder(path, langSplit, requireDist, retainHistory)
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
@@ -138,18 +208,20 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
       val f = line.split(",")(0)
       all || DigestSink.langOf(f).exists(langs.contains)
     }
-    dead.map(_.split(",")(0))
-      .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
-    // same atomic publish as job commit: temp + rename, so a reader never
-    // observes a manifest naming already-deleted files
-    val tmp = Paths.get(path, "_MANIFEST.tmp")
-    Files.write(tmp, keep.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // publish the shrunk manifest FIRST (atomic temp+rename), THEN delete
+    // the dropped files: the published listing never names a file that is
+    // already gone, so a reader planning at any instant sees a complete
+    // table (a reader that planned against the OLD manifest races the
+    // physical delete — the retainHistory flavor removes even that window)
+    DigestManifest.publish(path, keep)
+    if (!retainHistory)
+      dead.map(_.split(",")(0))
+        .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
   }
 }
 
-class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean)
+class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
+    retainHistory: Boolean = false)
     extends WriteBuilder with SupportsOverwrite {
   // None = append; Some(filters) = overwrite the matching region
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -169,12 +241,14 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean)
   }
 
   override def build(): Write =
-    new DigestWrite(path, langSplit, requireDist, overwriteFilters)
+    new DigestWrite(path, langSplit, requireDist, overwriteFilters,
+      retainHistory = retainHistory)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     overwriteFilters: Option[Array[Filter]],
-    cols: Array[Int] = Array(0, 1, 2))
+    cols: Array[Int] = Array(0, 1, 2),
+    retainHistory: Boolean = false)
     extends Write with RequiresDistributionAndOrdering {
 
   // q187: the sink-declared layout contract. Clustering by lang puts each
@@ -197,18 +271,29 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     if (requireDist || langSplit) 4 else 0
 
   override def toBatch: BatchWrite =
-    new DigestBatchWrite(path, langSplit, overwriteFilters, cols)
+    new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory)
 }
 
 class DigestBatchWrite(path: String, langSplit: Boolean = false,
     overwriteFilters: Option[Array[Filter]] = None,
-    cols: Array[Int] = Array(0, 1, 2)) extends BatchWrite {
+    cols: Array[Int] = Array(0, 1, 2),
+    retainHistory: Boolean = false) extends BatchWrite {
   def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
 
+  // history-retaining tables must never REUSE a committed file name: an
+  // in-place rewrite would silently corrupt every older `_MANIFEST.v<N>`
+  // that names it even though nothing was deleted — so each JOB gets a
+  // unique tag woven into its final file names, chosen once at BatchWrite
+  // construction (one tag per job however many tasks/attempts run)
+  private val jobTag: String =
+    if (retainHistory)
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    else ""
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DigestWriterFactory(path, langSplit, cols)
+    new DigestWriterFactory(path, langSplit, cols, jobTag)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
@@ -219,10 +304,10 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
           Files.readAllLines(manifestPath)).asScala.toSeq
       else Seq.empty
 
-    // the overwritten region: delete ONLY its files; everything else
+    // the overwritten region: retire ONLY its entries; everything else
     // survives untouched (file and manifest entry alike)
-    val surviving: Seq[String] = overwriteFilters match {
-      case None => old // append: keep all previously committed entries
+    val (surviving: Seq[String], dead: Seq[String]) = overwriteFilters match {
+      case None => (old, Nil) // append: keep all previously committed entries
       case Some(filters) =>
         val all = filters.exists(_.isInstanceOf[AlwaysTrue])
         val langs: Set[String] = filters.collect {
@@ -231,24 +316,25 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
         }.flatten.toSet
         def replaced(fileName: String): Boolean =
           all || DigestSink.langOf(fileName).exists(langs.contains)
-        val (dead, keep) = old.partition(l => replaced(l.split(",")(0)))
-        // a fresh file may land on the SAME final name as the dead entry
-        // it replaces (same lang, same partition id — rename-in-place):
-        // deleting by old name would destroy the just-committed file, so
-        // the fresh names are carved out of the deletion set
-        val freshNames = fresh.map(_.fileName).toSet
-        dead.map(_.split(",")(0)).filterNot(freshNames.contains)
-          .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
-        keep
+        val (d, keep) = old.partition(l => replaced(l.split(",")(0)))
+        (keep, d.map(_.split(",")(0)))
     }
 
     // job-level commit point: publish the merged manifest atomically
-    // (temp + rename) so a reader never observes a half-written listing
+    // FIRST, so the listing never names an already-deleted file; physical
+    // deletion of the retired region follows (and is skipped entirely by
+    // the history-retaining flavor — old versions stay resolvable)
     val lines = (surviving ++ fresh.map(f => s"${f.fileName},${f.rows}")).sorted
-    val tmp = Paths.get(path, "_MANIFEST.tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    DigestManifest.publish(path, lines)
+    if (!retainHistory) {
+      // a fresh file may land on the SAME final name as the dead entry
+      // it replaces (same lang, same partition id — rename-in-place):
+      // deleting by old name would destroy the just-committed file, so
+      // the fresh names are carved out of the deletion set
+      val freshNames = fresh.map(_.fileName).toSet
+      dead.filterNot(freshNames.contains)
+        .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -326,17 +412,34 @@ class DigestRowLevelOperation(path: String,
 // compaction (q146's shape) folds the log down.
 // ---------------------------------------------------------------------------
 
-class DigestDeltaTable(path: String)
+class DigestDeltaTable(path: String, asOfVersion: Option[Int] = None)
     extends DigestSinkTable(path, langSplit = true)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  // the delta flavor is the table you time-travel on, so it retains
+  // history: commits retire manifest entries but never delete files, and
+  // every job writes under a unique tag so no committed name is reused
+  override protected def retainHistory: Boolean = true
+  override def name(): String =
+    s"graft_digest_delta($path${asOfVersion.fold("")(v => s"@v$v")})"
+
+  private def readOnly(verb: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft_digest: $verb on a VERSION/TIMESTAMP AS OF snapshot — " +
+        "time-travel reads are immutable; write to the current table")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    if (asOfVersion.isEmpty) super.newWriteBuilder(info) else readOnly("write")
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DigestDeltaOperation(path, info.command())
+    if (asOfVersion.isEmpty) () => new DigestDeltaOperation(path, info.command())
+    else readOnly(info.command().toString)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DigestScanBuilder(path, mergeDeltas = true)
+    new DigestScanBuilder(path, mergeDeltas = true,
+      manifestName = asOfVersion.fold("_MANIFEST")(v => s"_MANIFEST.v$v"))
 }
 
 class DigestDeltaOperation(path: String,
@@ -367,12 +470,21 @@ class DigestDeltaOperation(path: String,
 
 class DigestDeltaBatchWrite(path: String, cols: Array[Int])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  // one unique tag per MERGE job, chosen at BatchWrite construction: two
+  // merges against the same table produce delta files with distinct final
+  // names (partition ids alone repeat across jobs — reusing a name would
+  // clobber the prior merge's log while its manifest entry still counts
+  // it, silently losing verbs AND double-reading the survivor)
+  private val jobTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    DigestDeltaWriterFactory(path, cols)
+    DigestDeltaWriterFactory(path, cols, jobTag)
 
-  // job commit: append the delta files to the manifest (same atomic
-  // temp+rename publish); base entries survive untouched by construction
+  // job commit: append the delta files to the manifest in LOG ORDER (the
+  // fold replays verbs in manifest order — append order IS commit order);
+  // base entries survive untouched by construction
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
     val manifestPath = Paths.get(path, "_MANIFEST")
@@ -381,11 +493,15 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
         scala.jdk.CollectionConverters.ListHasAsScala(
           Files.readAllLines(manifestPath)).asScala.toSeq
       else Seq.empty
-    val lines = old ++ fresh.map(f => s"${f.fileName},${f.rows}")
-    val tmp = Paths.get(path, "_MANIFEST.tmp")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    // job-unique naming makes a duplicate structurally impossible; keep
+    // the check as the loud backstop (a duplicate entry would be read
+    // twice by DigestScan, corrupting the merge-on-read view)
+    val oldNames = old.map(_.split(",")(0)).toSet
+    val dup = fresh.map(_.fileName).filter(oldNames.contains)
+    require(dup.isEmpty,
+      s"graft_digest: delta commit would duplicate manifest entries: $dup")
+    DigestManifest.publish(path,
+      old ++ fresh.map(f => s"${f.fileName},${f.rows}").sorted)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -399,11 +515,12 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
   }
 }
 
-case class DigestDeltaWriterFactory(path: String, cols: Array[Int])
+case class DigestDeltaWriterFactory(path: String, cols: Array[Int],
+    jobTag: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
-    new DigestDeltaWriter(path, partitionId, taskId, cols)
+    new DigestDeltaWriter(path, partitionId, taskId, cols, jobTag)
 }
 
 /** Per-task delta-log writer: one staged `delta-` file of verb lines
@@ -411,10 +528,11 @@ case class DigestDeltaWriterFactory(path: String, cols: Array[Int])
   * and renamed on task commit like every other writer in this sink.
   */
 class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
-    cols: Array[Int]) extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+    cols: Array[Int], jobTag: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   Files.createDirectories(Paths.get(path))
   private val staged =
-    Paths.get(path, f"delta-part-$partitionId%05d-attempt-$taskId.staged")
+    Paths.get(path, f"delta-j$jobTag-part-$partitionId%05d-attempt-$taskId.staged")
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
 
@@ -431,7 +549,7 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val fin = Paths.get(path, f"delta-part-$partitionId%05d.csv")
+    val fin = Paths.get(path, f"delta-j$jobTag-part-$partitionId%05d.csv")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
   }
@@ -453,10 +571,11 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   * surviving inserts. The log is small relative to base by construction
   * (it holds CHANGES); production compaction folds it down periodically.
   */
-class DigestScanBuilder(path: String, mergeDeltas: Boolean = false)
+class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
+    manifestName: String = "_MANIFEST")
     extends ScanBuilder {
   def this(path: String) = this(path, false)
-  override def build(): Scan = new DigestScan(path, mergeDeltas)
+  override def build(): Scan = new DigestScan(path, mergeDeltas, manifestName)
 }
 
 /** Latest-wins merged intent for one row id: None = delete, Some(row) =
@@ -495,16 +614,18 @@ private[graft] object DeltaFold {
   }
 }
 
-class DigestScan(path: String, mergeDeltas: Boolean = false)
+class DigestScan(path: String, mergeDeltas: Boolean = false,
+    manifestName: String = "_MANIFEST")
     extends Scan with Batch {
   def this(path: String) = this(path, false)
   override def readSchema(): StructType = DigestSink.rowSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_digest manifest-read $path" + (if (mergeDeltas) " merge-on-read" else "")
+    s"graft_digest manifest-read $path/$manifestName" +
+      (if (mergeDeltas) " merge-on-read" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val manifestPath = Paths.get(path, "_MANIFEST")
+    val manifestPath = Paths.get(path, manifestName)
     if (!Files.exists(manifestPath)) return Array.empty
     val entries = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestPath)).asScala
@@ -515,7 +636,9 @@ class DigestScan(path: String, mergeDeltas: Boolean = false)
         s"graft_digest: delta log present but scan is not merge-on-read: $deltaFiles")
       baseFiles.map(f => DigestFilePartition(path, f): InputPartition).toArray
     } else {
-      val verbLines = deltaFiles.sorted.flatMap { f =>
+      // replay in MANIFEST order, not name order: append order is commit
+      // order, and job-unique file tags do not sort chronologically
+      val verbLines = deltaFiles.flatMap { f =>
         scala.jdk.CollectionConverters.ListHasAsScala(
           Files.readAllLines(Paths.get(path, f))).asScala
       }
@@ -591,11 +714,11 @@ case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
 
 class DigestWriterFactory(path: String, langSplit: Boolean = false,
-    cols: Array[Int] = Array(0, 1, 2))
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
     extends DataWriterFactory {
-  def this(path: String) = this(path, false, Array(0, 1, 2))
+  def this(path: String) = this(path, false, Array(0, 1, 2), "")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols)
+    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols, jobTag)
     else new DigestDataWriter(path, partitionId, taskId, cols)
 }
 
@@ -640,9 +763,12 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   * commit protocol per file.
   */
 class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
-    cols: Array[Int] = Array(0, 1, 2))
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
     extends DataWriter[InternalRow] {
   Files.createDirectories(Paths.get(path))
+  // "" (the default, non-history flavors) keeps the legacy rename-in-place
+  // names; a history-retaining job's tag makes its names globally unique
+  private val tagPart = if (jobTag.isEmpty) "" else s"j$jobTag-"
   private val open = scala.collection.mutable.LinkedHashMap
     .empty[String, (java.io.BufferedWriter, Path, Long)]
 
@@ -660,7 +786,7 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     val lang = safe(r.getUTF8String(base + cols(1)).toString)
     val (w, p, n) = open.getOrElseUpdate(lang, {
       val staged = Paths.get(path,
-        f"lang_$lang-part-$partitionId%05d-attempt-$taskId.staged")
+        f"lang_$lang-${tagPart}part-$partitionId%05d-attempt-$taskId.staged")
       (Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged, 0L)
     })
     w.write(s"${r.getLong(base + cols(0))},$lang,${r.getLong(base + cols(2))}\n")
@@ -670,7 +796,7 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
   override def commit(): WriterCommitMessage = {
     val files = open.toSeq.map { case (lang, (w, staged, n)) =>
       w.close()
-      val fin = Paths.get(path, f"lang_$lang-part-$partitionId%05d.csv")
+      val fin = Paths.get(path, f"lang_$lang-${tagPart}part-$partitionId%05d.csv")
       Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
       CommittedFile(fin.getFileName.toString, n)
     }

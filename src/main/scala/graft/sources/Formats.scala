@@ -1222,6 +1222,289 @@ object Formats {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ---- q223: ALTER TABLE schema evolution through the V2 catalog ----------
+  // The first DDL a real table user reaches for after CREATE: the
+  // graft_evolve flavor stores its schema as (field-id, name, type)
+  // triples in catalog metadata, so every ALTER below is a METADATA-ONLY
+  // commit — no committed file is rewritten (require()d byte-identical):
+  //   ADD COLUMN    → files written before it serve NULL (q112's
+  //                   mergeSchema semantics, now catalog-driven);
+  //   RENAME COLUMN → binds a new name to the same field id, so data
+  //                   written under the OLD name follows the rename
+  //                   (name-mapped readers would orphan it — the bug
+  //                   class field ids exist to kill);
+  //   DROP COLUMN   → retires the id; a later ADD of the same name gets
+  //                   a FRESH id and cannot resurrect stale bytes;
+  //   SET TBLPROPERTIES → plain metadata.
+  // The final read mixes pre- and post-evolution files in one scan, and
+  // the digest puts every row of both generations on the hash path.
+  def q223AlterTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docev_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_alter_table:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING)
+               |USING graft_evolve TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q223")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang FROM docs_q223 WHERE lang IN ('en','de')")
+      def fileBytes(): Map[String, Long] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala
+          .filter(_.nonEmpty).map(_.split(",")(0))
+          .map(f => f -> java.nio.file.Files.size(sink.resolve(f))).toMap
+      val gen0 = fileBytes()
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN n_chars BIGINT")
+      require(s.table(tbl).schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars"),
+        s"q223: ADD COLUMN not visible: ${s.table(tbl).schema.fieldNames.toSeq}")
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT doc_id, lang, n_chars FROM docs_q223
+               |WHERE lang IN ('es','fr','zh')""".stripMargin)
+      // a scratch column through the full add→drop cycle, then the rename
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN scratch STRING")
+      s.sql(s"ALTER TABLE $tbl DROP COLUMN scratch")
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN n_chars TO chars")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('note'='evolved')")
+      require(s.table(tbl).schema.fieldNames.toSeq == Seq("doc_id", "lang", "chars"),
+        s"q223: evolved schema wrong: ${s.table(tbl).schema.fieldNames.toSeq}")
+      // evolution is metadata-only: every generation-0 file survived every
+      // ALTER byte-identical
+      require(gen0.forall { case (f, n) =>
+        java.nio.file.Files.size(sink.resolve(f)) == n },
+        "q223: an ALTER rewrote a committed data file")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  COUNT(chars) AS n_with_chars,
+             |  COALESCE(SUM(chars), -1) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q223Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS chars
+      |  FROM documents WHERE lang IN ('en','de')
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('es','fr','zh'))
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(chars) AS n_with_chars,
+      |  CAST(COALESCE(SUM(chars), -1) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ev
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q224: time travel over the delta table's commit log ----------------
+  // Every manifest publish snapshots `_MANIFEST.v<N>` (DigestManifest), and
+  // the delta flavor NEVER deletes or renames-over a committed file, so
+  // `VERSION AS OF n` resolves (TableCatalog.loadTable(ident, version) →
+  // an immutable snapshot table) across the table's whole life:
+  //   v1 = the base INSERT, v2 = the MERGE's delta commit, v3 = the
+  //   compaction — and crucially v1/v2 STAY readable AFTER compaction
+  //   (history preserved, not truncated). The three snapshot digests ride
+  //   one oracled result; writing to a snapshot is refused (spec-pinned,
+  //   with TIMESTAMP AS OF resolution against `_VERSIONS`).
+  def q224TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doctt_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_time_travel:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q224")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q224")
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+               |  FROM docs_q224 WHERE doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id, lang, n_chars, 'D' AS tag
+               |  FROM docs_q224 WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+               |  FROM docs_q224 WHERE doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+               |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      // compact (v3): after this the CURRENT manifest holds no delta log,
+      // yet v2's snapshot must still replay it
+      val snap = p.resolve("snapshot").toString
+      s.table(tbl).write.mode("overwrite").parquet(snap)
+      s.read.parquet(snap).createOrReplaceTempView("q224_snap")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT doc_id, lang, n_chars FROM q224_snap")
+      def manifest(name: String): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve(name)).asScala
+          .filter(_.nonEmpty).toSeq
+      require(manifest("_MANIFEST.v2").exists(_.startsWith("delta-")) &&
+        !manifest("_MANIFEST").exists(_.startsWith("delta-")),
+        "q224: expected v2 to carry the delta log and the compacted current not to")
+      // history preservation: every file v1/v2 name still exists on disk
+      (manifest("_MANIFEST.v1") ++ manifest("_MANIFEST.v2")).map(_.split(",")(0))
+        .foreach(f => require(java.nio.file.Files.exists(sink.resolve(f)),
+          s"q224: compaction deleted $f out from under version history"))
+    }
+    def digest(src: String, snap: String) =
+      s"""SELECT '$snap' AS snap, lang, COUNT(*) AS n_docs,
+         |  SUM(n_chars) AS sum_chars,
+         |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+         |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+         |FROM $src
+         |GROUP BY lang""".stripMargin
+    s.sql(s"""${digest(s"$tbl VERSION AS OF 1", "v1_base")}
+             |UNION ALL
+             |${digest(s"$tbl VERSION AS OF 2", "v2_merged")}
+             |UNION ALL
+             |${digest(tbl, "v3_compacted")}
+             |ORDER BY snap, lang""".stripMargin)
+  }
+
+  val q224Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |snaps AS (
+      |  SELECT 'v1_base' AS snap, doc_id, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT 'v2_merged', doc_id, lang, n_chars FROM merged
+      |  UNION ALL
+      |  SELECT 'v3_compacted', doc_id, lang, n_chars FROM merged)
+      |SELECT snap, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM snaps
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q225: stored procedure — CALL graft.system.compact -----------------
+  // q211's maintenance cycle behind the surface production catalogs ship
+  // it on: the catalog implements ProcedureCatalog, `CALL` resolves
+  // system.compact, binds the STRING parameter, and the procedure runs
+  // the snapshot + truncate-overwrite compaction as a DISTRIBUTED job
+  // (SparkSession.active inside the procedure — no driver-side row
+  // shuffling), returning a summary row through a LocalScan. The requires
+  // pin the state transition (delta log present → retired via the CALL
+  // path) and the read-back digest is q207's — compaction through the
+  // procedure must be as content-preserving as compaction by hand.
+  def q225CallCompact(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val short = s"ns.docproc_${Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft.$short"
+    graft.TempDirs.staged(s"dsv2_call_compact:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q225")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q225")
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+               |  FROM docs_q225 WHERE doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id, lang, n_chars, 'D' AS tag
+               |  FROM docs_q225 WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+               |  FROM docs_q225 WHERE doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+               |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala
+          .filter(_.nonEmpty).toSeq
+      require(manifest().exists(_.startsWith("delta-")),
+        "q225: precondition — the MERGE must have produced a delta log")
+      val summary = s.sql(s"CALL graft.system.compact(table => '$short')").collect()
+      require(summary.length == 1 && summary(0).getLong(0) >= 1,
+        s"q225: CALL summary should report >=1 retired delta file: ${summary.toSeq}")
+      require(!manifest().exists(_.startsWith("delta-")),
+        s"q225: CALL compact must retire the delta log:\n${manifest()}")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  /** The CALL path changes layout, never content: q207's oracle again. */
+  val q225Sql: String = q207Sql
+
+  // ---- q226: partition management — SHOW/ADD/DROP PARTITION ---------------
+  // The lang layout as FIRST-CLASS catalog objects: `PARTITIONED BY
+  // (lang)` routes to the SupportsPartitionManagement flavor, SHOW
+  // PARTITIONS lists committed langs, ADD PARTITION declares an EMPTY
+  // partition (a real catalog object before any data lands — the
+  // register-then-load workflow), DROP PARTITION retires files +
+  // manifest entries with every survivor byte-identical (q186's commit
+  // contract extended to partition DDL). The read-back digest then
+  // covers exactly the surviving partitions.
+  def q226PartitionMgmt(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docpart_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_partition_mgmt:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest PARTITIONED BY (lang)
+               |TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q226")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q226")
+      def parts(): Seq[String] =
+        s.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSeq.sorted
+      require(parts() == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"),
+        s"q226: SHOW PARTITIONS after insert: ${parts()}")
+      // a declared-but-empty partition is a catalog object
+      s.sql(s"ALTER TABLE $tbl ADD PARTITION (lang='tlh')")
+      require(parts().contains("lang=tlh"),
+        s"q226: declared partition missing from SHOW PARTITIONS: ${parts()}")
+      def fileBytes(): Map[String, Long] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala
+          .filter(_.nonEmpty).map(_.split(",")(0))
+          .filterNot(_.startsWith("lang_de-"))
+          .map(f => f -> java.nio.file.Files.size(sink.resolve(f))).toMap
+      val survivors = fileBytes()
+      s.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='de')")
+      require(parts() == Seq("lang=en", "lang=es", "lang=fr", "lang=tlh", "lang=zh"),
+        s"q226: SHOW PARTITIONS after drop: ${parts()}")
+      require(fileBytes() == survivors,
+        "q226: DROP PARTITION disturbed surviving partitions' files")
+      s.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='tlh')")
+      require(parts() == Seq("lang=en", "lang=es", "lang=fr", "lang=zh"),
+        s"q226: dropping the declared-empty partition: ${parts()}")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q226Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang <> 'de'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -1249,6 +1532,10 @@ object Formats {
     "q207_delta_merge" -> q207DeltaMerge _,
     "q211_delta_compaction" -> q211DeltaCompaction _,
     "q214_dynamic_partition_overwrite" -> q214DynamicPartitionOverwrite _,
+    "q223_alter_table" -> q223AlterTable _,
+    "q224_time_travel" -> q224TimeTravel _,
+    "q225_call_compact" -> q225CallCompact _,
+    "q226_partition_mgmt" -> q226PartitionMgmt _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1278,5 +1565,9 @@ object Formats {
     "q207_delta_merge" -> q207Sql,
     "q211_delta_compaction" -> q211Sql,
     "q214_dynamic_partition_overwrite" -> q214Sql,
+    "q223_alter_table" -> q223Sql,
+    "q224_time_travel" -> q224Sql,
+    "q225_call_compact" -> q225Sql,
+    "q226_partition_mgmt" -> q226Sql,
   )
 }

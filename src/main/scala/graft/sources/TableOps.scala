@@ -1,0 +1,222 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchPartitionException, PartitionsAlreadyExistException}
+import org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PARTITIONS AS FIRST-CLASS DDL OBJECTS (q226): the lang-split digest
+  * table already lays files out one-per-lang and overwrites/deletes at
+  * lang granularity (q186/q192); this flavor (`PARTITIONED BY (lang)` in
+  * the DDL) makes that layout VISIBLE to the engine's partition DDL —
+  * `SHOW PARTITIONS`, `ALTER TABLE ... ADD/DROP PARTITION` — through
+  * `SupportsPartitionManagement`.
+  *
+  * A partition EXISTS if (a) committed data files carry its lang, or (b)
+  * it was declared via ADD PARTITION (recorded in the `_PARTITIONS` side
+  * file with its metadata — a declared-but-empty partition is a real
+  * catalog object, the shape every warehouse's `ADD PARTITION
+  * LOCATION ...` workflow depends on). DROP PARTITION retires both: the
+  * manifest shrinks first (atomic publish, same ordering contract as
+  * deleteWhere), files follow — survivors byte-identical.
+  */
+class DigestPartitionedTable(path: String)
+    extends DigestSinkTable(path, langSplit = true)
+    with SupportsPartitionManagement {
+
+  override def name(): String = s"graft_digest_partitioned($path)"
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity("lang"))
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField("lang", StringType, nullable = false)))
+
+  private def langOfIdent(ident: InternalRow): String = {
+    val v = ident.getUTF8String(0)
+    require(v != null, "graft_digest: partition value must not be null")
+    v.toString
+  }
+
+  private def manifestLangs(): Seq[String] = {
+    val mf = Paths.get(path, "_MANIFEST")
+    if (!Files.exists(mf)) Seq.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
+      .asScala.filter(_.nonEmpty).toSeq
+      .flatMap(l => DigestSink.langOf(l.split(",")(0))).distinct
+  }
+
+  // ---- declared partitions (the `_PARTITIONS` side file) ------------------
+  // one line per declared partition: `lang|k=v;k=v` — tiny driver-side
+  // metadata, same class as the manifest itself
+  private def sideFile = Paths.get(path, "_PARTITIONS")
+
+  private def declared(): Map[String, Map[String, String]] = {
+    if (!Files.exists(sideFile)) return Map.empty
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(sideFile))
+      .asScala.filter(_.nonEmpty).map { l =>
+        val a = l.split("\\|", 2)
+        val props = if (a.length < 2 || a(1).isEmpty) Map.empty[String, String]
+          else a(1).split(";").map { kv =>
+            val p = kv.split("=", 2); p(0) -> (if (p.length > 1) p(1) else "")
+          }.toMap
+        a(0) -> props
+      }.toMap
+  }
+
+  private def writeDeclared(m: Map[String, Map[String, String]]): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val lines = m.toSeq.sortBy(_._1).map { case (lang, props) =>
+      s"$lang|" + props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    }
+    val tmp = Paths.get(path, "_PARTITIONS.tmp")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, sideFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def allLangs(): Seq[String] =
+    (manifestLangs() ++ declared().keys).distinct.sorted
+
+  // ---- SupportsPartitionManagement ----------------------------------------
+  override def partitionExists(ident: InternalRow): Boolean =
+    allLangs().contains(langOfIdent(ident))
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    require(names.length == ident.numFields,
+      s"graft_digest: ${names.length} filter names but ${ident.numFields} values")
+    val wanted: Option[String] =
+      if (names.isEmpty) None
+      else {
+        require(names.sameElements(Array("lang")),
+          s"graft_digest: unknown partition column(s) ${names.mkString(",")}")
+        Some(ident.getUTF8String(0).toString)
+      }
+    allLangs().filter(l => wanted.forall(_ == l))
+      .map(l => InternalRow(UTF8String.fromString(l)): InternalRow).toArray
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    val lang = langOfIdent(ident)
+    if (allLangs().contains(lang))
+      throw new PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    val props = scala.jdk.CollectionConverters.MapHasAsScala(properties)
+      .asScala.toMap
+    writeDeclared(declared() + (lang -> props))
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val lang = langOfIdent(ident)
+    if (!allLangs().contains(lang)) return false
+    // shrink the manifest first (atomic publish), delete data files after
+    // — identical ordering contract to deleteWhere; declared-entry removal
+    // last (pure metadata)
+    val mf = Paths.get(path, "_MANIFEST")
+    if (Files.exists(mf)) {
+      val old = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+      val (dead, keep) = old.partition(l =>
+        DigestSink.langOf(l.split(",")(0)).contains(lang))
+      if (dead.nonEmpty) {
+        DigestManifest.publish(path, keep)
+        dead.map(_.split(",")(0))
+          .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+      }
+    }
+    writeDeclared(declared() - lang)
+    true
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    val lang = langOfIdent(ident)
+    if (!allLangs().contains(lang))
+      throw new NoSuchPartitionException(name(), ident, partitionSchema())
+    writeDeclared(declared() + (lang ->
+      scala.jdk.CollectionConverters.MapHasAsScala(properties).asScala.toMap))
+  }
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    val lang = langOfIdent(ident)
+    if (!allLangs().contains(lang))
+      throw new NoSuchPartitionException(name(), ident, partitionSchema())
+    val m = new util.HashMap[String, String]()
+    declared().getOrElse(lang, Map.empty).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+}
+
+/** `CALL graft.system.compact(table => 'ns.t')` (q225): the q211
+  * delta-log compaction exposed as a CATALOG PROCEDURE — the way a
+  * production table format ships maintenance actions (snapshot expiry,
+  * rewrite-data-files, …) so operators invoke them by name instead of
+  * hand-writing the rewrite job. The body IS the audited q211 cycle, run
+  * as a distributed Spark job from inside the procedure: snapshot the
+  * merged view outside the table, truncate-overwrite it back through the
+  * two-phase-committed write path, after which the manifest holds only
+  * fresh base files (the log is retired; history snapshots remain
+  * resolvable because the delta flavor retains files). Returns one
+  * summary row through a [[LocalScan]].
+  */
+class CompactProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "compact"
+  override def description(): String =
+    "fold a graft_digest delta table's merge-on-read log back into base files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val parts = tbl.split("\\.")
+    val regKey = GraftCatalog.regKey(catalogName, parts.toSeq)
+    val props = GraftCatalog.tables.get(regKey)
+    require(props != null, s"graft.system.compact: no such table $tbl")
+    require(props.getOrDefault("provider", "") == "graft_digest" &&
+      props.getOrDefault("delta", "false").toBoolean,
+      s"graft.system.compact: $tbl is not a delta (merge-on-read) table")
+    val path = props.get("path")
+
+    def manifest(): Seq[String] = {
+      val mf = Paths.get(path, "_MANIFEST")
+      if (!Files.exists(mf)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+    }
+    val retired = manifest().count(_.startsWith("delta-"))
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    val full = (catalogName +: parts.toSeq).map(p => s"`$p`").mkString(".")
+    // snapshot OUTSIDE the table (cannot overwrite what is being read),
+    // then replace content through the committed truncate-overwrite path
+    val snap = Files.createTempDirectory("graft_compact_")
+    spark.table(full).write.mode("overwrite").parquet(snap.toString)
+    spark.read.parquet(snap.toString).writeTo(full)
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    val after = manifest()
+    require(!after.exists(_.startsWith("delta-")),
+      s"graft.system.compact: log not retired:\n$after")
+
+    val tableRows = after.map(_.split(",")(1).toLong).sum
+    val version = DigestManifest.currentVersion(path).toLong
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("retired_delta_files", LongType, nullable = false),
+        StructField("table_rows", LongType, nullable = false),
+        StructField("committed_version", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow(retired.toLong, tableRows, version))
+    }
+    util.Collections.singletonList(summary).iterator()
+  }
+}

@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException
+import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{DigestManifest, DigestPartitionedTable, EvolveField, EvolveSchema, GraftCatalog}
+
+/** The round-14 catalog surface: schema evolution (q223), time travel
+  * (q224), stored procedures (q225), partition management (q226), plus
+  * the commit-log and delta-writer invariants the ADVICE items pinned.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def withCatalog[T](f: => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    f
+  }
+
+  private def tmp(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  // ---- EvolveSchema algebra (q223) ----------------------------------------
+
+  test("q223: field ids are stable across rename and never reused after drop") {
+    val (n0, f0) = EvolveSchema.fromStruct(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", LongType),
+        org.apache.spark.sql.types.StructField("b", StringType))))
+    assert(n0 == 3 && f0.map(_.id) == Seq(1, 2))
+    // rename keeps the id — data written under the old name follows
+    val (n1, f1) = EvolveSchema.apply(n0, f0, TableChange.renameColumn(Array("b"), "c"))
+    assert(n1 == 3 && f1.map(f => (f.id, f.name)) == Seq((1, "a"), (2, "c")))
+    // drop retires id 2; a re-added "c" gets a FRESH id (3), so old bytes
+    // written under id 2 can never be served for it
+    val (n2, f2) = EvolveSchema.apply(n1, f1, TableChange.deleteColumn(Array("c"), false))
+    val (n3, f3) = EvolveSchema.apply(n2, f2,
+      TableChange.addColumn(Array("c"), LongType))
+    assert(n3 == 4 && f3.map(f => (f.id, f.name)) == Seq((1, "a"), (3, "c")))
+    // serialization round-trip
+    val (n4, f4) = EvolveSchema.parse(EvolveSchema.serialize(n3, f3))
+    assert(n4 == n3 && f4 == f3)
+  }
+
+  test("q223: type/nullability changes and nested columns are refused") {
+    val (n, f) = EvolveSchema.fromStruct(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", LongType))))
+    intercept[UnsupportedOperationException] {
+      EvolveSchema.apply(n, f, TableChange.updateColumnType(Array("a"), StringType))
+    }
+    intercept[IllegalArgumentException] {
+      EvolveSchema.apply(n, f, TableChange.addColumn(Array("x", "y"), LongType))
+    }
+    intercept[IllegalArgumentException] { // duplicate name
+      EvolveSchema.apply(n, f, TableChange.addColumn(Array("a"), LongType))
+    }
+    intercept[IllegalArgumentException] { // last column
+      EvolveSchema.apply(n, f, TableChange.deleteColumn(Array("a"), false))
+    }
+  }
+
+  test("q223: dropped-column bytes are not resurrected by re-adding the name") {
+    withCatalog {
+      val dir = tmp("graft_evolve_spec_")
+      val tbl = s"graft.ns.evspec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (id BIGINT, v BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 100), (2, 200)")
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN v BIGINT")
+      // rows written before the drop must serve NULL for the re-added id,
+      // not the retired bytes
+      val got = spark.table(tbl).collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(got.sorted.toSeq == Seq((1L, true), (2L, true)),
+        s"retired column bytes leaked: ${got.toSeq}")
+      // column pruning reaches the V2 scan: a 1-column projection plans a
+      // 1-column read, not parse-everything-project-later
+      val leaf = spark.table(tbl).select("id")
+        .queryExecution.executedPlan.collectLeaves().head
+      assert(leaf.output.map(_.name) == Seq("id"),
+        s"evolve scan not pruned: ${leaf.output}")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q223: ALTER column changes on a fixed-schema flavor are refused, " +
+      "reserved properties protected") {
+    withCatalog {
+      val tbl = s"graft.ns.seqspec_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, h STRING, v BIGINT) USING graft_seq " +
+        "TBLPROPERTIES ('rows'='10')")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN extra BIGINT")
+      }
+      assert(e.getMessage.contains("graft_evolve"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('provider'='x')")
+      }
+      assert(e2.getMessage.contains("reserved"), e2.getMessage)
+      // non-reserved properties round-trip
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('note'='kept')")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  // ---- commit log + time travel (q224) ------------------------------------
+
+  test("q224: DigestManifest publishes numbered snapshots with strictly " +
+      "monotone timestamps; versionAt picks the as-of version") {
+    val dir = tmp("graft_manifest_spec_").toString
+    val v1 = DigestManifest.publish(dir, Seq("a.csv,1"))
+    val v2 = DigestManifest.publish(dir, Seq("a.csv,1", "b.csv,2"))
+    assert(v1 == 1 && v2 == 2 && DigestManifest.currentVersion(dir) == 2)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_VERSIONS"))
+    val ts = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
+      .map(_.split(",")(1).toLong).toSeq
+    assert(ts(0) < ts(1), s"commit timestamps not strictly monotone: $ts")
+    assert(DigestManifest.versionAt(dir, ts(0)) == 1)
+    assert(DigestManifest.versionAt(dir, ts(1) + 1000000L) == 2)
+    intercept[IllegalArgumentException] { // before the first commit
+      DigestManifest.versionAt(dir, ts(0) - 1)
+    }
+    // both snapshot files exist and differ
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_MANIFEST.v1")).size == 1)
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_MANIFEST.v2")).size == 2)
+  }
+
+  test("q224: TIMESTAMP AS OF resolves through the commit log; snapshots " +
+      "are read-only; absent versions are refused") {
+    withCatalog {
+      val dir = tmp("graft_tt_spec_")
+      val short = s"ttspec_${System.nanoTime()}"
+      val tbl = s"graft.ns.$short"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 'de', 20)")
+      // v1 = first insert only
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM $tbl VERSION AS OF 1")
+        .head().getLong(0) == 1L)
+      // timestamp resolution: the micros recorded for v1 must resolve to v1
+      val catalog = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+      val ident = Identifier.of(Array("ns"), short)
+      val ts1 = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(dir.resolve("_VERSIONS"))).asScala
+        .head.split(",")(1).toLong
+      val snap = catalog.loadTable(ident, ts1)
+      assert(snap.name().endsWith("@v1)"), snap.name())
+      // a snapshot refuses writes (immutability is the whole contract)
+      intercept[UnsupportedOperationException] {
+        catalog.loadTable(ident, "1")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+          .newWriteBuilder(null)
+      }
+      intercept[IllegalArgumentException] { catalog.loadTable(ident, "99") }
+      intercept[IllegalArgumentException] { catalog.loadTable(ident, "vNaN") }
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("ADVICE r13: two MERGEs against one delta table never clobber each " +
+      "other's log (job-unique delta names, manifest-order replay)") {
+    withCatalog {
+      val dir = tmp("graft_2merge_spec_")
+      val tbl = s"graft.ns.m2spec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20), (3, 'fr', 30)")
+      // merge 1: update doc 1, delete doc 2
+      spark.sql(s"""MERGE INTO $tbl t USING (
+                   |  SELECT 1L AS doc_id, 'en' AS lang, 11L AS n_chars, 'U' AS tag
+                   |  UNION ALL SELECT 2L, 'de', 0L, 'D') u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+                   |WHEN MATCHED AND u.tag = 'D' THEN DELETE""".stripMargin)
+      // merge 2: update doc 1 AGAIN (later verb must win), insert doc 4
+      spark.sql(s"""MERGE INTO $tbl t USING (
+                   |  SELECT 1L AS doc_id, 'en' AS lang, 12L AS n_chars
+                   |  UNION ALL SELECT 4L, 'zh', 40L) u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars
+                   |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+                   |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      // both merges' delta files coexist in the manifest
+      val manifest = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))).asScala
+      val deltaFiles = manifest.filter(_.startsWith("delta-")).map(_.split(",")(0))
+      assert(deltaFiles.distinct.size == deltaFiles.size && deltaFiles.size >= 2,
+        s"expected >=2 distinct delta log files, got $deltaFiles")
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got == Seq((1L, "en", 12L), (3L, "fr", 30L), (4L, "zh", 40L)),
+        s"merge-on-read view wrong after two merges: $got")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  // ---- procedures (q225) --------------------------------------------------
+
+  test("q225: unknown procedures and non-delta targets are refused") {
+    withCatalog {
+      val e = intercept[Exception] {
+        spark.sql("CALL graft.system.no_such_proc()").collect()
+      }
+      assert(e.getMessage.contains("no_such_proc") ||
+        e.getMessage.contains("not found") || e.getMessage.contains("no such"),
+        e.getMessage)
+      val tbl = s"procspec_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE graft.ns.$tbl (id BIGINT, h STRING, v BIGINT) " +
+        "USING graft_seq TBLPROPERTIES ('rows'='10')")
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.compact(table => 'ns.$tbl')").collect()
+      }
+      assert(e2.getMessage.contains("not a delta"), e2.getMessage)
+      spark.sql(s"DROP TABLE graft.ns.$tbl")
+    }
+  }
+
+  // ---- partition management (q226) ----------------------------------------
+
+  test("q226: partition lifecycle — declared empties, duplicate refusal, " +
+      "metadata round-trip, drop of missing returns false") {
+    val dir = tmp("graft_part_spec_").toString
+    val t = new DigestPartitionedTable(dir)
+    def row(lang: String) = InternalRow(UTF8String.fromString(lang))
+    assert(t.listPartitionIdentifiers(Array.empty, InternalRow.empty).isEmpty)
+    assert(!t.dropPartition(row("xx")), "drop of a missing partition must be false")
+    val props = new java.util.HashMap[String, String]()
+    props.put("source", "declared")
+    t.createPartition(row("tlh"), props)
+    intercept[PartitionsAlreadyExistException] {
+      t.createPartition(row("tlh"), new java.util.HashMap[String, String]())
+    }
+    assert(t.partitionExists(row("tlh")))
+    assert(t.loadPartitionMetadata(row("tlh")).get("source") == "declared")
+    // data-borne partitions appear alongside declared ones
+    DigestManifest.publish(dir, Seq("lang_en-part-00000.csv,3"))
+    val langs = t.listPartitionIdentifiers(Array.empty, InternalRow.empty)
+      .map(_.getUTF8String(0).toString).toSeq.sorted
+    assert(langs == Seq("en", "tlh"), langs.toString)
+    assert(t.dropPartition(row("tlh")))
+    assert(!t.partitionExists(row("tlh")))
+  }
+
+  // ---- JPEG corruption classes (q227) -------------------------------------
+
+  test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
+      "round-trips geometry and near-exact solid color") {
+    import graft.ops.{Multimodal, MediaRow}
+    val good = Multimodal.encodeJpeg(7L, 1234L)
+    val d = Multimodal.decodeJpeg(MediaRow(7L, good, "image/jpeg"))
+    assert(d.width == 32 + (1234 % 32) && d.height == 32 + (7 % 24) &&
+      d.channels == 3 && d.format == "jpeg")
+    assert(math.abs(d.first_r - 7) <= 12 &&
+      math.abs(d.first_g - (1234 % 256)) <= 12 &&
+      math.abs(d.first_b - ((7 + 1234) % 256)) <= 12,
+      s"solid color drifted: ${(d.first_r, d.first_g, d.first_b)}")
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.decodeJpeg(MediaRow(1L, "not a jpeg".getBytes, "image/jpeg"))
+    }
+    intercept[Exception] { // truncated stream: codec must fail, not guess
+      Multimodal.decodeJpeg(MediaRow(1L, good.take(good.length / 2), "image/jpeg"))
+    }
+  }
+}
