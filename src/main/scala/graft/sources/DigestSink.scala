@@ -145,7 +145,8 @@ private[graft] object DigestManifest {
 
 class DigestSinkTable(path: String, langSplit: Boolean = false,
     requireDist: Boolean = false) extends Table with SupportsWrite
-    with SupportsRead with SupportsDelete {
+    with SupportsRead with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
   require(path != null && path.nonEmpty, "DigestSink requires a path option")
   /** When true (the time-travel-capable delta flavor), commits RETIRE
     * manifest entries but never physically delete the files they name —
@@ -217,6 +218,24 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     if (!retainHistory)
       dead.map(_.split(",")(0))
         .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+  }
+
+  // `TRUNCATE TABLE` (TruncatableTable): one committed metadata operation
+  // — publish the empty manifest, then drop the orphaned files (same
+  // ordering contract as deleteWhere; the history flavor keeps the files
+  // so pre-truncate versions stay readable)
+  override def truncateTable(): Boolean = {
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    val old: Seq[String] =
+      if (Files.exists(manifestPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.filter(_.nonEmpty).toSeq
+      else Seq.empty
+    DigestManifest.publish(path, Seq.empty)
+    if (!retainHistory)
+      old.map(_.split(",")(0))
+        .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+    true
   }
 }
 

@@ -1486,6 +1486,11 @@ object Formats {
       s.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='tlh')")
       require(parts() == Seq("lang=en", "lang=es", "lang=fr", "lang=zh"),
         s"q226: dropping the declared-empty partition: ${parts()}")
+      // multi-partition DROP is ATOMIC (SupportsAtomicPartitionManagement):
+      // both partitions retire in ONE manifest publish
+      s.sql(s"ALTER TABLE $tbl DROP PARTITION (lang='es'), PARTITION (lang='fr')")
+      require(parts() == Seq("lang=en", "lang=zh"),
+        s"q226: atomic two-partition drop: ${parts()}")
     }
     s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
              |  SUM(n_chars) AS sum_chars,
@@ -1501,7 +1506,169 @@ object Formats {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
       |FROM documents
-      |WHERE lang <> 'de'
+      |WHERE lang IN ('en', 'zh')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** The q207-shaped MERGE against `view`, reused by every delta-lifecycle
+    * query (q207/q211/q224/q225/q228/q229 all need the same three-clause
+    * verb routing; the behavior under test differs downstream of it).
+    */
+  private def deltaMergeSql(tbl: String, view: String): String =
+    s"""MERGE INTO $tbl t
+       |USING (
+       |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+       |  FROM $view WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id, lang, n_chars, 'D' AS tag
+       |  FROM $view WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+       |  FROM $view WHERE doc_id % 50 = 0) u
+       |ON t.doc_id = u.doc_id
+       |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+       |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+       |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+       |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin
+
+  // ---- q228: CALL graft.system.history — the commit log as a query --------
+  // DESCRIBE-HISTORY for the versioned table: one row per committed
+  // version straight from the `_MANIFEST.v<N>` snapshots. The oracled
+  // columns are the layout facts that are deterministic ACROSS
+  // environments — base-file count (clustered-by-lang writes put each
+  // lang in exactly one file → always 5), delta presence, and total rows
+  // per version (all three predictable from `documents` + the verb
+  // predicates); delta-file counts follow the writer's partition count
+  // and commit timestamps follow the clock, so neither is emitted. The
+  // lifecycle under audit: v1 = base INSERT, v2 = MERGE's delta commit,
+  // v3 = compaction.
+  def q228HistoryProcedure(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val short = s"ns.dochist_${Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft.$short"
+    graft.TempDirs.staged(s"dsv2_history:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q228")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q228")
+      s.sql(deltaMergeSql(tbl, "docs_q228"))
+      s.sql(s"CALL graft.system.compact(table => '$short')").collect()
+    }
+    s.sql(s"CALL graft.system.history(table => '$short')")
+      .orderBy("version")
+  }
+
+  val q228Sql: String =
+    """WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |verbs AS (SELECT CAST(
+      |    (SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 0)
+      |  + (SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |  + (SELECT COUNT(*) FROM documents WHERE doc_id % 50 = 0) AS BIGINT) AS n),
+      |merged AS (SELECT CAST(
+      |    (SELECT COUNT(*) FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0))
+      |  + (SELECT COUNT(*) FROM documents WHERE doc_id % 50 = 0) AS BIGINT) AS n)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, CAST(5 AS BIGINT) AS n_base_files,
+      |    false AS has_delta, (SELECT n FROM base) AS total_rows
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), CAST(5 AS BIGINT), true,
+      |    (SELECT n FROM base) + (SELECT n FROM verbs)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), CAST(5 AS BIGINT), false, (SELECT n FROM merged))
+      |ORDER BY version""".stripMargin
+
+  // ---- q229: CALL graft.system.expire_snapshots — history retention -------
+  // The space-reclaim half of the q224 bargain: commits never delete (so
+  // time travel always resolves), and THIS maintenance action is where
+  // old versions actually die — pointers retired first (`_VERSIONS`
+  // rewrite + snapshot-manifest unlink), THEN unreferenced data files
+  // GC'd, so a surviving version never loses a file. The requires pin the
+  // whole contract: v1 readable before, refused after with the versions
+  // gone; physical files actually reclaimed; and the CURRENT table's
+  // digest — the oracled output — byte-for-byte unaffected by expiry.
+  def q229ExpireSnapshots(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val short = s"ns.docexp_${Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft.$short"
+    graft.TempDirs.staged(s"dsv2_expire:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q229")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q229")
+      s.sql(deltaMergeSql(tbl, "docs_q229"))
+      s.sql(s"CALL graft.system.compact(table => '$short')").collect()
+      // precondition: history resolvable before expiry
+      require(s.sql(s"SELECT COUNT(*) FROM $tbl VERSION AS OF 1").head().getLong(0) > 0,
+        "q229: v1 must be readable before expiry")
+      val summary = s.sql(
+        s"CALL graft.system.expire_snapshots(table => '$short', keep_last => 1)").head()
+      require(summary.getLong(0) == 2 && summary.getLong(1) >= 1 &&
+        summary.getLong(2) == 3,
+        s"q229: expected (expired=2, deleted>=1, current=3), got $summary")
+      // expired version now refused at the pointer
+      val refused = try { s.sql(s"SELECT COUNT(*) FROM $tbl VERSION AS OF 1").collect(); false }
+        catch { case _: Exception => true }
+      require(refused, "q229: expired version still readable")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  /** Expiry changes history, never current content: q207's oracle. */
+  val q229Sql: String = q207Sql
+
+  // ---- q230: TRUNCATE TABLE — the one-statement table reset ---------------
+  // `TRUNCATE TABLE` routes through `TruncatableTable.truncateTable()`:
+  // one committed metadata operation (empty manifest published first,
+  // orphaned files dropped after — deleteWhere's ordering contract), then
+  // the table is immediately writable again. The requires pin the state
+  // machine (populated → empty → selectively repopulated) and the
+  // read-back digest covers the post-truncate content.
+  def q230Truncate(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doctrunc_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_truncate:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q230")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q230")
+      def manifest(): Seq[String] =
+        java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST")).asScala
+          .filter(_.nonEmpty).toSeq
+      require(manifest().size == 5, s"q230: precondition, got ${manifest()}")
+      s.sql(s"TRUNCATE TABLE $tbl")
+      require(manifest().isEmpty && s.table(tbl).count() == 0L,
+        s"q230: truncate must empty the manifest and the read: ${manifest()}")
+      require(!manifest().exists(l =>
+        java.nio.file.Files.exists(sink.resolve(l.split(",")(0)))),
+        "q230: unreachable")
+      s.sql(s"""INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q230
+               |WHERE lang IN ('en', 'zh')""".stripMargin)
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q230Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'zh')
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
@@ -1536,6 +1703,9 @@ object Formats {
     "q224_time_travel" -> q224TimeTravel _,
     "q225_call_compact" -> q225CallCompact _,
     "q226_partition_mgmt" -> q226PartitionMgmt _,
+    "q228_history_procedure" -> q228HistoryProcedure _,
+    "q229_expire_snapshots" -> q229ExpireSnapshots _,
+    "q230_truncate" -> q230Truncate _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1569,5 +1739,8 @@ object Formats {
     "q224_time_travel" -> q224Sql,
     "q225_call_compact" -> q225Sql,
     "q226_partition_mgmt" -> q226Sql,
+    "q228_history_procedure" -> q228Sql,
+    "q229_expire_snapshots" -> q229Sql,
+    "q230_truncate" -> q230Sql,
   )
 }

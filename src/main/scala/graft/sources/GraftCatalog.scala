@@ -70,19 +70,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftCatalog.namespaces.containsKey(nsKey(namespace))
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
-    if (namespaceExists(namespace)) util.Collections.emptyMap()
-    else throw new NoSuchNamespaceException(namespace)
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    else Option(GraftCatalog.namespaces.get(nsKey(namespace)))
+      .map(new util.HashMap[String, String](_): util.Map[String, String])
+      .getOrElse(util.Collections.emptyMap())
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(namespace)
-    GraftCatalog.namespaces.put(nsKey(namespace), true)
+    GraftCatalog.namespaces.put(nsKey(namespace),
+      new util.HashMap[String, String](metadata))
   }
 
+  // namespace properties are plain metadata (comments, ownership tags):
+  // SET/REMOVE round-trip through loadNamespaceMetadata; anything beyond
+  // properties has no meaning for this catalog and is refused
   override def alterNamespace(namespace: Array[String],
-      changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("graft catalog: ALTER NAMESPACE")
+      changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val props = GraftCatalog.namespaces.computeIfAbsent(nsKey(namespace),
+      _ => new util.HashMap[String, String]())
+    changes.foreach {
+      case sp: NamespaceChange.SetProperty => props.put(sp.property(), sp.value())
+      case rp: NamespaceChange.RemoveProperty => props.remove(rp.property())
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER NAMESPACE ${c.getClass.getSimpleName}")
+    }
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     GraftCatalog.namespaces.remove(nsKey(namespace)) != null
@@ -250,14 +265,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // — the `system` namespace mirrors where every production catalog puts
   // them
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array("system"), "compact"))
+    Array("compact", "history", "expire_snapshots")
+      .map(Identifier.of(Array("system"), _))
 
-  override def loadProcedure(ident: Identifier): UnboundProcedure =
-    if (ident.namespace().sameElements(Array("system")) && ident.name() == "compact")
-      new CompactProcedure(catalogName)
-    else throw new NoSuchElementException(
-      s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-        "(available: system.compact)")
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace().sameElements(Array("system"))
+    ident.name() match {
+      case "compact" if known => new CompactProcedure(catalogName)
+      case "history" if known => new HistoryProcedure(catalogName)
+      case "expire_snapshots" if known => new ExpireSnapshotsProcedure(catalogName)
+      case _ => throw new NoSuchElementException(
+        s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+          "(available: system.compact, system.history, system.expire_snapshots)")
+    }
+  }
 }
 
 object GraftCatalog {
@@ -271,5 +292,5 @@ object GraftCatalog {
   private[sources] val tables =
     new java.util.concurrent.ConcurrentHashMap[String, util.Map[String, String]]()
   private[sources] val namespaces =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, util.HashMap[String, String]]()
 }

@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DigestPartitionedTable(path: String)
     extends DigestSinkTable(path, langSplit = true)
-    with SupportsPartitionManagement {
+    with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
 
   override def name(): String = s"graft_digest_partitioned($path)"
   override def partitioning(): Array[Transform] =
@@ -152,6 +152,192 @@ class DigestPartitionedTable(path: String)
     declared().getOrElse(lang, Map.empty).foreach { case (k, v) => m.put(k, v) }
     m
   }
+
+  // ---- SupportsAtomicPartitionManagement ----------------------------------
+  // multi-partition DDL is ALL-OR-NOTHING: validation up front, then ONE
+  // side-file write / ONE manifest publish covering every named partition
+  // — a failure before the publish leaves no partial state
+  override def createPartitions(idents: Array[InternalRow],
+      properties: Array[util.Map[String, String]]): Unit = {
+    val langs = idents.map(langOfIdent)
+    require(langs.distinct.length == langs.length,
+      s"graft_digest: duplicate partitions in atomic create: ${langs.mkString(",")}")
+    val existing = langs.filter(allLangs().contains)
+    if (existing.nonEmpty)
+      throw new PartitionsAlreadyExistException(name(),
+        idents(langs.indexOf(existing.head)), partitionSchema())
+    val add = langs.zip(properties).map { case (l, p) =>
+      l -> scala.jdk.CollectionConverters.MapHasAsScala(p).asScala.toMap
+    }
+    writeDeclared(declared() ++ add)
+  }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
+    val langs = idents.map(langOfIdent).toSet
+    if (!langs.forall(allLangs().contains)) return false // nothing dropped
+    val mf = Paths.get(path, "_MANIFEST")
+    if (Files.exists(mf)) {
+      val old = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+      val (dead, keep) = old.partition(l =>
+        DigestSink.langOf(l.split(",")(0)).exists(langs.contains))
+      if (dead.nonEmpty) {
+        DigestManifest.publish(path, keep) // one commit for the whole set
+        dead.map(_.split(",")(0))
+          .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+      }
+    }
+    writeDeclared(declared() -- langs)
+    true
+  }
+}
+
+private[sources] object ProcedureSupport {
+  /** Resolve a `ns.table` procedure argument against the catalog registry;
+    * returns (registry props, table path).
+    */
+  def resolve(catalogName: String, tbl: String, proc: String,
+      requireDelta: Boolean): (util.Map[String, String], String) = {
+    val parts = tbl.split("\\.")
+    val props = GraftCatalog.tables.get(GraftCatalog.regKey(catalogName, parts.toSeq))
+    require(props != null, s"graft.system.$proc: no such table $tbl")
+    if (requireDelta)
+      require(props.getOrDefault("provider", "") == "graft_digest" &&
+        props.getOrDefault("delta", "false").toBoolean,
+        s"graft.system.$proc: $tbl is not a delta (merge-on-read) table")
+    (props, props.get("path"))
+  }
+
+  def manifestLines(path: String, name: String): Seq[String] = {
+    val mf = Paths.get(path, name)
+    if (!Files.exists(mf)) Seq.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+  }
+
+  def localScan(schema: StructType, data: => Array[InternalRow]): Scan =
+    new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = data
+    }
+}
+
+/** `CALL graft.system.history(table => 'ns.t')` (q228): the commit log as
+  * a queryable surface — one row per committed version from the
+  * `_MANIFEST.v<N>` snapshots, the DESCRIBE-HISTORY every versioned table
+  * format ships. Emits only layout facts that are DETERMINISTIC across
+  * environments (base-file count, delta presence, total rows); delta-file
+  * counts follow the writer's partition count and timestamps follow the
+  * clock, so neither is part of the oracled surface.
+  */
+class HistoryProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "history"
+  override def description(): String =
+    "list a graft_digest delta table's committed versions from its manifest log"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "history",
+      requireDelta = true)
+    val versions = ProcedureSupport.manifestLines(path, "_VERSIONS")
+      .map(_.split(",")(0).toInt).sorted
+    require(versions.nonEmpty, s"graft.system.history: $tbl has no commits")
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_base_files", LongType, nullable = false),
+      StructField("has_delta", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("total_rows", LongType, nullable = false)))
+    val rows = versions.map { v =>
+      val entries = ProcedureSupport.manifestLines(path, s"_MANIFEST.v$v")
+      val (delta, base) = entries.partition(_.startsWith("delta-"))
+      InternalRow(v.toLong, base.size.toLong, delta.nonEmpty,
+        entries.map(_.split(",")(1).toLong).sum): InternalRow
+    }.toArray
+    util.Collections.singletonList(ProcedureSupport.localScan(schema, rows)).iterator()
+  }
+}
+
+/** `CALL graft.system.expire_snapshots(table => 'ns.t', keep_last => k)`
+  * (q229): the OTHER half of the history-retention bargain. The delta
+  * flavor never deletes at commit time so time travel always resolves
+  * (q224); this maintenance action is where space is actually reclaimed —
+  * retire all but the last `keep_last` versions, then GARBAGE-COLLECT
+  * every data file no surviving manifest references. Ordering mirrors the
+  * commit path inverted: retire the version POINTERS first (`_VERSIONS`
+  * rewritten atomically, snapshot files unlinked), then delete
+  * unreferenced data files — a concurrent time-travel read planned
+  * against a surviving version never loses a file, and one planned
+  * against an expiring version fails loudly at the pointer, not with a
+  * torn scan. The current manifest is always in the kept set.
+  */
+class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "retire old committed versions of a graft_digest delta table and GC unreferenced files"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", org.apache.spark.sql.types.IntegerType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val keepLast = input.getInt(1)
+    require(keepLast >= 1, "graft.system.expire_snapshots: keep_last must be >= 1")
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "expire_snapshots",
+      requireDelta = true)
+    val entries = ProcedureSupport.manifestLines(path, "_VERSIONS")
+      .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong) }
+      .sortBy(_._1)
+    require(entries.nonEmpty, s"graft.system.expire_snapshots: $tbl has no commits")
+    val (expired, kept) = entries.splitAt(math.max(0, entries.size - keepLast))
+
+    // files a SURVIVING reader may plan against: every kept snapshot plus
+    // the current pointer (the latest kept version by construction)
+    val referenced: Set[String] =
+      (kept.map(v => s"_MANIFEST.v${v._1}").flatMap(ProcedureSupport.manifestLines(path, _)) ++
+        ProcedureSupport.manifestLines(path, "_MANIFEST"))
+        .map(_.split(",")(0)).toSet
+
+    // 1. pointers first: rewrite the version log atomically, drop expired
+    //    snapshot manifests
+    val tmp = Paths.get(path, "_VERSIONS.tmp")
+    Files.write(tmp, kept.map { case (v, ts) => s"$v,$ts" }.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, "_VERSIONS"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    expired.foreach { case (v, _) =>
+      Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v")) }
+
+    // 2. then the data files nothing references anymore (data files only —
+    //    metadata names are never GC candidates)
+    var deleted = 0L
+    val listing = Files.list(Paths.get(path))
+    try listing.forEach { p =>
+      val n = p.getFileName.toString
+      val isData = n.startsWith("lang_") || n.startsWith("delta-") ||
+        n.startsWith("part-") || n.startsWith("ev-")
+      if (isData && !referenced.contains(n)) {
+        Files.deleteIfExists(p); deleted += 1
+      }
+    } finally listing.close()
+
+    val schema = StructType(Seq(
+      StructField("expired_versions", LongType, nullable = false),
+      StructField("deleted_files", LongType, nullable = false),
+      StructField("current_version", LongType, nullable = false)))
+    val row: InternalRow =
+      InternalRow(expired.size.toLong, deleted, kept.last._1.toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
 }
 
 /** `CALL graft.system.compact(table => 'ns.t')` (q225): the q211
@@ -178,25 +364,14 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
-    val parts = tbl.split("\\.")
-    val regKey = GraftCatalog.regKey(catalogName, parts.toSeq)
-    val props = GraftCatalog.tables.get(regKey)
-    require(props != null, s"graft.system.compact: no such table $tbl")
-    require(props.getOrDefault("provider", "") == "graft_digest" &&
-      props.getOrDefault("delta", "false").toBoolean,
-      s"graft.system.compact: $tbl is not a delta (merge-on-read) table")
-    val path = props.get("path")
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "compact",
+      requireDelta = true)
 
-    def manifest(): Seq[String] = {
-      val mf = Paths.get(path, "_MANIFEST")
-      if (!Files.exists(mf)) Seq.empty
-      else scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
-    }
+    def manifest(): Seq[String] = ProcedureSupport.manifestLines(path, "_MANIFEST")
     val retired = manifest().count(_.startsWith("delta-"))
 
     val spark = org.apache.spark.sql.SparkSession.active
-    val full = (catalogName +: parts.toSeq).map(p => s"`$p`").mkString(".")
+    val full = (catalogName +: tbl.split("\\.").toSeq).map(p => s"`$p`").mkString(".")
     // snapshot OUTSIDE the table (cannot overwrite what is being read),
     // then replace content through the committed truncate-overwrite path
     val snap = Files.createTempDirectory("graft_compact_")

@@ -249,6 +249,79 @@ class CatalogSpec extends SparkSpec {
     assert(!t.partitionExists(row("tlh")))
   }
 
+  test("q226: atomic multi-partition ops are all-or-nothing") {
+    val dir = tmp("graft_atomic_spec_").toString
+    val t = new DigestPartitionedTable(dir)
+    def row(lang: String) = InternalRow(UTF8String.fromString(lang))
+    def langs() = t.listPartitionIdentifiers(Array.empty, InternalRow.empty)
+      .map(_.getUTF8String(0).toString).toSeq.sorted
+    val empty = new java.util.HashMap[String, String]()
+    t.createPartitions(Array(row("aa"), row("bb")), Array(empty, empty))
+    assert(langs() == Seq("aa", "bb"))
+    // one of the two already exists → NOTHING is created
+    intercept[PartitionsAlreadyExistException] {
+      t.createPartitions(Array(row("cc"), row("aa")), Array(empty, empty))
+    }
+    assert(langs() == Seq("aa", "bb"), "failed atomic create left partial state")
+    // one of the two is missing → NOTHING is dropped, false returned
+    assert(!t.dropPartitions(Array(row("aa"), row("zz"))))
+    assert(langs() == Seq("aa", "bb"), "failed atomic drop left partial state")
+    assert(t.dropPartitions(Array(row("aa"), row("bb"))) && langs().isEmpty)
+  }
+
+  test("q230: TRUNCATE TABLE empties via one committed metadata operation " +
+      "and the table stays writable") {
+    withCatalog {
+      val dir = tmp("graft_trunc_spec_")
+      val tbl = s"graft.ns.truncspec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      assert(spark.table(tbl).count() == 2L)
+      spark.sql(s"TRUNCATE TABLE $tbl")
+      assert(spark.table(tbl).count() == 0L)
+      assert(java.nio.file.Files.readString(dir.resolve("_MANIFEST")).isEmpty,
+        "truncate must publish an EMPTY manifest, not delete it")
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 'fr', 30)")
+      assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(3L))
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("ALTER NAMESPACE SET/UNSET properties round-trip through metadata") {
+    withCatalog {
+      val ns = s"nsspec_${System.nanoTime()}"
+      spark.sql(s"CREATE NAMESPACE graft.$ns")
+      spark.sql(s"ALTER NAMESPACE graft.$ns SET PROPERTIES ('owner_team'='ingest', 'tier'='gold')")
+      val catalog = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+      val meta = catalog.loadNamespaceMetadata(Array(ns))
+      assert(meta.get("owner_team") == "ingest" && meta.get("tier") == "gold")
+      spark.sql(s"ALTER NAMESPACE graft.$ns UNSET PROPERTIES ('tier')")
+      assert(catalog.loadNamespaceMetadata(Array(ns)).get("tier") == null)
+      spark.sql(s"DROP NAMESPACE graft.$ns")
+    }
+  }
+
+  test("q228/q229: history and expiry refuse non-delta tables and bad args") {
+    withCatalog {
+      val tbl = s"histspec_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE graft.ns.$tbl (id BIGINT, h STRING, v BIGINT) " +
+        "USING graft_seq TBLPROPERTIES ('rows'='10')")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.history(table => 'ns.$tbl')").collect()
+      }
+      assert(e.getMessage.contains("not a delta"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.expire_snapshots(table => 'ns.$tbl', keep_last => 0)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("not a delta") ||
+        e2.getMessage.contains("keep_last"), e2.getMessage)
+      spark.sql(s"DROP TABLE graft.ns.$tbl")
+    }
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
