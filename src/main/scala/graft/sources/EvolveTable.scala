@@ -36,22 +36,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * job. The reference's fixed positional CSV schema (main.rs:49-53) is
   * the degenerate single-version case.
   */
-case class EvolveField(id: Int, name: String, dataType: DataType)
+/** `default`: the column's DEFAULT as a literal SQL text (`7`, `'web'`,
+  * `NULL`), doubling as both the CURRENT default (filled into INSERTs
+  * that omit the column) and the EXISTENCE default (served for rows in
+  * files written before the column was added — instead of NULL).
+  */
+case class EvolveField(id: Int, name: String, dataType: DataType,
+    default: Option[String] = None)
 
 object EvolveSchema {
   /** Serialized form stored in table properties:
-    * `nextId|id:name:type;id:name:type;...` — names are validated to keep
-    * the encoding unambiguous. `nextId` persists PAST the highest live id
-    * so DROP-then-ADD can never reuse a retired id.
+    * `nextId|id:name:type:b64default;...` — names are validated to keep
+    * the encoding unambiguous, the default literal is base64-wrapped so
+    * its characters never collide with the separators. `nextId` persists
+    * PAST the highest live id so DROP-then-ADD can never reuse a retired
+    * id.
     */
   def serialize(nextId: Int, fields: Seq[EvolveField]): String =
-    s"$nextId|" + fields.map(f => s"${f.id}:${f.name}:${typeName(f.dataType)}").mkString(";")
+    s"$nextId|" + fields.map { f =>
+      val d = f.default.fold("")(t => java.util.Base64.getEncoder
+        .encodeToString(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      s"${f.id}:${f.name}:${typeName(f.dataType)}:$d"
+    }.mkString(";")
 
   def parse(s: String): (Int, Seq[EvolveField]) = {
     val Array(next, rest) = s.split("\\|", 2)
     val fields = rest.split(";").filter(_.nonEmpty).toSeq.map { p =>
-      val a = p.split(":")
-      EvolveField(a(0).toInt, a(1), typeOf(a(2)))
+      val a = p.split(":", -1)
+      val default = a.lift(3).filter(_.nonEmpty).map(b =>
+        new String(java.util.Base64.getDecoder.decode(b),
+          java.nio.charset.StandardCharsets.UTF_8))
+      EvolveField(a(0).toInt, a(1), typeOf(a(2)), default)
     }
     (next.toInt, fields)
   }
@@ -59,13 +74,70 @@ object EvolveSchema {
   def fromStruct(schema: StructType): (Int, Seq[EvolveField]) = {
     val fields = schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
       validate(f.name, f.dataType)
-      EvolveField(i + 1, f.name, f.dataType)
+      // CREATE TABLE (... DEFAULT <lit>) arrives as field metadata; the
+      // folded EXISTS_DEFAULT is the canonical literal text
+      val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+      val default =
+        if (f.metadata.contains(key)) Some(f.metadata.getString(key)) else None
+      default.foreach(t => parseDefault(f.dataType, t, f.name)) // validate now
+      EvolveField(i + 1, f.name, f.dataType, default)
     }
     (schema.fields.length + 1, fields)
   }
 
   def struct(fields: Seq[EvolveField]): StructType =
-    StructType(fields.map(f => StructField(f.name, f.dataType, nullable = true)))
+    StructType(fields.map { f =>
+      val meta = f.default.fold(org.apache.spark.sql.types.Metadata.empty) { t =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .CURRENT_DEFAULT_COLUMN_METADATA_KEY, t)
+          .putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            .EXISTS_DEFAULT_COLUMN_METADATA_KEY, t)
+          .build()
+      }
+      StructField(f.name, f.dataType, nullable = true, meta)
+    })
+
+  /** Parse a stored default-literal text to the field's runtime value
+    * (Long / Double / String / null). The accepted grammar is exactly
+    * what [[renderDefault]] emits — a FOLDED literal, never an
+    * expression: defaults must be constants the reader can serve without
+    * an evaluator.
+    */
+  def parseDefault(dt: DataType, text: String, col: String): Any = {
+    val t = text.trim
+    if (t.equalsIgnoreCase("NULL")) null
+    else dt match {
+      case LongType =>
+        try t.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft_evolve: column '$col' BIGINT default must be an integer literal, got $text") }
+      case DoubleType =>
+        try t.toDouble catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft_evolve: column '$col' DOUBLE default must be a numeric literal, got $text") }
+      case StringType =>
+        require(t.length >= 2 && t.head == '\'' && t.last == '\'',
+          s"graft_evolve: column '$col' STRING default must be a quoted literal, got $text")
+        t.substring(1, t.length - 1).replace("''", "'")
+    }
+  }
+
+  /** Render a connector Literal (from ALTER TABLE ... DEFAULT) to the
+    * stored text form.
+    */
+  def renderDefault(dt: DataType, lit: org.apache.spark.sql.connector.expressions.Literal[_],
+      col: String): String = {
+    if (lit.value() == null) return "NULL"
+    (dt, lit.value()) match {
+      case (LongType, v: java.lang.Number) => v.longValue().toString
+      case (DoubleType, v: java.lang.Number) => v.doubleValue().toString
+      case (StringType, v) => "'" + v.toString.replace("'", "''") + "'"
+      case _ => throw new IllegalArgumentException(
+        s"graft_evolve: column '$col' default literal ${lit.value()} does not fit ${dt.sql}")
+    }
+  }
 
   def validate(name: String, dt: DataType): Unit = {
     require(name.nonEmpty && !name.exists(c => c == ':' || c == ';' || c == '|' || c == ','),
@@ -100,7 +172,13 @@ object EvolveSchema {
         s"graft_evolve: column '$name' already exists")
       require(add.position() == null,
         "graft_evolve: ADD COLUMN ... FIRST/AFTER unsupported (append only)")
-      (nextId + 1, fields :+ EvolveField(nextId, name, add.dataType()))
+      // DEFAULT arrives as a pre-folded connector Literal; stored as text,
+      // it serves BOTH as the current default (INSERTs that omit the
+      // column) and the existence default (rows predating the column)
+      val default = Option(add.defaultValue()).map { dv =>
+        renderDefault(add.dataType(), dv.getValue(), name)
+      }
+      (nextId + 1, fields :+ EvolveField(nextId, name, add.dataType(), default))
     case ren: TableChange.RenameColumn =>
       require(ren.fieldNames().length == 1, "graft_evolve: nested columns unsupported")
       val from = ren.fieldNames().head
@@ -126,13 +204,50 @@ object EvolveSchema {
   }
 }
 
-class EvolveTable(path: String, fields: Seq[EvolveField]) extends Table
+/** A CHECK constraint on the evolve table: `sql` is the predicate text,
+  * re-parsed by the engine wherever it needs it (write-side enforcement,
+  * ADD-time validation of existing rows).
+  */
+case class EvolveCheck(name: String, sql: String, enforced: Boolean)
+
+object EvolveCheck {
+  /** props encoding: `b64(name):b64(sql):enforced;...` */
+  def serialize(cs: Seq[EvolveCheck]): String = cs.map { c =>
+    def b64(s: String) = java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"${b64(c.name)}:${b64(c.sql)}:${c.enforced}"
+  }.mkString(";")
+
+  def parse(s: String): Seq[EvolveCheck] =
+    if (s == null || s.isEmpty) Seq.empty
+    else s.split(";").filter(_.nonEmpty).toSeq.map { p =>
+      val a = p.split(":")
+      def un(b: String) = new String(java.util.Base64.getDecoder.decode(b),
+        java.nio.charset.StandardCharsets.UTF_8)
+      EvolveCheck(un(a(0)), un(a(1)), a(2).toBoolean)
+    }
+}
+
+class EvolveTable(path: String, fields: Seq[EvolveField],
+    checks: Seq[EvolveCheck] = Seq.empty) extends Table
     with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "graft_evolve requires a path property")
   override def name(): String = s"graft_evolve($path)"
   override def schema(): StructType = EvolveSchema.struct(fields)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+
+  // CHECK constraints ride the Table contract (q233): the engine reads
+  // them here to enforce on write and to describe the table — the
+  // connector stores TEXT, the engine owns evaluation
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    checks.map { c =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(c.name).predicateSql(c.sql).enforced(c.enforced)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   // writes bind to the schema CURRENT AT PLAN TIME: the committed file
   // records exactly those ids, so a concurrent ALTER never reinterprets
@@ -272,6 +387,17 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
     extends PartitionReader[InternalRow] {
   // current-schema position -> cell index in this file (-1 = predates column)
   private val slot: Array[Int] = fields.map(f => p.fileIds.indexOf(f.id)).toArray
+  // the EXISTENCE default per field, pre-parsed once: what a row written
+  // before the column existed serves instead of NULL (an explicit \N in a
+  // file that HAS the column stays NULL — the writer recorded a real null)
+  private val existsDefault: Array[Any] = fields.map { f =>
+    f.default.map { t =>
+      EvolveSchema.parseDefault(f.dataType, t, f.name) match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+    }.orNull
+  }.toArray
   private val lines = Files.readAllLines(Paths.get(p.path, p.file)).iterator()
   private var current: InternalRow = _
 
@@ -281,7 +407,8 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
       val cells = lines.next().split(",", -1)
       val vals: Array[Any] = fields.indices.map { i =>
         val j = slot(i)
-        if (j < 0 || cells(j) == "\\N") null
+        if (j < 0) existsDefault(i)
+        else if (cells(j) == "\\N") null
         else fields(i).dataType match {
           case LongType => cells(j).toLong
           case DoubleType => cells(j).toDouble

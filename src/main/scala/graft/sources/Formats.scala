@@ -1663,6 +1663,193 @@ object Formats {
              |ORDER BY lang""".stripMargin)
   }
 
+  // ---- q231: V2 ViewCatalog — views stored in the connector catalog -------
+  // A view is stored SQL TEXT plus the resolution context it was defined
+  // in; a reader re-parses and re-plans the text at every read, so a view
+  // over the q163 connector table inherits the table scan's full pushdown
+  // surface (nothing is materialized — the registry holds metadata only,
+  // the 100 TB-safe kind of view). Spark 4.1 ships the `ViewCatalog`
+  // CONNECTOR contract but not yet the engine-side SQL wiring (probed:
+  // `CREATE VIEW graft.ns.v` fails MISSING_CATALOG_ABILITY.VIEWS and no
+  // v2 view-resolution rule exists in the 4.1 jars), so this query drives
+  // the full contract through the API — create with definition context,
+  // list, load, ALTER properties, RENAME — and then replays the loaded
+  // view's stored text exactly the way a resolver would: parse
+  // `view.query()`, wrap it with the outer predicate, plan. The oracled
+  // result proves the stored definition composes with outer filters like
+  // any inline subquery; the lifecycle requires pin create/list/drop.
+  def q231ViewCatalog(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS graft.ns.seq100k (id BIGINT, h STRING, v BIGINT)
+             |USING graft_seq TBLPROPERTIES ('rows'='$seqRows', 'slices'='$seqSlices')""".stripMargin)
+    val catalog = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    val ident = Identifier.of(Array("ns"), "seq_buckets")
+    val renamed = Identifier.of(Array("ns"), "seq_buckets_v2")
+    catalog.dropView(ident); catalog.dropView(renamed) // memoized-rep reset
+    val viewSql =
+      """SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v
+        |FROM graft.ns.seq100k
+        |WHERE id < 80000
+        |GROUP BY 1""".stripMargin
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_v", org.apache.spark.sql.types.LongType)))
+    catalog.createView(new ViewInfo(ident, viewSql, "graft", Array("ns"), schema,
+      Array("bucket", "n", "sum_v"), Array.empty, Array.empty,
+      java.util.Collections.emptyMap[String, String]()))
+    require(catalog.listViews("ns").map(_.name()).contains("seq_buckets"),
+      "q231: created view missing from listViews")
+    catalog.alterView(ident,
+      org.apache.spark.sql.connector.catalog.ViewChange.setProperty("comment", "bucketed"))
+    catalog.renameView(ident, renamed)
+    val loaded = catalog.loadView(renamed)
+    require(loaded.query() == viewSql && loaded.currentCatalog() == "graft" &&
+      loaded.schema() == schema && loaded.properties().get("comment") == "bucketed",
+      s"q231: loaded view lost definition state: ${loaded.query()}")
+    // the resolver's job, replayed: parse the stored text in its context,
+    // compose the outer predicate on top
+    val out = s.sql(
+      s"""SELECT bucket, n, sum_v FROM (${loaded.query()})
+         |WHERE bucket < '8'
+         |ORDER BY bucket""".stripMargin)
+    out.collect() // materialize before the lifecycle teardown below
+    require(catalog.dropView(renamed) && !catalog.dropView(renamed),
+      "q231: DROP VIEW must retire the name exactly once")
+    out
+  }
+
+  val q231Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT substr(h, 1, 1) AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v
+       |FROM src
+       |WHERE id < 80000 AND substr(h, 1, 1) < '8'
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---- q232: column DEFAULT values through schema evolution ---------------
+  // The two default semantics every evolving table needs, both metadata-
+  // only (no file rewritten — same field-id machinery as q223):
+  //   EXISTENCE default — `ADD COLUMN quality BIGINT DEFAULT 100`: rows
+  //     in files written BEFORE the column serve 100, not NULL (the
+  //     reader substitutes the stored literal where the field id is
+  //     absent; an explicit NULL written AFTER the column stays NULL);
+  //   CURRENT default — `INSERT INTO t (doc_id, lang)` omitting the
+  //     column: the ANALYZER fills 100 from the schema's CURRENT_DEFAULT
+  //     metadata (catalog capability SUPPORT_COLUMN_DEFAULT_VALUE), so
+  //     the committed file physically carries the value.
+  // Four row generations — pre-column, analyzer-filled, explicit value,
+  // explicit NULL — all land in one digest; a reader serving NULL where
+  // a default belongs (or vice versa) breaks n_with/sum.
+  def q232ColumnDefaults(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docdef_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_column_defaults:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING)
+               |USING graft_evolve TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q232")
+      // generation 0: written before the column exists
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang FROM docs_q232 WHERE lang IN ('en','de')")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN quality BIGINT DEFAULT 100")
+      // generation 1: the analyzer fills the current default
+      s.sql(s"INSERT INTO $tbl (doc_id, lang) SELECT doc_id, lang FROM docs_q232 WHERE lang = 'fr'")
+      // generation 2: explicit values; generation 3: explicit NULLs
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q232 WHERE lang = 'zh'")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, NULL FROM docs_q232 WHERE lang = 'es'")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  COUNT(quality) AS n_with,
+             |  COALESCE(SUM(quality), -1) AS sum_quality,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q232Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, lang, CAST(100 AS BIGINT) AS quality
+      |  FROM documents WHERE lang IN ('en','de','fr')
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'zh'
+      |  UNION ALL
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) FROM documents WHERE lang = 'es')
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(quality) AS n_with,
+      |  CAST(COALESCE(SUM(quality), -1) AS BIGINT) AS sum_quality,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ev
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q233: CHECK constraints — data quality gates in the catalog --------
+  // `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` (Spark 4.1
+  // SUPPORT_TABLE_CONSTRAINT): the connector stores predicate TEXT, the
+  // ENGINE owns evaluation at both enforcement points —
+  //   ADD-time: existing rows are scanned and a violated constraint is
+  //     REFUSED (the catalog never hears about it);
+  //   write-time: an enforced CHECK is compiled into every subsequent
+  //     INSERT's plan, so a violating batch FAILS its job instead of
+  //     landing (exactly the ingest-quality gate a 100 TB corpus needs —
+  //     reject at the table boundary, not in a downstream audit).
+  // The requires pin both refusals plus DROP CONSTRAINT re-opening the
+  // gate; the digest covers what actually landed.
+  def q233CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docchk_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_check_constraints:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q233")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q233 WHERE lang = 'en'")
+      // a constraint the existing rows VIOLATE must be refused at ADD time
+      val addRefused = try {
+        s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT impossible CHECK (n_chars < 0)"); false
+      } catch { case _: Exception => true }
+      require(addRefused, "q233: ADD CONSTRAINT must validate existing rows")
+      s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT chars_positive CHECK (n_chars > 0)")
+      // a violating INSERT must fail its job, not land
+      val insertRefused = try {
+        s.sql(s"INSERT INTO $tbl VALUES (-1, 'xx', -5)"); false
+      } catch { case _: Exception => true }
+      require(insertRefused, "q233: enforced CHECK must reject a violating INSERT")
+      // conforming writes pass through the same gate
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q233 WHERE lang = 'zh'")
+      s.sql(s"ALTER TABLE $tbl DROP CONSTRAINT chars_positive")
+      // gate re-opened: the same violating row now lands
+      s.sql(s"INSERT INTO $tbl VALUES (-1, 'xx', -5)")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q233Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'zh')
+      |  UNION ALL
+      |  SELECT -1, 'xx', -5)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ev
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1706,6 +1893,9 @@ object Formats {
     "q228_history_procedure" -> q228HistoryProcedure _,
     "q229_expire_snapshots" -> q229ExpireSnapshots _,
     "q230_truncate" -> q230Truncate _,
+    "q231_view_catalog" -> q231ViewCatalog _,
+    "q232_column_defaults" -> q232ColumnDefaults _,
+    "q233_check_constraints" -> q233CheckConstraints _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1742,5 +1932,8 @@ object Formats {
     "q228_history_procedure" -> q228Sql,
     "q229_expire_snapshots" -> q229Sql,
     "q230_truncate" -> q230Sql,
+    "q231_view_catalog" -> q231Sql,
+    "q232_column_defaults" -> q232Sql,
+    "q233_check_constraints" -> q233Sql,
   )
 }

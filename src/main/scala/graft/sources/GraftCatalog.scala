@@ -3,8 +3,8 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -36,13 +36,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the relation itself stays a pure function of the row id.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog {
+    with FunctionCatalog with ProcedureCatalog with ViewCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
   }
   override def name(): String = catalogName
+
+  // q232: lets DDL carry column DEFAULTs — the analyzer then fills
+  // omitted columns in INSERTs from the schema's CURRENT_DEFAULT
+  // metadata, which the evolve flavor round-trips (EvolveSchema.struct)
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def key(ident: Identifier): String =
     GraftCatalog.regKey(catalogName, ident.namespace().toSeq :+ ident.name())
@@ -130,7 +138,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new DigestSinkTable(props.get("path"), langSplit = true)
       case "graft_evolve" =>
         val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
-        new EvolveTable(props.get("path"), fields)
+        new EvolveTable(props.get("path"), fields,
+          EvolveCheck.parse(props.get("evolveConstraints")))
       case _ =>
         new SeqTable(
           props.getOrDefault("rows", "1000").toLong,
@@ -205,7 +214,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // must not silently re-route a table's identity out from under readers
   private val reservedProps =
     Set("provider", "path", "delta", "rowlevel", "partitioned",
-      "evolveSchema", "rows", "slices", "columnar")
+      "evolveSchema", "evolveConstraints", "rows", "slices", "columnar")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = GraftCatalog.tables.get(key(ident))
@@ -220,6 +229,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!reservedProps.contains(rp.property()),
           s"graft catalog: table property '${rp.property()}' is reserved")
         props.remove(rp.property())
+      case ac: TableChange.AddConstraint if provider == "graft_evolve" =>
+        // the engine has already VALIDATED existing rows by the time this
+        // lands (AddCheckConstraintExec scans before calling alterTable);
+        // the catalog's job is to store text + enforcement flag
+        val cs = EvolveCheck.parse(props.get("evolveConstraints"))
+        val c = ac.constraint()
+        require(!cs.exists(_.name == c.name()),
+          s"graft catalog: constraint '${c.name()}' already exists")
+        val check = c match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check => ck
+          case other => throw new UnsupportedOperationException(
+            s"graft catalog: only CHECK constraints are supported, got ${other.toDDL}")
+        }
+        props.put("evolveConstraints", EvolveCheck.serialize(
+          cs :+ EvolveCheck(check.name(), check.predicateSql(), check.enforced())))
+      case dc: TableChange.DropConstraint if provider == "graft_evolve" =>
+        val cs = EvolveCheck.parse(props.get("evolveConstraints"))
+        require(cs.exists(_.name == dc.name()) || dc.ifExists(),
+          s"graft catalog: no constraint '${dc.name()}'")
+        props.put("evolveConstraints",
+          EvolveCheck.serialize(cs.filterNot(_.name == dc.name())))
       case c if provider == "graft_evolve" =>
         // column evolution is a metadata-only commit against the field-id
         // schema — see [[EvolveSchema]] for the id semantics and the
@@ -260,6 +290,70 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _          => throw new NoSuchFunctionException(ident)
     }
 
+  // ---- views (ViewCatalog, q231) ------------------------------------------
+  // a view is STORED SQL TEXT plus the resolution context it was defined
+  // in (catalog + namespace) and the schema it had at definition time —
+  // the engine re-parses and re-plans the text at every read, so a view
+  // over a connector table inherits every pushdown the table's scan
+  // proves. Registry metadata only, like tables: nothing data-bearing.
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (!namespaceExists(namespace.toArray)) throw new NoSuchNamespaceException(namespace.toArray)
+    val nsArr: Array[String] = namespace.toArray
+    val keys: Seq[String] = scala.jdk.CollectionConverters
+      .SetHasAsScala(GraftCatalog.views.keySet()).asScala.toSeq
+    keys.map((k: String) => k.split(GraftCatalog.keySep))
+      .filter((parts: Array[String]) => parts.length >= 2 &&
+        parts.head == catalogName &&
+        parts.slice(1, parts.length - 1).sameElements(nsArr))
+      .map((parts: Array[String]) => Identifier.of(nsArr, parts.last))
+      .toArray
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val v = GraftCatalog.views.get(key(ident))
+    if (v == null) throw new NoSuchViewException(ident)
+    v
+  }
+
+  override def createView(info: ViewInfo): View = {
+    if (!namespaceExists(info.ident().namespace()))
+      throw new NoSuchNamespaceException(info.ident().namespace())
+    if (GraftCatalog.views.containsKey(key(info.ident())))
+      throw new ViewAlreadyExistsException(info.ident())
+    val v = GraftView(info.ident().name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(),
+      new util.HashMap[String, String](info.properties()))
+    GraftCatalog.views.put(key(info.ident()), v)
+    v
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = GraftCatalog.views.get(key(ident))
+    if (v == null) throw new NoSuchViewException(ident)
+    val props = new util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props.put(sp.property(), sp.value())
+      case rp: ViewChange.RemoveProperty => props.remove(rp.property())
+      case c => throw new UnsupportedOperationException(
+        s"graft catalog: ALTER VIEW ${c.getClass.getSimpleName}")
+    }
+    val updated = v.copy(props = props)
+    GraftCatalog.views.put(key(ident), updated)
+    updated
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftCatalog.views.remove(key(ident)) != null
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (GraftCatalog.views.containsKey(key(newIdent)))
+      throw new ViewAlreadyExistsException(newIdent)
+    val v = GraftCatalog.views.remove(key(oldIdent))
+    if (v == null) throw new NoSuchViewException(oldIdent)
+    GraftCatalog.views.put(key(newIdent), v.copy(viewName = newIdent.name()))
+  }
+
   // ---- procedures (ProcedureCatalog, q225) --------------------------------
   // maintenance actions ship WITH the connector, invoked by name via CALL
   // — the `system` namespace mirrors where every production catalog puts
@@ -293,4 +387,24 @@ object GraftCatalog {
     new java.util.concurrent.ConcurrentHashMap[String, util.Map[String, String]]()
   private[sources] val namespaces =
     new java.util.concurrent.ConcurrentHashMap[String, util.HashMap[String, String]]()
+  private[sources] val views =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftView]()
+}
+
+/** Stored-view record — the [[org.apache.spark.sql.connector.catalog.View]]
+  * contract over registry state.
+  */
+case class GraftView(viewName: String, viewSql: String, cat: String,
+    ns: Array[String], viewSchema: StructType, queryCols: Array[String],
+    aliases: Array[String], comments: Array[String],
+    props: util.HashMap[String, String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = viewSql
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] = ns
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): util.Map[String, String] = props
 }

@@ -322,6 +322,87 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q231: view lifecycle — duplicate create refused, rename collision " +
+      "refused, load of missing throws") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+    withCatalog {
+      spark.sql("SELECT 1").collect() // force catalog init
+      val catalog = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+      val a = Identifier.of(Array("ns"), s"vspec_a_${System.nanoTime()}")
+      val b = Identifier.of(Array("ns"), s"vspec_b_${System.nanoTime()}")
+      def info(id: Identifier) = new ViewInfo(id, "SELECT 1 AS one", "graft",
+        Array("ns"), new org.apache.spark.sql.types.StructType()
+          .add("one", org.apache.spark.sql.types.IntegerType),
+        Array("one"), Array.empty, Array.empty,
+        java.util.Collections.emptyMap[String, String]())
+      catalog.createView(info(a))
+      intercept[ViewAlreadyExistsException] { catalog.createView(info(a)) }
+      catalog.createView(info(b))
+      intercept[ViewAlreadyExistsException] { catalog.renameView(a, b) }
+      intercept[NoSuchViewException] {
+        catalog.loadView(Identifier.of(Array("ns"), "vspec_missing"))
+      }
+      assert(catalog.dropView(a) && catalog.dropView(b))
+    }
+  }
+
+  test("q232: existence default serves pre-column rows; explicit NULL after " +
+      "the column stays NULL; bad default literals refused at DDL time") {
+    withCatalog {
+      val dir = tmp("graft_default_spec_")
+      val tbl = s"graft.ns.defspec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (id BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1)")
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING DEFAULT 'web'")
+      spark.sql(s"INSERT INTO $tbl VALUES (2, NULL), (3, 'cur''ated')")
+      val got = spark.table(tbl).collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) "<null>" else r.getString(1)))
+        .sorted.toSeq
+      assert(got == Seq((1L, "web"), (2L, "<null>"), (3L, "cur'ated")),
+        s"default semantics wrong: $got")
+      // a non-literal default must be refused, not silently mis-served
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN bad BIGINT DEFAULT 'seven'")
+      }
+      assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q233: constraints round-trip through the Table contract; duplicate " +
+      "add and unknown drop refused, IF EXISTS tolerated") {
+    withCatalog {
+      val dir = tmp("graft_check_spec_")
+      val short = s"chkspec_${System.nanoTime()}"
+      val tbl = s"graft.ns.$short"
+      spark.sql(s"""CREATE TABLE $tbl (id BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pos CHECK (id > 0)")
+      val catalog = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[GraftCatalog]
+      val cs = catalog.loadTable(
+        Identifier.of(Array("ns"), short)).constraints()
+      assert(cs.length == 1 && cs.head.name() == "pos" && cs.head.enforced(),
+        cs.mkString(","))
+      val dup = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT pos CHECK (id > 1)")
+      }
+      assert(dup.getMessage.toLowerCase.contains("exists") ||
+        dup.getMessage.contains("pos"), dup.getMessage)
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT nope")
+      }
+      spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT IF EXISTS nope")
+      spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT pos")
+      assert(catalog.loadTable(Identifier.of(Array("ns"), short))
+        .constraints().isEmpty)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
