@@ -6,14 +6,14 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-13 QUERY SET (all 219 queries, q1–q222) must
-  * stay ≤ 207 s (1.3 × the 159.1 s round-13 final anchor — a
-  * zero-failure, zero-flaky full run on the round-13 build host; the
-  * 214-query set read 157.6 s in the preceding anchor on the same host,
-  * and within the earlier runs the round-12 180-query subset read
-  * 132.4 s, inside its prior 184 s ceiling). Queries added after this
-  * anchor are excluded from the ratchet until it is re-taken on a quiet
-  * run that includes them — see PLANS.md "Round 13 anchor".
+  * total over the ROUND-14 QUERY SET (all 230 queries, q1–q233) must
+  * stay ≤ 206 s (1.3 × the 158.45 s round-14 final anchor — a
+  * zero-failure, zero-flaky full run on the round-14 build host; the
+  * round-13 219-query set had anchored at 159.1 s on the same host, so
+  * the 11 round-14 additions cost ~3.9 s and the rest held or improved).
+  * Queries added after this anchor are excluded from the ratchet until
+  * it is re-taken on a quiet run that includes them — see PLANS.md
+  * "Round 14 anchor".
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
