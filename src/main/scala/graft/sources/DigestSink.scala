@@ -161,7 +161,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     if (langSplit)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_BY_FILTER)
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
     else
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -291,6 +291,59 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def toBatch: BatchWrite =
     new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory)
+
+  // q234: `writeStream.toTable(...)` — the MANIFEST-GATED table as a
+  // streaming sink. Each epoch reuses the lang-split writers with the
+  // EPOCH as its job tag, so a replayed epoch overwrites its own final
+  // names (offsets are checkpointed → byte-identical rewrite) and the
+  // epoch-level manifest append is skipped when the epoch's entries are
+  // already present — the same exactly-once shape as [[EpochSink]], but
+  // committing into the table's OWN commit log: every epoch becomes a
+  // `_MANIFEST.v<N>` version, so batch readers, time travel, and
+  // partition DDL all see streamed data the moment its epoch commits.
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(langSplit && overwriteFilters.isEmpty,
+      "graft_digest streaming writes are append-mode on the lang-split flavor")
+    new DigestStreamingWrite(path, cols)
+  }
+}
+
+class DigestStreamingWrite(path: String, cols: Array[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    DigestStreamingWriterFactory(path, cols)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
+    val manifestPath = Paths.get(path, "_MANIFEST")
+    val old: Seq[String] =
+      if (Files.exists(manifestPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(manifestPath)).asScala.filter(_.nonEmpty).toSeq
+      else Seq.empty
+    // replay idempotency: the epoch's entries already in the manifest win
+    // — the replayed attempt rewrote the SAME final names, so skipping
+    // the append leaves one consistent copy of the epoch
+    val oldNames = old.map(_.split(",")(0)).toSet
+    if (fresh.forall(f => oldNames.contains(f.fileName))) return
+    DigestManifest.publish(path,
+      old ++ fresh.map(f => s"${f.fileName},${f.rows}").sorted
+        .filterNot(l => oldNames.contains(l.split(",")(0))))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.contains(s"-je$epochId-") && n.endsWith(".staged"))
+          Files.deleteIfExists(p)
+      } finally listing.close()
+    }
+  }
 }
 
 class DigestBatchWrite(path: String, langSplit: Boolean = false,
@@ -397,9 +450,12 @@ class DigestRowLevelOperation(path: String,
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft_digest row-level $cmd"
-  // the operation scans through the same manifest-gated read path …
+  // the operation scans through the same manifest-gated read path — but
+  // with file pruning OFF: this scan feeds a whole-table replacement, so
+  // it must produce every row (see DigestScanBuilder)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DigestScanBuilder(path)
+    new DigestScanBuilder(path, mergeDeltas = false,
+      manifestName = "_MANIFEST", allowPruning = false)
   // … and commits the recomputed rows as a full-group replacement (the
   // whole table is one group here), through the standard staged-attempt
   // two-phase commit
@@ -534,6 +590,13 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
   }
 }
 
+case class DigestStreamingWriterFactory(path: String, cols: Array[Int])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LangSplitDataWriter(path, partitionId, taskId, cols, s"e$epochId")
+}
+
 case class DigestDeltaWriterFactory(path: String, cols: Array[Int],
     jobTag: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
@@ -591,10 +654,51 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   * (it holds CHANGES); production compaction folds it down periodically.
   */
 class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
-    manifestName: String = "_MANIFEST")
-    extends ScanBuilder {
+    manifestName: String = "_MANIFEST", allowPruning: Boolean = true)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   def this(path: String) = this(path, false)
-  override def build(): Scan = new DigestScan(path, mergeDeltas, manifestName)
+
+  // FILE PRUNING on lang predicates — the connector's partition pruning:
+  // the lang-split layout puts a file's lang IN ITS NAME, so
+  // `WHERE lang = 'de'` plans exactly the de files instead of scanning
+  // every committed file (at 100 TB: whole-file skips from the manifest,
+  // no data touched). Pruning is DISABLED in two scan roles where the
+  // file list must stay complete — correctness over cleverness:
+  //   merge-on-read: an UPDATE verb can rewrite a base row's lang, so a
+  //     base file's name no longer bounds the langs its MERGED rows carry;
+  //   row-level-operation scans (allowPruning=false): the group-based
+  //     rewrite's write replaces the WHOLE table, so its scan must carry
+  //     EVERY row — the engine pushes the UPDATE/MERGE condition into the
+  //     scan to locate affected groups, and honoring it here would drop
+  //     unmatched rows from the rewrite (caught live by the q203 spec).
+  // Every filter is also kept as a residual (returned from pushFilters),
+  // so rows inside a surviving file are still filtered by the engine;
+  // the pushdown only shrinks the file list.
+  private var langs: Option[Set[String]] = None
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!mergeDeltas && allowPruning) {
+      val sets = filters.collect {
+        case EqualTo("lang", v: String) => Set(v)
+        case In("lang", vs) => vs.map(String.valueOf).toSet
+      }
+      if (sets.nonEmpty) {
+        langs = Some(sets.reduce(_ intersect _))
+        accepted = filters.filter {
+          case EqualTo("lang", _: String) => true
+          case In("lang", _) => true
+          case _ => false
+        }
+      }
+    }
+    filters // all residual: pruning shrinks the file list, never row checks
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new DigestScan(path, mergeDeltas, manifestName, langs)
 }
 
 /** Latest-wins merged intent for one row id: None = delete, Some(row) =
@@ -634,14 +738,16 @@ private[graft] object DeltaFold {
 }
 
 class DigestScan(path: String, mergeDeltas: Boolean = false,
-    manifestName: String = "_MANIFEST")
+    manifestName: String = "_MANIFEST",
+    langs: Option[Set[String]] = None)
     extends Scan with Batch {
   def this(path: String) = this(path, false)
   override def readSchema(): StructType = DigestSink.rowSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_digest manifest-read $path/$manifestName" +
-      (if (mergeDeltas) " merge-on-read" else "")
+      (if (mergeDeltas) " merge-on-read" else "") +
+      langs.fold("")(ls => s" langs=${ls.toSeq.sorted.mkString("|")}")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestPath = Paths.get(path, manifestName)
@@ -653,7 +759,12 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     if (!mergeDeltas) {
       require(deltaFiles.isEmpty,
         s"graft_digest: delta log present but scan is not merge-on-read: $deltaFiles")
-      baseFiles.map(f => DigestFilePartition(path, f): InputPartition).toArray
+      // file-level pruning: a name that carries a lang and misses the
+      // pushed set is skipped whole; a file WITHOUT a lang in its name
+      // (flat part-*.csv) may hold any lang and is always kept
+      baseFiles.filter { f =>
+        langs.forall(ls => DigestSink.langOf(f).forall(ls.contains))
+      }.map(f => DigestFilePartition(path, f): InputPartition).toArray
     } else {
       // replay in MANIFEST order, not name order: append order is commit
       // order, and job-unique file tags do not sort chronologically

@@ -1850,6 +1850,114 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q234: writeStream.toTable — streaming INTO the cataloged table -----
+  // The missing leg between q174 (path-based epoch sink) and q185 (the
+  // catalog): a stream commits straight into the manifest-gated digest
+  // table by NAME. Each micro-batch epoch reuses the lang-split writers
+  // with the epoch as job tag (replay rewrites the same names, commit is
+  // idempotent against the manifest), and every epoch lands as a
+  // `_MANIFEST.v<N>` commit — so batch reads, time travel, and partition
+  // DDL see streamed data with no import step. The requires pin the
+  // multi-epoch layout (≥2 distinct epoch tags committed) and the
+  // read-back digest — through the table's own batch scan — must match
+  // the oracle's view of the full streamed range.
+  def q234StreamToTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docstream_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_stream_table:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      val q = s.readStream.format("graft.sources.SeqSource")
+        .option("rows", streamRows.toString)
+        .option("slices", "4")
+        .option("columnar", "false")
+        .option("rowsPerBatch", streamPerBatch.toString)
+        .load()
+        .selectExpr("id AS doc_id", "substr(h, 1, 1) AS lang", "v AS n_chars")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(tbl)
+      q.awaitTermination()
+      val entries = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).toSeq
+      val epochs = entries.map(_.split(",")(0))
+        .flatMap(n => "-je(\\d+)-".r.findFirstMatchIn(n).map(_.group(1))).distinct
+      require(epochs.size >= 2,
+        s"q234: expected multiple committed epochs in the manifest, got $epochs")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q234Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($streamRows))
+       |SELECT substr(h, 1, 1) AS lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(v) AS BIGINT) AS sum_chars,
+       |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS ids_md5
+       |FROM src
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  // ---- q235: digest file pruning — the connector's partition pruning ------
+  // The lang-split layout carries each file's lang in its NAME, so a
+  // lang predicate prunes at the FILE level from the manifest — no data
+  // touched for skipped langs (at 100 TB this is the difference between
+  // reading two partitions and reading the table). The plan lock is
+  // IN-QUERY: the scan must plan exactly 2 input partitions for the
+  // 2-lang predicate (out of 5 committed files), and the predicate also
+  // stays a residual row filter, so pruning can never change results —
+  // only work. The digest covers the surviving langs.
+  def q235DigestFilePruning(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docprune_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_file_pruning:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q235")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q235")
+    }
+    val out = s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                       |  SUM(n_chars) AS sum_chars,
+                       |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+                       |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+                       |FROM $tbl
+                       |WHERE lang IN ('de', 'fr')
+                       |GROUP BY lang
+                       |ORDER BY lang""".stripMargin)
+    // inspect the pre-AQE physical plan (AdaptiveSparkPlanExec hides its
+    // children from collect until execution)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val parts = scans.map(_.inputRDD.getNumPartitions).sum
+    require(scans.nonEmpty && parts == 2,
+      s"q235: a 2-lang predicate over 5 committed lang files must plan " +
+        s"exactly 2 input partitions, planned $parts over ${scans.size} scans")
+    out
+  }
+
+  val q235Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -1896,6 +2004,8 @@ object Formats {
     "q231_view_catalog" -> q231ViewCatalog _,
     "q232_column_defaults" -> q232ColumnDefaults _,
     "q233_check_constraints" -> q233CheckConstraints _,
+    "q234_stream_to_table" -> q234StreamToTable _,
+    "q235_digest_file_pruning" -> q235DigestFilePruning _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1935,5 +2045,7 @@ object Formats {
     "q231_view_catalog" -> q231Sql,
     "q232_column_defaults" -> q232Sql,
     "q233_check_constraints" -> q233Sql,
+    "q234_stream_to_table" -> q234Sql,
+    "q235_digest_file_pruning" -> q235Sql,
   )
 }

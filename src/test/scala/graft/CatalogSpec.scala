@@ -403,6 +403,53 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q234: streaming epoch commit is replay-idempotent against the manifest") {
+    import graft.sources.{DigestCommitMessage, CommittedFile, DigestStreamingWrite}
+    val dir = tmp("graft_stream_commit_spec_").toString
+    val w = new DigestStreamingWrite(dir, Array(0, 1, 2))
+    val msg: org.apache.spark.sql.connector.write.WriterCommitMessage =
+      DigestCommitMessage(Seq(CommittedFile("lang_en-je0-part-00000.csv", 3)))
+    w.commit(0L, Array(msg))
+    val after1 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_MANIFEST"))
+    w.commit(0L, Array(msg)) // epoch replay: must not duplicate the entry
+    val after2 = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_MANIFEST"))
+    assert(after1.size == 1 && after2 == after1,
+      s"epoch replay duplicated manifest entries: $after2")
+    // a later epoch appends
+    w.commit(1L, Array(DigestCommitMessage(
+      Seq(CommittedFile("lang_en-je1-part-00000.csv", 2)))
+      : org.apache.spark.sql.connector.write.WriterCommitMessage))
+    assert(java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_MANIFEST")).size == 2)
+  }
+
+  test("q235: file pruning keeps files whose names carry no lang (they may " +
+      "hold any lang) and never prunes under merge-on-read") {
+    import graft.sources.DigestScanBuilder
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tmp("graft_prune_spec_").toString
+    graft.sources.DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1", "part-00001.csv,2"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "lang_de-part-00000.csv"), "1,de,10\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "lang_en-part-00000.csv"), "2,en,20\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "part-00001.csv"), "3,de,30\n4,fr,40\n")
+    val sb = new DigestScanBuilder(dir)
+    val residual = sb.pushFilters(Array(EqualTo("lang", "de")))
+    assert(residual.length == 1, "pushed filter must STAY a residual row check")
+    val parts = sb.build().toBatch.planInputPartitions()
+    // the de file survives, the en file is pruned, the flat file (no lang
+    // in its name) must be KEPT — its rows are only filterable per-row
+    assert(parts.length == 2, s"expected de + flat file, got ${parts.toSeq}")
+    // merge-on-read: pruning disabled (an UPDATE verb can change a row's
+    // lang, so a base file's name no longer bounds its merged content)
+    val sbM = new DigestScanBuilder(dir, mergeDeltas = true)
+    sbM.pushFilters(Array(EqualTo("lang", "de")))
+    assert(sbM.build().toBatch.planInputPartitions().length == 3,
+      "merge-on-read scan must not file-prune")
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
