@@ -78,6 +78,12 @@ object DigestSink {
   private[sources] def langOf(fileName: String): Option[String] =
     if (fileName.startsWith("lang_")) Some(fileName.drop(5).takeWhile(_ != '-'))
     else None
+
+  /** Counts engine-armed runtime-filter deliveries (q236's loud proof
+    * that the join actually pruned the scan, not just that it could).
+    */
+  private[graft] val runtimeFilterEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The table's COMMIT LOG. Every manifest publish goes through here: the
@@ -698,7 +704,8 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new DigestScan(path, mergeDeltas, manifestName, langs)
+  override def build(): Scan =
+    new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning)
 }
 
 /** Latest-wins merged intent for one row id: None = delete, Some(row) =
@@ -739,8 +746,11 @@ private[graft] object DeltaFold {
 
 class DigestScan(path: String, mergeDeltas: Boolean = false,
     manifestName: String = "_MANIFEST",
-    langs: Option[Set[String]] = None)
-    extends Scan with Batch {
+    langs: Option[Set[String]] = None,
+    allowPruning: Boolean = true)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   def this(path: String) = this(path, false)
   override def readSchema(): StructType = DigestSink.rowSchema
   override def toBatch: Batch = this
@@ -749,12 +759,67 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       (if (mergeDeltas) " merge-on-read" else "") +
       langs.fold("")(ls => s" langs=${ls.toSeq.sorted.mkString("|")}")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // RUNTIME file pruning (the connector twin of DPP, q236): a selective
+  // join on lang hands the scan an In-filter at execution start, shrinking
+  // the file list further — same prune rule, same safety gates as the
+  // planning-time pushdown (never under merge-on-read, never in the
+  // row-level-operation scan role)
+  private var runtimeLangs: Option[Set[String]] = None
+  private def pruneSet: Option[Set[String]] = (langs, runtimeLangs) match {
+    case (Some(a), Some(b)) => Some(a intersect b)
+    case (a, b) => a.orElse(b)
+  }
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (allowPruning && !mergeDeltas)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("lang"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit =
+    if (allowPruning && !mergeDeltas) {
+      val sets = filters.collect {
+        case EqualTo("lang", v: String) => Set(v)
+        case In("lang", vs) => vs.map(String.valueOf).toSet
+      }
+      if (sets.nonEmpty) {
+        runtimeLangs = Some(sets.reduce(_ intersect _))
+        DigestSink.runtimeFilterEvents.incrementAndGet()
+      }
+    }
+
+  /** Files this scan will read after every pruning stage. */
+  private def plannedEntries(): Seq[(String, Long)] = {
     val manifestPath = Paths.get(path, manifestName)
-    if (!Files.exists(manifestPath)) return Array.empty
-    val entries = scala.jdk.CollectionConverters.ListHasAsScala(
+    if (!Files.exists(manifestPath)) return Seq.empty
+    scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestPath)).asScala
-      .filter(_.nonEmpty).map(_.split(",")(0)).toSeq
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split(","); (a(0), a(1).toLong)
+      }.toSeq
+  }
+
+  // EXACT statistics from the manifest — the table's own metadata layer
+  // already counts every committed row, so the optimizer sizes this scan
+  // (post-pruning!) without an ANALYZE step; a lang-pruned digest side
+  // becomes a broadcast candidate automatically
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val survivors = plannedEntries().filter { case (f, _) =>
+      mergeDeltas || f.startsWith("delta-") ||
+        pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains))
+    }
+    val rows = survivors.map(_._2).sum
+    val bytes = survivors.map { case (f, _) =>
+      val p = Paths.get(path, f)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = plannedEntries().map(_._1)
     val (deltaFiles, baseFiles) = entries.partition(_.startsWith("delta-"))
     if (!mergeDeltas) {
       require(deltaFiles.isEmpty,
@@ -763,7 +828,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       // pushed set is skipped whole; a file WITHOUT a lang in its name
       // (flat part-*.csv) may hold any lang and is always kept
       baseFiles.filter { f =>
-        langs.forall(ls => DigestSink.langOf(f).forall(ls.contains))
+        pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains))
       }.map(f => DigestFilePartition(path, f): InputPartition).toArray
     } else {
       // replay in MANIFEST order, not name order: append order is commit

@@ -1958,6 +1958,59 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q236: runtime file pruning — DPP for the connector table -----------
+  // q235 prunes at PLAN time from a literal predicate; this is the
+  // RUNTIME twin (the q182/q180 shape on the digest table): the lang set
+  // arrives from a JOIN against a filtered dim, so the engine arms
+  // SupportsRuntimeFiltering and hands the scan an In(lang, ...) at
+  // execution start — files for unjoined langs are never opened. The
+  // in-query proof is LOUD: a connector-side counter must tick during
+  // execution (the filter actually arrived, not merely could have), and
+  // the digest covers the joined result. The dim's flag is an INT
+  // equality, not a bare boolean — DPP's isLikelySelective does not arm
+  // on a lone boolean attribute (the q182 probe).
+  def q236RuntimeFilePruning(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docrt_${Integer.toHexString(dir.hashCode)}"
+    val staged = graft.TempDirs.staged(s"dsv2_runtime_pruning:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q236")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q236")
+      // the dim must be a SCANNED relation with a live selective
+      // predicate: an in-memory Seq dim gets constant-folded into a bare
+      // LocalRelation, erasing the Filter node DPP's heuristic looks for
+      // (probed — the runtime filter never arms over a local dim)
+      import s.implicits._
+      Seq(("de", 0), ("fr", 0), ("en", 1), ("es", 1), ("zh", 1))
+        .toDF("lang", "flag").coalesce(1)
+        .write.parquet(p.resolve("dim").toString)
+    }
+    val dim = s.read.parquet(s"$staged/dim").filter(col("flag") === 0)
+    val before = DigestSink.runtimeFilterEvents.get()
+    val out = s.table(tbl).join(dim, "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("lang")
+    out.collect()
+    require(DigestSink.runtimeFilterEvents.get() > before,
+      "q236: the engine never delivered a runtime filter to the digest scan")
+    out
+  }
+
+  val q236Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2006,6 +2059,7 @@ object Formats {
     "q233_check_constraints" -> q233CheckConstraints _,
     "q234_stream_to_table" -> q234StreamToTable _,
     "q235_digest_file_pruning" -> q235DigestFilePruning _,
+    "q236_runtime_file_pruning" -> q236RuntimeFilePruning _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2047,5 +2101,6 @@ object Formats {
     "q233_check_constraints" -> q233Sql,
     "q234_stream_to_table" -> q234Sql,
     "q235_digest_file_pruning" -> q235Sql,
+    "q236_runtime_file_pruning" -> q236Sql,
   )
 }

@@ -450,6 +450,45 @@ class CatalogSpec extends SparkSpec {
       "merge-on-read scan must not file-prune")
   }
 
+  test("q236: scan statistics are exact from the manifest and shrink with " +
+      "pruning; runtime filtering gated off for RLO/merge-on-read scans") {
+    import graft.sources.{DigestScan, DigestScanBuilder}
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val dir = tmp("graft_stats_spec_").toString
+    graft.sources.DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,3", "lang_en-part-00000.csv,5"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "lang_de-part-00000.csv"), "1,de,10\n2,de,11\n3,de,12\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "lang_en-part-00000.csv"), "4,en,20\n" * 5)
+    val full = new DigestScanBuilder(dir).build()
+      .asInstanceOf[DigestScan]
+    assert(full.estimateStatistics().numRows().getAsLong == 8L)
+    assert(full.estimateStatistics().sizeInBytes().getAsLong > 0L)
+    // planning-time pruning shrinks the reported stats with the file list
+    val sb = new DigestScanBuilder(dir)
+    sb.pushFilters(Array(EqualTo("lang", "de")))
+    val pruned = sb.build().asInstanceOf[DigestScan]
+    assert(pruned.estimateStatistics().numRows().getAsLong == 3L)
+    // runtime filtering composes with the pushed set (intersection)
+    assert(pruned.filterAttributes().map(_.fieldNames().head).toSeq == Seq("lang"))
+    pruned.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("lang", Array("de", "en"))))
+    assert(pruned.toBatch.planInputPartitions().length == 1)
+    pruned.filter(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("lang", "en"))) // intersect → empty
+    assert(pruned.toBatch.planInputPartitions().isEmpty)
+    // the two roles where pruning must stay OFF advertise NO filterable
+    // attributes, so the engine never arms a runtime filter there
+    val rlo = new DigestScanBuilder(dir, mergeDeltas = false,
+      manifestName = "_MANIFEST", allowPruning = false).build()
+      .asInstanceOf[DigestScan]
+    assert(rlo.filterAttributes().isEmpty)
+    val mor = new DigestScanBuilder(dir, mergeDeltas = true).build()
+      .asInstanceOf[DigestScan]
+    assert(mor.filterAttributes().isEmpty)
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
