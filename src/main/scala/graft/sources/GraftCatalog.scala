@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the relation itself stays a pure function of the row id.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ProcedureCatalog with ViewCatalog {
+    with FunctionCatalog with ProcedureCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -210,11 +211,64 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  // ---- atomic CTAS / RTAS (StagingTableCatalog, q237) ----------------------
+  // see [[GraftStagedTable]] for the protocol; the catalog's job here is
+  // identifier/flavor validation and picking the stage ROOT the new
+  // generation's directory is created under
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      mode: GraftStagedTable.Mode): GraftStagedTable = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val existing = Option(GraftCatalog.tables.get(key(ident)))
+    mode match {
+      case GraftStagedTable.Create =>
+        if (existing.isDefined) throw new TableAlreadyExistsException(ident)
+      case GraftStagedTable.Replace =>
+        if (existing.isEmpty) throw new NoSuchTableException(ident)
+      case GraftStagedTable.CreateOrReplace => ()
+    }
+    val provider = Option(properties.get("provider"))
+      .orElse(existing.map(_.getOrDefault("provider", "graft_seq")))
+      .getOrElse("graft_digest")
+    require(provider == "graft_digest",
+      s"graft catalog: atomic CTAS/RTAS is a write protocol — only the " +
+        s"graft_digest flavor supports it, got $provider")
+    require(partitions.isEmpty,
+      "graft catalog: staged CTAS/RTAS owns its layout (lang-split); " +
+        "PARTITIONED BY is not accepted here")
+    val root = Option(properties.get("path"))
+      .orElse(existing.flatMap(p => Option(p.get("stageRoot"))))
+      .orElse(existing.flatMap(p => Option(p.get("path"))))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: staged CTAS needs TBLPROPERTIES('path'=<dir>)"))
+    val props = new util.HashMap[String, String](properties)
+    props.remove("provider")
+    props.remove("path")
+    new GraftStagedTable(catalogName, ident, root, props, mode)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftStagedTable =
+    stage(ident, schema, partitions, properties, GraftStagedTable.Create)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftStagedTable =
+    stage(ident, schema, partitions, properties, GraftStagedTable.Replace)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): GraftStagedTable =
+    stage(ident, schema, partitions, properties, GraftStagedTable.CreateOrReplace)
+
   // table properties the flavor dispatch and data layout hang off — ALTER
   // must not silently re-route a table's identity out from under readers
   private val reservedProps =
     Set("provider", "path", "delta", "rowlevel", "partitioned",
-      "evolveSchema", "evolveConstraints", "rows", "slices", "columnar")
+      "evolveSchema", "evolveConstraints", "rows", "slices", "columnar",
+      "stageRoot")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val props = GraftCatalog.tables.get(key(ident))

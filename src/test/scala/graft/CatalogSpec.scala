@@ -489,6 +489,95 @@ class CatalogSpec extends SparkSpec {
     assert(mor.filterAttributes().isEmpty)
   }
 
+  test("q237: staged CTAS lifecycle — invisible until commit, abort cleans " +
+      "the staged dir, create/replace preconditions and schema drift refused") {
+    import graft.sources.{DigestSink, GraftStagedTable}
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    val cat = new GraftCatalog
+    cat.initialize("graft",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    val root = tmp("graft_stage_spec_")
+    val ident = Identifier.of(Array("ns"), s"stg_${root.getFileName}")
+    def props() = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("provider", "graft_digest"); m.put("path", root.toString); m
+    }
+    def stageDirs(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("_stage-")).toSeq
+    }
+    val st = cat.stageCreate(ident, DigestSink.rowSchema, Array.empty, props())
+    assert(stageDirs().size == 1) // staging is physical...
+    intercept[NoSuchTableException] { cat.loadTable(ident) } // ...but invisible
+    st.abortStagedChanges()
+    assert(stageDirs().isEmpty, "abort must remove the staged directory")
+    intercept[NoSuchTableException] { cat.loadTable(ident) }
+    // commit publishes: the registry pointer now resolves to the staged dir
+    cat.stageCreate(ident, DigestSink.rowSchema, Array.empty, props())
+      .commitStagedChanges()
+    assert(cat.loadTable(ident).name().contains(stageDirs().head))
+    // preconditions checked at STAGE time, before any write runs
+    intercept[TableAlreadyExistsException] {
+      cat.stageCreate(ident, DigestSink.rowSchema, Array.empty, props())
+    }
+    intercept[NoSuchTableException] {
+      cat.stageReplace(Identifier.of(Array("ns"), "never_created"),
+        DigestSink.rowSchema, Array.empty, props())
+    }
+    // schema drift is refused at the write builder, not silently coerced
+    val st2 = cat.stageReplace(ident, DigestSink.rowSchema, Array.empty, props())
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("lang", StringType)))
+    intercept[IllegalArgumentException] {
+      st2.newWriteBuilder(new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+        override def queryId() = "spec"
+        override def schema() = bad
+      })
+    }
+    st2.abortStagedChanges()
+    val _ = GraftStagedTable.Create // exhaustiveness anchor for the Mode ADT
+  }
+
+  test("q238: key-grouped partitioning is declared only when every planned " +
+      "file carries its lang, and each split exposes that lang as its key") {
+    import graft.sources.{DigestFilePartition, DigestManifest, DigestScan, DigestScanBuilder}
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val dir = tmp("graft_spj_spec_").toString
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "lang_de-part-00000.csv"), "1,de,10\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "lang_en-part-00000.csv"), "2,en,20\n")
+    val kg = new DigestScanBuilder(dir).build().asInstanceOf[DigestScan]
+      .outputPartitioning()
+    assert(kg.isInstanceOf[KeyGroupedPartitioning])
+    assert(kg.asInstanceOf[KeyGroupedPartitioning].keys().head.describe() == "lang")
+    assert(kg.numPartitions() == 2)
+    // each split's partition key IS the lang its file name carries
+    assert(DigestFilePartition(dir, "lang_de-part-00000.csv").partitionKey()
+      .getUTF8String(0).toString == "de")
+    // a flat file may hold ANY lang — clustering can no longer be declared
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1", "part-00000.csv,1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part-00000.csv"), "3,fr,30\n")
+    assert(new DigestScanBuilder(dir).build().asInstanceOf[DigestScan]
+      .outputPartitioning().isInstanceOf[UnknownPartitioning])
+    // merge-on-read: an UPDATE verb can rewrite a row's lang — never declared
+    val morDir = tmp("graft_spj_spec_mor_").toString
+    DigestManifest.publish(morDir, Seq("lang_de-part-00000.csv,1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(morDir, "lang_de-part-00000.csv"), "1,de,10\n")
+    assert(new DigestScanBuilder(morDir, mergeDeltas = true).build()
+      .asInstanceOf[DigestScan].outputPartitioning()
+      .isInstanceOf[UnknownPartitioning])
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
