@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CHANGE DATA FEED (q241): row-level changes between two committed
+  * versions, computed from the commit log alone.
+  *
+  * The manifest log already records every table state (`_MANIFEST.v<N>`,
+  * q224), so the changes in `(from, to]` are a pure FILE-LEVEL DIFF of
+  * consecutive snapshots — no per-row change tracking is ever written:
+  *
+  *   - a base file ADDED at v → every row in it is an `insert` @ v;
+  *   - a base file REMOVED at v → every row in it is a `delete` @ v
+  *     (the history-retaining flavor keeps the bytes readable — the feed
+  *     REFUSES loudly if a named file is gone);
+  *   - a `delta-` log file ADDED at v → its verbs ARE the changes:
+  *     I → `insert`, U → `update_postimage`, D → `delete` (id only — the
+  *     log does not carry the old payload, so lang/n_chars are null);
+  *   - a version that REMOVES `delta-` files is a COMPACTION/EXPIRY
+  *     commit: zero logical changes, skipped whole (the in-query check
+  *     pins `changes(0, post-compaction) == changes(0, pre)`).
+  *
+  * This is the standard lakehouse CDF shape (file-diff + delta-log
+  * replay), and at 100 TB it is what makes incremental downstream
+  * consumption O(changes) instead of O(table-snapshot-diff).
+  */
+class DigestChangesTable(path: String, from: Int, to: Option[Int])
+    extends Table with SupportsRead {
+  require(from >= 0, s"graft_digest changes: changesFrom must be >= 0, got $from")
+  override def name(): String = s"graft_digest_changes($path @($from,${to.getOrElse("latest")}])"
+  override def schema(): StructType = DigestChanges.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new DigestChangesScan(path, from,
+      to.getOrElse(DigestManifest.currentVersion(path)))
+}
+
+object DigestChanges {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true),
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", LongType, nullable = false)))
+
+  private[sources] def manifestFiles(path: String, v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else {
+      val mf = Paths.get(path, s"_MANIFEST.v$v")
+      require(Files.exists(mf),
+        s"graft_digest changes: version $v is not resolvable at $path " +
+          "(expired? the feed needs its snapshots retained)")
+      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
+        .asScala.filter(_.nonEmpty).map(_.split(",")(0)).toSeq
+    }
+
+  /** The per-version change partitions for `(from, to]` — file-diff of
+    * consecutive snapshots, compaction commits skipped.
+    */
+  private[sources] def plan(path: String, from: Int, to: Int): Seq[InputPartition] = {
+    require(to >= from,
+      s"graft_digest changes: empty range ($from, $to]")
+    (from + 1 to to).flatMap { v =>
+      val prev = manifestFiles(path, v - 1).toSet
+      val cur = manifestFiles(path, v)
+      val added = cur.filterNot(prev)
+      val removed = (prev -- cur.toSet).toSeq.sorted
+      if (removed.exists(_.startsWith("delta-"))) {
+        // compaction/expiry: the log was folded down — no logical change
+        Seq.empty
+      } else {
+        removed.foreach { f =>
+          require(Files.exists(Paths.get(path, f)),
+            s"graft_digest changes: $f was removed at v$v and its bytes are " +
+              "gone — the feed needs the history-retaining flavor")
+        }
+        removed.map(f => ChangesFilePartition(path, f, "delete", v): InputPartition) ++
+          added.map { f =>
+            if (f.startsWith("delta-"))
+              ChangesDeltaPartition(path, f, v): InputPartition
+            else ChangesFilePartition(path, f, "insert", v): InputPartition
+          }
+      }
+    }
+  }
+}
+
+class DigestChangesScan(path: String, from: Int, to: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType = DigestChanges.schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft_digest_changes($path) ($from,$to]"
+  override def planInputPartitions(): Array[InputPartition] =
+    DigestChanges.plan(path, from, to).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory
+}
+
+/** One whole base file entering (`insert`) or leaving (`delete`) the
+  * table at `version`.
+  */
+case class ChangesFilePartition(path: String, file: String,
+    changeType: String, version: Int) extends InputPartition
+
+/** One delta-log file committed at `version`: its verbs are the changes. */
+case class ChangesDeltaPartition(path: String, file: String, version: Int)
+    extends InputPartition
+
+class ChangesReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case fp: ChangesFilePartition =>
+        lineReader(fp.path, fp.file) { a =>
+          InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
+            UTF8String.fromString(fp.changeType), fp.version.toLong)
+        }
+      case dp: ChangesDeltaPartition =>
+        lineReader(dp.path, dp.file) { a =>
+          a(0) match {
+            case "I" => InternalRow(a(1).toLong, UTF8String.fromString(a(2)),
+              a(3).toLong, UTF8String.fromString("insert"), dp.version.toLong)
+            case "U" => InternalRow(a(1).toLong, UTF8String.fromString(a(2)),
+              a(3).toLong, UTF8String.fromString("update_postimage"), dp.version.toLong)
+            case "D" => InternalRow(a(1).toLong, null, null,
+              UTF8String.fromString("delete"), dp.version.toLong)
+            case v => throw new IllegalStateException(
+              s"graft_digest changes: unknown verb '$v' in ${dp.file}")
+          }
+        }
+    }
+
+  private def lineReader(path: String, file: String)(
+      mk: Array[String] => InternalRow): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(Paths.get(path, file)).iterator()
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (lines.hasNext) { current = mk(lines.next().split(",")); true }
+        else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+}
+
+/** STREAMING READ of the digest table (q242): the commit log doubles as a
+  * stream — offsets ARE manifest versions, and each micro-batch reads
+  * exactly the base files ADDED in `(start, end]`. This is the "table as
+  * queue" capability every lakehouse format ships: downstream jobs
+  * consume a 100 TB table incrementally, paying O(new files) per
+  * trigger, with exactly-once delivery riding on the engine's offset
+  * checkpointing (offsets are durable versions, so replanning a batch
+  * after restart yields the same files).
+  *
+  * Append-only by contract: a version that REMOVES files (overwrite,
+  * DELETE, compaction) is not expressible as an append stream — the
+  * planner REFUSES it loudly instead of silently re-emitting or dropping
+  * rows (restart from a fresh checkpoint, or consume the q241 changes
+  * feed, which does represent deletes).
+  */
+class DigestMicroBatchStream(path: String) extends MicroBatchStream {
+  private def offset(v: Int) = DigestVersionOffset(v)
+  override def initialOffset(): Offset = offset(0)
+  override def latestOffset(): Offset =
+    offset(DigestManifest.currentVersion(path))
+  override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[DigestVersionOffset].v
+    val e = end.asInstanceOf[DigestVersionOffset].v
+    (s + 1 to e).flatMap { v =>
+      val prev = DigestChanges.manifestFiles(path, v - 1).toSet
+      val cur = DigestChanges.manifestFiles(path, v)
+      val removed = prev -- cur.toSet
+      require(removed.isEmpty,
+        s"graft_digest streaming: version $v removed files " +
+          s"${removed.toSeq.sorted.mkString(",")} — a streaming read is " +
+          "append-only; restart from a fresh checkpoint or read the changes feed")
+      val added = cur.filterNot(prev)
+      require(!added.exists(_.startsWith("delta-")),
+        s"graft_digest streaming: version $v committed delta-log files — " +
+          "stream the compacted table instead")
+      added.map(f => DigestFilePartition(path, f): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DigestReaderFactory
+}
+
+case class DigestVersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}

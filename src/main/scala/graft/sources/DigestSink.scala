@@ -58,10 +58,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DigestSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DigestSink.rowSchema
+    if (options.containsKey("changesFrom")) DigestChanges.schema
+    else DigestSink.rowSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new DigestSinkTable(properties.get("path"),
+    // `changesFrom`/`changesTo` select the CHANGE DATA FEED view of the
+    // table's commit log (q241) instead of its current snapshot
+    if (properties.containsKey("changesFrom"))
+      new DigestChangesTable(properties.get("path"),
+        properties.get("changesFrom").toInt,
+        Option(properties.get("changesTo")).map(_.toInt))
+    else new DigestSinkTable(properties.get("path"),
       langSplit = false,
       requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
 }
@@ -83,6 +90,12 @@ object DigestSink {
     * that the join actually pruned the scan, not just that it could).
     */
   private[graft] val runtimeFilterEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Counts data-file opens (q240's loud proof that a metadata-served
+    * aggregate read NO data — the counter must stay flat).
+    */
+  private[graft] val fileReadEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
@@ -167,7 +180,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     if (langSplit)
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE)
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.STREAMING_WRITE,
+        TableCapability.MICRO_BATCH_READ)
     else
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -360,15 +374,18 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
 
-  // history-retaining tables must never REUSE a committed file name: an
-  // in-place rewrite would silently corrupt every older `_MANIFEST.v<N>`
-  // that names it even though nothing was deleted — so each JOB gets a
-  // unique tag woven into its final file names, chosen once at BatchWrite
-  // construction (one tag per job however many tasks/attempts run)
+  // No batch job may REUSE a committed file name. For history-retaining
+  // tables an in-place rewrite would silently corrupt every older
+  // `_MANIFEST.v<N>` that names it; for plain tables a SECOND APPEND
+  // whose task partition ids repeat would rename over a committed file
+  // while the manifest keeps both entries — double-counted metadata over
+  // clobbered data (caught live by q242's second commit re-using a lang).
+  // So each JOB gets a unique tag woven into its final file names, chosen
+  // once at BatchWrite construction (one tag per job however many
+  // tasks/attempts run); commit() below additionally REFUSES a fresh name
+  // that is already committed, so the bug class stays loud, not silent.
   private val jobTag: String =
-    if (retainHistory)
-      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    else ""
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new DigestWriterFactory(path, langSplit, cols, jobTag)
@@ -397,6 +414,15 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
         val (d, keep) = old.partition(l => replaced(l.split(",")(0)))
         (keep, d.map(_.split(",")(0)))
     }
+
+    // the loud guard for the name-reuse bug class: a fresh file may share
+    // a name only with an entry this very commit RETIRES (the legacy
+    // rename-in-place overwrite), never with one that survives
+    val survivingNames = surviving.map(_.split(",")(0)).toSet
+    val clashes = fresh.map(_.fileName).filter(survivingNames.contains)
+    require(clashes.isEmpty,
+      s"graft_digest: job would commit file names already in the manifest " +
+        s"(${clashes.mkString(",")}) — jobs must write job-unique names")
 
     // job-level commit point: publish the merged manifest atomically
     // FIRST, so the listing never names an already-deleted file; physical
@@ -662,8 +688,63 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
 class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
     manifestName: String = "_MANIFEST", allowPruning: Boolean = true)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   def this(path: String) = this(path, false)
+
+  // ---- q240: COUNT from the commit log — the metadata-only aggregate -----
+  // The manifest already records every committed file's EXACT row count
+  // (it is how q236 serves statistics), so `COUNT(*)` — global, or
+  // GROUP BY lang over the lang-split layout — is answerable without
+  // opening a single data file. COMPLETE pushdown: the scan itself emits
+  // the final aggregated rows and the engine plans no aggregate at all.
+  // At 100 TB this is the difference between a metadata lookup and a
+  // full-table scan for the most common audit query there is.
+  // Gates: never under merge-on-read (delta verbs change counts), never
+  // for the row-level-operation scan role, only when no filter was pushed
+  // (the engine only attempts aggregate pushdown when no post-scan
+  // filters remain — and this builder keeps every filter residual), and
+  // GROUP BY lang additionally needs every committed file lang-tagged.
+  private var aggPushed: Option[Boolean] = None // Some(groupByLang)
+
+  private def manifestCountable(needLangTags: Boolean): Boolean = {
+    if (mergeDeltas || !allowPruning || langs.isDefined) return false
+    val mf = Paths.get(path, manifestName)
+    if (!Files.exists(mf)) return false
+    val files = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(mf)).asScala.filter(_.nonEmpty).map(_.split(",")(0))
+    files.nonEmpty && files.forall(f =>
+      !f.startsWith("delta-") && (!needLangTags || DigestSink.langOf(f).isDefined))
+  }
+
+  private def countShape(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[Boolean] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (!agg.aggregateExpressions().forall(_.isInstanceOf[CountStar]) ||
+        agg.aggregateExpressions().isEmpty) return None
+    agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(nr: NamedReference) if nr.fieldNames().sameElements(Array("lang")) =>
+        Some(true)
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countShape(agg).exists(manifestCountable)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countShape(agg).filter(manifestCountable) match {
+      case Some(g) =>
+        aggPushed = Some(g)
+        nAggs = agg.aggregateExpressions().length
+        true
+      case None => false
+    }
+  private var nAggs = 1
 
   // FILE PRUNING on lang predicates — the connector's partition pruning:
   // the lang-split layout puts a file's lang IN ITS NAME, so
@@ -704,8 +785,74 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning)
+  override def build(): Scan = aggPushed match {
+    case Some(groupByLang) =>
+      new DigestAggScan(path, manifestName, groupByLang, nAggs)
+    case None =>
+      new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning)
+  }
+}
+
+/** The metadata-only aggregate scan (q240): emits the FINAL count rows
+  * straight from the manifest's per-file row counts — one driver-planned
+  * partition, zero data files opened (pinned by the fileReadEvents
+  * counter staying flat).
+  */
+class DigestAggScan(path: String, manifestName: String,
+    groupByLang: Boolean, nAggs: Int) extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  override def readSchema(): StructType = {
+    val counts = (1 to nAggs).map(i =>
+      StructField(s"count_$i", LongType, nullable = false))
+    if (groupByLang)
+      StructType(StructField("lang", StringType, nullable = false) +: counts)
+    else StructType(counts)
+  }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_digest_agg($path)" + (if (groupByLang) " group_by=lang" else "")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(path, manifestName))).asScala
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split(","); (a(0), a(1).toLong)
+      }.toSeq
+    val rows: Seq[(Option[String], Long)] =
+      if (groupByLang)
+        entries.groupBy { case (f, _) => DigestSink.langOf(f).get }
+          .toSeq.sortBy(_._1)
+          .map { case (lang, fs) => (Option(lang), fs.map(_._2).sum) }
+      else Seq((None, entries.map(_._2).sum))
+    Array(DigestAggPartition(rows, nAggs))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DigestAggReaderFactory
+}
+
+case class DigestAggPartition(rows: Seq[(Option[String], Long)], nAggs: Int)
+    extends InputPartition
+
+class DigestAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[DigestAggPartition]
+    new PartitionReader[InternalRow] {
+      private val it = ap.rows.iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val (lang, n) = it.next()
+          val counts = Seq.fill(ap.nAggs)(n: Any)
+          current = InternalRow.fromSeq(
+            lang.map(l => UTF8String.fromString(l): Any).toSeq ++ counts)
+          true
+        } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Latest-wins merged intent for one row id: None = delete, Some(row) =
@@ -750,10 +897,20 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     allowPruning: Boolean = true)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   def this(path: String) = this(path, false)
   override def readSchema(): StructType = DigestSink.rowSchema
   override def toBatch: Batch = this
+
+  // q242: the commit log doubles as a stream — see [[DigestMicroBatchStream]]
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!mergeDeltas,
+      "graft_digest: streaming read of the delta flavor is not supported — " +
+        "compact first, or consume the changes feed")
+    new DigestMicroBatchStream(path)
+  }
   override def description(): String =
     s"graft_digest manifest-read $path/$manifestName" +
       (if (mergeDeltas) " merge-on-read" else "") +
@@ -818,6 +975,54 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     }
   }
 
+  // STORAGE-PARTITIONED JOIN (q238): the lang-split layout is a real
+  // clustering — every row in `lang_<l>-*.csv` has lang <l> — so the scan
+  // declares KeyGroupedPartitioning(identity(lang)) and each split carries
+  // its key (HasPartitionKey). With spark.sql.sources.v2.bucketing.enabled
+  // the engine groups splits by key and plans joins on lang with NO
+  // exchange on either side — at 100 TB this deletes the largest shuffle a
+  // fact⋈fact lang join would otherwise pay. Declared only when every
+  // planned file is lang-tagged (a flat part-*.csv may hold any lang) and
+  // never under merge-on-read (an UPDATE verb can rewrite a row's lang, so
+  // the file name no longer bounds the merged rows' langs — the q235 gate,
+  // applied to clustering instead of pruning).
+  /** The planned file list when (and only when) it is a REAL lang
+    * clustering: every surviving file carries its lang in its name, so
+    * each split holds exactly one lang. None under merge-on-read (an
+    * UPDATE verb can rewrite a row's lang) or when any flat part-*.csv
+    * (which may hold any lang) survives.
+    */
+  private def clusteredFiles: Option[Seq[String]] = {
+    val files = plannedEntries().map(_._1)
+      .filter(f => pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains)))
+    if (!mergeDeltas && files.nonEmpty &&
+        files.forall(f => DigestSink.langOf(f).isDefined)) Some(files)
+    else None
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clusteredFiles match {
+      case Some(files) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity("lang")),
+          files.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
+  // REPORTED ORDERING (q239): within any clustered split every row holds
+  // the same single lang, and a constant sequence is sorted — so the scan
+  // may declare `lang ASC` per partition. The engine's sort-merge join on
+  // lang then plans NO SortExec under either side: combined with the
+  // key-grouped partitioning above, the join runs with zero shuffles AND
+  // zero sorts, entirely off the declared storage layout.
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (clusteredFiles.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column("lang"),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = plannedEntries().map(_._1)
     val (deltaFiles, baseFiles) = entries.partition(_.startsWith("delta-"))
@@ -853,6 +1058,16 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
 case class DigestFilePartition(path: String, file: String,
     overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // the lang carried in the file name IS the split's partition key — the
+  // basis of the storage-partitioned join (q238). Only consulted when the
+  // scan reports KeyGroupedPartitioning, which it does only if EVERY
+  // planned file is lang-tagged, so the IllegalState is unreachable there.
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(
+      DigestSink.langOf(file).getOrElse(throw new IllegalStateException(
+        s"graft_digest: $file carries no lang partition key"))))
+}
 
 case class DigestInsertsPartition(rows: Seq[(Long, String, Long)])
     extends InputPartition
@@ -879,6 +1094,7 @@ class DigestReaderFactory extends PartitionReaderFactory {
 
 class DigestFileReader(p: DigestFilePartition)
     extends PartitionReader[InternalRow] {
+  DigestSink.fileReadEvents.incrementAndGet()
   private val lines =
     Files.readAllLines(Paths.get(p.path, p.file)).iterator()
   private var current: InternalRow = _
@@ -914,7 +1130,7 @@ class DigestWriterFactory(path: String, langSplit: Boolean = false,
   def this(path: String) = this(path, false, Array(0, 1, 2), "")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols, jobTag)
-    else new DigestDataWriter(path, partitionId, taskId, cols)
+    else new DigestDataWriter(path, partitionId, taskId, cols, jobTag)
 }
 
 /** One task attempt's writer: staged file keyed by the ATTEMPT (taskId),
@@ -922,10 +1138,13 @@ class DigestWriterFactory(path: String, langSplit: Boolean = false,
   * attempt's output visible however many attempts ran.
   */
 class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
-    cols: Array[Int] = Array(0, 1, 2))
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
     extends DataWriter[InternalRow] {
+  // "" keeps the legacy names (spec-pinned protocol shape); a real job's
+  // tag makes its final names globally unique — see DigestBatchWrite
+  private val tagPart = if (jobTag.isEmpty) "" else s"j$jobTag-"
   private val staged: Path =
-    Paths.get(path, f"part-$partitionId%05d-attempt-$taskId.staged")
+    Paths.get(path, f"${tagPart}part-$partitionId%05d-attempt-$taskId.staged")
   Files.createDirectories(staged.getParent)
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
@@ -938,7 +1157,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    val fin = Paths.get(path, f"part-$partitionId%05d.csv")
+    val fin = Paths.get(path, f"${tagPart}part-$partitionId%05d.csv")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
   }

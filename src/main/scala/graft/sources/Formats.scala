@@ -442,7 +442,7 @@ object Formats {
       require(java.nio.file.Files.exists(staged.resolve(name)),
         s"q168: manifest names missing file $name")
     }
-    s.read.schema(DigestSink.rowSchema).csv(s"$staged/part-*.csv")
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/*part-*.csv")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
@@ -509,7 +509,7 @@ object Formats {
         deContent(after) != deBefore,
         "q186: the matched partition's files were not replaced")
     }
-    s.read.schema(DigestSink.rowSchema).csv(s"$staged/sink/lang_*-part-*.csv")
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/sink/lang_*part-*.csv")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
@@ -1127,7 +1127,7 @@ object Formats {
       require(langHomes.values.forall(_.size == 1),
         s"q187: clustering violated — a lang spans several files: $langHomes")
     }
-    s.read.schema(DigestSink.rowSchema).csv(s"$staged/part-*.csv")
+    s.read.schema(DigestSink.rowSchema).csv(s"$staged/*part-*.csv")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_chars").as("sum_chars"),
@@ -2011,6 +2011,408 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q237: atomic CTAS / RTAS (StagingTableCatalog) ---------------------
+  // `CREATE TABLE ... AS SELECT` and `REPLACE TABLE ... AS SELECT` as ONE
+  // visibility event each (see [[GraftStagedTable]]): the write lands in a
+  // not-yet-cataloged staged generation and only commitStagedChanges
+  // publishes it via a registry pointer swap. The in-query proof drives
+  // the failure path for real: an RTAS whose write job dies mid-run (an
+  // assert_true that trips on one lang) must leave the old generation
+  // byte-identical AND clean up its staged directory — then a successful
+  // RTAS swaps the pointer and the digest covers the new generation.
+  def q237AtomicCtas(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docctas_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_atomic_ctas:$dir") { p =>
+      val root = p.resolve("root")
+      t(s, dir, "documents").createOrReplaceTempView("docs_q237")
+      s.sql(s"""CREATE TABLE $tbl USING graft_digest TBLPROPERTIES ('path'='$root')
+               |AS SELECT doc_id, lang, n_chars FROM docs_q237 WHERE lang <> 'zh'""".stripMargin)
+      def digest(): Seq[String] =
+        s.table(tbl).orderBy("doc_id", "lang").collect().map(_.toString).toSeq
+      def stagedDirs(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(root).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("_stage-")).toSeq
+      }
+      val (beforeRows, beforeDirs) = (digest(), stagedDirs())
+      require(beforeDirs.size == 1,
+        s"q237: CTAS commit should leave exactly the live generation, got $beforeDirs")
+      val failed = try {
+        s.sql(s"""REPLACE TABLE $tbl USING graft_digest TBLPROPERTIES ('path'='$root')
+                 |AS SELECT doc_id, lang,
+                 |  CASE WHEN assert_true(lang <> 'fr') IS NULL THEN n_chars END AS n_chars
+                 |FROM docs_q237""".stripMargin)
+        false
+      } catch { case _: Exception => true }
+      require(failed, "q237: the poisoned RTAS write job must fail")
+      require(digest() == beforeRows,
+        "q237: a failed RTAS must leave the old generation byte-identical")
+      require(stagedDirs() == beforeDirs,
+        s"q237: the aborted RTAS must remove its staged directory, " +
+          s"got ${stagedDirs()}")
+      s.sql(s"""REPLACE TABLE $tbl USING graft_digest TBLPROPERTIES ('path'='$root')
+               |AS SELECT doc_id, lang, n_chars * 2 AS n_chars FROM docs_q237
+               |WHERE lang IN ('de', 'fr')""".stripMargin)
+      require(stagedDirs().size == 2,
+        "q237: a committed RTAS retires (but retains) the old generation")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q237Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars * 2) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q238: storage-partitioned join — the shuffle-free connector join ---
+  // Both sides are lang-split digest tables whose scans declare
+  // KeyGroupedPartitioning(identity(lang)) with per-split keys
+  // (HasPartitionKey), so with v2 bucketing enabled the engine plans the
+  // lang equi-join with NO exchange on either side — each task reads the
+  // matching lang splits from both tables and joins locally. At 100 TB
+  // this is the whole point of declaring layout to the engine: the join
+  // that would otherwise shuffle both fact tables runs shuffle-free off
+  // the storage clustering. The plan lock is in-query and two-sided: both
+  // scans must REPORT KeyGroupedPartitioning physically, and the join
+  // subtree must contain ZERO shuffles (broadcast disabled so the lock is
+  // meaningful at this scale; at 100 TB neither side broadcasts anyway).
+  def q238StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val tA = s"graft.ns.docspj_a_$h"
+    val tB = s"graft.ns.docspj_b_$h"
+    graft.TempDirs.staged(s"dsv2_spj:$dir") { p =>
+      t(s, dir, "documents").createOrReplaceTempView("docs_q238")
+      s.sql(s"""CREATE TABLE $tA (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("a")}')""".stripMargin)
+      s.sql(s"INSERT INTO $tA SELECT doc_id, lang, n_chars FROM docs_q238")
+      s.sql(s"""CREATE TABLE $tB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("b")}')""".stripMargin)
+      s.sql(s"INSERT INTO $tB SELECT MIN(doc_id), lang, COUNT(*) FROM docs_q238 GROUP BY lang")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val a = s.table(tA).select(col("lang"), col("n_chars").as("a_chars"))
+      val b = s.table(tB).select(col("lang"), col("n_chars").as("lang_cnt"))
+      val out = a.join(b, Seq("lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("a_chars").as("sum_chars"),
+          max("lang_cnt").as("lang_docs"))
+        .orderBy("lang")
+      out.collect()
+      val plan = out.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      require(joins.size == 1, s"q238: expected one sort-merge join:\n$plan")
+      val shuffles = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      require(shuffles.isEmpty,
+        s"q238: the storage-partitioned join must plan ZERO shuffles, got:\n$plan")
+      val kgScans = plan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if bs.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.KeyGroupedPartitioning] => bs
+      }
+      require(kgScans.size == 2,
+        s"q238: both scans must report key-grouped partitioning:\n$plan")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q238Sql: String =
+    """WITH b AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)
+      |SELECT d.lang AS lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(b.cnt) AS lang_docs
+      |FROM documents d JOIN b ON d.lang = b.lang
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q239: reported ordering — the zero-shuffle, ZERO-SORT join ---------
+  // q238 deleted the exchanges; this deletes the sorts. Every clustered
+  // split holds exactly one lang, and a constant sequence is sorted, so
+  // the scan declares `lang ASC` per partition (SupportsReportOrdering).
+  // The sort-merge join on lang then needs neither an exchange NOR a
+  // SortExec on either side — the whole join runs off declared storage
+  // layout. Same two tables as q238 (shared staging key); the lock
+  // tightens q238's: one SMJ, zero shuffles AND zero sorts in its subtree.
+  def q239OrderedSpjJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val tA = s"graft.ns.docspj_a_$h"
+    val tB = s"graft.ns.docspj_b_$h"
+    graft.TempDirs.staged(s"dsv2_spj:$dir") { p =>
+      t(s, dir, "documents").createOrReplaceTempView("docs_q238")
+      s.sql(s"""CREATE TABLE $tA (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("a")}')""".stripMargin)
+      s.sql(s"INSERT INTO $tA SELECT doc_id, lang, n_chars FROM docs_q238")
+      s.sql(s"""CREATE TABLE $tB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("b")}')""".stripMargin)
+      s.sql(s"INSERT INTO $tB SELECT MIN(doc_id), lang, COUNT(*) FROM docs_q238 GROUP BY lang")
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val a = s.table(tA).select(col("lang"), col("n_chars").as("a_chars"))
+      val b = s.table(tB).select(col("lang"), col("n_chars").as("lang_cnt"))
+      val out = a.join(b, Seq("lang"))
+        .groupBy("lang")
+        .agg(min("a_chars").as("min_chars"),
+          max("a_chars").as("max_chars"),
+          max("lang_cnt").as("lang_docs"))
+        .orderBy("lang")
+      out.collect()
+      val plan = out.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      require(joins.size == 1, s"q239: expected one sort-merge join:\n$plan")
+      val bad = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        case so: org.apache.spark.sql.execution.SortExec => so
+      }
+      require(bad.isEmpty,
+        s"q239: the declared layout must delete every shuffle AND sort " +
+          s"under the join, got ${bad.map(_.nodeName)}:\n$plan")
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q239Sql: String =
+    """WITH b AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)
+      |SELECT d.lang AS lang, MIN(d.n_chars) AS min_chars,
+      |  MAX(d.n_chars) AS max_chars, MAX(b.cnt) AS lang_docs
+      |FROM documents d JOIN b ON d.lang = b.lang
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q240: COUNT served from the commit log — zero data files read ------
+  // The most common audit query at 100 TB — `SELECT COUNT(*)`, global and
+  // per lang — answered entirely from the manifest's per-file row counts
+  // via COMPLETE aggregate pushdown (see [[DigestAggScan]]): the scan
+  // emits the final rows, the engine plans no aggregate, and NO data file
+  // is opened. The proof is the connector's own fileReadEvents counter
+  // staying flat across both the grouped and the global count (collected
+  // in-query), while a decoy row-reading query ticks it — the counter
+  // works, the aggregate path genuinely bypasses it.
+  def q240MetadataCount(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doccnt_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_meta_count:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q240")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q240")
+    }
+    // the counter must be LIVE (a row-reading query ticks it)...
+    val t0 = DigestSink.fileReadEvents.get()
+    s.sql(s"SELECT SUM(n_chars) FROM $tbl").collect()
+    require(DigestSink.fileReadEvents.get() > t0,
+      "q240: the decoy row-reading query must open data files")
+    // ...and both count shapes must leave it FLAT: metadata only
+    val before = DigestSink.fileReadEvents.get()
+    val grouped = s.sql(
+      s"SELECT lang, COUNT(*) AS n_docs FROM $tbl GROUP BY lang ORDER BY lang")
+    val groupedRows = grouped.collect()
+    val total = s.table(tbl).count()
+    require(DigestSink.fileReadEvents.get() == before,
+      "q240: a manifest-served COUNT must open zero data files")
+    require(total == groupedRows.map(_.getLong(1)).sum,
+      s"q240: global count $total must equal the sum of per-lang counts")
+    grouped
+  }
+
+  val q240Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q241: change data feed — row-level changes from the commit log -----
+  // See [[DigestChangesTable]]: `(from, to]` changes are a file-diff of
+  // consecutive manifest snapshots plus delta-log verb replay — no per-row
+  // change tracking ever written. The feed is driven through the table's
+  // REAL history: two INSERT commits (v1, v2), a three-verb MERGE (v3 —
+  // update_postimage / delete / insert straight from the log), then a
+  // compaction (v4) that the feed must treat as ZERO logical changes
+  // (require()d: changes(0,4] ≡ changes(0,3]); delete verbs carry a null
+  // payload (require()d), since the log stores ids, not preimages.
+  def q241ChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val short = s"ns.docchf_${Integer.toHexString(dir.hashCode)}"
+    val tbl = s"graft.$short"
+    val staged = graft.TempDirs.staged(s"dsv2_changes_feed:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q241")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q241 WHERE lang IN ('de', 'fr')")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q241 WHERE lang = 'en'")
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars + 1000 AS n_chars, 'U' AS tag
+               |  FROM docs_q241 WHERE lang IN ('de', 'fr', 'en') AND doc_id % 3 = 0
+               |  UNION ALL
+               |  SELECT doc_id, lang, n_chars, 'D' AS tag
+               |  FROM docs_q241 WHERE lang IN ('de', 'fr', 'en')
+               |    AND doc_id % 7 = 0 AND doc_id % 3 <> 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000, lang, n_chars, 'I' AS tag
+               |  FROM docs_q241 WHERE lang IN ('de', 'fr', 'en') AND doc_id % 50 = 0) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u.tag = 'U' THEN UPDATE SET n_chars = u.n_chars
+               |WHEN MATCHED AND u.tag = 'D' THEN DELETE
+               |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+               |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      require(DigestManifest.currentVersion(sink.toString) == 3,
+        "q241: expected exactly three data commits before compaction")
+      s.sql(s"CALL graft.system.compact(table => '$short')").collect()
+    }
+    val sink = staged.resolve("sink").toString
+    def changes(to: Int): DataFrame = s.read
+      .format("graft.sources.DigestSink")
+      .option("path", sink)
+      .option("changesFrom", "0")
+      .option("changesTo", to.toString)
+      .load()
+    def digest(df: DataFrame): DataFrame = df
+      .groupBy(col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("commit_v", "change_type")
+    // delete verbs carry no payload — the feed must surface that as null
+    require(changes(3).filter("_change_type = 'delete' AND lang IS NOT NULL")
+      .count() == 0, "q241: delete changes must carry a null payload")
+    // the compaction commit contributes ZERO logical changes
+    val pre = digest(changes(3)).collect().toSeq
+    val post = digest(changes(
+      DigestManifest.currentVersion(sink))).collect().toSeq
+    require(pre == post,
+      s"q241: a compaction commit must be invisible to the feed:\n$pre\nvs\n$post")
+    digest(changes(3))
+  }
+
+  val q241Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, n_chars, 'insert' AS change_type, 1 AS commit_v
+      |  FROM documents WHERE lang IN ('de', 'fr')
+      |  UNION ALL
+      |  SELECT doc_id, n_chars, 'insert', 2 FROM documents WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT doc_id, n_chars + 1000, 'update_postimage', 3
+      |  FROM documents WHERE lang IN ('de', 'fr', 'en') AND doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 0, 'delete', 3
+      |  FROM documents WHERE lang IN ('de', 'fr', 'en')
+      |    AND doc_id % 7 = 0 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n_chars, 'insert', 3
+      |  FROM documents WHERE lang IN ('de', 'fr', 'en') AND doc_id % 50 = 0)
+      |SELECT CAST(commit_v AS BIGINT) AS commit_v, change_type,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ch
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q242: streaming READ of the digest table — the table as a queue ----
+  // See [[DigestMicroBatchStream]]: offsets are manifest versions, each
+  // micro-batch reads exactly the files ADDED in its range. Driven as
+  // table-to-table incremental replication: three INSERT commits stream
+  // into a second digest table, then a FOURTH commit lands and the SAME
+  // CHECKPOINT is restarted — the offset log resumes at v3, so only the
+  // new commit's files are consumed (proved by exactly-once: replicated
+  // row count equals source row count — a re-read would duplicate).
+  def q242StreamTableRead(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val src = s"graft.ns.docq_src_$h"
+    val dst = s"graft.ns.docq_dst_$h"
+    graft.TempDirs.staged(s"dsv2_stream_read:$dir") { p =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $src (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("src")}')""".stripMargin)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $dst (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("dst")}')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q242")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q242 WHERE lang IN ('de', 'fr')")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q242 WHERE lang = 'en'")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q242 WHERE lang IN ('es', 'zh')")
+      def replicate(): Unit = {
+        val q = s.readStream.table(src)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", p.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(dst)
+        q.awaitTermination()
+      }
+      replicate()
+      // a fourth commit lands; restarting the SAME checkpoint consumes
+      // ONLY it — exactly-once across restarts rides on durable offsets
+      s.sql(s"""INSERT INTO $src SELECT doc_id + 1000000, lang, n_chars
+               |FROM docs_q242 WHERE lang = 'de'""".stripMargin)
+      replicate()
+      val nSrc = s.table(src).count()
+      val nDst = s.table(dst).count()
+      require(nSrc == nDst,
+        s"q242: replication must be exactly-once across restarts " +
+          s"(src=$nSrc dst=$nDst — a duplicate means the restart re-read old versions)")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $dst
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q242Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE lang = 'de')
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM src
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2060,6 +2462,12 @@ object Formats {
     "q234_stream_to_table" -> q234StreamToTable _,
     "q235_digest_file_pruning" -> q235DigestFilePruning _,
     "q236_runtime_file_pruning" -> q236RuntimeFilePruning _,
+    "q237_atomic_ctas" -> q237AtomicCtas _,
+    "q238_storage_partitioned_join" -> q238StoragePartitionedJoin _,
+    "q239_ordered_spj_join" -> q239OrderedSpjJoin _,
+    "q240_metadata_count" -> q240MetadataCount _,
+    "q241_changes_feed" -> q241ChangesFeed _,
+    "q242_stream_table_read" -> q242StreamTableRead _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2102,5 +2510,11 @@ object Formats {
     "q234_stream_to_table" -> q234Sql,
     "q235_digest_file_pruning" -> q235Sql,
     "q236_runtime_file_pruning" -> q236Sql,
+    "q237_atomic_ctas" -> q237Sql,
+    "q238_storage_partitioned_join" -> q238Sql,
+    "q239_ordered_spj_join" -> q239Sql,
+    "q240_metadata_count" -> q240Sql,
+    "q241_changes_feed" -> q241Sql,
+    "q242_stream_table_read" -> q242Sql,
   )
 }

@@ -578,6 +578,64 @@ class CatalogSpec extends SparkSpec {
       .isInstanceOf[UnknownPartitioning])
   }
 
+  test("q239/q240: ordering is declared only for clustered layouts; the " +
+      "manifest count pushdown takes only safe shapes and serves exact rows") {
+    import graft.sources.{DigestAggPartition, DigestAggScan, DigestManifest, DigestScan, DigestScanBuilder}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, CountStar, Max}
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = tmp("graft_cnt_spec_").toString
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,3", "lang_de-part-00001.csv,2", "lang_en-part-00000.csv,5"))
+    def builder() = new DigestScanBuilder(dir)
+    def groupedCount = new Aggregation(Array[AggregateFunc](new CountStar),
+      Array[org.apache.spark.sql.connector.expressions.Expression](
+        Expressions.column("lang")))
+    def globalCount = new Aggregation(Array[AggregateFunc](new CountStar),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])
+    // ordering: clustered layout declares lang ASC
+    val ord = builder().build().asInstanceOf[DigestScan].outputOrdering()
+    assert(ord.length == 1 && ord.head.expression().describe() == "lang")
+    // grouped count pushes and serves exact per-lang sums from the manifest
+    val b1 = builder()
+    assert(b1.supportCompletePushDown(groupedCount) && b1.pushAggregation(groupedCount))
+    val rows1 = b1.build().asInstanceOf[DigestAggScan]
+      .planInputPartitions().head.asInstanceOf[DigestAggPartition].rows
+    assert(rows1 == Seq((Some("de"), 5L), (Some("en"), 5L)))
+    // global count pushes even over a flat (untagged) file — manifest
+    // counts cover it; the GROUP BY shape must then refuse
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,3", "lang_de-part-00001.csv,2",
+      "lang_en-part-00000.csv,5", "part-00000.csv,7"))
+    val b2 = builder()
+    assert(b2.pushAggregation(globalCount))
+    val rows2 = b2.build().asInstanceOf[DigestAggScan]
+      .planInputPartitions().head.asInstanceOf[DigestAggPartition].rows
+    assert(rows2 == Seq((None, 17L)))
+    assert(!builder().pushAggregation(groupedCount),
+      "a flat file may hold any lang: GROUP BY lang must not push")
+    // a flat file also kills the ordering claim
+    assert(builder().build().asInstanceOf[DigestScan].outputOrdering().isEmpty)
+    // non-count aggregates never push; neither does any shape after a
+    // filter was pushed, in the RLO scan role, or under merge-on-read
+    val maxAgg = new Aggregation(
+      Array[AggregateFunc](new Max(Expressions.column("n_chars"))),
+      Array.empty[org.apache.spark.sql.connector.expressions.Expression])
+    assert(!builder().pushAggregation(maxAgg))
+    val filtered = builder()
+    filtered.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("lang", "de")))
+    assert(!filtered.pushAggregation(globalCount))
+    assert(!new DigestScanBuilder(dir, mergeDeltas = false,
+      manifestName = "_MANIFEST", allowPruning = false).pushAggregation(globalCount))
+    assert(!new DigestScanBuilder(dir, mergeDeltas = true).pushAggregation(globalCount))
+    // merge-on-read also never declares ordering
+    val morDir = tmp("graft_cnt_spec_mor_").toString
+    DigestManifest.publish(morDir, Seq("lang_de-part-00000.csv,1"))
+    assert(new DigestScanBuilder(morDir, mergeDeltas = true).build()
+      .asInstanceOf[DigestScan].outputOrdering().isEmpty)
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +

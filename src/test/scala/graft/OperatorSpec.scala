@@ -566,6 +566,26 @@ class OperatorSpec extends SparkSpec {
       s"manifest merge wrong: $manifest")
   }
 
+  test("q242 guard: an append commit refuses a fresh file name that is " +
+      "already committed (the clobbered-append bug class stays loud)") {
+    import graft.sources.{CommittedFile, DigestBatchWrite, DigestCommitMessage, DigestManifest}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupname_spec_")
+    DigestManifest.publish(dir.toString, Seq("lang_de-part-00000.csv,2"))
+    val clash = DigestCommitMessage(Seq(CommittedFile("lang_de-part-00000.csv", 3)))
+    val e = intercept[IllegalArgumentException] {
+      new DigestBatchWrite(dir.toString, langSplit = true, None)
+        .commit(Array(clash))
+    }
+    assert(e.getMessage.contains("job-unique names"))
+    // ...while the legacy rename-in-place OVERWRITE of that same name
+    // (which retires the old entry in the same commit) stays legal
+    new DigestBatchWrite(dir.toString, langSplit = true,
+      Some(Array(org.apache.spark.sql.sources.EqualTo("lang", "de"))))
+      .commit(Array(clash))
+    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
+      .get(0) == "lang_de-part-00000.csv,3")
+  }
+
   test("q192: DELETE honesty gate — row-level predicates refused; lang delete " +
       "is metadata-only and the table read follows the manifest") {
     import spark.implicits._
