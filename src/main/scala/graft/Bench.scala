@@ -6,14 +6,15 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-14 QUERY SET (all 230 queries, q1–q233) must
-  * stay ≤ 206 s (1.3 × the 158.45 s round-14 final anchor — a
-  * zero-failure, zero-flaky full run on the round-14 build host; the
-  * round-13 219-query set had anchored at 159.1 s on the same host, so
-  * the 11 round-14 additions cost ~3.9 s and the rest held or improved).
-  * Queries added after this anchor are excluded from the ratchet until
-  * it is re-taken on a quiet run that includes them — see PLANS.md
-  * "Round 14 anchor".
+  * total over the ROUND-14 FINAL QUERY SET (all 239 queries, q1–q242)
+  * must stay ≤ 214 s (1.3 × the 164.94 s round-14 closing anchor — a
+  * zero-failure, zero-flaky full run on the round-14 build host at load
+  * avg ~1–2; the mid-round 230-query set had anchored at 158.45 s, and
+  * the 9 part-5–7 additions cost 1.36 s combined, so ~5 s of the delta
+  * is ambient — q115 2.83 s / q150 2.99 s / q227 2.13 s all inside
+  * their bands). Queries added after this anchor are excluded from the
+  * ratchet until it is re-taken on a quiet run that includes them — see
+  * PLANS.md "Round 14 closing anchor".
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
