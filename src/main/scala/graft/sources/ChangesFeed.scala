@@ -39,7 +39,7 @@ class DigestChangesTable(path: String, from: Int, to: Option[Int])
   override def name(): String = s"graft_digest_changes($path @($from,${to.getOrElse("latest")}])"
   override def schema(): StructType = DigestChanges.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new DigestChangesScan(path, from,
       to.getOrElse(DigestManifest.currentVersion(path)))
@@ -102,6 +102,35 @@ class DigestChangesScan(path: String, from: Int, to: Int)
   override def description(): String = s"graft_digest_changes($path) ($from,$to]"
   override def planInputPartitions(): Array[InputPartition] =
     DigestChanges.plan(path, from, to).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ChangesReaderFactory
+
+  // q244: the feed STREAMS — `changesFrom` is the initial offset, every
+  // later commit is a micro-batch of change rows (the Delta
+  // readChangeFeed shape). Downstream CDC consumers tail the table's
+  // commit log directly instead of re-diffing snapshots.
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new DigestChangesMicroBatchStream(path, from)
+}
+
+/** Streaming form of the change feed (q244): offsets are manifest
+  * versions (as in [[DigestMicroBatchStream]]) but each batch carries the
+  * CHANGE rows of its version range — including deletes and compaction
+  * skips, which the append-only table stream cannot represent.
+  */
+class DigestChangesMicroBatchStream(path: String, from: Int)
+    extends MicroBatchStream {
+  private def offset(v: Int) = DigestVersionOffset(v)
+  override def initialOffset(): Offset = offset(from)
+  override def latestOffset(): Offset =
+    offset(DigestManifest.currentVersion(path))
+  override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    DigestChanges.plan(path,
+      start.asInstanceOf[DigestVersionOffset].v,
+      end.asInstanceOf[DigestVersionOffset].v).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangesReaderFactory
 }
@@ -167,11 +196,45 @@ class ChangesReaderFactory extends PartitionReaderFactory {
   * rows (restart from a fresh checkpoint, or consume the q241 changes
   * feed, which does represent deletes).
   */
-class DigestMicroBatchStream(path: String) extends MicroBatchStream {
+class DigestMicroBatchStream(path: String,
+    maxVersionsPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
   private def offset(v: Int) = DigestVersionOffset(v)
+
+  // ADMISSION CONTROL (q243): `maxVersionsPerTrigger` caps how many
+  // COMMITS one micro-batch absorbs — the bounded-backfill control every
+  // production table-stream ships (Delta's maxFilesPerTrigger, Kafka's
+  // maxOffsetsPerTrigger). A 100 TB table with months of history then
+  // streams in bounded, checkpointed slices instead of one giant batch.
+  // Under Trigger.AvailableNow the drain TARGET is pinned before batch
+  // one, so the run processes exactly the pinned backlog in ⌈backlog/n⌉
+  // batches and terminates even while new commits keep landing.
+  @volatile private var pinned: Option[Int] = None
+  private def live: Int =
+    pinned.getOrElse(DigestManifest.currentVersion(path))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(DigestManifest.currentVersion(path))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n))
+
   override def initialOffset(): Offset = offset(0)
-  override def latestOffset(): Offset =
-    offset(DigestManifest.currentVersion(path))
+  override def latestOffset(): Offset = offset(live)
+  override def reportLatestOffset(): Offset = offset(live)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DigestVersionOffset].v
+    val step = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => math.max(live - s, 0)
+    }
+    offset(math.min(s + math.max(step, 1), live))
+  }
+
   override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -191,9 +191,11 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
-  // torn job, and each committed file is one independent read split
+  // torn job, and each committed file is one independent read split.
+  // `maxVersionsPerTrigger` is the streaming-read admission option (q243).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DigestScanBuilder(path)
+    new DigestScanBuilder(path, mergeDeltas = false,
+      streamMaxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 
   // ---- q192: metadata-only DELETE (SupportsDelete) ------------------------
   // `DELETE FROM t WHERE <lang predicate>` executes WITHOUT a rewrite job:
@@ -686,7 +688,8 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   * (it holds CHANGES); production compaction folds it down periodically.
   */
 class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
-    manifestName: String = "_MANIFEST", allowPruning: Boolean = true)
+    manifestName: String = "_MANIFEST", allowPruning: Boolean = true,
+    streamMaxVersions: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -789,7 +792,8 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
     case Some(groupByLang) =>
       new DigestAggScan(path, manifestName, groupByLang, nAggs)
     case None =>
-      new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning)
+      new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning,
+        streamMaxVersions)
   }
 }
 
@@ -894,7 +898,8 @@ private[graft] object DeltaFold {
 class DigestScan(path: String, mergeDeltas: Boolean = false,
     manifestName: String = "_MANIFEST",
     langs: Option[Set[String]] = None,
-    allowPruning: Boolean = true)
+    allowPruning: Boolean = true,
+    streamMaxVersions: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -909,7 +914,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     require(!mergeDeltas,
       "graft_digest: streaming read of the delta flavor is not supported — " +
         "compact first, or consume the changes feed")
-    new DigestMicroBatchStream(path)
+    new DigestMicroBatchStream(path, streamMaxVersions)
   }
   override def description(): String =
     s"graft_digest manifest-read $path/$manifestName" +
@@ -1023,6 +1028,24 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     else Array.empty
 
+  // CONNECTOR OBSERVABILITY (q245): the scan declares its own metrics —
+  // files planned vs files pruned (driver-side, from the same manifest
+  // arithmetic the planner used) and rows served (task-side, summed by
+  // the engine's accumulator machinery) — and they surface in the
+  // physical plan's metric set next to the built-ins. At 100 TB this is
+  // how an operator proves its pruning did what the plan claimed, per
+  // query, without log archaeology.
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(DigestMetrics.planned, DigestMetrics.pruned, DigestMetrics.rows)
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val all = plannedEntries().map(_._1).filterNot(_.startsWith("delta-"))
+    val kept = all.count(f => pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains)))
+    Array(
+      DigestMetricValue("graft_planned_files", if (mergeDeltas) all.size else kept),
+      DigestMetricValue("graft_pruned_files", if (mergeDeltas) 0 else all.size - kept))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = plannedEntries().map(_._1)
     val (deltaFiles, baseFiles) = entries.partition(_.startsWith("delta-"))
@@ -1098,6 +1121,9 @@ class DigestFileReader(p: DigestFilePartition)
   private val lines =
     Files.readAllLines(Paths.get(p.path, p.file)).iterator()
   private var current: InternalRow = _
+  private var served = 0L
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(DigestMetricValue("graft_rows_served", served))
   override def next(): Boolean = {
     while (lines.hasNext) {
       val a = lines.next().split(",")
@@ -1105,9 +1131,11 @@ class DigestFileReader(p: DigestFilePartition)
       p.overrides.get(id) match {
         case None => // no delta intent: base row as written
           current = InternalRow(id, UTF8String.fromString(a(1)), a(2).toLong)
+          served += 1
           return true
         case Some(Some((rid, lang, n))) => // replaced in place
           current = InternalRow(rid, UTF8String.fromString(lang), n)
+          served += 1
           return true
         case Some(None) => // deleted: skip and keep scanning
       }
@@ -1116,6 +1144,30 @@ class DigestFileReader(p: DigestFilePartition)
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** The digest scan's declared metric set (q245) — SUM-aggregated across
+  * tasks by the engine's accumulator machinery; names are the keys they
+  * surface under in the physical plan's metrics.
+  */
+private[graft] object DigestMetrics {
+  private class Sum(n: String, d: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = n
+    override def description(): String = d
+  }
+  val planned: org.apache.spark.sql.connector.metric.CustomMetric =
+    new Sum("graft_planned_files", "digest files planned after pruning")
+  val pruned: org.apache.spark.sql.connector.metric.CustomMetric =
+    new Sum("graft_pruned_files", "digest files skipped by lang pruning")
+  val rows: org.apache.spark.sql.connector.metric.CustomMetric =
+    new Sum("graft_rows_served", "rows served from digest files")
+}
+
+case class DigestMetricValue(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 /** One committed file's identity in a task's commit message. */

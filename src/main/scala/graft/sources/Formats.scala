@@ -2267,11 +2267,14 @@ object Formats {
   // compaction (v4) that the feed must treat as ZERO logical changes
   // (require()d: changes(0,4] ≡ changes(0,3]); delete verbs carry a null
   // payload (require()d), since the log stores ids, not preimages.
-  def q241ChangesFeed(s: SparkSession, dir: String): DataFrame = {
+  /** The shared q241/q244 fixture: a delta table with REAL history —
+    * two INSERT commits, a three-verb MERGE, a compaction (4 versions).
+    */
+  private def stageChangesTable(s: SparkSession, dir: String): java.nio.file.Path = {
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     val short = s"ns.docchf_${Integer.toHexString(dir.hashCode)}"
     val tbl = s"graft.$short"
-    val staged = graft.TempDirs.staged(s"dsv2_changes_feed:$dir") { p =>
+    graft.TempDirs.staged(s"dsv2_changes_feed:$dir") { p =>
       val sink = p.resolve("sink")
       s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
                |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
@@ -2298,6 +2301,10 @@ object Formats {
         "q241: expected exactly three data commits before compaction")
       s.sql(s"CALL graft.system.compact(table => '$short')").collect()
     }
+  }
+
+  def q241ChangesFeed(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageChangesTable(s, dir)
     val sink = staged.resolve("sink").toString
     def changes(to: Int): DataFrame = s.read
       .format("graft.sources.DigestSink")
@@ -2413,6 +2420,250 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q243: bounded streaming backfill — admission control on versions ---
+  // q242 drains the whole backlog in one batch; this is the BOUNDED form
+  // (SupportsAdmissionControl + native SupportsTriggerAvailableNow on
+  // [[DigestMicroBatchStream]]): `maxVersionsPerTrigger` caps how many
+  // commits one micro-batch absorbs — Delta's maxFilesPerTrigger shape —
+  // so a months-deep table backfills in checkpointed slices. AvailableNow
+  // pins the drain target BEFORE batch one, processes ⌈backlog/n⌉ bounded
+  // batches, and terminates. In-query proof: with 3 committed versions
+  // and the cap at 1, the run must report ≥3 data-bearing progress
+  // entries, and the replicated digest must still be exactly the source.
+  def q243BoundedStreamRead(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val src = s"graft.ns.docbnd_src_$h"
+    val dst = s"graft.ns.docbnd_dst_$h"
+    graft.TempDirs.staged(s"dsv2_bounded_stream:$dir") { p =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $src (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("src")}')""".stripMargin)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $dst (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("dst")}')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q243")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q243 WHERE lang IN ('de', 'fr')")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q243 WHERE lang = 'en'")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q243 WHERE lang IN ('es', 'zh')")
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(src)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"q243: a 3-commit backlog under maxVersionsPerTrigger=1 must drain " +
+          s"in >=3 bounded batches, saw $dataBatches")
+      require(s.table(src).count() == s.table(dst).count(),
+        "q243: bounded draining must still replicate exactly once")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $dst
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q243Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q244: STREAMING the change feed — CDC off the commit log -----------
+  // The streaming form of q241 ([[DigestChangesMicroBatchStream]]):
+  // `changesFrom` is the initial offset, every later commit is a
+  // micro-batch of CHANGE rows — deletes and update postimages included,
+  // which the append-only table stream (q242) cannot represent. This is
+  // the readChangeFeed shape CDC consumers tail: downstream jobs follow
+  // the log, never re-diff snapshots. Driven over q241's real history
+  // (insert, insert, 3-verb MERGE, compaction) into a parquet sink;
+  // require()d: the streamed change set is EXACTLY the batch feed's.
+  def q244ChangesStream(s: SparkSession, dir: String): DataFrame = {
+    val table = stageChangesTable(s, dir)
+    val sink = table.resolve("sink").toString
+    def digest(df: DataFrame): DataFrame = df
+      .groupBy(col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("commit_v", "change_type")
+    val staged = graft.TempDirs.staged(s"dsv2_changes_stream:$dir") { p =>
+      val q = s.readStream
+        .format("graft.sources.DigestSink")
+        .option("path", sink)
+        .option("changesFrom", "0")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", p.resolve("out").toString)
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val streamed = s.read.parquet(staged.resolve("out").toString)
+    val batch = s.read.format("graft.sources.DigestSink")
+      .option("path", sink).option("changesFrom", "0").load()
+    require(digest(streamed).collect().toSeq == digest(batch).collect().toSeq,
+      "q244: the streamed change set must be exactly the batch feed's")
+    digest(streamed)
+  }
+
+  val q244Sql: String = q241Sql
+
+  // ---- q245: connector custom metrics — the scan proves its own pruning ---
+  // [[DigestMetrics]]: the scan declares planned/pruned file counts
+  // (driver-reported from the same manifest arithmetic the planner used)
+  // and rows-served (task-reported, SUM-aggregated by the engine's
+  // accumulator machinery), surfaced in the physical plan's metric set
+  // next to the built-ins. The in-query lock reads them back after
+  // execution: a 2-lang predicate over the 5-file table must report
+  // planned=2 / pruned=3, and rows_served must equal the digest's own
+  // row count — the metrics agree with the data they describe.
+  def q245ScanMetrics(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docmet_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_scan_metrics:$dir") { p =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("sink")}')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q245")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q245")
+    }
+    val prev = s.conf.getOption("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // no ORDER BY here: a global sort's range-partitioner SAMPLING pass
+      // executes the scan a second time, double-counting every task-side
+      // metric (probed: rows_served read exactly 2×) — the returned frame
+      // is rebuilt and sorted from the collected rows instead
+      val out = s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         |  SUM(n_chars) AS sum_chars,
+                         |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+                         |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+                         |FROM $tbl
+                         |WHERE lang IN ('en', 'es')
+                         |GROUP BY lang""".stripMargin)
+      val rows = out.collect()
+      val scan = out.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      val m = scan.metrics
+      def v(k: String): Long = m.getOrElse(k, sys.error(
+        s"q245: metric '$k' missing from the scan's metric set ${m.keySet}")).value
+      require(v("graft_planned_files") == 2 && v("graft_pruned_files") == 3,
+        s"q245: a 2-lang predicate over 5 files must report planned=2/pruned=3, " +
+          s"got ${v("graft_planned_files")}/${v("graft_pruned_files")}")
+      require(v("graft_rows_served") == rows.map(_.getLong(1)).sum,
+        s"q245: rows_served ${v("graft_rows_served")} must equal the digest's " +
+          s"own row count ${rows.map(_.getLong(1)).sum}")
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+        .orderBy("lang")
+    } finally prev match {
+      case Some(x) => s.conf.set("spark.sql.adaptive.enabled", x)
+      case None => s.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  val q245Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'es')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q246: OFFSET pushdown — paging served by the source ----------------
+  // `df.offset(k).limit(n)` pushes BOTH verbs into the seq scan
+  // (SupportsPushDownOffset + the existing limit push): the source serves
+  // ids ascending, so "skip k, take n" collapses to the window
+  // [lo+k, lo+n+k) and no skipped row is ever materialized — the paging
+  // pattern every API backend runs, done in the scan instead of above it.
+  // In-query lock: the scan's description must carry the pushed offset,
+  // and the served ids must be exactly [100, 150) (a double-applied
+  // offset — engine AND source both skipping — would shift the window and
+  // fail the oracle hash too).
+  def q246OffsetPushdown(s: SparkSession, dir: String): DataFrame = {
+    val out = s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+      .offset(100)
+      .limit(50)
+      .select(col("id"), col("h"), col("v"))
+    val desc = out.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.map(_.scan.description()).mkString
+    require(desc.contains("pushedOffset=100"),
+      s"q246: the offset must reach the scan, got: $desc")
+    val ids = out.collect().map(_.getLong(0)).sorted
+    require(ids.toSeq == (100L until 150L).toSeq,
+      s"q246: offset+limit must serve exactly ids [100,150), got " +
+        s"[${ids.headOption.getOrElse(-1L)}..${ids.lastOption.getOrElse(-1L)}] n=${ids.length}")
+    out
+  }
+
+  val q246Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT id, h, v FROM src
+       |ORDER BY id LIMIT 50 OFFSET 100""".stripMargin
+
+  // ---- q247: TABLESAMPLE pushdown — the source owns the sample ------------
+  // Once pushed (SupportsPushDownTableSample), sample semantics belong to
+  // the SOURCE — this one's rule is a deterministic (id, seed) hash
+  // bucket ([[SeqSource.sampleKeep]]), so the "sample" is reproducible
+  // and the oracle restates it as integer arithmetic instead of trusting
+  // Bernoulli randomness. The engine's own Sample node must be GONE from
+  // the plan (a surviving engine resample atop the pushed one would both
+  // double-filter and randomize). Closed-form limit/offset/aggregate
+  // pushes decline under a sample (their arithmetic assumes the dense id
+  // range) — gate spec-pinned.
+  def q247SamplePushdown(s: SparkSession, dir: String): DataFrame = {
+    val src = s.read.format("graft.sources.SeqSource")
+      .option("rows", seqRows.toString)
+      .option("slices", seqSlices.toString)
+      .load()
+      .sample(0.25, 42L)
+    val plan = src.queryExecution.sparkPlan
+    val desc = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.map(_.scan.description()).mkString
+    require(desc.contains("pushedSample=[0.0,0.25)@42"),
+      s"q247: the sample must reach the scan, got: $desc")
+    // node-class check, not a string match — the scan's own description
+    // legitimately contains "pushedSample=" (probed: the string match
+    // tripped on it)
+    require(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.SampleExec]),
+      s"q247: the engine's Sample node must be removed once pushed:\n$plan")
+    src.agg(count(lit(1)).as("n_rows"),
+        sum("v").as("sum_v"),
+        md5(expr("array_join(transform(array_sort(collect_list(id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+  }
+
+  val q247Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT COUNT(*) AS n_rows,
+       |  CAST(SUM(v) AS BIGINT) AS sum_v,
+       |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)) AS ids_md5
+       |FROM src
+       |WHERE ((id * 2654435761 + 42) % 1000 + 1000) % 1000 < 250""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2468,6 +2719,11 @@ object Formats {
     "q240_metadata_count" -> q240MetadataCount _,
     "q241_changes_feed" -> q241ChangesFeed _,
     "q242_stream_table_read" -> q242StreamTableRead _,
+    "q243_bounded_stream_read" -> q243BoundedStreamRead _,
+    "q244_changes_stream" -> q244ChangesStream _,
+    "q245_scan_metrics" -> q245ScanMetrics _,
+    "q246_offset_pushdown" -> q246OffsetPushdown _,
+    "q247_sample_pushdown" -> q247SamplePushdown _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2516,5 +2772,10 @@ object Formats {
     "q240_metadata_count" -> q240Sql,
     "q241_changes_feed" -> q241Sql,
     "q242_stream_table_read" -> q242Sql,
+    "q243_bounded_stream_read" -> q243Sql,
+    "q244_changes_stream" -> q244Sql,
+    "q245_scan_metrics" -> q245Sql,
+    "q246_offset_pushdown" -> q246Sql,
+    "q247_sample_pushdown" -> q247Sql,
   )
 }

@@ -65,6 +65,17 @@ object SeqSource {
 
   /** Knuth multiplicative mix mod a prime — exact int64 in both engines. */
   def vOf(id: Long): Long = (id * 2654435761L) % 1000003L
+
+  /** The source-owned deterministic sample rule (q247): keep `id` when
+    * its (id, seed) hash bucket (permille) falls in [lower, upper) — the
+    * integer arithmetic is engine-exact in DuckDB (`(id * 2654435761 +
+    * seed) % 1000`, double-mod for sign), so a pushed TABLESAMPLE is
+    * hash-checkable instead of Bernoulli-random.
+    */
+  def sampleKeep(id: Long, lower: Double, upper: Double, seed: Long): Boolean = {
+    val b = (((id * 2654435761L + seed) % 1000L) + 1000L) % 1000L
+    b >= math.round(lower * 1000).toLong && b < math.round(upper * 1000).toLong
+  }
 }
 
 class SeqTable(rows: Long, slices: Int, columnar: Boolean,
@@ -111,12 +122,16 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = SeqSource.fullSchema
   private var aggPushed: Option[Seq[String]] = None
+  private var offsetPushed: Option[Int] = None
+  private var samplePushed: Option[(Double, Double, Long)] = None
 
   /** Aggregate pushdown: COUNT(*)/MIN(id)/MAX(id) over the (already
     * filter-narrowed) range are CLOSED-FORM in this source — count =
@@ -137,6 +152,7 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
         case _ => false
       }
     if (agg.groupByExpressions().nonEmpty) return false
+    if (samplePushed.isDefined) return false // closed forms assume the dense range
     val names = agg.aggregateExpressions().map {
       case _: CountStar => "count"
       case m: Min if isId(m.column()) => "min_id"
@@ -187,8 +203,43 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
   override def isPartiallyPushed(): Boolean = true
 
   override def pushLimit(n: Int): Boolean = {
+    if (samplePushed.isDefined) return false // "first n" of a sampled stream ≠ [lo, lo+n)
     hi = math.min(hi, lo + n)
     limitPushed = Some(n)
+    true
+  }
+
+  /** OFFSET pushdown (q246): the source serves ids ascending, so skipping
+    * the first k rows IS advancing `lo` by k — push calls are applied in
+    * the engine's own order, which makes both `limit.offset` (limit
+    * first: window [lo+k, lo+n)) and `offset.limit` / ORDER BY…LIMIT n
+    * OFFSET k (topN(n+k) then offset: [lo+k, lo+n+k)) land on exactly the
+    * rows the un-pushed plan would produce. Unlike limit, offset push is
+    * all-or-nothing — a `true` removes the engine's own Offset node — so
+    * the skip must be exact, and it is declined entirely under a pushed
+    * sample.
+    */
+  override def pushOffset(k: Int): Boolean = {
+    if (samplePushed.isDefined) return false
+    lo = math.min(lo + math.max(k, 0), hi)
+    offsetPushed = Some(k)
+    true
+  }
+
+  /** TABLESAMPLE pushdown (q247): once pushed, the SOURCE owns sample
+    * semantics (the JDBC `TABLESAMPLE` contract) — this source's sample
+    * is a DETERMINISTIC hash rule over (id, seed) (see
+    * [[SeqSource.sampleKeep]]), so the result is reproducible and
+    * oracle-checkable instead of Bernoulli-random. Declined with
+    * replacement, or when a limit/offset/aggregate already narrowed the
+    * scan (their closed forms assume the dense id range); conversely
+    * limit/offset/agg decline after a sample is pushed.
+    */
+  override def pushTableSample(lower: Double, upper: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || limitPushed.isDefined || offsetPushed.isDefined ||
+      aggPushed.isDefined) return false
+    samplePushed = Some((lower, upper, seed))
     true
   }
 
@@ -204,6 +255,7 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
       case _ => false
     }
     if (!idAsc) return false
+    if (samplePushed.isDefined) return false
     hi = math.min(hi, lo + n)
     limitPushed = Some(n)
     true
@@ -211,7 +263,7 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
 
   override def build(): Scan =
     new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed,
-      limitPushed, rowsPerBatch, streamTag)
+      limitPushed, rowsPerBatch, streamTag, offsetPushed, samplePushed)
 }
 
 class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
@@ -219,7 +271,9 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     aggPushed: Option[Seq[String]] = None,
     limitPushed: Option[Int] = None,
     rowsPerBatch: Long = 1000L,
-    streamTag: String = "") extends Scan with Batch
+    streamTag: String = "",
+    offsetPushed: Option[Int] = None,
+    samplePushed: Option[(Double, Double, Long)] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // compile-time range, narrowed further by runtime (DPP-style) filters
@@ -235,9 +289,11 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val n = math.max(hi - lo, 0L)
+      // a pushed sample scales the served cardinality by its fraction
+      private val frac = samplePushed.fold(1.0) { case (l, u, _) => u - l }
+      private val n = (math.max(hi - lo, 0L) * frac).toLong
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(n * 49L)
+        java.util.OptionalLong.of(math.max(n * 49L, 1L))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
     }
@@ -251,7 +307,9 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     s"graft_seq range=[$lo0,$hi0) cols=${readSchema().fieldNames.mkString(",")} " +
       s"pushed=[${pushed.mkString("; ")}] mode=${if (columnar) "columnar" else "row"}" +
       aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("") +
-      limitPushed.map(n => s" pushedLimit=$n").getOrElse("")
+      limitPushed.map(n => s" pushedLimit=$n").getOrElse("") +
+      offsetPushed.map(k => s" pushedOffset=$k").getOrElse("") +
+      samplePushed.map { case (l, u, s) => s" pushedSample=[$l,$u)@$s" }.getOrElse("")
   override def toBatch: Batch = this
 
   /** The MICRO-BATCH half of the same scan — offsets are absolute row ids
@@ -308,7 +366,10 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory = aggPushed match {
     case Some(names) => new SeqAggReaderFactory(names)
-    case None => new SeqReaderFactory(schema, columnar)
+    // a sampled scan serves through the row reader (the columnar writer
+    // assumes the dense id range fills each batch)
+    case None => new SeqReaderFactory(schema, columnar && samplePushed.isEmpty,
+      samplePushed)
   }
 }
 
@@ -344,7 +405,8 @@ case class SeqPartition(start: Long, end: Long, index: Int = -1)
   * vectors positionally. Row mode stays available (`columnar=false`) as
   * the semantics twin — OperatorSpec pins both paths to identical results.
   */
-class SeqReaderFactory(schema: StructType, columnar: Boolean)
+class SeqReaderFactory(schema: StructType, columnar: Boolean,
+    sample: Option[(Double, Double, Long)] = None)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
@@ -354,7 +416,13 @@ class SeqReaderFactory(schema: StructType, columnar: Boolean)
     val fields = schema.fieldNames
     new PartitionReader[InternalRow] {
       private var cur = sp.start - 1
-      override def next(): Boolean = { cur += 1; cur < sp.end }
+      override def next(): Boolean = {
+        cur += 1
+        sample.foreach { case (l, u, seed) =>
+          while (cur < sp.end && !SeqSource.sampleKeep(cur, l, u, seed)) cur += 1
+        }
+        cur < sp.end
+      }
       override def get(): InternalRow = InternalRow.fromSeq(
         fields.toSeq.map {
           case "id" => cur

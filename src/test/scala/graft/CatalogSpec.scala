@@ -636,6 +636,79 @@ class CatalogSpec extends SparkSpec {
       .asInstanceOf[DigestScan].outputOrdering().isEmpty)
   }
 
+  test("q243/q244: version admission caps micro-batches and AvailableNow " +
+      "pins its drain target; the changes stream plans per-version changes; " +
+      "the table stream refuses removal commits") {
+    import graft.sources.{ChangesFilePartition, DigestChangesMicroBatchStream, DigestFilePartition, DigestManifest, DigestMicroBatchStream, DigestVersionOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = tmp("graft_adm_spec_").toString
+    DigestManifest.publish(dir, Seq("lang_de-part-00000.csv,1"))                // v1
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1"))                 // v2
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1",
+      "lang_fr-part-00000.csv,1"))                                             // v3
+    val st = new DigestMicroBatchStream(dir, Some(1))
+    assert(st.getDefaultReadLimit.toString == ReadLimit.maxFiles(1).toString)
+    // one version per batch: 0 → 1 under the cap, even with 3 available
+    assert(st.latestOffset(DigestVersionOffset(0), ReadLimit.maxFiles(1))
+      .asInstanceOf[DigestVersionOffset].v == 1)
+    // AvailableNow pins the drain target BEFORE later commits
+    st.prepareForTriggerAvailableNow()
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1",
+      "lang_fr-part-00000.csv,1", "lang_es-part-00000.csv,1"))                 // v4
+    assert(st.latestOffset().asInstanceOf[DigestVersionOffset].v == 3,
+      "a pinned AvailableNow run must not chase commits past its target")
+    // a batch range plans exactly the files its versions ADDED
+    val parts = st.planInputPartitions(DigestVersionOffset(1), DigestVersionOffset(3))
+      .map(_.asInstanceOf[DigestFilePartition].file).sorted
+    assert(parts.toSeq == Seq("lang_en-part-00000.csv", "lang_fr-part-00000.csv"))
+    // the append-only contract: a removal commit is refused loudly
+    DigestManifest.publish(dir, Seq(
+      "lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1"))                 // v5 removes 2
+    val e = intercept[IllegalArgumentException] {
+      st.planInputPartitions(DigestVersionOffset(4), DigestVersionOffset(5))
+    }
+    assert(e.getMessage.contains("append-only"))
+    // the CHANGES stream starts at changesFrom and carries change rows —
+    // including the deletes the table stream just refused (their bytes
+    // must exist on disk: the history-retention gate)
+    Seq("fr", "es").foreach(l => java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, s"lang_$l-part-00000.csv"), s"1,$l,1\n"))
+    val cs = new DigestChangesMicroBatchStream(dir, 2)
+    assert(cs.initialOffset().asInstanceOf[DigestVersionOffset].v == 2)
+    val ch = cs.planInputPartitions(DigestVersionOffset(3), DigestVersionOffset(5))
+      .map(_.asInstanceOf[ChangesFilePartition])
+    assert(ch.exists(p => p.file == "lang_es-part-00000.csv" && p.changeType == "insert" && p.version == 4))
+    assert(ch.exists(p => p.file == "lang_fr-part-00000.csv" && p.changeType == "delete" && p.version == 5))
+    assert(ch.exists(p => p.file == "lang_es-part-00000.csv" && p.changeType == "delete" && p.version == 5))
+  }
+
+  test("q246/q247: offset/sample pushes compose with the closed-form pushes " +
+      "only when the arithmetic stays exact; the sample rule is deterministic") {
+    import graft.sources.{SeqScanBuilder, SeqSource}
+    def b() = new SeqScanBuilder(1000L, 4, columnar = false)
+    // offset + limit compose (applied in engine call order)
+    val b1 = b()
+    assert(b1.pushLimit(150) && b1.pushOffset(100))
+    // a pushed sample excludes every closed-form push — and vice versa
+    val b2 = b()
+    assert(b2.pushTableSample(0.0, 0.25, false, 42L))
+    assert(!b2.pushLimit(10) && !b2.pushOffset(10))
+    val b3 = b()
+    assert(b3.pushLimit(10) && !b3.pushTableSample(0.0, 0.25, false, 42L))
+    // with-replacement sampling has no deterministic-subset meaning here
+    assert(!b().pushTableSample(0.0, 0.25, true, 42L))
+    // the rule is a permille hash bucket: fraction 0.25 keeps exactly the
+    // ids whose bucket < 250, reproducibly
+    val kept = (0L until 1000L).count(SeqSource.sampleKeep(_, 0.0, 0.25, 42L))
+    assert(kept > 0 && kept < 1000)
+    assert((0L until 1000L).forall(id =>
+      SeqSource.sampleKeep(id, 0.0, 0.25, 42L) ==
+        ((((id * 2654435761L + 42L) % 1000L) + 1000L) % 1000L < 250L)))
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
