@@ -2664,6 +2664,100 @@ object Formats {
        |FROM src
        |WHERE ((id * 2654435761 + 42) % 1000 + 1000) % 1000 < 250""".stripMargin
 
+  // ---- q248: JOIN pushdown — the join deleted from the plan ---------------
+  // Spark 4.1's SupportsPushDownJoin (see [[SeqScanBuilder.pushDownJoin]]):
+  // an INNER id=id equi-join between two reads of this source collapses
+  // into ONE scan serving the joined schema over the RANGE INTERSECTION —
+  // the engine removes the join node and the right relation entirely.
+  // In-query lock: exactly one BatchScan, zero join nodes, the scan
+  // description carries the pushed join mapping. The oracle covers the
+  // joined values (both sides' closed forms of the shared id), so a wrong
+  // intersection or a mis-aliased column fails the hash, not just the lock.
+  def q248JoinPushdown(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.optimizer.datasourceV2JoinPushdown"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      def src() = s.read.format("graft.sources.SeqSource")
+        .option("rows", seqRows.toString)
+        .option("slices", seqSlices.toString)
+        .load()
+      val a = src().filter(col("id") >= 2000L).select(col("id"), col("v"))
+      val b = src().filter(col("id") < 7000L).select(col("id"), col("h"))
+      val out = a.join(b, "id")
+      val plan = out.queryExecution.sparkPlan
+      val scans = plan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+      }
+      require(scans.size == 1 && scans.head.scan.description().contains("pushedJoin="),
+        s"q248: the join must collapse into one pushed scan:\n$plan")
+      require(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }.isEmpty, s"q248: no join node may survive the push:\n$plan")
+      out
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  val q248Sql: String =
+    s"""WITH src AS (
+       |  SELECT range AS id, md5(CAST(range AS VARCHAR)) AS h,
+       |    (range * 2654435761) % 1000003 AS v
+       |  FROM range($seqRows))
+       |SELECT id, v, h FROM src
+       |WHERE id >= 2000 AND id < 7000
+       |ORDER BY id""".stripMargin
+
+  // ---- q249: VARIANT extraction pushdown — connector-side shredding -------
+  // [[VariantSource]] + SupportsPushDownVariantExtractions: the engine
+  // collects every `variant_get` path the query needs (projection AND
+  // filter), offers them to the builder, and on acceptance rewrites the
+  // plan to read a STRUCT of pre-extracted typed fields — the scan never
+  // builds a variant binary and the plan carries no variant_get at all
+  // (probed: `j._0 AS a / j._1 AS b / j._2 AS d` over the shredded scan).
+  // At 100 TB of semi-structured documents this is the difference between
+  // re-parsing every row's variant and reading three typed columns.
+  def q249VariantShredding(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.variant.pushVariantIntoScan"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      s.read.format("graft.sources.VariantSource")
+        .option("rows", seqRows.toString)
+        .option("slices", seqSlices.toString)
+        .load()
+        .createOrReplaceTempView("vdocs_q249")
+      val out = s.sql(
+        """SELECT variant_get(j, '$.a', 'bigint') AS a,
+          |  variant_get(j, '$.b', 'string') AS b,
+          |  variant_get(j, '$.c.d', 'bigint') AS d
+          |FROM vdocs_q249
+          |WHERE variant_get(j, '$.a', 'bigint') < 5000""".stripMargin)
+      val plan = out.queryExecution.sparkPlan
+      val desc = plan.collect {
+        case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+      }.map(_.scan.description()).mkString
+      require(desc.contains("shredded=[$.a,$.b,$.c.d]"),
+        s"q249: all three paths must shred into the scan, got: $desc")
+      require(!plan.toString.contains("variant_get"),
+        s"q249: no variant_get may survive the shred:\n$plan")
+      out
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  val q249Sql: String =
+    s"""SELECT range AS a,
+       |  substr(md5(CAST(range AS VARCHAR)), 1, 8) AS b,
+       |  (range * 2654435761) % 1000003 AS d
+       |FROM range($seqRows)
+       |WHERE range < 5000
+       |ORDER BY a""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2724,6 +2818,8 @@ object Formats {
     "q245_scan_metrics" -> q245ScanMetrics _,
     "q246_offset_pushdown" -> q246OffsetPushdown _,
     "q247_sample_pushdown" -> q247SamplePushdown _,
+    "q248_join_pushdown" -> q248JoinPushdown _,
+    "q249_variant_shredding" -> q249VariantShredding _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2777,5 +2873,7 @@ object Formats {
     "q245_scan_metrics" -> q245Sql,
     "q246_offset_pushdown" -> q246Sql,
     "q247_sample_pushdown" -> q247Sql,
+    "q248_join_pushdown" -> q248Sql,
+    "q249_variant_shredding" -> q249Sql,
   )
 }

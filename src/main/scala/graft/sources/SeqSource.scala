@@ -124,7 +124,8 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownOffset
-    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
+    with org.apache.spark.sql.connector.read.SupportsPushDownJoin {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
@@ -261,9 +262,87 @@ class SeqScanBuilder(rows: Long, slices: Int, columnar: Boolean,
     true
   }
 
+  // ---- q248: JOIN pushdown — the join collapses into the scan -------------
+  // Spark 4.1's `SupportsPushDownJoin` (conf
+  // spark.sql.optimizer.datasourceV2JoinPushdown): when BOTH sides of an
+  // equi-join are this source, the engine offers the join to the left
+  // builder and, on acceptance, deletes the join node AND the right
+  // relation — one scan serves the joined schema. For this source the
+  // acceptance rule is exact: an INNER join on `id = id` between two
+  // plain range scans is the range INTERSECTION, and every output column
+  // (either side's) is the same closed form of the shared id — so the
+  // "join" costs nothing at all. Calling convention (probed): aliases
+  // arrive only on name collisions (right `id` → `id_1`), the condition
+  // is a V2 `=` Predicate over FieldReferences in OUTPUT (aliased)
+  // names. Anything beyond that exact shape — outer joins, non-id keys,
+  // metadata columns, a side already narrowed by sample/limit/offset/agg
+  // or already joined — is declined and the engine keeps its own join.
+  private var joinedCols: Option[Seq[(String, String)]] = None // out name -> base col
+
+  private def plainRange: Boolean =
+    samplePushed.isEmpty && limitPushed.isEmpty && offsetPushed.isEmpty &&
+      aggPushed.isEmpty && joinedCols.isEmpty
+
+  override def isOtherSideCompatibleForJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin): Boolean =
+    other match {
+      case o: SeqScanBuilder => plainRange && o.plainRange
+      case _ => false
+    }
+
+  override def pushDownJoin(
+      other: org.apache.spark.sql.connector.read.SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftCols: Array[org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias],
+      rightCols: Array[org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias],
+      condition: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (joinType != org.apache.spark.sql.connector.join.JoinType.INNER_JOIN)
+      return false
+    val o = other match {
+      case sb: SeqScanBuilder if isOtherSideCompatibleForJoin(sb) => sb
+      case _ => return false
+    }
+    def out(cs: Array[org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias]) =
+      cs.map(c => (Option(c.alias()).getOrElse(c.colName()), c.colName())).toSeq
+    val leftOut = out(leftCols)
+    val rightOut = out(rightCols)
+    val closedForm = Set("id", "h", "v")
+    if (!(leftOut ++ rightOut).forall { case (_, base) => closedForm(base) })
+      return false
+    // the condition must be exactly the shared-id equality, one ref per side
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val ok = condition.name() == "=" && (condition.children() match {
+      case Array(a, b) =>
+        (refName(a), refName(b)) match {
+          case (Some(n1), Some(n2)) =>
+            val l = leftOut.toMap
+            val r = rightOut.toMap
+            (l.get(n1).contains("id") && r.get(n2).contains("id")) ||
+              (r.get(n1).contains("id") && l.get(n2).contains("id"))
+          case _ => false
+        }
+      case _ => false
+    })
+    if (!ok) return false
+    lo = math.max(lo, o.lo)
+    hi = math.min(hi, o.hi)
+    pushed = pushed ++ o.pushed
+    joinedCols = Some(leftOut ++ rightOut)
+    required = StructType((leftOut ++ rightOut).map { case (name, base) =>
+      StructField(name, SeqSource.fullSchema(SeqSource.fullSchema.fieldIndex(base)).dataType)
+    })
+    true
+  }
+
   override def build(): Scan =
     new SeqScan(lo, hi, slices, required, pushed, columnar, aggPushed,
-      limitPushed, rowsPerBatch, streamTag, offsetPushed, samplePushed)
+      limitPushed, rowsPerBatch, streamTag, offsetPushed, samplePushed,
+      joinedCols.fold(Map.empty[String, String])(_.toMap))
 }
 
 class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
@@ -273,7 +352,8 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     rowsPerBatch: Long = 1000L,
     streamTag: String = "",
     offsetPushed: Option[Int] = None,
-    samplePushed: Option[(Double, Double, Long)] = None) extends Scan with Batch
+    samplePushed: Option[(Double, Double, Long)] = None,
+    colAlias: Map[String, String] = Map.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   // compile-time range, narrowed further by runtime (DPP-style) filters
@@ -309,7 +389,10 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
       aggPushed.map(ns => s" pushedAgg=[${ns.mkString(",")}]").getOrElse("") +
       limitPushed.map(n => s" pushedLimit=$n").getOrElse("") +
       offsetPushed.map(k => s" pushedOffset=$k").getOrElse("") +
-      samplePushed.map { case (l, u, s) => s" pushedSample=[$l,$u)@$s" }.getOrElse("")
+      samplePushed.map { case (l, u, s) => s" pushedSample=[$l,$u)@$s" }.getOrElse("") +
+      (if (colAlias.nonEmpty)
+        s" pushedJoin=[${colAlias.toSeq.sorted.map { case (o, b) => s"$o:$b" }.mkString(",")}]"
+      else "")
   override def toBatch: Batch = this
 
   /** The MICRO-BATCH half of the same scan — offsets are absolute row ids
@@ -369,7 +452,7 @@ class SeqScan(lo0: Long, hi0: Long, slices: Int, schema: StructType,
     // a sampled scan serves through the row reader (the columnar writer
     // assumes the dense id range fills each batch)
     case None => new SeqReaderFactory(schema, columnar && samplePushed.isEmpty,
-      samplePushed)
+      samplePushed, colAlias)
   }
 }
 
@@ -406,14 +489,19 @@ case class SeqPartition(start: Long, end: Long, index: Int = -1)
   * the semantics twin — OperatorSpec pins both paths to identical results.
   */
 class SeqReaderFactory(schema: StructType, columnar: Boolean,
-    sample: Option[(Double, Double, Long)] = None)
+    sample: Option[(Double, Double, Long)] = None,
+    colAlias: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
 
+  // a pushed join serves output (possibly aliased) names whose VALUES are
+  // the base closed forms of the shared id — resolve through the alias map
+  private def base(name: String): String = colAlias.getOrElse(name, name)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SeqPartition]
-    val fields = schema.fieldNames
+    val fields = schema.fieldNames.map(base)
     new PartitionReader[InternalRow] {
       private var cur = sp.start - 1
       override def next(): Boolean = {
@@ -438,7 +526,7 @@ class SeqReaderFactory(schema: StructType, columnar: Boolean,
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val sp = p.asInstanceOf[SeqPartition]
-    val fields = schema.fieldNames
+    val fields = schema.fieldNames.map(base)
     val batchSize = 4096
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var cur = sp.start

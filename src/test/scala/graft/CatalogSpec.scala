@@ -709,6 +709,75 @@ class CatalogSpec extends SparkSpec {
         ((((id * 2654435761L + 42L) % 1000L) + 1000L) % 1000L < 250L)))
   }
 
+  test("q248: join pushdown accepts exactly the closed-form shape — INNER " +
+      "id=id between two plain range scans — and declines everything else") {
+    import graft.sources.SeqScanBuilder
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.join.JoinType
+    import org.apache.spark.sql.connector.read.SupportsPushDownJoin.ColumnWithAlias
+    def b() = new SeqScanBuilder(1000L, 4, columnar = false)
+    def cwa(c: String, a: String = null) = new ColumnWithAlias(c, a)
+    def eq(l: String, r: String) = new Predicate("=",
+      Array[Expression](Expressions.column(l), Expressions.column(r)))
+    // the accepted shape: ranges intersect, the scan carries the mapping
+    val left = b()
+    left.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("id", 100L)))
+    val right = b()
+    right.pushFilters(Array(org.apache.spark.sql.sources.LessThan("id", 500L)))
+    assert(left.isOtherSideCompatibleForJoin(right))
+    assert(left.pushDownJoin(right, JoinType.INNER_JOIN,
+      Array(cwa("id"), cwa("v")), Array(cwa("id", "id_1"), cwa("h")),
+      eq("id", "id_1")))
+    val desc = left.build().description()
+    assert(desc.contains("range=[100,500)") && desc.contains("pushedJoin="),
+      s"joined scan wrong: $desc")
+    // outer joins are not the closed form
+    assert(!b().pushDownJoin(b(), JoinType.LEFT_OUTER_JOIN,
+      Array(cwa("id")), Array(cwa("id", "id_1")), eq("id", "id_1")))
+    // a non-id equality is a real join, not a range intersection
+    assert(!b().pushDownJoin(b(), JoinType.INNER_JOIN,
+      Array(cwa("id"), cwa("v")), Array(cwa("id", "id_1"), cwa("h")),
+      eq("v", "id_1")))
+    // a sampled side is no longer the dense range
+    val sampled = b()
+    assert(sampled.pushTableSample(0.0, 0.25, false, 42L))
+    assert(!b().isOtherSideCompatibleForJoin(sampled))
+    // an already-joined side never re-joins
+    assert(!left.isOtherSideCompatibleForJoin(b()))
+  }
+
+  test("q249: variant shredding is all-or-nothing per offered batch; a " +
+      "declined path falls back to serving the real variant binary") {
+    withCatalog(())
+    spark.conf.set("spark.sql.variant.pushVariantIntoScan", "true")
+    spark.read.format("graft.sources.VariantSource")
+      .option("rows", "50").option("slices", "2").load()
+      .createOrReplaceTempView("vspec")
+    // $.nope has no closed form → the WHOLE batch declines and the query
+    // reads through the un-shredded variant (correct, just unshredded)
+    val out = spark.sql(
+      "SELECT variant_get(j, '$.a', 'bigint') AS a, " +
+        "variant_get(j, '$.nope', 'string') AS nope FROM vspec WHERE id < 3")
+    val desc = out.queryExecution.sparkPlan.collect {
+      case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+    }.map(_.scan.description()).mkString
+    assert(!desc.contains("shredded="), s"mixed batch must decline whole: $desc")
+    val rows = out.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.forall(_.isNullAt(1)), "missing path must read as null")
+    // the servable set shreds — and the shredded values equal the
+    // variant-decoded ones
+    val shredded = spark.sql(
+      "SELECT variant_get(j, '$.c.d', 'bigint') AS d FROM vspec WHERE id < 5")
+    val sdesc = shredded.queryExecution.sparkPlan.collect {
+      case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => bs
+    }.map(_.scan.description()).mkString
+    assert(sdesc.contains("shredded=[$.c.d]"), sdesc)
+    assert(shredded.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 5L).map(graft.sources.SeqSource.vOf).sorted.toSeq)
+  }
+
   // ---- JPEG corruption classes (q227) -------------------------------------
 
   test("q227: JPEG decode fails loudly on wrong magic and truncation, " +
