@@ -6,15 +6,17 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-14 FINAL QUERY SET (all 239 queries, q1–q242)
-  * must stay ≤ 214 s (1.3 × the 164.94 s round-14 closing anchor — a
-  * zero-failure, zero-flaky full run on the round-14 build host at load
-  * avg ~1–2; the mid-round 230-query set had anchored at 158.45 s, and
-  * the 9 part-5–7 additions cost 1.36 s combined, so ~5 s of the delta
-  * is ambient — q115 2.83 s / q150 2.99 s / q227 2.13 s all inside
-  * their bands). Queries added after this anchor are excluded from the
-  * ratchet until it is re-taken on a quiet run that includes them — see
-  * PLANS.md "Round 14 closing anchor".
+  * total over the ROUND-14 FINAL QUERY SET (all 247 queries, q1–q250)
+  * must stay ≤ 201 s (1.3 × the 154.45 s round-14 final anchor — a
+  * zero-failure, zero-flaky full run on the round-14 build host; the
+  * best full-set number of the round, with every streaming query inside
+  * its band: q184 5.71 s, q109 2.10 s, q75 7.02 s, q115 3.09 s). An
+  * earlier same-day full run read 207.86 s with q184 at 26.7 s and q109
+  * at 10.4 s — immediately re-measured targeted at 5.69 s / 2.84 s, the
+  * streaming trigger-latency swing under same-JVM pressure (PLANS.md
+  * "Round 14 final anchor"), which is exactly why the exemption bands
+  * below exist. Queries added after this anchor are excluded from the
+  * ratchet until it is re-taken on a quiet run that includes them.
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also

@@ -2758,6 +2758,86 @@ object Formats {
        |WHERE range < 5000
        |ORDER BY a""".stripMargin
 
+  // ---- q250: CDC-APPLY — the connector pieces composing end-to-end --------
+  // The capstone composite: the q244 CHANGE-FEED STREAM is consumed with
+  // foreachBatch, each batch folded LATEST-WINS per doc (the standard
+  // CDC-apply recipe: rank by _commit_version, deletes included) and
+  // MERGEd into a SECOND delta digest table through the q207 WriteDelta
+  // path — so the maintained state table is an incrementally-replicated
+  // copy of the source, built ONLY from its commit log. require()d: the
+  // state's digest equals the source table's own merge-on-read digest —
+  // CDC emission, verb replay, latest-wins fold, delta MERGE apply, and
+  // merge-on-read all agree on every row. The returned dedup digest
+  // (distinct contents per lang) is the LLM-corpus read of that state.
+  def q250CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val table = stageChangesTable(s, dir)
+    val sink = table.resolve("sink").toString
+    val h = Integer.toHexString(dir.hashCode)
+    val srcTbl = s"graft.ns.docchf_$h"
+    val state = s"graft.ns.doccdc_$h"
+    graft.TempDirs.staged(s"dsv2_cdc_apply:$dir") { p =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $state (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("state")}', 'delta'='true')""".stripMargin)
+      val apply = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        batch.createOrReplaceTempView("cdc_batch_q250")
+        batch.sparkSession.sql(
+          s"""MERGE INTO $state t
+             |USING (
+             |  SELECT doc_id, lang, n_chars, _change_type FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY _commit_version DESC) AS rn
+             |    FROM cdc_batch_q250) x WHERE rn = 1) u
+             |ON t.doc_id = u.doc_id
+             |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET lang = u.lang, n_chars = u.n_chars
+             |WHEN NOT MATCHED AND u._change_type <> 'delete' THEN
+             |  INSERT (doc_id, lang, n_chars) VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+        ()
+      }
+      val q = s.readStream
+        .format("graft.sources.DigestSink")
+        .option("path", sink)
+        .option("changesFrom", "0")
+        .load()
+        .writeStream
+        .foreachBatch(apply)
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def digest(tbl: String): Seq[String] =
+        s.table(tbl).orderBy("doc_id").collect().map(_.toString).toSeq
+      require(digest(state) == digest(srcTbl),
+        "q250: the CDC-maintained state must equal the source's own " +
+          "merge-on-read view, row for row")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT n_chars) AS n_distinct_contents,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $state
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q250Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE lang IN ('de', 'fr', 'en')
+      |    AND NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE lang IN ('de', 'fr', 'en') AND doc_id % 50 = 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT n_chars) AS n_distinct_contents,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q230Sql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
@@ -2820,6 +2900,7 @@ object Formats {
     "q247_sample_pushdown" -> q247SamplePushdown _,
     "q248_join_pushdown" -> q248JoinPushdown _,
     "q249_variant_shredding" -> q249VariantShredding _,
+    "q250_cdc_apply" -> q250CdcApply _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2875,5 +2956,6 @@ object Formats {
     "q247_sample_pushdown" -> q247Sql,
     "q248_join_pushdown" -> q248Sql,
     "q249_variant_shredding" -> q249Sql,
+    "q250_cdc_apply" -> q250Sql,
   )
 }
