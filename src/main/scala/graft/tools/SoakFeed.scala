@@ -103,6 +103,35 @@ object SoakFeed {
           .option("changesFrom", "0").option("changesTo", "3").load()
           .groupBy("_commit_version", "_change_type").count().collect()
       }
+      // ---- cdc_apply (q250): change stream → latest-wins fold → MERGE -----
+      val (t5, p5) = freshIds()
+      spark.sql(s"""CREATE TABLE $t5 (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='${p5.resolve("state")}', 'delta'='true')""".stripMargin)
+      timed("cdc_apply") {
+        val fold = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+          b.createOrReplaceTempView("soak_cdc_batch")
+          b.sparkSession.sql(
+            s"""MERGE INTO $t5 t
+               |USING (
+               |  SELECT doc_id, lang, n_chars, _change_type FROM (
+               |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+               |      ORDER BY _commit_version DESC) AS rn
+               |    FROM soak_cdc_batch) x WHERE rn = 1) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET lang = u.lang, n_chars = u.n_chars
+               |WHEN NOT MATCHED AND u._change_type <> 'delete' THEN
+               |  INSERT (doc_id, lang, n_chars) VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+          ()
+        }
+        val q = spark.readStream.format("graft.sources.DigestSink")
+          .option("path", sink3.toString).option("changesFrom", "0").load()
+          .writeStream.foreachBatch(fold)
+          .option("checkpointLocation", p5.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       // ---- stream_read (q242): replicate 2 commits ------------------------
       val (t4, p4) = freshIds()
       spark.sql(s"""CREATE TABLE $t4 (doc_id BIGINT, lang STRING, n_chars BIGINT)
