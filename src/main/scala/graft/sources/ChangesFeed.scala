@@ -76,7 +76,17 @@ object DigestChanges {
       val added = cur.filterNot(prev)
       val removed = (prev -- cur.toSet).toSeq.sorted
       if (removed.exists(_.startsWith("delta-"))) {
-        // compaction/expiry: the log was folded down — no logical change
+        // a delta-removing commit is skippable ONLY when it is a tagged
+        // content-preserving compaction ([[DigestManifest.markCompaction]]).
+        // An untagged one (INSERT OVERWRITE / TRUNCATE committed over a
+        // live log) genuinely changes data — emitting zero change rows
+        // would silently diverge every downstream CDC consumer, so the
+        // feed refuses loudly instead.
+        require(DigestManifest.isCompaction(path, v),
+          s"graft_digest changes: version $v removed delta-log files but " +
+            "is not a tagged compaction — the feed cannot represent an " +
+            "overwrite/truncate that folds away a live delta log; compact " +
+            "first (CALL graft.system.compact) or start the feed after it")
         Seq.empty
       } else {
         removed.foreach { f =>

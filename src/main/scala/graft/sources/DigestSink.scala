@@ -113,26 +113,216 @@ object DigestSink {
 private[graft] object DigestManifest {
   private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** How long a CAS loser waits for a claimed-but-unregistered version to
+    * finish registering before treating it as an abandoned (crashed)
+    * committer and claiming past it. Registration follows the claim within
+    * microseconds in a live committer, so 2 s is generous.
+    */
+  private val OrphanWaitMs = 2000L
+
+  /** CAS-claim version `v`: atomically create `_MANIFEST.v<v>` with the
+    * full listing bytes. `CREATE_NEW` maps to `open(O_CREAT|O_EXCL)` — the
+    * one filesystem primitive that is atomic ACROSS PROCESSES — so of two
+    * committers racing for the same version number exactly one wins; the
+    * loser re-reads the new head and retries (rebasing or aborting per its
+    * commit kind). The JVM `synchronized` on the public entry points stays
+    * as the in-process fast path; this claim is what makes a SECOND
+    * process safe.
+    */
+  private def claim(dir: java.nio.file.Path, v: Int, bytes: Array[Byte]): Boolean =
+    try {
+      Files.write(dir.resolve(s"_MANIFEST.v$v"), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  /** The highest version any committer has CLAIMED (its `_MANIFEST.v<k>`
+    * exists), registered or not. The CAS target must skip past these, or
+    * a retry would collide with an in-flight commit forever.
+    */
+  private def claimedMax(dir: java.nio.file.Path): Int = {
+    if (!Files.isDirectory(dir)) 0
+    else {
+      val listing = Files.list(dir)
+      try {
+        var mx = 0
+        listing.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("_MANIFEST.v") && n.drop(11).forall(_.isDigit) &&
+              n.length > 11)
+            mx = math.max(mx, n.drop(11).toInt)
+        }
+        mx
+      } finally listing.close()
+    }
+  }
+
+  /** Consistent `(version, lines)` snapshot of the registered head. Reads
+    * the immutable numbered snapshot file, never the `_MANIFEST` pointer —
+    * a pointer read races the flip; a registered version file cannot
+    * change after registration.
+    */
+  def head(path: String): (Int, Seq[String]) = {
+    val v = currentVersion(path)
+    if (v == 0) (0, Seq.empty)
+    else (v, scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(path, s"_MANIFEST.v$v")))
+      .asScala.filter(_.nonEmpty).toSeq)
+  }
+
+  /** Register a claimed version in `_VERSIONS` (one atomic O_APPEND
+    * record) and flip the `_MANIFEST` pointer forward. The pointer flip
+    * re-checks after moving: two processes flipping out of order converge
+    * on the newest registered version because the snapshot files they copy
+    * from are immutable.
+    */
+  private def finishCommit(dir: java.nio.file.Path, path: String, v: Int): Int = {
+    // strictly monotone micros IN FILE ORDER: seed from the last
+    // registered record so a second process continues the sequence
+    val lastRegistered = {
+      val vf = dir.resolve("_VERSIONS")
+      if (!Files.exists(vf)) 0L
+      else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
+        .asScala.filter(_.nonEmpty).lastOption
+        .map(_.split(",")(1).toLong).getOrElse(0L)
+    }
+    val now = System.currentTimeMillis() * 1000L
+    val ts = lastMicros.updateAndGet(prev =>
+      math.max(math.max(now, prev + 1), lastRegistered + 1))
+    Files.write(dir.resolve("_VERSIONS"), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    var flips = 0
+    var settled = false
+    while (!settled && flips < 10) {
+      val hv = currentVersion(path)
+      val bytes =
+        if (hv == 0) Array.emptyByteArray
+        else Files.readAllBytes(dir.resolve(s"_MANIFEST.v$hv"))
+      val tmp = Files.createTempFile(dir, "_MANIFEST.tmp", "")
+      Files.write(tmp, bytes)
+      Files.move(tmp, dir.resolve("_MANIFEST"), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      settled = currentVersion(path) == hv
+      flips += 1
+    }
+    v
+  }
+
+  /** The CAS target for the next claim attempt: one past everything
+    * registered or claimed. When a claim is ahead of registration (another
+    * committer is mid-commit), wait briefly for it to register so a rebase
+    * sees its content; a claim that never registers within the wait is an
+    * abandoned crashed committer and is skipped (its orphan snapshot file
+    * is GC'd by remove_orphan_files).
+    */
+  private def nextTarget(dir: java.nio.file.Path, path: String): Int = {
+    val deadline = System.nanoTime() + OrphanWaitMs * 1000000L
+    var claimed = claimedMax(dir)
+    while (claimed > currentVersion(path) && System.nanoTime() < deadline) {
+      Thread.sleep(1L)
+      claimed = claimedMax(dir)
+    }
+    math.max(claimed, currentVersion(path)) + 1
+  }
+
   /** Atomically publish `lines` as the current manifest; returns the
-    * version number the snapshot was recorded under.
+    * version number the snapshot was recorded under. This is the
+    * LAST-WRITER-WINS full-listing form for single-writer maintenance
+    * paths (snapshot expiry, evolve commits); concurrent data commits go
+    * through [[publishAppend]] / [[publishReplace]], which validate
+    * against the base version their caller planned from. Even here the
+    * version slot is CAS-claimed, so a racing committer can never
+    * overwrite another's numbered snapshot.
     */
   def publish(path: String, lines: Seq[String]): Int = synchronized {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    val v = currentVersion(path) + 1
     val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    Files.write(dir.resolve(s"_MANIFEST.v$v"), bytes)
-    // strictly monotone micros: two commits inside one clock tick must
-    // still be distinguishable by TIMESTAMP AS OF
-    val now = System.currentTimeMillis() * 1000L
-    val ts = lastMicros.updateAndGet(prev => math.max(now, prev + 1))
-    Files.write(dir.resolve("_VERSIONS"), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    val tmp = dir.resolve("_MANIFEST.tmp")
-    Files.write(tmp, bytes)
-    Files.move(tmp, dir.resolve("_MANIFEST"), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    v
+    var attempts = 0
+    var v = -1
+    while (v < 0) {
+      require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
+      val target = nextTarget(dir, path)
+      if (claim(dir, target, bytes)) v = target
+      attempts += 1
+    }
+    finishCommit(dir, path, v)
+  }
+
+  /** Optimistic APPEND commit: `fresh` lines are appended to whatever the
+    * head is NOW — if the head moved past `baseVersion` since the caller
+    * planned, the commit REBASES (appends commute with any interleaved
+    * commit) and both committers survive as consecutive versions. This is
+    * the cross-process-safe path for INSERT INTO and delta-log (MERGE/
+    * UPDATE/DELETE verb) commits.
+    */
+  def publishAppend(path: String, fresh: Seq[String], baseVersion: Int): Int =
+    synchronized {
+      val dir = Paths.get(path)
+      Files.createDirectories(dir)
+      var attempts = 0
+      var v = -1
+      while (v < 0) {
+        require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
+        val (hv, hlines) = head(path)
+        // rebase: appends commute — surviving head entries keep their
+        // order (delta replay order is manifest order), fresh goes last
+        val bytes = (hlines ++ fresh).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8)
+        val target = math.max(nextTarget(dir, path), hv + 1)
+        if (claim(dir, target, bytes)) v = target
+        attempts += 1
+      }
+      finishCommit(dir, path, v)
+    }
+
+  /** Optimistic REPLACE commit: the full listing was computed FROM
+    * `baseVersion` (overwrite-by-filter, row-level rewrite, deleteWhere,
+    * truncate) — content does not commute with interleaved commits, so if
+    * the head moved the commit ABORTS loudly instead of silently dropping
+    * the other writer's rows. The caller re-plans and retries.
+    */
+  def publishReplace(path: String, lines: Seq[String], baseVersion: Int): Int =
+    synchronized {
+      val dir = Paths.get(path)
+      Files.createDirectories(dir)
+      val hv = currentVersion(path)
+      if (hv != baseVersion)
+        throw new java.util.ConcurrentModificationException(
+          s"graft_digest: conflicting commit at $path — planned against " +
+            s"version $baseVersion but the head is now $hv; re-plan the " +
+            "operation against the current table state")
+      val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      val target = nextTarget(dir, path)
+      if (!claim(dir, target, bytes))
+        throw new java.util.ConcurrentModificationException(
+          s"graft_digest: conflicting commit at $path — lost the version-" +
+            s"$target claim race; re-plan the operation")
+      finishCommit(dir, path, target)
+    }
+
+  /** Tag version `v` as a CONTENT-PRESERVING compaction commit (the
+    * snapshot + truncate-overwrite cycle that folds the delta log into
+    * fresh base files without changing the logical rows). The change
+    * feed uses this tag — and ONLY this tag — to decide a delta-removing
+    * commit may be skipped: an untagged commit that retires delta files
+    * (INSERT OVERWRITE / TRUNCATE over a live log) genuinely changes
+    * data, and [[DigestChanges.plan]] refuses it loudly rather than
+    * silently emitting zero change rows.
+    */
+  def markCompaction(path: String, v: Int): Unit = synchronized {
+    Files.write(Paths.get(path, "_COMPACTIONS"),
+      s"$v\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def isCompaction(path: String, v: Int): Boolean = {
+    val f = Paths.get(path, "_COMPACTIONS")
+    Files.exists(f) && scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(f)).asScala.exists(_.trim == v.toString)
   }
 
   def currentVersion(path: String): Int = {
@@ -216,12 +406,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters), s"undeletable filters: ${filters.mkString(",")}")
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.toSeq
-      else Seq.empty
+    val (baseVersion, old) = DigestManifest.head(path)
     val all = filters.exists(_.isInstanceOf[AlwaysTrue])
     val langs: Set[String] = filters.collect {
       case EqualTo("lang", v: String) => Seq(v)
@@ -236,7 +421,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     // already gone, so a reader planning at any instant sees a complete
     // table (a reader that planned against the OLD manifest races the
     // physical delete — the retainHistory flavor removes even that window)
-    DigestManifest.publish(path, keep)
+    DigestManifest.publishReplace(path, keep, baseVersion)
     if (!retainHistory)
       dead.map(_.split(",")(0))
         .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
@@ -247,13 +432,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
   // ordering contract as deleteWhere; the history flavor keeps the files
   // so pre-truncate versions stay readable)
   override def truncateTable(): Boolean = {
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.filter(_.nonEmpty).toSeq
-      else Seq.empty
-    DigestManifest.publish(path, Seq.empty)
+    val (baseVersion, old) = DigestManifest.head(path)
+    DigestManifest.publishReplace(path, Seq.empty, baseVersion)
     if (!retainHistory)
       old.map(_.split(",")(0))
         .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
@@ -339,20 +519,15 @@ class DigestStreamingWrite(path: String, cols: Array[Int])
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.filter(_.nonEmpty).toSeq
-      else Seq.empty
+    val (baseVersion, old) = DigestManifest.head(path)
     // replay idempotency: the epoch's entries already in the manifest win
     // — the replayed attempt rewrote the SAME final names, so skipping
     // the append leaves one consistent copy of the epoch
     val oldNames = old.map(_.split(",")(0)).toSet
     if (fresh.forall(f => oldNames.contains(f.fileName))) return
-    DigestManifest.publish(path,
-      old ++ fresh.map(f => s"${f.fileName},${f.rows}").sorted
-        .filterNot(l => oldNames.contains(l.split(",")(0))))
+    DigestManifest.publishAppend(path,
+      fresh.map(f => s"${f.fileName},${f.rows}").sorted
+        .filterNot(l => oldNames.contains(l.split(",")(0))), baseVersion)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -394,12 +569,10 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.toSeq
-      else Seq.empty
+    // plan against the REGISTERED head, remembering its version: the
+    // append path below rebases onto any commit that lands between this
+    // read and the publish (cross-process CAS), the overwrite path aborts
+    val (baseVersion, old) = DigestManifest.head(path)
 
     // the overwritten region: retire ONLY its entries; everything else
     // survives untouched (file and manifest entry alike)
@@ -429,9 +602,22 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     // job-level commit point: publish the merged manifest atomically
     // FIRST, so the listing never names an already-deleted file; physical
     // deletion of the retired region follows (and is skipped entirely by
-    // the history-retaining flavor — old versions stay resolvable)
-    val lines = (surviving ++ fresh.map(f => s"${f.fileName},${f.rows}")).sorted
-    DigestManifest.publish(path, lines)
+    // the history-retaining flavor — old versions stay resolvable).
+    // ORDER CONTRACT: `surviving` keeps its committed order untouched and
+    // `fresh` appends after it — merge-on-read replays delta entries in
+    // manifest order, and job-unique `delta-j<tag>-` names do NOT sort
+    // chronologically, so sorting the whole listing here would shuffle
+    // older commits' verbs behind newer ones
+    val freshLines = fresh.map(f => s"${f.fileName},${f.rows}").sorted
+    overwriteFilters match {
+      case None =>
+        // plain append commutes with interleaved commits: rebase-commit
+        DigestManifest.publishAppend(path, freshLines, baseVersion)
+      case Some(_) =>
+        // an overwrite's surviving set was computed from baseVersion —
+        // abort loudly if another commit landed since (no lost updates)
+        DigestManifest.publishReplace(path, surviving ++ freshLines, baseVersion)
+    }
     if (!retainHistory) {
       // a fresh file may land on the SAME final name as the dead entry
       // it replaces (same lang, same partition id — rename-in-place):
@@ -596,12 +782,7 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
   // base entries survive untouched by construction
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.toSeq
-      else Seq.empty
+    val (baseVersion, old) = DigestManifest.head(path)
     // job-unique naming makes a duplicate structurally impossible; keep
     // the check as the loud backstop (a duplicate entry would be read
     // twice by DigestScan, corrupting the merge-on-read view)
@@ -609,8 +790,10 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
     val dup = fresh.map(_.fileName).filter(oldNames.contains)
     require(dup.isEmpty,
       s"graft_digest: delta commit would duplicate manifest entries: $dup")
-    DigestManifest.publish(path,
-      old ++ fresh.map(f => s"${f.fileName},${f.rows}").sorted)
+    // a delta log commit is an APPEND in manifest terms — it commutes
+    // with interleaved commits, so the CAS path rebases instead of aborts
+    DigestManifest.publishAppend(path,
+      fresh.map(f => s"${f.fileName},${f.rows}").sorted, baseVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

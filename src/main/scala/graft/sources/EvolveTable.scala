@@ -336,6 +336,11 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
           val v = r.getUTF8String(i).toString
           require(!v.exists(c => c == ',' || c == '\n'),
             s"graft_evolve: string cell contains a delimiter: '$v'")
+          // a REAL value equal to the null sentinel would silently
+          // round-trip back as NULL through EvolveFileReader — refuse it
+          // the same way the delimiter guard does
+          require(v != "\\N",
+            "graft_evolve: string cell equals the null sentinel \\N")
           v
       }
     }

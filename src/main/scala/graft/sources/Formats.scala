@@ -803,6 +803,8 @@ object Formats {
       s.table(tbl).write.mode("overwrite").parquet(snap)
       s.read.parquet(snap).createOrReplaceTempView("q211_snap")
       s.sql(s"INSERT OVERWRITE $tbl SELECT doc_id, lang, n_chars FROM q211_snap")
+      DigestManifest.markCompaction(sink.toString,
+        DigestManifest.currentVersion(sink.toString))
       val after = manifest()
       require(!after.exists(_.startsWith("delta-")),
         s"q211: compaction must retire the delta log:\n$after")
@@ -1337,6 +1339,8 @@ object Formats {
       s.table(tbl).write.mode("overwrite").parquet(snap)
       s.read.parquet(snap).createOrReplaceTempView("q224_snap")
       s.sql(s"INSERT OVERWRITE $tbl SELECT doc_id, lang, n_chars FROM q224_snap")
+      DigestManifest.markCompaction(sink.toString,
+        DigestManifest.currentVersion(sink.toString))
       def manifest(name: String): Seq[String] =
         java.nio.file.Files.readAllLines(sink.resolve(name)).asScala
           .filter(_.nonEmpty).toSeq
@@ -2847,6 +2851,76 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q251: CONCURRENT COMMITTERS — optimistic CAS on the commit log -----
+  // Two INSERT INTO jobs race through the FULL SQL write path on separate
+  // threads. Each plans its commit against the head it read
+  // (DigestBatchWrite.commit captures `baseVersion`), CAS-claims the next
+  // `_MANIFEST.v<N>` with CREATE_NEW (atomic across processes), and the
+  // loser REBASES — appends commute — so BOTH commits survive as
+  // consecutive versions, nothing lost, whatever the interleaving. The
+  // non-commuting case is pinned in-query too: a REPLACE planned against
+  // a stale base must ABORT with ConcurrentModificationException instead
+  // of silently dropping the interleaved committer's rows. This is the
+  // optimistic-concurrency contract every production table format ships;
+  // a JVM lock alone cannot give it to a second process.
+  def q251ConcurrentCommit(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.conc_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_concurrent_commit:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q251")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q251 WHERE lang = 'de'")
+      // the race: both committers in flight at once, each planning from
+      // whatever head it happens to read
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val committers = Seq("fr", "en").map { lang =>
+        new Thread(() =>
+          try s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars " +
+            s"FROM docs_q251 WHERE lang = '$lang'")
+          catch { case e: Throwable => failures.add(e) })
+      }
+      committers.foreach(_.start()); committers.foreach(_.join())
+      require(failures.isEmpty, s"q251: a racing committer failed: ${failures.peek()}")
+      val v = DigestManifest.currentVersion(sink.toString)
+      require(v == 3,
+        s"q251: two racing appends must land as consecutive versions (got head v$v)")
+      // every version is a complete, registered snapshot; the final head
+      // holds BOTH committers' content
+      val (_, lines) = DigestManifest.head(sink.toString)
+      val langsInManifest = lines.flatMap(l => DigestSink.langOf(l.split(",")(0)))
+      require(Set("de", "fr", "en").subsetOf(langsInManifest.toSet),
+        s"q251: a racing commit was lost from the manifest: $lines")
+      // the NON-commuting case: a replace planned against a now-stale base
+      // must abort loudly, leaving the interleaved commit intact
+      val (staleBase, staleLines) = DigestManifest.head(sink.toString)
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q251 WHERE lang = 'zh'")
+      val aborted =
+        try { DigestManifest.publishReplace(sink.toString, staleLines, staleBase); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(aborted, "q251: a stale-base replace must abort, not drop the racing commit")
+      require(DigestManifest.currentVersion(sink.toString) == 4,
+        "q251: the aborted replace must leave the head untouched")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q251Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr', 'en', 'zh')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -2901,6 +2975,7 @@ object Formats {
     "q248_join_pushdown" -> q248JoinPushdown _,
     "q249_variant_shredding" -> q249VariantShredding _,
     "q250_cdc_apply" -> q250CdcApply _,
+    "q251_concurrent_commit" -> q251ConcurrentCommit _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -2957,5 +3032,6 @@ object Formats {
     "q248_join_pushdown" -> q248Sql,
     "q249_variant_shredding" -> q249Sql,
     "q250_cdc_apply" -> q250Sql,
+    "q251_concurrent_commit" -> q251Sql,
   )
 }

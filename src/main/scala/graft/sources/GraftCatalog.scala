@@ -322,6 +322,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftCatalog.tables.remove(key(ident)) != null
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // TableCatalog contract: renaming onto a live table must refuse, not
+    // clobber its metadata (mirrors renameView below)
+    if (GraftCatalog.tables.containsKey(key(newIdent)))
+      throw new TableAlreadyExistsException(newIdent)
     val props = GraftCatalog.tables.remove(key(oldIdent))
     if (props == null) throw new NoSuchTableException(oldIdent)
     GraftCatalog.tables.put(key(newIdent), props)

@@ -375,12 +375,25 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
     // snapshot OUTSIDE the table (cannot overwrite what is being read),
     // then replace content through the committed truncate-overwrite path
     val snap = Files.createTempDirectory("graft_compact_")
-    spark.table(full).write.mode("overwrite").parquet(snap.toString)
-    spark.read.parquet(snap.toString).writeTo(full)
-      .overwrite(org.apache.spark.sql.functions.lit(true))
+    try {
+      spark.table(full).write.mode("overwrite").parquet(snap.toString)
+      spark.read.parquet(snap.toString).writeTo(full)
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+    } finally {
+      // the snapshot is consumed once the overwrite commits — leaking a
+      // full table copy per CALL would fill the disk under repeated
+      // maintenance (SoakDml runs this per rep)
+      val walk = Files.walk(snap)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
     val after = manifest()
     require(!after.exists(_.startsWith("delta-")),
       s"graft.system.compact: log not retired:\n$after")
+    // tag the commit as content-preserving so the change feed (q241)
+    // knows this delta-removing version carries zero logical changes
+    DigestManifest.markCompaction(path, DigestManifest.currentVersion(path))
 
     val tableRows = after.map(_.split(",")(1).toLong).sum
     val version = DigestManifest.currentVersion(path).toLong

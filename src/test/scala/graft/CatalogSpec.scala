@@ -798,4 +798,176 @@ class CatalogSpec extends SparkSpec {
       Multimodal.decodeJpeg(MediaRow(1L, good.take(good.length / 2), "image/jpeg"))
     }
   }
+
+  // ---- q251: cross-process CAS commit protocol ----------------------------
+
+  test("q251: a stale-base publishAppend REBASES onto the interleaved " +
+      "commit — both committers survive as consecutive versions") {
+    val dir = tmp("graft_cas_spec_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-cas1.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("lang_bb-cas2.csv"),
+      "2,bb,20\n".getBytes("UTF-8"))
+    // both committers plan from the SAME (empty) head — the race the JVM
+    // lock cannot serialize when the committers are separate processes
+    val (base0, lines0) = DigestManifest.head(dir.toString)
+    assert(base0 == 0 && lines0.isEmpty)
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-cas1.csv,1"), base0) == 1)
+    val v2 = DigestManifest.publishAppend(dir.toString,
+      Seq("lang_bb-cas2.csv,1"), base0) // stale base: head moved to 1
+    assert(v2 == 2, s"loser must rebase to the next consecutive version, got $v2")
+    // nothing lost: the head holds BOTH commits, earlier first
+    assert(DigestManifest.head(dir.toString) ==
+      (2, Seq("lang_aa-cas1.csv,1", "lang_bb-cas2.csv,1")))
+    // and each version file is a complete immutable snapshot
+    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST.v1"))
+      .size == 1)
+  }
+
+  test("q251: a claimed-but-never-registered version (crashed committer) " +
+      "is waited out, then skipped — the live commit lands past it") {
+    val dir = tmp("graft_cas_orphan_spec_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-o1.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("lang_bb-o2.csv"),
+      "2,bb,20\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-o1.csv,1"), 0) == 1)
+    // a foreign process CLAIMED v2 (CREATE_NEW won) and died before
+    // registering it in _VERSIONS
+    java.nio.file.Files.write(dir.resolve("_MANIFEST.v2"),
+      "lang_zz-ghost.csv,9".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    val t0 = System.nanoTime()
+    val v = DigestManifest.publishAppend(dir.toString,
+      Seq("lang_bb-o2.csv,1"), 1)
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(v == 3, s"live commit must skip the orphaned claim slot, got v$v")
+    assert(waitedMs >= 1500L,
+      s"committer must give an in-flight claim time to register (waited ${waitedMs}ms)")
+    // the orphan's content never entered the registered chain
+    assert(DigestManifest.head(dir.toString) ==
+      (3, Seq("lang_aa-o1.csv,1", "lang_bb-o2.csv,1")))
+  }
+
+  test("q251: publishReplace aborts on a stale base instead of dropping " +
+      "the interleaved commit") {
+    val dir = tmp("graft_cas_replace_spec_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-r1.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-r1.csv,1"), 0) == 1)
+    intercept[java.util.ConcurrentModificationException] {
+      DigestManifest.publishReplace(dir.toString, Seq.empty, 0) // planned at v0
+    }
+    // the refused replace left the head untouched
+    assert(DigestManifest.head(dir.toString) ==
+      (1, Seq("lang_aa-r1.csv,1")))
+  }
+
+  // ---- ADVICE r14 pins ----------------------------------------------------
+
+  test("ADVICE r14: a plain append after MERGEs preserves the delta log's " +
+      "commit order in the manifest (no whole-listing re-sort)") {
+    withCatalog {
+      val dir = tmp("graft_appendorder_spec_")
+      val tbl = s"graft.ns.aospec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      // two MERGEs updating the SAME doc: replay order decides the value
+      spark.sql(s"""MERGE INTO $tbl t USING (SELECT 1L AS doc_id, 11L AS n_chars) u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin)
+      spark.sql(s"""MERGE INTO $tbl t USING (SELECT 1L AS doc_id, 12L AS n_chars) u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin)
+      def deltaOrder(): Seq[String] = scala.jdk.CollectionConverters
+        .ListHasAsScala(java.nio.file.Files.readAllLines(
+          dir.resolve("_MANIFEST"))).asScala.toSeq
+        .filter(_.startsWith("delta-")).map(_.split(",")(0))
+      val before = deltaOrder()
+      assert(before.size == 2, s"expected two delta log files, got $before")
+      // the trigger from the r14 ADVICE: a plain INSERT INTO goes through
+      // DigestBatchWrite.commit, which used to re-sort the WHOLE manifest
+      // — lexicographic by random job tag, scrambling replay order ~50%
+      // of the time
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 'de', 20)")
+      assert(deltaOrder() == before,
+        s"append re-ordered surviving delta entries: $before -> ${deltaOrder()}")
+      val v = spark.table(tbl).filter("doc_id = 1").head().getLong(2)
+      assert(v == 12L, s"latest-wins replay broke after append: n_chars=$v")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("ADVICE r14: the change feed refuses an UNTAGGED delta-removing " +
+      "commit instead of silently emitting zero changes") {
+    withCatalog {
+      val dir = tmp("graft_cdfrefuse_spec_")
+      val tbl = s"graft.ns.cdfref_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      spark.sql(s"""MERGE INTO $tbl t USING (SELECT 1L AS doc_id, 99L AS n_chars) u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin)
+      // an overwrite committed OVER the live log: genuinely changes data
+      // while also retiring delta files — not a compaction, not tagged
+      spark.sql(s"INSERT OVERWRITE $tbl VALUES (7L, 'zh', 70L)")
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.DigestSink")
+          .option("path", dir.toString).option("changesFrom", "0").load()
+          .collect()
+      }
+      assert(e.getMessage.contains("not a tagged compaction"), e.getMessage)
+      // tagging the same version makes the feed readable again (the
+      // compaction-skip path), proving the refusal keyed on the tag alone
+      DigestManifest.markCompaction(dir.toString,
+        DigestManifest.currentVersion(dir.toString))
+      assert(spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString).option("changesFrom", "0").load()
+        .filter("_change_type = 'update_postimage'").count() == 1L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("ADVICE r14: renameTable refuses to clobber a live destination " +
+      "(TableAlreadyExistsException, mirroring renameView)") {
+    withCatalog {
+      val a = s"graft.ns.rnsrc_${System.nanoTime()}"
+      val b = s"graft.ns.rndst_${System.nanoTime()}"
+      spark.sql(s"CREATE TABLE $a (id BIGINT, h STRING, v BIGINT) USING graft_seq " +
+        "TBLPROPERTIES ('rows'='5')")
+      spark.sql(s"CREATE TABLE $b (id BIGINT, h STRING, v BIGINT) USING graft_seq " +
+        "TBLPROPERTIES ('rows'='7')")
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $a RENAME TO ${b.stripPrefix("graft.")}")
+      }
+      assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+      // destination metadata untouched by the refused rename
+      assert(spark.table(b).count() == 7L)
+      spark.sql(s"DROP TABLE $a"); spark.sql(s"DROP TABLE $b")
+    }
+  }
+
+  test("ADVICE r14: graft_evolve refuses a string cell equal to the \\N " +
+      "null sentinel instead of round-tripping it as NULL") {
+    withCatalog {
+      val dir = tmp("graft_sentinel_spec_")
+      val tbl = s"graft.ns.snspec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (id BIGINT, s STRING)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $tbl VALUES (1, '\\\\N')")
+      }
+      assert(e.getMessage.contains("null sentinel"), e.getMessage)
+      // a real NULL still round-trips as NULL
+      spark.sql(s"INSERT INTO $tbl VALUES (2, NULL)")
+      val got = spark.table(tbl).collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(got.toSeq == Seq((2L, true)), got.toSeq.toString)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
