@@ -64,44 +64,130 @@ object DigestChanges {
         .asScala.filter(_.nonEmpty).map(_.split(",")(0)).toSeq
     }
 
-  /** The per-version change partitions for `(from, to]` — file-diff of
-    * consecutive snapshots, compaction commits skipped.
+  private[sources] def manifestEntries(path: String, v: Int): Seq[ManifestEntry] =
+    if (v == 0) Seq.empty
+    else {
+      val mf = Paths.get(path, s"_MANIFEST.v$v")
+      require(Files.exists(mf),
+        s"graft_digest changes: version $v is not resolvable at $path " +
+          "(expired? the feed needs its snapshots retained)")
+      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+    }
+
+  /** The REGISTERED main versions in ascending order — the feed iterates
+    * these, never raw integers: a crashed committer can leave a claimed
+    * `_MANIFEST.v<k>` snapshot that was never registered (q251's orphan
+    * skip), and diffing against that bogus state would invent changes.
     */
-  private[sources] def plan(path: String, from: Int, to: Int): Seq[InputPartition] = {
+  private def registeredVersions(path: String): Seq[Int] = {
+    val vf = Paths.get(path, "_VERSIONS")
+    if (!Files.exists(vf)) Seq.empty
+    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
+      .asScala.filter(_.nonEmpty).map(_.split(",")(0).toInt).toSeq.sorted
+  }
+
+  /** The per-version change partitions for `(from, to]`.
+    *
+    * PLANNING IS O(changes), NOT O(table-files): every commit records its
+    * own diff as `_CHANGES.v<N>` at publish time
+    * ([[DigestManifest]].writeChangeRecord) — `+entry` added, `-entry`
+    * removed, `~old|new` mutated in place (deletion-vector growth, q252)
+    * — so the feed reads one record per version; at 10⁶ manifest entries
+    * that is the difference between a driver bottleneck and a metadata
+    * lookup. A version without a record (written before records existed)
+    * falls back to the full snapshot diff, which yields the identical
+    * answer. Compaction commits (tagged content-preserving) are skipped
+    * whole.
+    */
+  private[graft] def plan(path: String, from: Int, to: Int): Seq[InputPartition] = {
     require(to >= from,
       s"graft_digest changes: empty range ($from, $to]")
-    (from + 1 to to).flatMap { v =>
-      val prev = manifestFiles(path, v - 1).toSet
-      val cur = manifestFiles(path, v)
-      val added = cur.filterNot(prev)
-      val removed = (prev -- cur.toSet).toSeq.sorted
-      if (removed.exists(_.startsWith("delta-"))) {
-        // a delta-removing commit is skippable ONLY when it is a tagged
-        // content-preserving compaction ([[DigestManifest.markCompaction]]).
-        // An untagged one (INSERT OVERWRITE / TRUNCATE committed over a
-        // live log) genuinely changes data — emitting zero change rows
-        // would silently diverge every downstream CDC consumer, so the
-        // feed refuses loudly instead.
-        require(DigestManifest.isCompaction(path, v),
-          s"graft_digest changes: version $v removed delta-log files but " +
-            "is not a tagged compaction — the feed cannot represent an " +
-            "overwrite/truncate that folds away a live delta log; compact " +
-            "first (CALL graft.system.compact) or start the feed after it")
-        Seq.empty
-      } else {
-        removed.foreach { f =>
-          require(Files.exists(Paths.get(path, f)),
-            s"graft_digest changes: $f was removed at v$v and its bytes are " +
-              "gone — the feed needs the history-retaining flavor")
-        }
-        removed.map(f => ChangesFilePartition(path, f, "delete", v): InputPartition) ++
-          added.map { f =>
-            if (f.startsWith("delta-"))
-              ChangesDeltaPartition(path, f, v): InputPartition
-            else ChangesFilePartition(path, f, "insert", v): InputPartition
-          }
-      }
+    val versions = registeredVersions(path).filter(v => v > from && v <= to)
+    var prev = from
+    versions.flatMap { v =>
+      val parts = planVersion(path, prev, v)
+      prev = v
+      parts
     }
+  }
+
+  /** One version's change partitions: `prevV` is the PREVIOUS REGISTERED
+    * version (not necessarily v-1 — orphaned claims leave gaps).
+    */
+  private def planVersion(path: String, prevV: Int, v: Int): Seq[InputPartition] = {
+    // a commit tagged content-preserving ([[DigestManifest.markCompaction]]
+    // — the snapshot + truncate-overwrite cycle that folds a delta log or
+    // deletion vectors into fresh base files) carries ZERO logical
+    // changes and is skipped whole. An UNTAGGED delta-removing commit
+    // (INSERT OVERWRITE / TRUNCATE over a live log) genuinely changes
+    // data — emitting zero change rows would silently diverge every
+    // downstream CDC consumer, so the feed refuses loudly instead.
+    if (DigestManifest.isCompaction(path, v)) return Seq.empty
+    val rec = Paths.get(path, s"_CHANGES.v$v")
+    val (added, removed, mutated) =
+      if (Files.exists(rec)) {
+        val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+          Files.readAllLines(rec)).asScala.filter(_.nonEmpty).toSeq
+        (lines.collect { case l if l.startsWith("+") => ManifestEntry.parse(l.tail) },
+          lines.collect { case l if l.startsWith("-") => ManifestEntry.parse(l.tail) }
+            .sortBy(_.file),
+          lines.collect { case l if l.startsWith("~") =>
+            val i = l.indexOf('|')
+            require(i > 0, s"graft_digest changes: malformed record '$l'")
+            (ManifestEntry.parse(l.substring(1, i)),
+              ManifestEntry.parse(l.substring(i + 1)))
+          })
+      } else {
+        // legacy commit without a record: full snapshot diff
+        val prevE = manifestEntries(path, prevV)
+        val curE = manifestEntries(path, v)
+        val prev = prevE.map(e => e.file -> e).toMap
+        val cur = curE.map(e => e.file -> e).toMap
+        (curE.filterNot(e => prev.contains(e.file)),
+          prevE.filterNot(e => cur.contains(e.file)).sortBy(_.file),
+          curE.flatMap(e => prev.get(e.file)
+            .filter(_ != e).map(pe => (pe, e))))
+      }
+    require(!removed.exists(_.file.startsWith("delta-")),
+      s"graft_digest changes: version $v removed delta-log files but " +
+        "is not a tagged compaction — the feed cannot represent an " +
+        "overwrite/truncate that folds away a live delta log; compact " +
+        "first (CALL graft.system.compact) or start the feed after it")
+    removed.foreach { e =>
+      require(Files.exists(Paths.get(path, e.file)),
+        s"graft_digest changes: ${e.file} was removed at v$v and its " +
+          "bytes are gone — the feed needs the history-retaining flavor")
+    }
+    // DV delta on a surviving file: a deletion-vector commit changes
+    // the entry in place, so the name-diff is empty — the change IS
+    // the freshly masked positions, emitted as per-row deletes with
+    // their pre-image payload (O(changes) rows from O(entry) metadata)
+    val dvDeltas = mutated.map { case (pe, e) =>
+      val prevDv = DvCodec.decode(pe.attrs.getOrElse("dv", ""))
+      val nextDv = DvCodec.decode(e.attrs.getOrElse("dv", ""))
+      val fresh = DvCodec.addedPositions(prevDv, nextDv)
+      // a DV only GROWS in place (un-delete is not a commit the table
+      // can produce; compaction CLEARS DVs but under new file names and
+      // a compaction tag) — refuse the unrepresentable rather than emit
+      // wrong rows; any OTHER in-place entry mutation is equally
+      // unrepresentable
+      require(fresh.nonEmpty && DvCodec.addedPositions(nextDv, prevDv).isEmpty,
+        s"graft_digest changes: version $v mutated the entry of " +
+          s"${e.file} in a way that is not a deletion-vector growth — " +
+          "not representable as changes")
+      ChangesDvPartition(path, e.file, fresh, v): InputPartition
+    }
+    // whole-file inserts/deletes read through the entry's OWN mask:
+    // rows already deleted by a DV were never live in that state
+    removed.map(e => ChangesFilePartition(path, e.file, "delete", v,
+        e.attrs.getOrElse("dv", "")): InputPartition) ++
+      added.map { e =>
+        if (e.file.startsWith("delta-"))
+          ChangesDeltaPartition(path, e.file, v): InputPartition
+        else ChangesFilePartition(path, e.file, "insert", v,
+          e.attrs.getOrElse("dv", "")): InputPartition
+      } ++ dvDeltas
   }
 }
 
@@ -146,21 +232,33 @@ class DigestChangesMicroBatchStream(path: String, from: Int)
 }
 
 /** One whole base file entering (`insert`) or leaving (`delete`) the
-  * table at `version`.
+  * table at `version`; `dv` is the entry's deletion vector IN THAT STATE
+  * (q252) — masked positions were not live, so they are not changes.
   */
 case class ChangesFilePartition(path: String, file: String,
-    changeType: String, version: Int) extends InputPartition
+    changeType: String, version: Int, dv: String = "") extends InputPartition
 
 /** One delta-log file committed at `version`: its verbs are the changes. */
 case class ChangesDeltaPartition(path: String, file: String, version: Int)
     extends InputPartition
 
+/** A deletion-vector growth on a surviving file at `version` (q252): the
+  * freshly masked `positions` are per-row `delete`s, payload read back
+  * from the untouched base file.
+  */
+case class ChangesDvPartition(path: String, file: String,
+    positions: Seq[Long], version: Int) extends InputPartition
+
 class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case fp: ChangesFilePartition =>
+        val dv = DvCodec.decode(fp.dv)
+        var pos = -1L
         lineReader(fp.path, fp.file) { a =>
-          InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
+          pos += 1
+          if (DvCodec.contains(dv, pos)) null
+          else InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
             UTF8String.fromString(fp.changeType), fp.version.toLong)
         }
       case dp: ChangesDeltaPartition =>
@@ -176,16 +274,30 @@ class ChangesReaderFactory extends PartitionReaderFactory {
               s"graft_digest changes: unknown verb '$v' in ${dp.file}")
           }
         }
+      case vp: ChangesDvPartition =>
+        val want = vp.positions.toSet
+        var pos = -1L
+        lineReader(vp.path, vp.file) { a =>
+          pos += 1
+          if (!want.contains(pos)) null
+          else InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
+            UTF8String.fromString("delete"), vp.version.toLong)
+        }
     }
 
+  /** Sequential line reader; `mk` may return null to SKIP a line. */
   private def lineReader(path: String, file: String)(
       mk: Array[String] => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val lines = Files.readAllLines(Paths.get(path, file)).iterator()
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (lines.hasNext) { current = mk(lines.next().split(",")); true }
-        else false
+      override def next(): Boolean = {
+        while (lines.hasNext) {
+          val r = mk(lines.next().split(","))
+          if (r != null) { current = r; return true }
+        }
+        false
+      }
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
@@ -253,18 +365,30 @@ class DigestMicroBatchStream(path: String,
     val s = start.asInstanceOf[DigestVersionOffset].v
     val e = end.asInstanceOf[DigestVersionOffset].v
     (s + 1 to e).flatMap { v =>
-      val prev = DigestChanges.manifestFiles(path, v - 1).toSet
-      val cur = DigestChanges.manifestFiles(path, v)
-      val removed = prev -- cur.toSet
+      val prevE = DigestChanges.manifestEntries(path, v - 1)
+      val curE = DigestChanges.manifestEntries(path, v)
+      val prev = prevE.map(en => en.file -> en).toMap
+      val removed = prev.keySet -- curE.map(_.file).toSet
       require(removed.isEmpty,
         s"graft_digest streaming: version $v removed files " +
           s"${removed.toSeq.sorted.mkString(",")} — a streaming read is " +
           "append-only; restart from a fresh checkpoint or read the changes feed")
-      val added = cur.filterNot(prev)
-      require(!added.exists(_.startsWith("delta-")),
+      // a deletion-vector commit (q252) modifies a surviving entry in
+      // place — deletes are no more representable in an append stream
+      // than file removals, so refuse just as loudly
+      val masked = curE.filter(en =>
+        prev.get(en.file).exists(pe =>
+          pe.attrs.getOrElse("dv", "") != en.attrs.getOrElse("dv", "")))
+      require(masked.isEmpty,
+        s"graft_digest streaming: version $v committed deletion vectors on " +
+          s"${masked.map(_.file).sorted.mkString(",")} — a streaming read " +
+          "is append-only; read the changes feed")
+      val added = curE.filterNot(en => prev.contains(en.file))
+      require(!added.exists(_.file.startsWith("delta-")),
         s"graft_digest streaming: version $v committed delta-log files — " +
           "stream the compacted table instead")
-      added.map(f => DigestFilePartition(path, f): InputPartition)
+      added.map(en => DigestFilePartition(path, en.file,
+        dv = en.attrs.getOrElse("dv", "")): InputPartition)
     }.toArray
   }
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -68,6 +68,10 @@ class DigestSink extends TableProvider {
       new DigestChangesTable(properties.get("path"),
         properties.get("changesFrom").toInt,
         Option(properties.get("changesTo")).map(_.toInt))
+    // `branch` selects the named ref's view of the directory (q255) —
+    // the fast_forward audit reads the candidate branch through this
+    else if (properties.containsKey("branch"))
+      new DigestBranchTable(properties.get("path"), properties.get("branch"))
     else new DigestSinkTable(properties.get("path"),
       langSplit = false,
       requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
@@ -92,11 +96,97 @@ object DigestSink {
   private[graft] val runtimeFilterEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Serialize a committed file as its manifest entry line, folding the
+    * writer-observed doc_id zone map (q253) into the entry's attributes.
+    */
+  private[sources] def entryLine(f: CommittedFile): String =
+    ManifestEntry(f.fileName, f.rows,
+      f.zm.fold(Map.empty[String, String]) { case (lo, hi) =>
+        Map("zmin" -> lo.toString, "zmax" -> hi.toString)
+      }).line
+
   /** Counts data-file opens (q240's loud proof that a metadata-served
     * aggregate read NO data — the counter must stay flat).
     */
   private[graft] val fileReadEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+/** One parsed manifest line: `file,rows[,key=value]*`. The first two
+  * positions are frozen (every legacy parser indexes them); everything the
+  * metadata layer learned about the file afterwards — its doc_id zone map
+  * (`zmin`/`zmax`, q253), its deletion vector (`dv`, q252) — rides as
+  * order-independent `key=value` attributes behind them, so older readers
+  * of the first two fields keep working unmodified. `rows` counts LIVE
+  * rows: a deletion-vector commit decrements it, which keeps the
+  * manifest-served statistics (q236) and COUNT pushdown (q240) exact
+  * without opening a file.
+  */
+private[graft] case class ManifestEntry(file: String, rows: Long,
+    attrs: Map[String, String] = Map.empty) {
+  def line: String =
+    (Seq(file, rows.toString) ++
+      attrs.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString(",")
+}
+
+private[graft] object ManifestEntry {
+  def parse(line: String): ManifestEntry = {
+    val a = line.split(",")
+    ManifestEntry(a(0), a(1).toLong,
+      a.iterator.drop(2).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"graft_digest: malformed manifest attribute '$kv' in: $line")
+        kv.take(i) -> kv.drop(i + 1)
+      }.toMap)
+  }
+}
+
+/** Deletion-vector bitmap codec (q252). A DV is a sparse bitmap over a
+  * file's 0-based ROW POSITIONS, stored as a manifest-entry attribute so
+  * the mask commits atomically with the listing. 63-bit words (the q167
+  * bitmap convention — no signed edge cases) are kept sparse as
+  * `wordIndex:hexBits` entries joined by ';' — O(deleted/63) characters,
+  * and a position's liveness is one shift+mask. Positions are FILE
+  * positions, not live-row ranks, so earlier deletes never renumber later
+  * ones and DV union is plain word-wise OR.
+  */
+private[graft] object DvCodec {
+  val WordBits = 63
+
+  def decode(s: String): Map[Long, Long] =
+    if (s == null || s.isEmpty) Map.empty
+    else s.split(";").iterator.map { e =>
+      val i = e.indexOf(':')
+      require(i > 0, s"graft_digest: malformed deletion vector entry '$e'")
+      e.take(i).toLong -> java.lang.Long.parseLong(e.drop(i + 1), 16)
+    }.toMap
+
+  def encode(m: Map[Long, Long]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (w, b) => s"$w:${java.lang.Long.toHexString(b)}" }
+      .mkString(";")
+
+  def contains(m: Map[Long, Long], pos: Long): Boolean =
+    ((m.getOrElse(pos / WordBits, 0L) >>> (pos % WordBits)) & 1L) == 1L
+
+  def add(m: Map[Long, Long], pos: Long): Map[Long, Long] = {
+    val w = pos / WordBits
+    m.updated(w, m.getOrElse(w, 0L) | (1L << (pos % WordBits)))
+  }
+
+  def cardinality(m: Map[Long, Long]): Long =
+    m.valuesIterator.map(java.lang.Long.bitCount(_).toLong).sum
+
+  /** Positions set in `next` but not in `prev` — the per-row deletes a DV
+    * commit contributes to the change feed (q241).
+    */
+  def addedPositions(prev: Map[Long, Long], next: Map[Long, Long]): Seq[Long] =
+    next.toSeq.sortBy(_._1).flatMap { case (w, bits) =>
+      val fresh = bits & ~prev.getOrElse(w, 0L)
+      (0 until WordBits).collect {
+        case b if ((fresh >>> b) & 1L) == 1L => w * WordBits + b
+      }
+    }
 }
 
 /** The table's COMMIT LOG. Every manifest publish goes through here: the
@@ -112,6 +202,56 @@ object DigestSink {
   */
 private[graft] object DigestManifest {
   private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** NAMED REFS (q255): `main` is the default branch — the classic
+    * `_MANIFEST`/`_VERSIONS` names — and every other ref keeps its own
+    * pointer, version log, and numbered snapshots under `@<ref>`-suffixed
+    * names in the SAME directory (so branch commits can reference the
+    * same data files; all write paths name files job-uniquely). Each
+    * ref's commit log is independent: versions number from 1 per ref,
+    * and the CAS claim protocol applies per ref.
+    */
+  val MainRef = "main"
+
+  private[graft] def checkRef(ref: String): String = {
+    require(ref.nonEmpty && ref.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"graft_digest: invalid ref name '$ref'")
+    ref
+  }
+
+  /** The ref's pointer-file name (its snapshots are `<pointer>.v<N>`). */
+  private[graft] def mName(ref: String): String =
+    if (ref == MainRef) "_MANIFEST" else s"_MANIFEST@${checkRef(ref)}"
+
+  private def vName(ref: String): String =
+    if (ref == MainRef) "_VERSIONS" else s"_VERSIONS@${checkRef(ref)}"
+
+  /** O(changes) CDF METADATA: every main commit records ITS OWN diff as
+    * `_CHANGES.v<N>` — `+<entry>` added, `-<entry>` removed,
+    * `~<old>|<new>` an entry mutated in place (only a deletion-vector
+    * growth does this) — written between the CAS claim and registration,
+    * so a registered version always carries its record. The change feed
+    * ([[DigestChanges.plan]]) then reads ONE O(changes-of-v) record per
+    * version instead of set-diffing two full snapshots — the difference
+    * between O(changes) and O(table-files) planning per commit at 10⁶
+    * manifest entries. A missing record (pre-upgrade commits) falls back
+    * to the snapshot diff, which yields the identical answer.
+    */
+  private def writeChangeRecord(dir: java.nio.file.Path, v: Int,
+      oldLines: Seq[String], newLines: Seq[String], ref: String): Unit =
+    if (ref == MainRef) {
+      val oldByFile = oldLines.map(l => l.split(",")(0) -> l).toMap
+      val newByFile = newLines.map(l => l.split(",")(0) -> l).toMap
+      val records =
+        newLines.filter(l => !oldByFile.contains(l.split(",")(0))).map("+" + _) ++
+          oldLines.filter(l => !newByFile.contains(l.split(",")(0))).map("-" + _) ++
+          newLines.flatMap { l =>
+            val old = oldByFile.get(l.split(",")(0))
+            if (old.exists(_ != l)) Seq(s"~${old.get}|$l") else Seq.empty
+          }
+      Files.write(dir.resolve(s"_CHANGES.v$v"),
+        records.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    }
 
   /** How long a CAS loser waits for a claimed-but-unregistered version to
     * finish registering before treating it as an abandoned (crashed)
@@ -129,9 +269,10 @@ private[graft] object DigestManifest {
     * as the in-process fast path; this claim is what makes a SECOND
     * process safe.
     */
-  private def claim(dir: java.nio.file.Path, v: Int, bytes: Array[Byte]): Boolean =
+  private def claim(dir: java.nio.file.Path, v: Int, bytes: Array[Byte],
+      ref: String): Boolean =
     try {
-      Files.write(dir.resolve(s"_MANIFEST.v$v"), bytes,
+      Files.write(dir.resolve(s"${mName(ref)}.v$v"), bytes,
         java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch {
@@ -142,17 +283,18 @@ private[graft] object DigestManifest {
     * exists), registered or not. The CAS target must skip past these, or
     * a retry would collide with an in-flight commit forever.
     */
-  private def claimedMax(dir: java.nio.file.Path): Int = {
+  private def claimedMax(dir: java.nio.file.Path, ref: String): Int = {
     if (!Files.isDirectory(dir)) 0
     else {
+      val prefix = s"${mName(ref)}.v"
       val listing = Files.list(dir)
       try {
         var mx = 0
         listing.forEach { p =>
           val n = p.getFileName.toString
-          if (n.startsWith("_MANIFEST.v") && n.drop(11).forall(_.isDigit) &&
-              n.length > 11)
-            mx = math.max(mx, n.drop(11).toInt)
+          if (n.startsWith(prefix) && n.length > prefix.length &&
+              n.drop(prefix.length).forall(_.isDigit))
+            mx = math.max(mx, n.drop(prefix.length).toInt)
         }
         mx
       } finally listing.close()
@@ -164,11 +306,11 @@ private[graft] object DigestManifest {
     * a pointer read races the flip; a registered version file cannot
     * change after registration.
     */
-  def head(path: String): (Int, Seq[String]) = {
-    val v = currentVersion(path)
+  def head(path: String, ref: String = MainRef): (Int, Seq[String]) = {
+    val v = currentVersion(path, ref)
     if (v == 0) (0, Seq.empty)
     else (v, scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(Paths.get(path, s"_MANIFEST.v$v")))
+      Files.readAllLines(Paths.get(path, s"${mName(ref)}.v$v")))
       .asScala.filter(_.nonEmpty).toSeq)
   }
 
@@ -178,11 +320,12 @@ private[graft] object DigestManifest {
     * on the newest registered version because the snapshot files they copy
     * from are immutable.
     */
-  private def finishCommit(dir: java.nio.file.Path, path: String, v: Int): Int = {
+  private def finishCommit(dir: java.nio.file.Path, path: String, v: Int,
+      ref: String): Int = {
     // strictly monotone micros IN FILE ORDER: seed from the last
     // registered record so a second process continues the sequence
     val lastRegistered = {
-      val vf = dir.resolve("_VERSIONS")
+      val vf = dir.resolve(vName(ref))
       if (!Files.exists(vf)) 0L
       else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
         .asScala.filter(_.nonEmpty).lastOption
@@ -191,20 +334,20 @@ private[graft] object DigestManifest {
     val now = System.currentTimeMillis() * 1000L
     val ts = lastMicros.updateAndGet(prev =>
       math.max(math.max(now, prev + 1), lastRegistered + 1))
-    Files.write(dir.resolve("_VERSIONS"), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
+    Files.write(dir.resolve(vName(ref)), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     var flips = 0
     var settled = false
     while (!settled && flips < 10) {
-      val hv = currentVersion(path)
+      val hv = currentVersion(path, ref)
       val bytes =
         if (hv == 0) Array.emptyByteArray
-        else Files.readAllBytes(dir.resolve(s"_MANIFEST.v$hv"))
+        else Files.readAllBytes(dir.resolve(s"${mName(ref)}.v$hv"))
       val tmp = Files.createTempFile(dir, "_MANIFEST.tmp", "")
       Files.write(tmp, bytes)
-      Files.move(tmp, dir.resolve("_MANIFEST"), StandardCopyOption.REPLACE_EXISTING,
+      Files.move(tmp, dir.resolve(mName(ref)), StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
-      settled = currentVersion(path) == hv
+      settled = currentVersion(path, ref) == hv
       flips += 1
     }
     v
@@ -217,14 +360,15 @@ private[graft] object DigestManifest {
     * abandoned crashed committer and is skipped (its orphan snapshot file
     * is GC'd by remove_orphan_files).
     */
-  private def nextTarget(dir: java.nio.file.Path, path: String): Int = {
+  private def nextTarget(dir: java.nio.file.Path, path: String,
+      ref: String): Int = {
     val deadline = System.nanoTime() + OrphanWaitMs * 1000000L
-    var claimed = claimedMax(dir)
-    while (claimed > currentVersion(path) && System.nanoTime() < deadline) {
+    var claimed = claimedMax(dir, ref)
+    while (claimed > currentVersion(path, ref) && System.nanoTime() < deadline) {
       Thread.sleep(1L)
-      claimed = claimedMax(dir)
+      claimed = claimedMax(dir, ref)
     }
-    math.max(claimed, currentVersion(path)) + 1
+    math.max(claimed, currentVersion(path, ref)) + 1
   }
 
   /** Atomically publish `lines` as the current manifest; returns the
@@ -236,20 +380,24 @@ private[graft] object DigestManifest {
     * version slot is CAS-claimed, so a racing committer can never
     * overwrite another's numbered snapshot.
     */
-  def publish(path: String, lines: Seq[String]): Int = synchronized {
-    val dir = Paths.get(path)
-    Files.createDirectories(dir)
-    val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-    var attempts = 0
-    var v = -1
-    while (v < 0) {
-      require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
-      val target = nextTarget(dir, path)
-      if (claim(dir, target, bytes)) v = target
-      attempts += 1
+  def publish(path: String, lines: Seq[String], ref: String = MainRef): Int =
+    synchronized {
+      val dir = Paths.get(path)
+      Files.createDirectories(dir)
+      val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      var attempts = 0
+      var v = -1
+      var base: Seq[String] = Seq.empty
+      while (v < 0) {
+        require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
+        base = head(path, ref)._2
+        val target = nextTarget(dir, path, ref)
+        if (claim(dir, target, bytes, ref)) v = target
+        attempts += 1
+      }
+      writeChangeRecord(dir, v, base, lines, ref)
+      finishCommit(dir, path, v, ref)
     }
-    finishCommit(dir, path, v)
-  }
 
   /** Optimistic APPEND commit: `fresh` lines are appended to whatever the
     * head is NOW — if the head moved past `baseVersion` since the caller
@@ -258,24 +406,27 @@ private[graft] object DigestManifest {
     * the cross-process-safe path for INSERT INTO and delta-log (MERGE/
     * UPDATE/DELETE verb) commits.
     */
-  def publishAppend(path: String, fresh: Seq[String], baseVersion: Int): Int =
+  def publishAppend(path: String, fresh: Seq[String], baseVersion: Int,
+      ref: String = MainRef): Int =
     synchronized {
       val dir = Paths.get(path)
       Files.createDirectories(dir)
       var attempts = 0
       var v = -1
+      var base: Seq[String] = Seq.empty
       while (v < 0) {
         require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
-        val (hv, hlines) = head(path)
+        val (hv, hlines) = head(path, ref)
         // rebase: appends commute — surviving head entries keep their
         // order (delta replay order is manifest order), fresh goes last
         val bytes = (hlines ++ fresh).mkString("\n")
           .getBytes(StandardCharsets.UTF_8)
-        val target = math.max(nextTarget(dir, path), hv + 1)
-        if (claim(dir, target, bytes)) v = target
+        val target = math.max(nextTarget(dir, path, ref), hv + 1)
+        if (claim(dir, target, bytes, ref)) { v = target; base = hlines }
         attempts += 1
       }
-      finishCommit(dir, path, v)
+      writeChangeRecord(dir, v, base, base ++ fresh, ref)
+      finishCommit(dir, path, v, ref)
     }
 
   /** Optimistic REPLACE commit: the full listing was computed FROM
@@ -284,23 +435,26 @@ private[graft] object DigestManifest {
     * the head moved the commit ABORTS loudly instead of silently dropping
     * the other writer's rows. The caller re-plans and retries.
     */
-  def publishReplace(path: String, lines: Seq[String], baseVersion: Int): Int =
+  def publishReplace(path: String, lines: Seq[String], baseVersion: Int,
+      ref: String = MainRef): Int =
     synchronized {
       val dir = Paths.get(path)
       Files.createDirectories(dir)
-      val hv = currentVersion(path)
+      val hv = currentVersion(path, ref)
       if (hv != baseVersion)
         throw new java.util.ConcurrentModificationException(
           s"graft_digest: conflicting commit at $path — planned against " +
             s"version $baseVersion but the head is now $hv; re-plan the " +
             "operation against the current table state")
+      val base = head(path, ref)._2
       val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-      val target = nextTarget(dir, path)
-      if (!claim(dir, target, bytes))
+      val target = nextTarget(dir, path, ref)
+      if (!claim(dir, target, bytes, ref))
         throw new java.util.ConcurrentModificationException(
           s"graft_digest: conflicting commit at $path — lost the version-" +
             s"$target claim race; re-plan the operation")
-      finishCommit(dir, path, target)
+      writeChangeRecord(dir, target, base, lines, ref)
+      finishCommit(dir, path, target, ref)
     }
 
   /** Tag version `v` as a CONTENT-PRESERVING compaction commit (the
@@ -325,8 +479,8 @@ private[graft] object DigestManifest {
       Files.readAllLines(f)).asScala.exists(_.trim == v.toString)
   }
 
-  def currentVersion(path: String): Int = {
-    val vf = Paths.get(path, "_VERSIONS")
+  def currentVersion(path: String, ref: String = MainRef): Int = {
+    val vf = Paths.get(path, vName(ref))
     if (!Files.exists(vf)) 0
     else {
       val ls = scala.jdk.CollectionConverters.ListHasAsScala(
@@ -364,6 +518,10 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     * in any table format).
     */
   protected def retainHistory: Boolean = false
+  /** The named ref (q255) this table object reads from and commits to —
+    * `main` everywhere except the branch flavor ([[DigestBranchTable]]).
+    */
+  protected def ref: String = DigestManifest.MainRef
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -377,7 +535,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DigestWriteBuilder(path, langSplit, requireDist, retainHistory)
+    new DigestWriteBuilder(path, langSplit, requireDist, retainHistory, ref)
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
@@ -385,6 +543,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
   // `maxVersionsPerTrigger` is the streaming-read admission option (q243).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DigestScanBuilder(path, mergeDeltas = false,
+      manifestName = DigestManifest.mName(ref),
       streamMaxVersions = Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 
   // ---- q192: metadata-only DELETE (SupportsDelete) ------------------------
@@ -406,7 +565,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters), s"undeletable filters: ${filters.mkString(",")}")
-    val (baseVersion, old) = DigestManifest.head(path)
+    val (baseVersion, old) = DigestManifest.head(path, ref)
     val all = filters.exists(_.isInstanceOf[AlwaysTrue])
     val langs: Set[String] = filters.collect {
       case EqualTo("lang", v: String) => Seq(v)
@@ -421,7 +580,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     // already gone, so a reader planning at any instant sees a complete
     // table (a reader that planned against the OLD manifest races the
     // physical delete — the retainHistory flavor removes even that window)
-    DigestManifest.publishReplace(path, keep, baseVersion)
+    DigestManifest.publishReplace(path, keep, baseVersion, ref)
     if (!retainHistory)
       dead.map(_.split(",")(0))
         .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
@@ -432,8 +591,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
   // ordering contract as deleteWhere; the history flavor keeps the files
   // so pre-truncate versions stay readable)
   override def truncateTable(): Boolean = {
-    val (baseVersion, old) = DigestManifest.head(path)
-    DigestManifest.publishReplace(path, Seq.empty, baseVersion)
+    val (baseVersion, old) = DigestManifest.head(path, ref)
+    DigestManifest.publishReplace(path, Seq.empty, baseVersion, ref)
     if (!retainHistory)
       old.map(_.split(",")(0))
         .foreach(f => Files.deleteIfExists(Paths.get(path, f)))
@@ -442,7 +601,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 }
 
 class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
-    retainHistory: Boolean = false)
+    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef)
     extends WriteBuilder with SupportsOverwrite {
   // None = append; Some(filters) = overwrite the matching region
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -463,13 +622,13 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def build(): Write =
     new DigestWrite(path, langSplit, requireDist, overwriteFilters,
-      retainHistory = retainHistory)
+      retainHistory = retainHistory, ref = ref)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     overwriteFilters: Option[Array[Filter]],
     cols: Array[Int] = Array(0, 1, 2),
-    retainHistory: Boolean = false)
+    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef)
     extends Write with RequiresDistributionAndOrdering {
 
   // q187: the sink-declared layout contract. Clustering by lang puts each
@@ -492,7 +651,8 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     if (requireDist || langSplit) 4 else 0
 
   override def toBatch: BatchWrite =
-    new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory)
+    new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory,
+      ref)
 
   // q234: `writeStream.toTable(...)` — the MANIFEST-GATED table as a
   // streaming sink. Each epoch reuses the lang-split writers with the
@@ -526,7 +686,7 @@ class DigestStreamingWrite(path: String, cols: Array[Int])
     val oldNames = old.map(_.split(",")(0)).toSet
     if (fresh.forall(f => oldNames.contains(f.fileName))) return
     DigestManifest.publishAppend(path,
-      fresh.map(f => s"${f.fileName},${f.rows}").sorted
+      fresh.map(DigestSink.entryLine).sorted
         .filterNot(l => oldNames.contains(l.split(",")(0))), baseVersion)
   }
 
@@ -546,7 +706,8 @@ class DigestStreamingWrite(path: String, cols: Array[Int])
 class DigestBatchWrite(path: String, langSplit: Boolean = false,
     overwriteFilters: Option[Array[Filter]] = None,
     cols: Array[Int] = Array(0, 1, 2),
-    retainHistory: Boolean = false) extends BatchWrite {
+    retainHistory: Boolean = false,
+    ref: String = DigestManifest.MainRef) extends BatchWrite {
   def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
@@ -572,7 +733,7 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     // plan against the REGISTERED head, remembering its version: the
     // append path below rebases onto any commit that lands between this
     // read and the publish (cross-process CAS), the overwrite path aborts
-    val (baseVersion, old) = DigestManifest.head(path)
+    val (baseVersion, old) = DigestManifest.head(path, ref)
 
     // the overwritten region: retire ONLY its entries; everything else
     // survives untouched (file and manifest entry alike)
@@ -608,15 +769,16 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     // manifest order, and job-unique `delta-j<tag>-` names do NOT sort
     // chronologically, so sorting the whole listing here would shuffle
     // older commits' verbs behind newer ones
-    val freshLines = fresh.map(f => s"${f.fileName},${f.rows}").sorted
+    val freshLines = fresh.map(DigestSink.entryLine).sorted
     overwriteFilters match {
       case None =>
         // plain append commutes with interleaved commits: rebase-commit
-        DigestManifest.publishAppend(path, freshLines, baseVersion)
+        DigestManifest.publishAppend(path, freshLines, baseVersion, ref)
       case Some(_) =>
         // an overwrite's surviving set was computed from baseVersion —
         // abort loudly if another commit landed since (no lost updates)
-        DigestManifest.publishReplace(path, surviving ++ freshLines, baseVersion)
+        DigestManifest.publishReplace(path, surviving ++ freshLines,
+          baseVersion, ref)
     }
     if (!retainHistory) {
       // a fresh file may land on the SAME final name as the dead entry
@@ -793,7 +955,7 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
     // a delta log commit is an APPEND in manifest terms — it commutes
     // with interleaved commits, so the CAS path rebases instead of aborts
     DigestManifest.publishAppend(path,
-      fresh.map(f => s"${f.fileName},${f.rows}").sorted, baseVersion)
+      fresh.map(DigestSink.entryLine).sorted, baseVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -805,6 +967,199 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
       } finally listing.close()
     }
   }
+}
+
+/** BRANCH flavor (q255, `TBLPROPERTIES('branch'='b')`): the same data
+  * directory read and committed through the named ref `b`'s own commit
+  * log ([[DigestManifest.mName]]) instead of main's. Branch commits are
+  * invisible to main readers until `CALL graft.system.fast_forward`
+  * publishes the audited branch head as one main commit — the
+  * write-audit-publish pattern. History-retaining and job-tagged by
+  * construction: a branch write must never delete or rename over a file
+  * some main snapshot names, since both refs' listings point into the
+  * same directory.
+  */
+class DigestBranchTable(path: String, branch: String)
+    extends DigestSinkTable(path, langSplit = true) {
+  DigestManifest.checkRef(branch)
+  require(branch != DigestManifest.MainRef,
+    "graft_digest: 'main' is the default ref — drop the branch property")
+  override protected def ref: String = branch
+  override protected def retainHistory: Boolean = true
+  override def name(): String = s"graft_digest_branch($path@$branch)"
+}
+
+// ---------------------------------------------------------------------------
+// DELETION-VECTOR flavor — q252. The THIRD row-level strategy: an
+// arbitrary-predicate DELETE commits per-file POSITION BITMAPS as manifest
+// metadata instead of rewriting files (group-based q203/q204) or appending
+// doc_id verbs (delta q207). `SupportsDelta` with rowId = (_file, _pos) —
+// the table's METADATA COLUMNS, the Iceberg position-delete shape — makes
+// Spark plan WriteDelta projecting each deleted row's physical coordinates;
+// the commit is O(deleted) bitmap bits folded into the listing, base files
+// stay byte-identical, and every read path applies the mask in the reader
+// ([[DigestFileReader]]). The manifest entry's `rows` is decremented to the
+// LIVE count, so manifest-served statistics (q236) and COUNT pushdown
+// (q240) stay exact without opening files. Compaction (q211's contract)
+// folds the DVs away by rewriting through the masked read.
+// ---------------------------------------------------------------------------
+
+private[graft] object DigestDv {
+  val metaFields: Array[org.apache.spark.sql.types.StructField] = Array(
+    org.apache.spark.sql.types.StructField("_file", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_pos", LongType, nullable = false))
+
+  val metaCols: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    metaFields.map { f =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType = f.dataType
+        override def isNullable: Boolean = false
+      }
+    }
+}
+
+class DigestDvTable(path: String)
+    extends DigestSinkTable(path, langSplit = true)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  // DV commits retire nothing physically and rewrite no files; snapshots
+  // stay resolvable so the change feed can diff DV generations (q241)
+  override protected def retainHistory: Boolean = true
+  override def name(): String = s"graft_digest_dv($path)"
+
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    DigestDv.metaCols
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new DigestDvOperation(path, info.command())
+}
+
+class DigestDvOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  require(cmd == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE,
+    s"graft_digest dv flavor: $cmd is not expressible as deletion vectors — " +
+      "use the delta flavor ('delta'='true') for UPDATE/MERGE")
+
+  // the version the operation's scan plans against: the commit validates
+  // the head has not moved past it (a DV computed from stale positions
+  // must never be folded into a listing it did not read)
+  private val baseVersion = DigestManifest.currentVersion(path)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_digest dv $cmd"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  // pruning stays ON — unlike the group-based rewrite (which must scan
+  // every group it will re-emit), a DELETE's unmatched files simply get
+  // no deletion vector, so lang/zone-map file skips are correct AND the
+  // scalable plan: a lang- or id-banded DELETE on a 100 TB table scans
+  // only the files its predicate can touch. Metadata ON: the scan emits
+  // each row's physical coordinates (the rowId).
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DigestScanBuilder(path, mergeDeltas = false,
+      allowPruning = true, emitMeta = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val rid = info.rowIdSchema().orElseThrow(() => new IllegalStateException(
+      "graft_digest dv: WriteDelta planned without a rowId schema"))
+    val fileIdx = rid.fieldIndex("_file")
+    val posIdx = rid.fieldIndex("_pos")
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx)
+        }
+    }
+  }
+}
+
+case class DvCommitMessage(deletes: Map[String, Array[Long]])
+    extends WriterCommitMessage
+
+case class DigestDvWriterFactory(fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels =
+        scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new IllegalStateException("graft_digest dv: unexpected UPDATE verb")
+      override def insert(row: InternalRow): Unit =
+        throw new IllegalStateException("graft_digest dv: unexpected INSERT verb")
+      override def commit(): WriterCommitMessage =
+        DvCommitMessage(dels.view.mapValues(_.toArray).toMap)
+      override def abort(): Unit = () // nothing staged: deletes are driver-folded
+      override def close(): Unit = ()
+    }
+}
+
+class DigestDvBatchWrite(path: String, baseVersion: Int,
+    fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    DigestDvWriterFactory(fileIdx, posIdx)
+
+  // job commit: fold every task's (file → positions) into the listing —
+  // union with any existing DV, decrement the entry's live-row count —
+  // and publish as a REPLACE against the version the scan planned from
+  // (positions computed against a moved head would mask the wrong rows,
+  // so a stale base aborts loudly through the CAS protocol)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    messages.foreach {
+      case DvCommitMessage(dels) => dels.foreach { case (f, ps) =>
+        merged.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) ++= ps
+      }
+      case m => throw new IllegalStateException(s"graft_digest dv: unexpected $m")
+    }
+    if (merged.isEmpty) return // DELETE matched no rows: no commit
+    val (hv, lines) = DigestManifest.head(path)
+    if (hv != baseVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_digest: DV delete planned against version $baseVersion " +
+          s"but the head is now $hv; re-run the DELETE")
+    val known = lines.map(_.split(",")(0)).toSet
+    val unknown = merged.keys.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"graft_digest dv: deletes target files absent from the listing: $unknown")
+    val newLines = lines.map { l =>
+      val e = ManifestEntry.parse(l)
+      merged.get(e.file).fold(l) { ps =>
+        var dv = DvCodec.decode(e.attrs.getOrElse("dv", ""))
+        var added = 0L
+        ps.foreach { p =>
+          // the scan masks already-deleted positions, so a repeat here
+          // means two writers raced the same base — the require is the
+          // loud backstop behind the version check above
+          require(!DvCodec.contains(dv, p),
+            s"graft_digest dv: position $p of ${e.file} is already deleted")
+          dv = DvCodec.add(dv, p); added += 1
+        }
+        ManifestEntry(e.file, e.rows - added,
+          e.attrs + ("dv" -> DvCodec.encode(dv))).line
+      }
+    }
+    DigestManifest.publishReplace(path, newLines, baseVersion)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 case class DigestStreamingWriterFactory(path: String, cols: Array[Int])
@@ -872,7 +1227,7 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   */
 class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
     manifestName: String = "_MANIFEST", allowPruning: Boolean = true,
-    streamMaxVersions: Option[Int] = None)
+    streamMaxVersions: Option[Int] = None, emitMeta: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -940,7 +1295,7 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
   // file list must stay complete — correctness over cleverness:
   //   merge-on-read: an UPDATE verb can rewrite a base row's lang, so a
   //     base file's name no longer bounds the langs its MERGED rows carry;
-  //   row-level-operation scans (allowPruning=false): the group-based
+  //   GROUP-BASED row-level scans (allowPruning=false): the group-based
   //     rewrite's write replaces the WHOLE table, so its scan must carry
   //     EVERY row — the engine pushes the UPDATE/MERGE condition into the
   //     scan to locate affected groups, and honoring it here would drop
@@ -949,6 +1304,17 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
   // so rows inside a surviving file are still filtered by the engine;
   // the pushdown only shrinks the file list.
   private var langs: Option[Set[String]] = None
+  // ZONE-MAP pruning bounds (q253): the conjunction of every pushed
+  // doc_id range predicate, as a closed [idLo, idHi] interval. A file
+  // whose manifest-recorded (zmin, zmax) misses the interval is skipped
+  // whole at planning — the standard data-skipping layer, with the same
+  // safety gates as lang pruning (never under merge-on-read, never for
+  // the group-based row-level rewrite scan; the DV DELETE scan DOES
+  // prune — an unmatched file just gets no deletion vector) and the
+  // same residual contract
+  // (rows inside surviving files are still engine-filtered).
+  private var idLo = Long.MinValue
+  private var idHi = Long.MaxValue
   private var accepted: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -957,13 +1323,32 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
         case EqualTo("lang", v: String) => Set(v)
         case In("lang", vs) => vs.map(String.valueOf).toSet
       }
-      if (sets.nonEmpty) {
-        langs = Some(sets.reduce(_ intersect _))
-        accepted = filters.filter {
-          case EqualTo("lang", _: String) => true
-          case In("lang", _) => true
-          case _ => false
+      if (sets.nonEmpty) langs = Some(sets.reduce(_ intersect _))
+      def longOf(v: Any): Option[Long] = v match {
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+      filters.foreach {
+        case EqualTo("doc_id", v) => longOf(v).foreach { x =>
+          idLo = math.max(idLo, x); idHi = math.min(idHi, x)
         }
+        case GreaterThan("doc_id", v) =>
+          longOf(v).foreach(x => idLo = math.max(idLo, x + 1))
+        case GreaterThanOrEqual("doc_id", v) =>
+          longOf(v).foreach(x => idLo = math.max(idLo, x))
+        case LessThan("doc_id", v) =>
+          longOf(v).foreach(x => idHi = math.min(idHi, x - 1))
+        case LessThanOrEqual("doc_id", v) =>
+          longOf(v).foreach(x => idHi = math.min(idHi, x))
+        case _ => ()
+      }
+      accepted = filters.filter {
+        case EqualTo("lang", _: String) | In("lang", _) => langs.isDefined
+        case EqualTo("doc_id", _) | GreaterThan("doc_id", _) |
+             GreaterThanOrEqual("doc_id", _) | LessThan("doc_id", _) |
+             LessThanOrEqual("doc_id", _) =>
+          idLo != Long.MinValue || idHi != Long.MaxValue
+        case _ => false
       }
     }
     filters // all residual: pruning shrinks the file list, never row checks
@@ -971,12 +1356,16 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  private def idRange: Option[(Long, Long)] =
+    if (idLo != Long.MinValue || idHi != Long.MaxValue) Some((idLo, idHi))
+    else None
+
   override def build(): Scan = aggPushed match {
     case Some(groupByLang) =>
       new DigestAggScan(path, manifestName, groupByLang, nAggs)
     case None =>
       new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning,
-        streamMaxVersions)
+        streamMaxVersions, idRange, emitMeta)
   }
 }
 
@@ -1082,14 +1471,20 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     manifestName: String = "_MANIFEST",
     langs: Option[Set[String]] = None,
     allowPruning: Boolean = true,
-    streamMaxVersions: Option[Int] = None)
+    streamMaxVersions: Option[Int] = None,
+    idRange: Option[(Long, Long)] = None,
+    emitMeta: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   def this(path: String) = this(path, false)
-  override def readSchema(): StructType = DigestSink.rowSchema
+  // the row-level-operation scan (q252) additionally outputs each row's
+  // physical coordinates — the (_file, _pos) rowId a DV commit is keyed by
+  override def readSchema(): StructType =
+    if (emitMeta) StructType(DigestSink.rowSchema.fields ++ DigestDv.metaFields)
+    else DigestSink.rowSchema
   override def toBatch: Batch = this
 
   // q242: the commit log doubles as a stream — see [[DigestMicroBatchStream]]
@@ -1133,28 +1528,41 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     }
 
   /** Files this scan will read after every pruning stage. */
-  private def plannedEntries(): Seq[(String, Long)] = {
+  private def plannedEntries(): Seq[ManifestEntry] = {
     val manifestPath = Paths.get(path, manifestName)
     if (!Files.exists(manifestPath)) return Seq.empty
     scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(manifestPath)).asScala
-      .filter(_.nonEmpty).map { l =>
-        val a = l.split(","); (a(0), a(1).toLong)
-      }.toSeq
+      .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
   }
+
+  /** The one file-skipping predicate every planning consumer shares
+    * (splits, statistics, clustering, metrics): lang pruning off the
+    * file-name tag (planning-time ∩ runtime sets) AND zone-map pruning
+    * off the entry's recorded doc_id (zmin, zmax) against the pushed
+    * range (q253). Files without a lang tag or without a zone map are
+    * always kept — absence of metadata must never drop data.
+    */
+  private def survives(e: ManifestEntry): Boolean =
+    pruneSet.forall(ls => DigestSink.langOf(e.file).forall(ls.contains)) &&
+      idRange.forall { case (lo, hi) =>
+        (e.attrs.get("zmin"), e.attrs.get("zmax")) match {
+          case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
+          case _ => true
+        }
+      }
 
   // EXACT statistics from the manifest — the table's own metadata layer
   // already counts every committed row, so the optimizer sizes this scan
   // (post-pruning!) without an ANALYZE step; a lang-pruned digest side
   // becomes a broadcast candidate automatically
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val survivors = plannedEntries().filter { case (f, _) =>
-      mergeDeltas || f.startsWith("delta-") ||
-        pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains))
+    val survivors = plannedEntries().filter { e =>
+      mergeDeltas || e.file.startsWith("delta-") || survives(e)
     }
-    val rows = survivors.map(_._2).sum
-    val bytes = survivors.map { case (f, _) =>
-      val p = Paths.get(path, f)
+    val rows = survivors.map(_.rows).sum
+    val bytes = survivors.map { e =>
+      val p = Paths.get(path, e.file)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     new org.apache.spark.sql.connector.read.Statistics {
@@ -1181,8 +1589,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     * (which may hold any lang) survives.
     */
   private def clusteredFiles: Option[Seq[String]] = {
-    val files = plannedEntries().map(_._1)
-      .filter(f => pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains)))
+    val files = plannedEntries().filter(survives).map(_.file)
     if (!mergeDeltas && files.nonEmpty &&
         files.forall(f => DigestSink.langOf(f).isDefined)) Some(files)
     else None
@@ -1222,35 +1629,38 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     Array(DigestMetrics.planned, DigestMetrics.pruned, DigestMetrics.rows)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
-    val all = plannedEntries().map(_._1).filterNot(_.startsWith("delta-"))
-    val kept = all.count(f => pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains)))
+    val all = plannedEntries().filterNot(_.file.startsWith("delta-"))
+    val kept = all.count(survives)
     Array(
       DigestMetricValue("graft_planned_files", if (mergeDeltas) all.size else kept),
       DigestMetricValue("graft_pruned_files", if (mergeDeltas) 0 else all.size - kept))
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = plannedEntries().map(_._1)
-    val (deltaFiles, baseFiles) = entries.partition(_.startsWith("delta-"))
+    val entries = plannedEntries()
+    val (deltaFiles, baseFiles) = entries.partition(_.file.startsWith("delta-"))
     if (!mergeDeltas) {
       require(deltaFiles.isEmpty,
-        s"graft_digest: delta log present but scan is not merge-on-read: $deltaFiles")
+        s"graft_digest: delta log present but scan is not merge-on-read: " +
+          deltaFiles.map(_.file))
       // file-level pruning: a name that carries a lang and misses the
-      // pushed set is skipped whole; a file WITHOUT a lang in its name
-      // (flat part-*.csv) may hold any lang and is always kept
-      baseFiles.filter { f =>
-        pruneSet.forall(ls => DigestSink.langOf(f).forall(ls.contains))
-      }.map(f => DigestFilePartition(path, f): InputPartition).toArray
+      // pushed set — or a zone map that misses the pushed doc_id range —
+      // is skipped whole; a file WITHOUT the metadata is always kept
+      baseFiles.filter(survives)
+        .map(e => DigestFilePartition(path, e.file,
+          dv = e.attrs.getOrElse("dv", ""), emitMeta = emitMeta): InputPartition)
+        .toArray
     } else {
       // replay in MANIFEST order, not name order: append order is commit
       // order, and job-unique file tags do not sort chronologically
-      val verbLines = deltaFiles.flatMap { f =>
+      val verbLines = deltaFiles.flatMap { e =>
         scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(Paths.get(path, f))).asScala
+          Files.readAllLines(Paths.get(path, e.file))).asScala
       }
       val (overrides, inserts) = DeltaFold.fold(verbLines.toSeq)
-      val base = baseFiles.map(f =>
-        DigestFilePartition(path, f, overrides): InputPartition)
+      val base = baseFiles.map(e =>
+        DigestFilePartition(path, e.file, overrides,
+          dv = e.attrs.getOrElse("dv", "")): InputPartition)
       val ins: Seq[InputPartition] =
         if (inserts.nonEmpty) Seq(DigestInsertsPartition(inserts)) else Nil
       (base ++ ins).toArray
@@ -1262,7 +1672,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
 }
 
 case class DigestFilePartition(path: String, file: String,
-    overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty)
+    overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty,
+    dv: String = "", emitMeta: Boolean = false)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the lang carried in the file name IS the split's partition key — the
@@ -1303,24 +1714,40 @@ class DigestFileReader(p: DigestFilePartition)
   DigestSink.fileReadEvents.incrementAndGet()
   private val lines =
     Files.readAllLines(Paths.get(p.path, p.file)).iterator()
+  // the entry's deletion vector (q252): positions masked here are deleted
+  // rows — skipped on every read path, no base-file rewrite ever happened
+  private val dv = DvCodec.decode(p.dv)
+  private var pos = -1L
   private var current: InternalRow = _
   private var served = 0L
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(DigestMetricValue("graft_rows_served", served))
+
+  private def emit(id: Long, lang: UTF8String, n: Long): Boolean = {
+    // the row-level-operation scan (q252) asks for each row's physical
+    // coordinates — (_file, _pos) is the rowId a deletion-vector commit
+    // is keyed by, the Iceberg position-delete shape
+    current =
+      if (p.emitMeta)
+        InternalRow(id, lang, n, UTF8String.fromString(p.file), pos)
+      else InternalRow(id, lang, n)
+    served += 1
+    true
+  }
+
   override def next(): Boolean = {
     while (lines.hasNext) {
       val a = lines.next().split(",")
-      val id = a(0).toLong
-      p.overrides.get(id) match {
-        case None => // no delta intent: base row as written
-          current = InternalRow(id, UTF8String.fromString(a(1)), a(2).toLong)
-          served += 1
-          return true
-        case Some(Some((rid, lang, n))) => // replaced in place
-          current = InternalRow(rid, UTF8String.fromString(lang), n)
-          served += 1
-          return true
-        case Some(None) => // deleted: skip and keep scanning
+      pos += 1
+      if (!DvCodec.contains(dv, pos)) {
+        val id = a(0).toLong
+        p.overrides.get(id) match {
+          case None => // no delta intent: base row as written
+            return emit(id, UTF8String.fromString(a(1)), a(2).toLong)
+          case Some(Some((rid, lang, n))) => // replaced in place
+            return emit(rid, UTF8String.fromString(lang), n)
+          case Some(None) => // deleted: skip and keep scanning
+        }
       }
     }
     false
@@ -1353,8 +1780,13 @@ case class DigestMetricValue(metricName: String, metricValue: Long)
   override def value(): Long = metricValue
 }
 
-/** One committed file's identity in a task's commit message. */
-case class CommittedFile(fileName: String, rows: Long)
+/** One committed file's identity in a task's commit message. `zm` is the
+  * writer-observed (min, max) of doc_id over the file's rows — the zone
+  * map the commit records in the manifest entry (q253) so range scans can
+  * skip the file without opening it.
+  */
+case class CommittedFile(fileName: String, rows: Long,
+    zm: Option[(Long, Long)] = None)
 
 case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
@@ -1383,10 +1815,14 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   Files.createDirectories(staged.getParent)
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
+  private var idLo = Long.MaxValue
+  private var idHi = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
     val base = r.numFields - 3 // see LangSplitDataWriter.write
-    out.write(s"${r.getLong(base + cols(0))},${r.getUTF8String(base + cols(1))},${r.getLong(base + cols(2))}\n")
+    val id = r.getLong(base + cols(0))
+    out.write(s"$id,${r.getUTF8String(base + cols(1))},${r.getLong(base + cols(2))}\n")
+    idLo = math.min(idLo, id); idHi = math.max(idHi, id)
     rows += 1
   }
 
@@ -1394,7 +1830,8 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     out.close()
     val fin = Paths.get(path, f"${tagPart}part-$partitionId%05d.csv")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
-    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
+    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows,
+      if (rows > 0) Some((idLo, idHi)) else None)))
   }
 
   override def abort(): Unit = {
@@ -1418,8 +1855,12 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
   // "" (the default, non-history flavors) keeps the legacy rename-in-place
   // names; a history-retaining job's tag makes its names globally unique
   private val tagPart = if (jobTag.isEmpty) "" else s"j$jobTag-"
-  private val open = scala.collection.mutable.LinkedHashMap
-    .empty[String, (java.io.BufferedWriter, Path, Long)]
+  private final class OpenFile(val w: java.io.BufferedWriter, val staged: Path) {
+    var rows = 0L
+    var idLo = Long.MaxValue
+    var idHi = Long.MinValue
+  }
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String, OpenFile]
 
   private def safe(lang: String): String = {
     require(lang.nonEmpty && lang.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
@@ -1433,28 +1874,31 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     // data columns sit at the END, so index them from the right
     val base = r.numFields - 3
     val lang = safe(r.getUTF8String(base + cols(1)).toString)
-    val (w, p, n) = open.getOrElseUpdate(lang, {
+    val f = open.getOrElseUpdate(lang, {
       val staged = Paths.get(path,
         f"lang_$lang-${tagPart}part-$partitionId%05d-attempt-$taskId.staged")
-      (Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged, 0L)
+      new OpenFile(Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged)
     })
-    w.write(s"${r.getLong(base + cols(0))},$lang,${r.getLong(base + cols(2))}\n")
-    open(lang) = (w, p, n + 1)
+    val id = r.getLong(base + cols(0))
+    f.w.write(s"$id,$lang,${r.getLong(base + cols(2))}\n")
+    f.idLo = math.min(f.idLo, id); f.idHi = math.max(f.idHi, id)
+    f.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    val files = open.toSeq.map { case (lang, (w, staged, n)) =>
-      w.close()
+    val files = open.toSeq.map { case (lang, f) =>
+      f.w.close()
       val fin = Paths.get(path, f"lang_$lang-${tagPart}part-$partitionId%05d.csv")
-      Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
-      CommittedFile(fin.getFileName.toString, n)
+      Files.move(f.staged, fin, StandardCopyOption.REPLACE_EXISTING)
+      CommittedFile(fin.getFileName.toString, f.rows,
+        if (f.rows > 0) Some((f.idLo, f.idHi)) else None)
     }
     DigestCommitMessage(files)
   }
 
-  override def abort(): Unit = open.values.foreach { case (w, staged, _) =>
-    w.close()
-    Files.deleteIfExists(staged)
+  override def abort(): Unit = open.values.foreach { f =>
+    f.w.close()
+    Files.deleteIfExists(f.staged)
   }
 
   override def close(): Unit = ()

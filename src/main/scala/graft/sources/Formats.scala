@@ -2921,6 +2921,355 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q252: DELETION VECTORS — arbitrary-predicate DELETE as metadata ----
+  // The THIRD row-level strategy next to group-based rewrite (q203) and
+  // doc_id delta verbs (q207): `DELETE FROM t WHERE <any predicate>` on
+  // the dv flavor plans Spark's WriteDelta with rowId = (_file, _pos) —
+  // the table's metadata columns, the Iceberg position-delete shape — and
+  // commits per-file POSITION BITMAPS into the manifest entries
+  // ([[DvCodec]]). Base files stay byte-identical (pinned below), the
+  // commit is O(deleted) bitmap bits, every read path applies the mask in
+  // the reader, and entry row counts stay LIVE-exact so COUNT(*) is still
+  // answered from metadata alone (pinned via the fileReadEvents counter).
+  // The change feed represents each DV commit as per-row deletes of
+  // exactly the freshly masked positions, and compaction (q211's cycle)
+  // folds the DVs away — at 100 TB this is what makes a 1%-of-a-file
+  // DELETE a metadata operation instead of a rewrite of that file.
+  def q252DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.docdv_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_deletion_vectors:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'dv'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q252")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q252")
+      def baseDigests: Map[String, String] = {
+        val listing = java.nio.file.Files.list(sink)
+        try listing.iterator().asScala
+          .filter(f => !f.getFileName.toString.startsWith("_"))
+          .map { f =>
+            val d = java.security.MessageDigest.getInstance("MD5")
+            f.getFileName.toString ->
+              d.digest(java.nio.file.Files.readAllBytes(f))
+                .map(b => f"$b%02x").mkString
+          }.toMap
+        finally listing.close()
+      }
+      val before = baseDigests
+      // two DV commits: the second unions new positions into entries the
+      // first already masked (DV growth, not replacement)
+      s.sql(s"DELETE FROM $tbl WHERE doc_id % 7 = 3")
+      s.sql(s"DELETE FROM $tbl WHERE n_chars % 5 = 0 AND doc_id % 7 <> 3")
+      require(baseDigests == before,
+        "q252: a deletion-vector DELETE must leave every base file byte-identical")
+      val entries = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(entries.exists(_.attrs.contains("dv")),
+        s"q252: manifest entries must carry deletion vectors:\n${entries.map(_.line)}")
+      // entry row counts are LIVE counts: the most common audit query is
+      // still answered from the manifest without opening one data file
+      val reads0 = DigestSink.fileReadEvents.get()
+      val cnt = s.sql(s"SELECT COUNT(*) FROM $tbl").collect()(0).getLong(0)
+      require(DigestSink.fileReadEvents.get() == reads0,
+        "q252: COUNT(*) under deletion vectors must stay metadata-served")
+      require(cnt == entries.map(_.rows).sum,
+        s"q252: live row counts diverged (count=$cnt, manifest=${entries.map(_.rows).sum})")
+      // the change feed sees each DV commit as per-row deletes of exactly
+      // the freshly masked positions (pre-image payload included)
+      val deleted = s.read.format("graft.sources.DigestSink")
+        .option("path", sink.toString).option("changesFrom", "1").load()
+        .filter(col("_change_type") === "delete")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val expectDeleted = t(s, dir, "documents")
+        .filter(expr("doc_id % 7 = 3 OR n_chars % 5 = 0"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      require(deleted == expectDeleted,
+        s"q252: change feed deletes diverged (missing=${(expectDeleted -- deleted).take(5)}, " +
+          s"extra=${(deleted -- expectDeleted).take(5)})")
+      // compaction folds the DVs away; the logical content is invariant
+      s.sql(s"CALL graft.system.compact(table => '${tbl.stripPrefix("graft.")}')").collect()
+      val after = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(after.nonEmpty && after.forall(!_.attrs.contains("dv")),
+        s"q252: compaction must fold deletion vectors away:\n${after.map(_.line)}")
+      require(s.table(tbl).count() == cnt,
+        "q252: compaction must preserve the masked content")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q252Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id % 7 <> 3 AND n_chars % 5 <> 0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q253: manifest zone maps — data skipping on doc_id ranges ----------
+  // Every digest commit records the writer-observed (min, max) of doc_id
+  // per file as `zmin`/`zmax` manifest attributes ([[CommittedFile]]), and
+  // the scan skips files whose zone misses a pushed doc_id range predicate
+  // without opening them ([[DigestScan]].survives) — the standard
+  // data-skipping layer every production format keeps next to its file
+  // listing. At 100 TB this prunes range scans the same way lang pruning
+  // (q235) prunes partition predicates: whole-file skips decided on the
+  // driver from O(manifest) metadata, zero data I/O. The fixture commits
+  // three disjoint doc_id bands (three INSERTs → per-band files), then the
+  // fileReadEvents counter proves a band query opened EXACTLY that band's
+  // files while the unbounded decoy opened all of them; the hash-checked
+  // result reads the middle band through the pruned scan.
+  def q253ZoneMaps(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doczm_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_zone_maps:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q253")
+      // three commits over disjoint doc_id bands → every file's zone map
+      // covers exactly one band (doc_ids are dense from 0 at every SF)
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q253 WHERE doc_id < 150")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q253 WHERE doc_id >= 150 AND doc_id < 300")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q253 WHERE doc_id >= 300")
+      val entries = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(entries.nonEmpty && entries.forall(e =>
+        e.attrs.contains("zmin") && e.attrs.contains("zmax")),
+        s"q253: every committed entry must carry a zone map:\n${entries.map(_.line)}")
+      val low = entries.count(_.attrs("zmax").toLong < 150)
+      require(low > 0 && low < entries.size,
+        s"q253: fixture must split files across bands (low=$low of ${entries.size})")
+      // the range query must open EXACTLY the low band's files…
+      val before = DigestSink.fileReadEvents.get()
+      s.sql(s"SELECT SUM(n_chars) FROM $tbl WHERE doc_id < 150").collect()
+      val opened = DigestSink.fileReadEvents.get() - before
+      require(opened == low,
+        s"q253: a doc_id < 150 scan must open the $low low-band files, opened $opened")
+      // …and the unbounded decoy must open every file (the counter is live)
+      val b2 = DigestSink.fileReadEvents.get()
+      s.sql(s"SELECT SUM(n_chars) FROM $tbl").collect()
+      val openedAll = DigestSink.fileReadEvents.get() - b2
+      require(openedAll == entries.size,
+        s"q253: the unpruned decoy must open all ${entries.size} files, opened $openedAll")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |WHERE doc_id >= 150 AND doc_id < 300
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q253Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id >= 150 AND doc_id < 300
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q255: branches + write-audit-publish -------------------------------
+  // Named refs over the commit log: `CALL graft.system.create_branch`
+  // forks main's head into a branch with its OWN pointer/version-log/
+  // snapshot files (`_MANIFEST@b*`, [[DigestManifest.mName]]) in the same
+  // directory; a `'branch'='b'` table object writes and reads through
+  // that ref, invisible to main readers. `CALL graft.system.fast_forward`
+  // audits the branch content (a distributed predicate scan) and, only on
+  // a clean audit, publishes the branch head as ONE CAS-committed main
+  // version — write-audit-publish, the pattern that lets a 100 TB
+  // ingestion pipeline stage, validate, and atomically expose a day's
+  // data. Pinned below: branch commits never move main (byte-identical
+  // manifest, zero change-feed rows), a failed audit leaves main
+  // untouched, and after publish the change feed shows the branch's net
+  // changes landing at exactly the published version.
+  def q255BranchWap(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.wap_${Integer.toHexString(dir.hashCode)}"
+    val tblB = s"${tbl}_branch"
+    graft.TempDirs.staged(s"dsv2_branch_wap:$dir") { p =>
+      val sink = p.resolve("sink")
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q255")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q255 WHERE lang = 'en'")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q255 WHERE lang = 'de'")
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'wap')").collect()
+      val fork = DigestManifest.currentVersion(sink.toString)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'branch'='wap')""".stripMargin)
+      s.sql(s"INSERT INTO $tblB SELECT doc_id, lang, n_chars FROM docs_q255 WHERE lang = 'fr'")
+      s.sql(s"INSERT INTO $tblB SELECT doc_id, lang, n_chars FROM docs_q255 WHERE lang = 'zh'")
+      // WRITE: branch commits moved only the branch ref — main's head
+      // version, listing, and change feed are untouched
+      require(DigestManifest.currentVersion(sink.toString) == fork,
+        "q255: a branch commit must not move main's head")
+      val mainLangs = s.table(tbl).select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(mainLangs == Set("en", "de"),
+        s"q255: branch writes leaked into main: $mainLangs")
+      val branchLangs = s.table(tblB).select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(branchLangs == Set("en", "de", "fr", "zh"),
+        s"q255: the branch must see fork + its own commits: $branchLangs")
+      def mainChangesSince(v: Int) = s.read.format("graft.sources.DigestSink")
+        .option("path", sink.toString).option("changesFrom", v.toString).load()
+      require(mainChangesSince(fork).count() == 0L,
+        "q255: main's change feed must be empty while the branch is unpublished")
+      // AUDIT: the zh rows poison the first publish attempt — main stays
+      // byte-identical through the failure
+      val headBefore = DigestManifest.head(sink.toString)
+      val failed =
+        try {
+          s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+                   |  branch => 'wap', audit => 'lang <> \\'zh\\'')""".stripMargin).collect()
+          false
+        } catch { case e: Exception => e.getMessage.contains("audit") }
+      require(failed, "q255: the poisoned audit must block the publish")
+      require(DigestManifest.head(sink.toString) == headBefore,
+        "q255: a failed audit must leave main byte-identical")
+      // cure the branch (metadata delete through the branch ref), then
+      // PUBLISH: one main commit adopts the branch head
+      s.sql(s"DELETE FROM $tblB WHERE lang = 'zh'")
+      s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+               |  branch => 'wap', audit => 'lang <> \\'zh\\'')""".stripMargin).collect()
+      val pub = DigestManifest.currentVersion(sink.toString)
+      require(pub == fork + 1,
+        s"q255: the publish must be ONE main commit (fork v$fork → v$pub)")
+      val changes = mainChangesSince(fork)
+        .select("lang", "_change_type", "_commit_version").collect()
+      require(changes.nonEmpty && changes.forall(r =>
+          r.getString(0) == "fr" && r.getString(1) == "insert" &&
+            r.getLong(2) == pub.toLong),
+        s"q255: main must receive exactly the branch's net changes at the " +
+          s"publish version (got ${changes.take(3).toSeq})")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q255Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'de', 'fr')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q254: remove_orphan_files — the third maintenance action ----------
+  // expire_snapshots (q229) GCs what retained snapshots stopped
+  // referencing; remove_orphan_files GCs what NO snapshot ever referenced:
+  // crashed task attempts (`*.staged`), data files whose job died between
+  // write and manifest commit, and hard-crashed staged CTAS/RTAS
+  // generations (`_stage-*` dirs the abort path never reached). The
+  // `older_than_ms` window is the concurrency contract — anything newer
+  // is presumed an in-flight writer's and is never touched — so the
+  // procedure is safe to run while jobs are live, which is the only way a
+  // maintenance action can run at all on a 100 TB deployment. The fixture
+  // plants one of each orphan class with AGED mtimes plus one FRESH
+  // sibling of each, calls the procedure, and pins: aged orphans gone,
+  // fresh ones intact, every snapshot-referenced file still present, and
+  // the table's content byte-identical (the hash-checked result).
+  def q254RemoveOrphans(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.orph_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_remove_orphans:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val root = p.resolve("root")
+      t(s, dir, "documents").createOrReplaceTempView("docs_q254")
+      // atomic CTAS (q237's machinery): the live generation is a
+      // `_stage-*` dir under the root — exactly the layout whose crashed
+      // siblings the procedure must distinguish from live ones
+      s.sql(s"""CREATE TABLE $tbl USING graft_digest TBLPROPERTIES ('path'='$root')
+               |AS SELECT doc_id, lang, n_chars FROM docs_q254 WHERE lang <> 'zh'""".stripMargin)
+      val live = {
+        val l = java.nio.file.Files.list(root)
+        try l.iterator().asScala.filter(q =>
+          java.nio.file.Files.isDirectory(q) &&
+            q.getFileName.toString.startsWith("_stage-")).toSeq.head
+        finally l.close()
+      }
+      val aged = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000)
+      def plantFile(q: java.nio.file.Path, old: Boolean): Unit = {
+        java.nio.file.Files.write(q, java.util.List.of("9999999,xx,1"))
+        if (old) java.nio.file.Files.setLastModifiedTime(q, aged)
+      }
+      // orphan classes: a crashed staged generation, a committed-but-never
+      // -manifested data file, a dead task attempt — one aged, one fresh
+      val deadGen = root.resolve("_stage-deadbeef")
+      java.nio.file.Files.createDirectories(deadGen)
+      plantFile(deadGen.resolve("lang_xx-part-00000.csv"), old = true)
+      java.nio.file.Files.setLastModifiedTime(deadGen, aged)
+      val freshGen = root.resolve("_stage-feedf00d")
+      java.nio.file.Files.createDirectories(freshGen)
+      plantFile(freshGen.resolve("lang_xx-part-00000.csv"), old = false)
+      plantFile(live.resolve("lang_xx-part-99998.csv"), old = true)
+      plantFile(live.resolve("lang_xx-part-99999.csv"), old = false)
+      plantFile(live.resolve("lang_en-part-00000-attempt-7.staged"), old = true)
+      val before = s.table(tbl).orderBy("doc_id").collect().toSeq
+      val summary = s.sql(
+        s"""CALL graft.system.remove_orphan_files(table => '${tbl.stripPrefix("graft.")}',
+           |  older_than_ms => CAST(3600000 AS BIGINT))""".stripMargin).collect()
+      require(summary.length == 1 && summary(0).getLong(0) == 2L &&
+          summary(0).getLong(1) == 1L,
+        s"q254: expected 2 orphan files + 1 orphan dir deleted, got ${summary.toSeq}")
+      require(!java.nio.file.Files.exists(deadGen),
+        "q254: the crashed staged generation must be removed")
+      require(java.nio.file.Files.exists(freshGen.resolve("lang_xx-part-00000.csv")),
+        "q254: a FRESH staged generation is an in-flight writer's — never touched")
+      require(!java.nio.file.Files.exists(live.resolve("lang_xx-part-99998.csv")) &&
+          !java.nio.file.Files.exists(live.resolve("lang_en-part-00000-attempt-7.staged")),
+        "q254: aged unreferenced files must be removed")
+      require(java.nio.file.Files.exists(live.resolve("lang_xx-part-99999.csv")),
+        "q254: a fresh unreferenced file is an in-flight writer's — never touched")
+      // every snapshot-referenced file survives, and so does the content
+      val referenced = java.nio.file.Files.readAllLines(live.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(_.split(",")(0))
+      require(referenced.nonEmpty && referenced.forall(f =>
+          java.nio.file.Files.exists(live.resolve(f))),
+        "q254: a referenced data file was GC'd")
+      require(s.table(tbl).orderBy("doc_id").collect().toSeq == before,
+        "q254: remove_orphan_files must not change table content")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q254Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang <> 'zh'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -2976,6 +3325,10 @@ object Formats {
     "q249_variant_shredding" -> q249VariantShredding _,
     "q250_cdc_apply" -> q250CdcApply _,
     "q251_concurrent_commit" -> q251ConcurrentCommit _,
+    "q252_deletion_vectors" -> q252DeletionVectors _,
+    "q253_zone_maps" -> q253ZoneMaps _,
+    "q254_remove_orphans" -> q254RemoveOrphans _,
+    "q255_branch_wap" -> q255BranchWap _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3033,5 +3386,9 @@ object Formats {
     "q249_variant_shredding" -> q249Sql,
     "q250_cdc_apply" -> q250Sql,
     "q251_concurrent_commit" -> q251Sql,
+    "q252_deletion_vectors" -> q252Sql,
+    "q253_zone_maps" -> q253Sql,
+    "q254_remove_orphans" -> q254Sql,
+    "q255_branch_wap" -> q255Sql,
   )
 }

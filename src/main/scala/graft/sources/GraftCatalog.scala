@@ -133,6 +133,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         new DigestDeltaTable(props.get("path"))
       case "graft_digest" if props.getOrDefault("rowlevel", "false").toBoolean =>
         new DigestRloTable(props.get("path"))
+      case "graft_digest" if props.getOrDefault("dv", "false").toBoolean =>
+        new DigestDvTable(props.get("path"))
+      case "graft_digest" if props.containsKey("branch") =>
+        new DigestBranchTable(props.get("path"), props.get("branch"))
       case "graft_digest" if props.getOrDefault("partitioned", "false").toBoolean =>
         new DigestPartitionedTable(props.get("path"))
       case "graft_digest" =>
@@ -266,7 +270,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // table properties the flavor dispatch and data layout hang off — ALTER
   // must not silently re-route a table's identity out from under readers
   private val reservedProps =
-    Set("provider", "path", "delta", "rowlevel", "partitioned",
+    Set("provider", "path", "delta", "rowlevel", "dv", "branch", "partitioned",
       "evolveSchema", "evolveConstraints", "rows", "slices", "columnar",
       "stageRoot")
 
@@ -417,7 +421,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // — the `system` namespace mirrors where every production catalog puts
   // them
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    Array("compact", "history", "expire_snapshots")
+    Array("compact", "history", "expire_snapshots", "remove_orphan_files",
+      "create_branch", "fast_forward")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -426,9 +431,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "compact" if known => new CompactProcedure(catalogName)
       case "history" if known => new HistoryProcedure(catalogName)
       case "expire_snapshots" if known => new ExpireSnapshotsProcedure(catalogName)
+      case "remove_orphan_files" if known => new RemoveOrphanFilesProcedure(catalogName)
+      case "create_branch" if known => new CreateBranchProcedure(catalogName)
+      case "fast_forward" if known => new FastForwardProcedure(catalogName)
       case _ => throw new NoSuchElementException(
         s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-          "(available: system.compact, system.history, system.expire_snapshots)")
+          "(available: system.compact, system.history, system.expire_snapshots, " +
+          "system.remove_orphan_files, system.create_branch, system.fast_forward)")
     }
   }
 }

@@ -197,14 +197,16 @@ private[sources] object ProcedureSupport {
     * returns (registry props, table path).
     */
   def resolve(catalogName: String, tbl: String, proc: String,
-      requireDelta: Boolean): (util.Map[String, String], String) = {
+      requireDelta: Boolean, allowDv: Boolean = false): (util.Map[String, String], String) = {
     val parts = tbl.split("\\.")
     val props = GraftCatalog.tables.get(GraftCatalog.regKey(catalogName, parts.toSeq))
     require(props != null, s"graft.system.$proc: no such table $tbl")
     if (requireDelta)
       require(props.getOrDefault("provider", "") == "graft_digest" &&
-        props.getOrDefault("delta", "false").toBoolean,
-        s"graft.system.$proc: $tbl is not a delta (merge-on-read) table")
+        (props.getOrDefault("delta", "false").toBoolean ||
+          (allowDv && props.getOrDefault("dv", "false").toBoolean)),
+        s"graft.system.$proc: $tbl is not a delta (merge-on-read)" +
+          s"${if (allowDv) " or deletion-vector" else ""} table")
     (props, props.get("path"))
   }
 
@@ -299,10 +301,22 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     val (expired, kept) = entries.splitAt(math.max(0, entries.size - keepLast))
 
     // files a SURVIVING reader may plan against: every kept snapshot plus
-    // the current pointer (the latest kept version by construction)
+    // the current pointer (the latest kept version by construction) —
+    // and every BRANCH ref's snapshots (q255): both refs' listings point
+    // into this directory, so expiry on main must never GC a file a live
+    // branch still names
+    val branchManifests: Seq[String] = {
+      val listing = Files.list(Paths.get(path))
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_MANIFEST@")).toSeq
+      } finally listing.close()
+    }
     val referenced: Set[String] =
       (kept.map(v => s"_MANIFEST.v${v._1}").flatMap(ProcedureSupport.manifestLines(path, _)) ++
-        ProcedureSupport.manifestLines(path, "_MANIFEST"))
+        ProcedureSupport.manifestLines(path, "_MANIFEST") ++
+        branchManifests.flatMap(ProcedureSupport.manifestLines(path, _)))
         .map(_.split(",")(0)).toSet
 
     // 1. pointers first: rewrite the version log atomically, drop expired
@@ -314,7 +328,11 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     expired.foreach { case (v, _) =>
-      Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v")) }
+      Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v"))
+      // an expired version's change record goes with its snapshot — the
+      // feed must fail resolvably on an expired range, not half-plan it
+      Files.deleteIfExists(Paths.get(path, s"_CHANGES.v$v"))
+    }
 
     // 2. then the data files nothing references anymore (data files only —
     //    metadata names are never GC candidates)
@@ -335,6 +353,239 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
       StructField("current_version", LongType, nullable = false)))
     val row: InternalRow =
       InternalRow(expired.size.toLong, deleted, kept.last._1.toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** `CALL graft.system.create_branch(table => 'ns.t', branch => 'b')`
+  * (q255): fork the table's current main head into a NAMED REF with its
+  * own commit log ([[DigestManifest.mName]]). Writes land on the branch
+  * through a registered branch-flavor table (`'branch'='b'`) and stay
+  * invisible to main until [[FastForwardProcedure]] publishes them — the
+  * write half of write-audit-publish. Restricted to history-retaining
+  * flavors: both refs' listings point into one directory, so main must
+  * never physically delete a file a branch snapshot names.
+  */
+class CreateBranchProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "fork a graft_digest table's main head into a named branch ref"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val branch = DigestManifest.checkRef(input.getUTF8String(1).toString)
+    require(branch != DigestManifest.MainRef,
+      "graft.system.create_branch: 'main' already exists")
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "create_branch",
+      requireDelta = true, allowDv = true)
+    require(DigestManifest.currentVersion(path, branch) == 0,
+      s"graft.system.create_branch: branch '$branch' already exists on $tbl")
+    val (mainV, lines) = DigestManifest.head(path)
+    require(mainV > 0, s"graft.system.create_branch: $tbl has no commits yet")
+    DigestManifest.publish(path, lines, branch)
+    // the fast-forward base: main's version at fork time — publish later
+    // requires main not to have moved past it (a true fast-forward)
+    Files.write(Paths.get(path, s"_BASE@$branch"),
+      s"$mainV\n".getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("forked_from_version", LongType, nullable = false),
+      StructField("files", LongType, nullable = false)))
+    val row: InternalRow = InternalRow(UTF8String.fromString(branch),
+      mainV.toLong, lines.size.toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** `CALL graft.system.fast_forward(table => 'ns.t', branch => 'b',
+  * audit => '<predicate>')` (q255): the publish half of
+  * write-audit-publish. The branch's content is audited first — every
+  * row must satisfy the predicate, evaluated as a distributed scan
+  * through the branch ref — and only then does main adopt the branch
+  * head, as ONE CAS-committed main version (so the change feed shows the
+  * branch's net changes landing at exactly the publish commit). A failed
+  * audit or a diverged main (not a fast-forward) raises and leaves main
+  * byte-identical.
+  */
+class FastForwardProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "publish an audited branch head as the new main head of a graft_digest table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build(),
+      ProcedureParameter.in("audit", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val branch = DigestManifest.checkRef(input.getUTF8String(1).toString)
+    val audit = input.getUTF8String(2).toString
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "fast_forward",
+      requireDelta = true, allowDv = true)
+    val (bv, blines) = DigestManifest.head(path, branch)
+    require(bv > 0, s"graft.system.fast_forward: no branch '$branch' on $tbl")
+    val baseFile = Paths.get(path, s"_BASE@$branch")
+    require(Files.exists(baseFile),
+      s"graft.system.fast_forward: branch '$branch' has no recorded base")
+    val base = ProcedureSupport.manifestLines(path, s"_BASE@$branch").head.trim.toInt
+    val mainV = DigestManifest.currentVersion(path)
+    require(mainV == base,
+      s"graft.system.fast_forward: main moved v$base → v$mainV since the " +
+        s"branch forked — not a fast-forward; re-create the branch from " +
+        "the current head")
+    // AUDIT GATE: a violating row anywhere in the branch blocks the
+    // publish; the scan streams through the branch ref's own listing
+    val spark = org.apache.spark.sql.SparkSession.active
+    val violations = spark.read.format("graft.sources.DigestSink")
+      .option("path", path).option("branch", branch).load()
+      .filter(s"NOT ($audit)").limit(1).count()
+    require(violations == 0L,
+      s"graft.system.fast_forward: audit '$audit' failed on branch " +
+        s"'$branch' — main left untouched")
+    val published = DigestManifest.publishReplace(path, blines, mainV).toLong
+    Files.write(baseFile,
+      s"$published\n".getBytes(StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("published_version", LongType, nullable = false),
+      StructField("branch_version", LongType, nullable = false),
+      StructField("files", LongType, nullable = false)))
+    val row: InternalRow = InternalRow(published, bv.toLong, blines.size.toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** `CALL graft.system.remove_orphan_files(table => 'ns.t',
+  * older_than_ms => n)` (q254): completes the maintenance trio next to
+  * compact (q225) and expire_snapshots (q229). expire_snapshots GCs files
+  * the RETAINED snapshots no longer reference; this procedure GCs what no
+  * snapshot EVER referenced — crashed task attempts (`*.staged`), data
+  * files whose job died between write and manifest commit, and
+  * hard-crashed staged CTAS/RTAS generations (`_stage-*` directories the
+  * abort path never got to delete, [[GraftStagedTable]]). Reachability is
+  * computed from the commit log (every `_MANIFEST.v*` still on disk plus
+  * the current pointer), and `older_than_ms` is the safety window every
+  * production implementation requires: anything newer is presumed an
+  * IN-FLIGHT writer's and is never touched, so the procedure can run
+  * concurrently with live jobs. Metadata names are never candidates.
+  */
+class RemoveOrphanFilesProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "remove_orphan_files"
+  override def description(): String =
+    "delete files in a graft_digest table's directories that no snapshot references"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    import scala.jdk.CollectionConverters._
+    val tbl = input.getUTF8String(0).toString
+    val olderThanMs = input.getLong(1)
+    require(olderThanMs >= 0,
+      "graft.system.remove_orphan_files: older_than_ms must be >= 0")
+    val (props, path) = ProcedureSupport.resolve(catalogName, tbl,
+      "remove_orphan_files", requireDelta = false)
+    require(props.getOrDefault("provider", "") == "graft_digest",
+      s"graft.system.remove_orphan_files: $tbl is not a graft_digest table")
+    val cutoff = java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - olderThanMs)
+    val dir = Paths.get(path)
+
+    // a TREE is recent if ANYTHING in it is recent — an in-flight staged
+    // write touches files faster than the window, so one recent member
+    // protects the whole generation
+    def newestIn(p: java.nio.file.Path): java.nio.file.attribute.FileTime = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.map(Files.getLastModifiedTime(_)).max
+      finally walk.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+    // reachable = every file any still-resolvable snapshot names; the
+    // current pointer is included for the pre-commit-log edge state
+    val reachable: Set[String] = {
+      if (!Files.isDirectory(dir)) Set.empty
+      else {
+        val listing = Files.list(dir)
+        val manifests =
+          try listing.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_MANIFEST")).toSeq
+          finally listing.close()
+        manifests.flatMap(ProcedureSupport.manifestLines(path, _))
+          .map(_.split(",")(0)).toSet
+      }
+    }
+
+    var deletedFiles = 0L
+    var deletedDirs = 0L
+    var keptRecent = 0L
+    def sweepStageDirs(root: java.nio.file.Path): Unit =
+      if (Files.isDirectory(root)) {
+        val listing = Files.list(root)
+        val dirs = try listing.iterator().asScala.filter(p =>
+          Files.isDirectory(p) && p.getFileName.toString.startsWith("_stage-") &&
+            p.toAbsolutePath.normalize() != dir.toAbsolutePath.normalize()).toSeq
+        finally listing.close()
+        dirs.foreach { p =>
+          if (newestIn(p).compareTo(cutoff) < 0) { rmTree(p); deletedDirs += 1 }
+          else keptRecent += 1
+        }
+      }
+
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      val entries = try listing.iterator().asScala.toSeq finally listing.close()
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        val isMeta = n.startsWith("_MANIFEST") || n.startsWith("_VERSIONS") ||
+          n.startsWith("_BASE@") || n.startsWith("_CHANGES") ||
+          n == "_COMPACTIONS" || n == "_PARTITIONS"
+        if (!isMeta && !Files.isDirectory(p) && !reachable.contains(n)) {
+          if (Files.getLastModifiedTime(p).compareTo(cutoff) < 0) {
+            Files.deleteIfExists(p); deletedFiles += 1
+          } else keptRecent += 1
+        }
+      }
+      sweepStageDirs(dir)
+    }
+    // a table created through atomic CTAS/RTAS lives in one `_stage-*`
+    // generation under its stage root — crashed and RETIRED sibling
+    // generations (old enough to have no live reader) are orphans there
+    Option(props.get("stageRoot"))
+      .map(Paths.get(_))
+      .filter(r => r.toAbsolutePath.normalize() != dir.toAbsolutePath.normalize())
+      .foreach(sweepStageDirs)
+
+    reachable.foreach { f =>
+      require(Files.exists(dir.resolve(f)),
+        s"graft.system.remove_orphan_files: $f is referenced by a " +
+          "snapshot but missing — the table was already corrupt")
+    }
+
+    val schema = StructType(Seq(
+      StructField("deleted_files", LongType, nullable = false),
+      StructField("deleted_dirs", LongType, nullable = false),
+      StructField("kept_recent", LongType, nullable = false)))
+    val row: InternalRow = InternalRow(deletedFiles, deletedDirs, keptRecent)
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, Array(row))).iterator()
   }
@@ -364,8 +615,11 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
+    // compaction serves BOTH merge-on-read shapes: folding a delta log's
+    // verbs (q211) and folding deletion vectors (q252) into fresh base
+    // files — the snapshot-through-the-masked-read cycle is identical
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "compact",
-      requireDelta = true)
+      requireDelta = true, allowDv = true)
 
     def manifest(): Seq[String] = ProcedureSupport.manifestLines(path, "_MANIFEST")
     val retired = manifest().count(_.startsWith("delta-"))
@@ -391,6 +645,8 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
     val after = manifest()
     require(!after.exists(_.startsWith("delta-")),
       s"graft.system.compact: log not retired:\n$after")
+    require(!after.exists(l => ManifestEntry.parse(l).attrs.contains("dv")),
+      s"graft.system.compact: deletion vectors not folded away:\n$after")
     // tag the commit as content-preserving so the change feed (q241)
     // knows this delta-removing version carries zero logical changes
     DigestManifest.markCompaction(path, DigestManifest.currentVersion(path))

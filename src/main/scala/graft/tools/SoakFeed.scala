@@ -146,6 +146,27 @@ object SoakFeed {
       }
     }
 
+    // ---- plan_ochanges: CDF planning cost vs table file count -----------
+    // One append commit on a 1k-file and a 10k-file manifest; planning 50
+    // times through the per-commit `_CHANGES.v` record must be FLAT in
+    // file count (O(changes)), while the legacy snapshot-diff fallback
+    // (record deleted) scales with the listing — the measured gap IS the
+    // claim the record layer makes for 10⁶-entry tables.
+    Seq(1000, 10000).foreach { files =>
+      val p = java.nio.file.Files.createTempDirectory(s"soak_plan_$files-")
+      val lines = (0 until files).map(i => f"lang_en-jx-part-$i%05d.csv,10")
+      graft.sources.DigestManifest.publish(p.toString, lines)
+      graft.sources.DigestManifest.publishAppend(p.toString,
+        Seq("lang_en-jy-part-00000.csv,5"), 1)
+      timed(s"plan_rec_$files") {
+        (1 to 50).foreach(_ => graft.sources.DigestChanges.plan(p.toString, 1, 2))
+      }
+      java.nio.file.Files.delete(p.resolve("_CHANGES.v2"))
+      timed(s"plan_diff_$files") {
+        (1 to 50).foreach(_ => graft.sources.DigestChanges.plan(p.toString, 1, 2))
+      }
+    }
+
     times.foreach { case (verb, secs) =>
       println((verb +: secs.map(s => f"$s%.2f")).mkString(",") +
         f",min=${secs.min}%.2f")

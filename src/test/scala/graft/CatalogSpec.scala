@@ -970,4 +970,192 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
     }
   }
+
+  // ---- deletion vectors (q252) --------------------------------------------
+
+  test("q252: DvCodec round-trips sparse 63-bit-word bitmaps") {
+    import graft.sources.DvCodec
+    val positions = Seq(0L, 1L, 62L, 63L, 1000L, 12345L)
+    var m = Map.empty[Long, Long]
+    positions.foreach(p => m = DvCodec.add(m, p))
+    assert(positions.forall(DvCodec.contains(m, _)))
+    assert(!DvCodec.contains(m, 2L) && !DvCodec.contains(m, 64L) &&
+      !DvCodec.contains(m, 12346L))
+    assert(DvCodec.cardinality(m) == positions.size)
+    val enc = DvCodec.encode(m)
+    assert(DvCodec.decode(enc) == m, enc)
+    assert(DvCodec.decode("") == Map.empty[Long, Long])
+    // addedPositions is exactly the set difference, in position order
+    val prev = Seq(0L, 62L).foldLeft(Map.empty[Long, Long])(DvCodec.add)
+    assert(DvCodec.addedPositions(prev, m) == Seq(1L, 63L, 1000L, 12345L))
+    assert(DvCodec.addedPositions(m, m) == Seq.empty)
+  }
+
+  test("q252: a DV delete planned against a stale base aborts loudly " +
+      "instead of masking the wrong rows") {
+    withCatalog {
+      val dir = tmp("graft_dv_stale_")
+      val tbl = s"graft.ns.dvstale_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'dv'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'en', 20)")
+      val stale = graft.sources.DigestManifest.currentVersion(dir.toString)
+      val file = graft.sources.DigestManifest.head(dir.toString)._2.head.split(",")(0)
+      // the head moves past the version the (hypothetical) scan planned on
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 'de', 30)")
+      val bw = new graft.sources.DigestDvBatchWrite(dir.toString, stale, 0, 1)
+      intercept[java.util.ConcurrentModificationException] {
+        bw.commit(Array(graft.sources.DvCommitMessage(Map(file -> Array(0L)))))
+      }
+      // and the winning commit is untouched
+      assert(spark.table(tbl).count() == 3L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q252: the append-only table stream refuses a DV commit as loudly " +
+      "as a file removal") {
+    val dir = tmp("graft_dv_stream_")
+    graft.sources.DigestManifest.publish(dir.toString,
+      Seq("lang_en-part-00000.csv,3"))
+    graft.sources.DigestManifest.publish(dir.toString,
+      Seq("lang_en-part-00000.csv,2,dv=0:1"))
+    val stream = new graft.sources.DigestMicroBatchStream(dir.toString)
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(graft.sources.DigestVersionOffset(0),
+        graft.sources.DigestVersionOffset(2))
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("q252: the change feed refuses a shrinking deletion vector") {
+    val dir = tmp("graft_dv_shrink_")
+    java.nio.file.Files.write(dir.resolve("lang_en-part-00000.csv"),
+      java.util.List.of("1,en,10", "2,en,20"))
+    graft.sources.DigestManifest.publish(dir.toString,
+      Seq("lang_en-part-00000.csv,0,dv=0:3"))
+    graft.sources.DigestManifest.publish(dir.toString,
+      Seq("lang_en-part-00000.csv,1,dv=0:1"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.DigestChanges.plan(dir.toString, 0, 2)
+    }
+    assert(e.getMessage.contains("not a deletion-vector growth"), e.getMessage)
+  }
+
+  // ---- branches + write-audit-publish (q255) ------------------------------
+
+  test("q255: branch refs keep independent CAS-claimed commit logs in " +
+      "one directory") {
+    import graft.sources.DigestManifest
+    val dir = tmp("graft_refs_spec_").toString
+    DigestManifest.publish(dir, Seq("a.csv,1"))
+    DigestManifest.publish(dir, Seq("a.csv,1", "b.csv,2"), "dev")
+    DigestManifest.publishAppend(dir, Seq("c.csv,3"), 1, "dev")
+    assert(DigestManifest.currentVersion(dir) == 1)
+    assert(DigestManifest.currentVersion(dir, "dev") == 2)
+    assert(DigestManifest.head(dir)._2 == Seq("a.csv,1"))
+    assert(DigestManifest.head(dir, "dev")._2 ==
+      Seq("a.csv,1", "b.csv,2", "c.csv,3"))
+    // main committing PAST the branch stays main-scoped too
+    DigestManifest.publishAppend(dir, Seq("d.csv,4"), 1)
+    assert(DigestManifest.currentVersion(dir) == 2)
+    assert(DigestManifest.currentVersion(dir, "dev") == 2)
+    // ref names are path-safe by construction
+    intercept[IllegalArgumentException](DigestManifest.mName("../evil"))
+    intercept[IllegalArgumentException](DigestManifest.mName(""))
+  }
+
+  test("q255: fast_forward refuses a diverged main and leaves it untouched") {
+    withCatalog {
+      val dir = tmp("graft_ff_spec_")
+      val tbl = s"graft.ns.ffspec_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      spark.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'b')").collect()
+      // a second create of the same branch is refused
+      val dup = intercept[Exception] {
+        spark.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'b')").collect()
+      }
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      // main moves past the fork → the publish is no longer a fast-forward
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 'de', 20)")
+      val head = graft.sources.DigestManifest.head(dir.toString)
+      val e = intercept[Exception] {
+        spark.sql(s"""CALL graft.system.fast_forward(table => '$short',
+                     |  branch => 'b', audit => 'n_chars >= 0')""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("not a fast-forward"), e.getMessage)
+      assert(graft.sources.DigestManifest.head(dir.toString) == head)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  // ---- remove_orphan_files (q254) -----------------------------------------
+
+  test("q254: remove_orphan_files refuses loudly when a snapshot-referenced " +
+      "file is already missing (corruption detection, not silent GC)") {
+    withCatalog {
+      val dir = tmp("graft_orph_spec_")
+      val tbl = s"graft.ns.orphspec_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      val referenced = graft.sources.DigestManifest.head(dir.toString)
+        ._2.head.split(",")(0)
+      java.nio.file.Files.delete(dir.resolve(referenced))
+      val e = intercept[Exception] {
+        spark.sql(s"""CALL graft.system.remove_orphan_files(
+                     |  table => '${tbl.stripPrefix("graft.")}',
+                     |  older_than_ms => CAST(0 AS BIGINT))""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("already corrupt"), e.getMessage)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  // ---- manifest zone maps (q253) ------------------------------------------
+
+  test("q253: manifest entries round-trip attrs and legacy 2-field lines " +
+      "still parse") {
+    // legacy line: no attrs — older manifests keep parsing unchanged
+    assert(graft.sources.ManifestEntry.parse("part-00001.csv,42") ==
+      graft.sources.ManifestEntry("part-00001.csv", 42))
+    // attrs ride behind the two frozen positions, serialized key-sorted
+    val e = graft.sources.ManifestEntry("lang_en-part-00000.csv", 5,
+      Map("zmin" -> "10", "zmax" -> "99"))
+    assert(e.line == "lang_en-part-00000.csv,5,zmax=99,zmin=10")
+    assert(graft.sources.ManifestEntry.parse(e.line) == e)
+    // legacy consumers index only the frozen positions
+    assert(e.line.split(",")(0) == "lang_en-part-00000.csv")
+    assert(e.line.split(",")(1).toLong == 5L)
+    // a malformed attribute is refused loudly, never silently dropped
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.ManifestEntry.parse("f.csv,1,bogus")
+    }
+    assert(ex.getMessage.contains("malformed manifest attribute"))
+  }
+
+  test("q253: zone maps prune range scans, keep zone-less files, and are " +
+      "disabled for the group-based row-level rewrite scan role") {
+    val dir = tmp("graft_zm_spec_")
+    // two zoned files + one legacy entry with no zone map
+    java.nio.file.Files.write(dir.resolve("_MANIFEST"), java.util.List.of(
+      "part-00000.csv,3,zmax=9,zmin=0",
+      "part-00001.csv,3,zmax=199,zmin=100",
+      "part-00002.csv,3"))
+    def planned(allowPruning: Boolean): Int = {
+      val b = new graft.sources.DigestScanBuilder(dir.toString, false,
+        "_MANIFEST", allowPruning)
+      b.pushFilters(Array(org.apache.spark.sql.sources.LessThan("doc_id",
+        java.lang.Long.valueOf(50L))))
+      b.build().toBatch.planInputPartitions().length
+    }
+    // doc_id < 50 skips the [100,199] file; the zone-less file is ALWAYS
+    // kept — absence of metadata must never drop data
+    assert(planned(allowPruning = true) == 2)
+    // the group-based rewrite scan role never prunes: every file survives
+    assert(planned(allowPruning = false) == 3)
+  }
 }

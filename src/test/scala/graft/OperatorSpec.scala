@@ -512,8 +512,12 @@ class OperatorSpec extends SparkSpec {
     assert(msg.files.map(_.rows).sum == 2L && files() == Vector("part-00000.csv"))
     // the job-level commit publishes the manifest over the messages
     new DigestBatchWrite(dir.toString).commit(Array(msg))
-    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
-      .get(0) == "part-00000.csv,2")
+    // the entry carries the frozen (file, rows) positions plus the
+    // writer-observed doc_id zone map (q253) as attributes
+    val entry = sources.ManifestEntry.parse(
+      java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST")).get(0))
+    assert(entry.file == "part-00000.csv" && entry.rows == 2L &&
+      entry.attrs.get("zmin").contains("1") && entry.attrs.get("zmax").contains("2"))
     // end-to-end through the engine: round-trip digest equals a direct
     // aggregation of the source parquet
     val got = sources.Formats.q168DsV2Sink(spark, sf).collect()
@@ -560,9 +564,9 @@ class OperatorSpec extends SparkSpec {
       "overwrite did not replace the matched lang's file content")
     assert(lines("lang_en-part-00000.csv") == enBefore,
       "overwrite disturbed an unmatched lang's file")
-    val manifest = lines("_MANIFEST")
-    assert(manifest.sorted ==
-      Seq("lang_de-part-00000.csv,1", "lang_en-part-00000.csv,1"),
+    val manifest = lines("_MANIFEST").map(graft.sources.ManifestEntry.parse)
+    assert(manifest.map(e => (e.file, e.rows)).sorted ==
+      Seq(("lang_de-part-00000.csv", 1L), ("lang_en-part-00000.csv", 1L)),
       s"manifest merge wrong: $manifest")
   }
 
