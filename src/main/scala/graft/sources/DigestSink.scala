@@ -1042,9 +1042,6 @@ class DigestDvOperation(path: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
-  require(cmd == org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE,
-    s"graft_digest dv flavor: $cmd is not expressible as deletion vectors — " +
-      "use the delta flavor ('delta'='true') for UPDATE/MERGE")
 
   // the version the operation's scan plans against: the commit validates
   // the head has not moved past it (a DV computed from stale positions
@@ -1053,6 +1050,13 @@ class DigestDvOperation(path: String,
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft_digest dv $cmd"
+
+  // UPDATE/MERGE ride the SAME two primitives as DELETE (q256): an
+  // update is a position delete of the old row plus an append of the new
+  // one — the Iceberg merge-on-read UPDATE shape — so Spark is told to
+  // represent updates as delete+insert pairs and the writer only ever
+  // sees the two verbs it can commit as metadata + fresh files
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(Expressions.column("_file"), Expressions.column("_pos"))
@@ -1073,72 +1077,112 @@ class DigestDvOperation(path: String,
       "graft_digest dv: WriteDelta planned without a rowId schema"))
     val fileIdx = rid.fieldIndex("_file")
     val posIdx = rid.fieldIndex("_pos")
+    // inserts (from MERGE NOT MATCHED and the insert half of updates)
+    // arrive in the rewritten query's column order — resolve BY NAME,
+    // same contract as every other write path here. A pure DELETE plans
+    // an EMPTY data schema (only rowId is projected): no insert verb can
+    // arrive, so no data columns to resolve.
+    val sch = info.schema()
+    val dataCols =
+      if (Seq("doc_id", "lang", "n_chars").forall(sch.fieldNames.contains))
+        Array("doc_id", "lang", "n_chars").map(sch.fieldIndex)
+      else Array.empty[Int]
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
-            new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx)
+            new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx, dataCols)
         }
     }
   }
 }
 
-case class DvCommitMessage(deletes: Map[String, Array[Long]])
+case class DvCommitMessage(deletes: Map[String, Array[Long]],
+    files: Seq[CommittedFile] = Seq.empty)
     extends WriterCommitMessage
 
-case class DigestDvWriterFactory(fileIdx: Int, posIdx: Int)
+/** DV-flavor task writer: position deletes accumulate in memory (they
+  * are pure metadata), inserts stream through the standard lang-split
+  * staged writer — one task commit message carries both halves.
+  */
+case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
+    dataCols: Array[Int], jobTag: String)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
       private val dels =
         scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private var ins: LangSplitDataWriter = _
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
           scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
-        throw new IllegalStateException("graft_digest dv: unexpected UPDATE verb")
-      override def insert(row: InternalRow): Unit =
-        throw new IllegalStateException("graft_digest dv: unexpected INSERT verb")
-      override def commit(): WriterCommitMessage =
-        DvCommitMessage(dels.view.mapValues(_.toArray).toMap)
-      override def abort(): Unit = () // nothing staged: deletes are driver-folded
+        throw new IllegalStateException(
+          "graft_digest dv: updates must arrive as delete+insert pairs")
+      override def insert(row: InternalRow): Unit = {
+        if (ins == null)
+          ins = new LangSplitDataWriter(path, partitionId, taskId, dataCols, jobTag)
+        ins.write(row)
+      }
+      override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
+      override def commit(): WriterCommitMessage = {
+        val files =
+          if (ins == null) Seq.empty[CommittedFile]
+          else ins.commit().asInstanceOf[DigestCommitMessage].files
+        DvCommitMessage(dels.view.mapValues(_.toArray).toMap, files)
+      }
+      override def abort(): Unit = if (ins != null) ins.abort()
       override def close(): Unit = ()
     }
 }
 
 class DigestDvBatchWrite(path: String, baseVersion: Int,
-    fileIdx: Int, posIdx: Int)
+    fileIdx: Int, posIdx: Int, dataCols: Array[Int])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  // one unique tag per job (same contract as DigestBatchWrite): insert
+  // halves land as globally-unique final file names
+  private val jobTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    DigestDvWriterFactory(fileIdx, posIdx)
+    DigestDvWriterFactory(path, fileIdx, posIdx, dataCols, jobTag)
 
   // job commit: fold every task's (file → positions) into the listing —
   // union with any existing DV, decrement the entry's live-row count —
-  // and publish as a REPLACE against the version the scan planned from
-  // (positions computed against a moved head would mask the wrong rows,
-  // so a stale base aborts loudly through the CAS protocol)
+  // append the insert halves' fresh entries, and publish ONE replace
+  // against the version the scan planned from (positions computed
+  // against a moved head would mask the wrong rows, so a stale base
+  // aborts loudly through the CAS protocol). Deletes and inserts commit
+  // atomically: no reader can see an update's halves separately.
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val merged = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[CommittedFile]
     messages.foreach {
-      case DvCommitMessage(dels) => dels.foreach { case (f, ps) =>
-        merged.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) ++= ps
-      }
+      case DvCommitMessage(dels, files) =>
+        dels.foreach { case (f, ps) =>
+          merged.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) ++= ps
+        }
+        fresh ++= files
       case m => throw new IllegalStateException(s"graft_digest dv: unexpected $m")
     }
-    if (merged.isEmpty) return // DELETE matched no rows: no commit
+    if (merged.isEmpty && fresh.isEmpty) return // matched no rows: no commit
     val (hv, lines) = DigestManifest.head(path)
     if (hv != baseVersion)
       throw new java.util.ConcurrentModificationException(
-        s"graft_digest: DV delete planned against version $baseVersion " +
-          s"but the head is now $hv; re-run the DELETE")
+        s"graft_digest: DV operation planned against version $baseVersion " +
+          s"but the head is now $hv; re-run it")
     val known = lines.map(_.split(",")(0)).toSet
     val unknown = merged.keys.filterNot(known.contains)
     require(unknown.isEmpty,
       s"graft_digest dv: deletes target files absent from the listing: $unknown")
+    val clashes = fresh.map(_.fileName).filter(known.contains)
+    require(clashes.isEmpty,
+      s"graft_digest dv: job would commit file names already in the " +
+        s"manifest (${clashes.mkString(",")})")
     val newLines = lines.map { l =>
       val e = ManifestEntry.parse(l)
       merged.get(e.file).fold(l) { ps =>
@@ -1155,11 +1199,19 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
         ManifestEntry(e.file, e.rows - added,
           e.attrs + ("dv" -> DvCodec.encode(dv))).line
       }
-    }
+    } ++ fresh.map(DigestSink.entryLine).sorted
     DigestManifest.publishReplace(path, newLines, baseVersion)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach { p =>
+        if (p.getFileName.toString.endsWith(".staged")) Files.deleteIfExists(p)
+      } finally listing.close()
+    }
+  }
 }
 
 case class DigestStreamingWriterFactory(path: String, cols: Array[Int])

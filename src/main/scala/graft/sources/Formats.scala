@@ -3015,6 +3015,98 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q256: UPDATE + MERGE on the deletion-vector flavor ------------------
+  // The DV flavor's full DML surface (q252 covered DELETE): with
+  // `representUpdateAsDeleteAndInsert`, SQL UPDATE and MERGE plan
+  // WriteDelta whose verbs are ONLY position deletes + row inserts — an
+  // update is a DV bit on the old row's (file, pos) plus an appended row,
+  // the Iceberg merge-on-read UPDATE shape. Both halves commit in ONE
+  // CAS replace, so no reader can observe a torn update. Original base
+  // files stay byte-identical (pinned); cost is O(changed rows), not
+  // O(touched files) — on a 100 TB table an UPDATE touching 0.1% of rows
+  // commits bitmap bits + one small file instead of rewriting terabytes.
+  def q256DvUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.dvdml_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_dv_update_merge:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'dv'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q256")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q256")
+      val originals = {
+        val listing = java.nio.file.Files.list(sink)
+        try listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(f => !f.startsWith("_")).toSet
+        finally listing.close()
+      }
+      def digestOf(f: String): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(java.nio.file.Files.readAllBytes(sink.resolve(f)))
+          .map(b => f"$b%02x").mkString
+      }
+      val before = originals.map(f => f -> digestOf(f)).toMap
+      // UPDATE: every touched row = one DV bit + one appended row, and
+      // BOTH halves land in exactly one commit — no torn-update window
+      val v0 = DigestManifest.currentVersion(sink.toString)
+      s.sql(s"UPDATE $tbl SET n_chars = n_chars + 7 WHERE doc_id % 11 = 4")
+      require(DigestManifest.currentVersion(sink.toString) == v0 + 1,
+        "q256: an UPDATE's deletes and inserts must commit as ONE version")
+      // MERGE: deletes, updates, and inserts through the same two verbs
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars FROM docs_q256 WHERE doc_id % 13 = 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+               |  FROM docs_q256 WHERE doc_id % 13 = 1) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND t.doc_id % 26 = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars * 2
+               |WHEN NOT MATCHED THEN
+               |  INSERT (doc_id, lang, n_chars) VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      // every ORIGINAL base file is byte-identical; the DML landed as DV
+      // attrs + appended job-tagged files
+      require(originals.forall(f => digestOf(f) == before(f)),
+        "q256: DV-flavor UPDATE/MERGE must never rewrite an existing base file")
+      val entries = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(entries.exists(_.attrs.contains("dv")) &&
+          entries.exists(e => !originals.contains(e.file)),
+        s"q256: expected DV attrs + appended entries:\n${entries.map(_.line)}")
+      // live counts stay exact through mixed DML
+      require(s.table(tbl).count() == entries.map(_.rows).sum,
+        "q256: manifest live row counts diverged from the masked read")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q256Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 11 = 4 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 13 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+      |  FROM t0
+      |  WHERE doc_id % 26 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE doc_id % 13 = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- q253: manifest zone maps — data skipping on doc_id ranges ----------
   // Every digest commit records the writer-observed (min, max) of doc_id
   // per file as `zmin`/`zmax` manifest attributes ([[CommittedFile]]), and
@@ -3329,6 +3421,7 @@ object Formats {
     "q253_zone_maps" -> q253ZoneMaps _,
     "q254_remove_orphans" -> q254RemoveOrphans _,
     "q255_branch_wap" -> q255BranchWap _,
+    "q256_dv_update_merge" -> q256DvUpdateMerge _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3390,5 +3483,6 @@ object Formats {
     "q253_zone_maps" -> q253Sql,
     "q254_remove_orphans" -> q254Sql,
     "q255_branch_wap" -> q255Sql,
+    "q256_dv_update_merge" -> q256Sql,
   )
 }

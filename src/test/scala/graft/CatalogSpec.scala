@@ -1003,7 +1003,8 @@ class CatalogSpec extends SparkSpec {
       val file = graft.sources.DigestManifest.head(dir.toString)._2.head.split(",")(0)
       // the head moves past the version the (hypothetical) scan planned on
       spark.sql(s"INSERT INTO $tbl VALUES (3, 'de', 30)")
-      val bw = new graft.sources.DigestDvBatchWrite(dir.toString, stale, 0, 1)
+      val bw = new graft.sources.DigestDvBatchWrite(dir.toString, stale, 0, 1,
+        Array(0, 1, 2))
       intercept[java.util.ConcurrentModificationException] {
         bw.commit(Array(graft.sources.DvCommitMessage(Map(file -> Array(0L)))))
       }
