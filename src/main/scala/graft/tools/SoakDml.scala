@@ -99,6 +99,18 @@ object SoakDml {
       }
       spark.sql(s"DROP TABLE $dlt")
 
+      // ---- dv flavor (q252/q256): position-delete DELETE, dv MERGE ----
+      val vDir = java.nio.file.Files.createTempDirectory(s"soak_dv_$rep-")
+      val dv = s"graft.ns.soakdv_$tag"
+      spark.sql(s"""CREATE TABLE $dv (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$vDir', 'dv'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $dv SELECT doc_id, lang, n_chars FROM soak_docs")
+      timed("dv_delete") {
+        spark.sql(s"DELETE FROM $dv WHERE doc_id % 17 = 3")
+      }
+      timed("dv_merge") { spark.sql(mergeSql(dv)) }
+      spark.sql(s"DROP TABLE $dv")
+
       // ---- parquet dynamic partition overwrite ----
       val pDir = java.nio.file.Files.createTempDirectory(s"soak_dyn_$rep-")
       val docs = spark.table("soak_docs")
