@@ -6,17 +6,16 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-14 FINAL QUERY SET (all 247 queries, q1–q250)
-  * must stay ≤ 201 s (1.3 × the 154.45 s round-14 final anchor — a
-  * zero-failure, zero-flaky full run on the round-14 build host; the
-  * best full-set number of the round, with every streaming query inside
-  * its band: q184 5.71 s, q109 2.10 s, q75 7.02 s, q115 3.09 s). An
-  * earlier same-day full run read 207.86 s with q184 at 26.7 s and q109
-  * at 10.4 s — immediately re-measured targeted at 5.69 s / 2.84 s, the
-  * streaming trigger-latency swing under same-JVM pressure (PLANS.md
-  * "Round 14 final anchor"), which is exactly why the exemption bands
-  * below exist. Queries added after this anchor are excluded from the
-  * ratchet until it is re-taken on a quiet run that includes them.
+  * total over the ROUND-15 FINAL QUERY SET (all 253 queries, q1–q256)
+  * must stay ≤ 216 s (1.3 × the 166.19 s round-15 anchor — min-of-3
+  * full-set runs of 172.06 / 179.65 / 166.19 s, zero failures, zero
+  * flaky, on the round-15 build host; the six round-15 additions
+  * q251–q256 cost 0.05–0.13 s each). For reference the round-14 anchor
+  * was 154.45 s over 247 queries / ceiling 201 s; the streaming
+  * trigger-latency swing story (q184 26.7 s → 5.69 s targeted) is in
+  * PLANS.md "Round 14 final anchor" and is exactly why the exemption
+  * bands below exist. Queries added after this anchor are excluded from
+  * the ratchet until it is re-taken on a quiet run that includes them.
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
