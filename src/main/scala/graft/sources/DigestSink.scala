@@ -97,13 +97,23 @@ object DigestSink {
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Serialize a committed file as its manifest entry line, folding the
-    * writer-observed doc_id zone map (q253) into the entry's attributes.
+    * writer-observed zone maps (q253 doc_id, q257 n_chars) into the
+    * entry's attributes.
     */
   private[sources] def entryLine(f: CommittedFile): String =
     ManifestEntry(f.fileName, f.rows,
       f.zm.fold(Map.empty[String, String]) { case (lo, hi) =>
         Map("zmin" -> lo.toString, "zmax" -> hi.toString)
+      } ++ f.nm.fold(Map.empty[String, String]) { case (lo, hi) =>
+        Map("nmin" -> lo.toString, "nmax" -> hi.toString)
       }).line
+
+  /** The zone-mapped columns: column name → its (min, max) manifest
+    * attribute names. Writers record these at commit (q253/q257) and the
+    * scan prunes range predicates on them against the recorded zones.
+    */
+  private[graft] val zmCols: Map[String, (String, String)] =
+    Map("doc_id" -> ("zmin", "zmax"), "n_chars" -> ("nmin", "nmax"))
 
   /** Counts data-file opens (q240's loud proof that a metadata-served
     * aggregate read NO data — the counter must stay flat).
@@ -1356,17 +1366,19 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
   // so rows inside a surviving file are still filtered by the engine;
   // the pushdown only shrinks the file list.
   private var langs: Option[Set[String]] = None
-  // ZONE-MAP pruning bounds (q253): the conjunction of every pushed
-  // doc_id range predicate, as a closed [idLo, idHi] interval. A file
-  // whose manifest-recorded (zmin, zmax) misses the interval is skipped
-  // whole at planning — the standard data-skipping layer, with the same
-  // safety gates as lang pruning (never under merge-on-read, never for
-  // the group-based row-level rewrite scan; the DV DELETE scan DOES
-  // prune — an unmatched file just gets no deletion vector) and the
-  // same residual contract
-  // (rows inside surviving files are still engine-filtered).
-  private var idLo = Long.MinValue
-  private var idHi = Long.MaxValue
+  // ZONE-MAP pruning bounds (q253 doc_id, q257 n_chars): per column, the
+  // conjunction of every pushed range predicate as a closed [lo, hi]
+  // interval. A file whose manifest-recorded zone for that column misses
+  // the interval is skipped whole at planning — the standard
+  // data-skipping layer, with the same safety gates as lang pruning
+  // (never under merge-on-read, never for the group-based row-level
+  // rewrite scan; the DV DELETE scan DOES prune — an unmatched file just
+  // gets no deletion vector) and the same residual contract (rows inside
+  // surviving files are still engine-filtered).
+  private val zLo = scala.collection.mutable.Map(
+    DigestSink.zmCols.keys.map(_ -> Long.MinValue).toSeq: _*)
+  private val zHi = scala.collection.mutable.Map(
+    DigestSink.zmCols.keys.map(_ -> Long.MaxValue).toSeq: _*)
   private var accepted: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -1380,26 +1392,30 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
         case n: java.lang.Number => Some(n.longValue())
         case _ => None
       }
+      def zm(c: String): Boolean = DigestSink.zmCols.contains(c)
       filters.foreach {
-        case EqualTo("doc_id", v) => longOf(v).foreach { x =>
-          idLo = math.max(idLo, x); idHi = math.min(idHi, x)
+        case EqualTo(c, v) if zm(c) => longOf(v).foreach { x =>
+          zLo(c) = math.max(zLo(c), x); zHi(c) = math.min(zHi(c), x)
         }
-        case GreaterThan("doc_id", v) =>
-          longOf(v).foreach(x => idLo = math.max(idLo, x + 1))
-        case GreaterThanOrEqual("doc_id", v) =>
-          longOf(v).foreach(x => idLo = math.max(idLo, x))
-        case LessThan("doc_id", v) =>
-          longOf(v).foreach(x => idHi = math.min(idHi, x - 1))
-        case LessThanOrEqual("doc_id", v) =>
-          longOf(v).foreach(x => idHi = math.min(idHi, x))
+        case GreaterThan(c, v) if zm(c) =>
+          longOf(v).foreach(x => zLo(c) = math.max(zLo(c), x + 1))
+        case GreaterThanOrEqual(c, v) if zm(c) =>
+          longOf(v).foreach(x => zLo(c) = math.max(zLo(c), x))
+        case LessThan(c, v) if zm(c) =>
+          longOf(v).foreach(x => zHi(c) = math.min(zHi(c), x - 1))
+        case LessThanOrEqual(c, v) if zm(c) =>
+          longOf(v).foreach(x => zHi(c) = math.min(zHi(c), x))
         case _ => ()
       }
+      def tightened(c: String): Boolean =
+        zLo(c) != Long.MinValue || zHi(c) != Long.MaxValue
       accepted = filters.filter {
         case EqualTo("lang", _: String) | In("lang", _) => langs.isDefined
-        case EqualTo("doc_id", _) | GreaterThan("doc_id", _) |
-             GreaterThanOrEqual("doc_id", _) | LessThan("doc_id", _) |
-             LessThanOrEqual("doc_id", _) =>
-          idLo != Long.MinValue || idHi != Long.MaxValue
+        case EqualTo(c, _) if zm(c) => tightened(c)
+        case GreaterThan(c, _) if zm(c) => tightened(c)
+        case GreaterThanOrEqual(c, _) if zm(c) => tightened(c)
+        case LessThan(c, _) if zm(c) => tightened(c)
+        case LessThanOrEqual(c, _) if zm(c) => tightened(c)
         case _ => false
       }
     }
@@ -1408,16 +1424,17 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  private def idRange: Option[(Long, Long)] =
-    if (idLo != Long.MinValue || idHi != Long.MaxValue) Some((idLo, idHi))
-    else None
+  private def zmRanges: Map[String, (Long, Long)] =
+    DigestSink.zmCols.keys.toSeq
+      .filter(c => zLo(c) != Long.MinValue || zHi(c) != Long.MaxValue)
+      .map(c => c -> (zLo(c), zHi(c))).toMap
 
   override def build(): Scan = aggPushed match {
     case Some(groupByLang) =>
       new DigestAggScan(path, manifestName, groupByLang, nAggs)
     case None =>
       new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning,
-        streamMaxVersions, idRange, emitMeta)
+        streamMaxVersions, zmRanges, emitMeta)
   }
 }
 
@@ -1524,7 +1541,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     langs: Option[Set[String]] = None,
     allowPruning: Boolean = true,
     streamMaxVersions: Option[Int] = None,
-    idRange: Option[(Long, Long)] = None,
+    zmRanges: Map[String, (Long, Long)] = Map.empty,
     emitMeta: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1591,14 +1608,16 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
   /** The one file-skipping predicate every planning consumer shares
     * (splits, statistics, clustering, metrics): lang pruning off the
     * file-name tag (planning-time ∩ runtime sets) AND zone-map pruning
-    * off the entry's recorded doc_id (zmin, zmax) against the pushed
-    * range (q253). Files without a lang tag or without a zone map are
-    * always kept — absence of metadata must never drop data.
+    * off the entry's recorded per-column (min, max) against every pushed
+    * range (q253 doc_id, q257 n_chars). Files without a lang tag or
+    * without a zone map are always kept — absence of metadata must never
+    * drop data.
     */
   private def survives(e: ManifestEntry): Boolean =
     pruneSet.forall(ls => DigestSink.langOf(e.file).forall(ls.contains)) &&
-      idRange.forall { case (lo, hi) =>
-        (e.attrs.get("zmin"), e.attrs.get("zmax")) match {
+      zmRanges.forall { case (c, (lo, hi)) =>
+        val (aLo, aHi) = DigestSink.zmCols(c)
+        (e.attrs.get(aLo), e.attrs.get(aHi)) match {
           case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
           case _ => true
         }
@@ -1832,13 +1851,13 @@ case class DigestMetricValue(metricName: String, metricValue: Long)
   override def value(): Long = metricValue
 }
 
-/** One committed file's identity in a task's commit message. `zm` is the
-  * writer-observed (min, max) of doc_id over the file's rows — the zone
-  * map the commit records in the manifest entry (q253) so range scans can
-  * skip the file without opening it.
+/** One committed file's identity in a task's commit message. `zm` / `nm`
+  * are the writer-observed (min, max) of doc_id / n_chars over the
+  * file's rows — the zone maps the commit records in the manifest entry
+  * (q253/q257) so range scans can skip the file without opening it.
   */
 case class CommittedFile(fileName: String, rows: Long,
-    zm: Option[(Long, Long)] = None)
+    zm: Option[(Long, Long)] = None, nm: Option[(Long, Long)] = None)
 
 case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
@@ -1869,12 +1888,16 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   private var rows = 0L
   private var idLo = Long.MaxValue
   private var idHi = Long.MinValue
+  private var ncLo = Long.MaxValue
+  private var ncHi = Long.MinValue
 
   override def write(r: InternalRow): Unit = {
     val base = r.numFields - 3 // see LangSplitDataWriter.write
     val id = r.getLong(base + cols(0))
-    out.write(s"$id,${r.getUTF8String(base + cols(1))},${r.getLong(base + cols(2))}\n")
+    val nc = r.getLong(base + cols(2))
+    out.write(s"$id,${r.getUTF8String(base + cols(1))},$nc\n")
     idLo = math.min(idLo, id); idHi = math.max(idHi, id)
+    ncLo = math.min(ncLo, nc); ncHi = math.max(ncHi, nc)
     rows += 1
   }
 
@@ -1883,7 +1906,8 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     val fin = Paths.get(path, f"${tagPart}part-$partitionId%05d.csv")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows,
-      if (rows > 0) Some((idLo, idHi)) else None)))
+      if (rows > 0) Some((idLo, idHi)) else None,
+      if (rows > 0) Some((ncLo, ncHi)) else None)))
   }
 
   override def abort(): Unit = {
@@ -1911,6 +1935,8 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     var rows = 0L
     var idLo = Long.MaxValue
     var idHi = Long.MinValue
+    var ncLo = Long.MaxValue
+    var ncHi = Long.MinValue
   }
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, OpenFile]
 
@@ -1932,8 +1958,10 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
       new OpenFile(Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged)
     })
     val id = r.getLong(base + cols(0))
-    f.w.write(s"$id,$lang,${r.getLong(base + cols(2))}\n")
+    val nc = r.getLong(base + cols(2))
+    f.w.write(s"$id,$lang,$nc\n")
     f.idLo = math.min(f.idLo, id); f.idHi = math.max(f.idHi, id)
+    f.ncLo = math.min(f.ncLo, nc); f.ncHi = math.max(f.ncHi, nc)
     f.rows += 1
   }
 
@@ -1943,7 +1971,8 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
       val fin = Paths.get(path, f"lang_$lang-${tagPart}part-$partitionId%05d.csv")
       Files.move(f.staged, fin, StandardCopyOption.REPLACE_EXISTING)
       CommittedFile(fin.getFileName.toString, f.rows,
-        if (f.rows > 0) Some((f.idLo, f.idHi)) else None)
+        if (f.rows > 0) Some((f.idLo, f.idHi)) else None,
+        if (f.rows > 0) Some((f.ncLo, f.ncHi)) else None)
     }
     DigestCommitMessage(files)
   }

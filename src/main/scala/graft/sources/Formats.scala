@@ -3362,6 +3362,142 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q257: multi-column zone maps — n_chars joins the skipping layer ----
+  // q253 proved the layer on doc_id; this generalizes it ([[DigestSink
+  // .zmCols]]): writers record BOTH doc_id (zmin/zmax) and n_chars
+  // (nmin/nmax) per file, and the scan prunes the conjunction of every
+  // pushed range across columns. The fixture's three commits are banded
+  // by n_chars — a column uncorrelated with the file layout's lang split
+  // — so the counter proof shows per-column zones working independently:
+  // an n_chars band query opens exactly that band's files, the decoy
+  // opens all, and the hash-checked result reads the middle band.
+  def q257ZoneMapsNChars(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doczn_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_zone_maps_nchars:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q257")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q257 WHERE n_chars < 200")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q257 WHERE n_chars >= 200 AND n_chars < 400")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q257 WHERE n_chars >= 400")
+      val entries = java.nio.file.Files.readAllLines(sink.resolve("_MANIFEST"))
+        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(entries.nonEmpty && entries.forall(e =>
+          e.attrs.contains("nmin") && e.attrs.contains("nmax")),
+        s"q257: every entry must carry an n_chars zone:\n${entries.map(_.line)}")
+      val low = entries.count(_.attrs("nmax").toLong < 200)
+      require(low > 0 && low < entries.size,
+        s"q257: fixture must split files across bands (low=$low of ${entries.size})")
+      val before = DigestSink.fileReadEvents.get()
+      s.sql(s"SELECT SUM(doc_id) FROM $tbl WHERE n_chars < 200").collect()
+      val opened = DigestSink.fileReadEvents.get() - before
+      require(opened == low,
+        s"q257: an n_chars < 200 scan must open the $low low-band files, opened $opened")
+      val b2 = DigestSink.fileReadEvents.get()
+      s.sql(s"SELECT SUM(doc_id) FROM $tbl").collect()
+      val openedAll = DigestSink.fileReadEvents.get() - b2
+      require(openedAll == entries.size,
+        s"q257: the unpruned decoy must open all ${entries.size} files, opened $openedAll")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |WHERE n_chars >= 200 AND n_chars < 400
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q257Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE n_chars >= 200 AND n_chars < 400
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q258: zone-pruned statistics drive the broadcast decision ----------
+  // The skipping layer's SECOND payoff: [[DigestScan.estimateStatistics]]
+  // reports post-pruning rows/bytes, so a doc_id-banded side of a join is
+  // COSTED at its pruned size and the planner picks BroadcastHashJoin on
+  // its own — no hint, no ANALYZE. The in-query lock pins both sides of
+  // the decision: the banded probe plans as a broadcast join under a
+  // threshold the FULL table exceeds, and the decoy (same join, no band)
+  // sort-merges under the identical conf — proving the flip is fed by the
+  // zone-pruned statistics, nothing else. At 100 TB this is what turns
+  // "filter on the clustered key" into "broadcast the survivors",
+  // replacing a full shuffle with a map-side join automatically.
+  def q258ZoneBroadcast(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.doczb_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_zone_broadcast:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q258")
+      // banded commits → per-band files with tight doc_id zones (q253)
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q258 WHERE doc_id < 150")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q258 WHERE doc_id >= 150 AND doc_id < 300")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q258 WHERE doc_id >= 300")
+    }
+    val confs = Seq(
+      // the probe side is column-pruned to doc_id, so its estimate is
+      // fileBytes × width-ratio (8/36): zone-pruned band ≈ 150 absolute
+      // docs ≈ 0.37 KB at every SF; the unpruned full table ≥ 1.2 KB at
+      // sf0.01 and grows with SF — 700 B sits between them
+      "spark.sql.autoBroadcastJoinThreshold" -> "700",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def joined(band: Boolean) = {
+        val small0 = s.table(tbl)
+        // both sides get column-pruned to doc_id by the optimizer (probed
+        // — a wider select is pruned away since only the join key is
+        // consumed), so the threshold above is calibrated against the
+        // width-scaled estimates; the file-size DIFFERENCE between the
+        // sides comes entirely from zone pruning
+        val small = (if (band) small0.filter(col("doc_id") < 150) else small0)
+          .select(col("doc_id").as("d2"))
+        s.table(tbl).join(small, col("doc_id") === col("d2"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+              "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+          .orderBy("lang")
+      }
+      val probe = joined(band = true)
+      val probePlan = probe.queryExecution.executedPlan.toString
+      require(probePlan.contains("BroadcastHashJoin"),
+        s"q258: the zone-pruned side must be costed small enough to " +
+          s"broadcast:\n$probePlan")
+      val decoyPlan = joined(band = false).queryExecution.executedPlan.toString
+      require(!decoyPlan.contains("BroadcastHashJoin"),
+        s"q258: the unpruned decoy must exceed the threshold and " +
+          s"sort-merge:\n$decoyPlan")
+      val rows = probe.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), probe.schema)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val q258Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id < 150
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -3422,6 +3558,8 @@ object Formats {
     "q254_remove_orphans" -> q254RemoveOrphans _,
     "q255_branch_wap" -> q255BranchWap _,
     "q256_dv_update_merge" -> q256DvUpdateMerge _,
+    "q257_zone_maps_nchars" -> q257ZoneMapsNChars _,
+    "q258_zone_broadcast" -> q258ZoneBroadcast _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3484,5 +3622,7 @@ object Formats {
     "q254_remove_orphans" -> q254Sql,
     "q255_branch_wap" -> q255Sql,
     "q256_dv_update_merge" -> q256Sql,
+    "q257_zone_maps_nchars" -> q257Sql,
+    "q258_zone_broadcast" -> q258Sql,
   )
 }

@@ -1159,4 +1159,24 @@ class CatalogSpec extends SparkSpec {
     // the group-based rewrite scan role never prunes: every file survives
     assert(planned(allowPruning = false) == 3)
   }
+
+  test("q257: zone maps prune independently per column and conjoin") {
+    val dir = tmp("graft_zn_spec_")
+    java.nio.file.Files.write(dir.resolve("_MANIFEST"), java.util.List.of(
+      "part-00000.csv,3,nmax=99,nmin=10,zmax=9,zmin=0",
+      "part-00001.csv,3,nmax=500,nmin=300,zmax=19,zmin=10",
+      "part-00002.csv,3,nmax=80,nmin=20,zmax=29,zmin=20"))
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int = {
+      val b = new graft.sources.DigestScanBuilder(dir.toString)
+      b.pushFilters(fs.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    // n_chars < 100 skips the [300,500] file
+    assert(planned(LessThan("n_chars", java.lang.Long.valueOf(100L))) == 2)
+    // conjunction across columns: n_chars < 100 AND doc_id >= 15 keeps
+    // only the file whose zones satisfy BOTH
+    assert(planned(LessThan("n_chars", java.lang.Long.valueOf(100L)),
+      GreaterThanOrEqual("doc_id", java.lang.Long.valueOf(15L))) == 1)
+  }
 }
