@@ -75,12 +75,13 @@ object DigestChanges {
         .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
     }
 
-  /** The REGISTERED main versions in ascending order — the feed iterates
-    * these, never raw integers: a crashed committer can leave a claimed
-    * `_MANIFEST.v<k>` snapshot that was never registered (q251's orphan
-    * skip), and diffing against that bogus state would invent changes.
+  /** The REGISTERED main versions in ascending order — the feed AND the
+    * table stream iterate these, never raw integers: a crashed committer
+    * can leave a claimed `_MANIFEST.v<k>` snapshot that was never
+    * registered (q251's orphan skip), and diffing against that bogus
+    * state would invent changes.
     */
-  private def registeredVersions(path: String): Seq[Int] = {
+  private[sources] def registeredVersions(path: String): Seq[Int] = {
     val vf = Paths.get(path, "_VERSIONS")
     if (!Files.exists(vf)) Seq.empty
     else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
@@ -364,9 +365,17 @@ class DigestMicroBatchStream(path: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[DigestVersionOffset].v
     val e = end.asInstanceOf[DigestVersionOffset].v
-    (s + 1 to e).flatMap { v =>
-      val prevE = DigestChanges.manifestEntries(path, v - 1)
+    // REGISTERED versions only (see [[DigestChanges.registeredVersions]]):
+    // an orphaned claim from a crashed committer leaves a snapshot file
+    // whose content was never committed — diffing against it would serve
+    // phantom rows
+    val versions = DigestChanges.registeredVersions(path)
+      .filter(v => v > s && v <= e)
+    var prevV = s
+    versions.flatMap { v =>
+      val prevE = DigestChanges.manifestEntries(path, prevV)
       val curE = DigestChanges.manifestEntries(path, v)
+      prevV = v
       val prev = prevE.map(en => en.file -> en).toMap
       val removed = prev.keySet -- curE.map(_.file).toSet
       require(removed.isEmpty,

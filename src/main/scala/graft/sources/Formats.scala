@@ -3498,6 +3498,107 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q259: corpus-refresh capstone — branch → dedup → audit → publish → CDC
+  // The round-15 machinery composed end-to-end, the workflow a production
+  // LLM-corpus pipeline runs every ingestion cycle: a new crawl lands on
+  // a BRANCH (write), known-duplicate content is deleted there and the
+  // remainder audited (audit), main adopts the branch in one atomic
+  // commit (publish), and a downstream replica catches up from the
+  // change feed alone (CDC-apply). Pinned: main is byte-identical until
+  // the publish, the poisoned first audit blocks, and the replica —
+  // maintained ONLY from changes — ends row-for-row equal to main.
+  def q259CorpusRefresh(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.crefresh_${Integer.toHexString(dir.hashCode)}"
+    val tblB = s"${tbl}_ingest"
+    val tblR = s"${tbl}_replica"
+    graft.TempDirs.staged(s"dsv2_corpus_refresh:$dir") { p =>
+      val sink = p.resolve("sink")
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q259")
+      // production corpus: en, de, fr
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q259 WHERE lang IN ('en','de','fr')")
+      val fork = DigestManifest.currentVersion(sink.toString)
+      // the crawl lands on a branch: fresh langs (zh, es) plus fr DUPES
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'ingest')").collect()
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'branch'='ingest')""".stripMargin)
+      s.sql(s"INSERT INTO $tblB SELECT doc_id, lang, n_chars FROM docs_q259 WHERE lang IN ('zh','es')")
+      s.sql(s"INSERT INTO $tblB SELECT doc_id + 2000000, lang, n_chars FROM docs_q259 WHERE lang = 'fr'")
+      // the dupes poison the audit: every branch doc_id must be NEW to
+      // main (main's ids stop well under 2000000, and the crawl's fresh
+      // rows keep their original sub-million ids — the re-crawled fr
+      // content is the overlap the audit range excludes)
+      require(DigestManifest.currentVersion(sink.toString) == fork,
+        "q259: crawl commits must stay on the branch")
+      val failed =
+        try {
+          s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+                   |  branch => 'ingest', audit => 'doc_id < 2000000')""".stripMargin).collect()
+          false
+        } catch { case e: Exception => e.getMessage.contains("audit") }
+      require(failed, "q259: the dupe-carrying crawl must fail the audit")
+      // dedup the contaminated region: overwrite-by-filter on the BRANCH
+      // replaces every fr entry with the clean original rows (q186's verb
+      // through the branch ref; retainHistory keeps the replaced files on
+      // disk — main's live listing still names the originals)
+      t(s, dir, "documents").filter(col("lang") === "fr")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(tblB).overwrite(col("lang") === "fr")
+      s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+               |  branch => 'ingest', audit => 'doc_id < 2000000')""".stripMargin).collect()
+      // downstream replica: maintained ONLY from the change feed
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblR (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='${p.resolve("replica")}', 'delta'='true')""".stripMargin)
+      val fold = (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => {
+        b.createOrReplaceTempView("q259_batch")
+        b.sparkSession.sql(
+          s"""MERGE INTO $tblR t
+             |USING (
+             |  SELECT doc_id, lang, n_chars, _change_type FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY _commit_version DESC,
+             |        CASE _change_type WHEN 'delete' THEN 0 ELSE 1 END DESC) AS rn
+             |    FROM q259_batch) x WHERE rn = 1) u
+             |ON t.doc_id = u.doc_id
+             |WHEN MATCHED AND u._change_type = 'delete' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET lang = u.lang, n_chars = u.n_chars
+             |WHEN NOT MATCHED AND u._change_type <> 'delete' THEN
+             |  INSERT (doc_id, lang, n_chars) VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+        ()
+      }
+      val q = s.readStream.format("graft.sources.DigestSink")
+        .option("path", sink.toString).option("changesFrom", "0").load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val replica = s.table(tblR).orderBy("doc_id").collect().toSeq
+      val main = s.table(tbl).orderBy("doc_id").collect().toSeq
+      require(replica == main,
+        s"q259: the CDC-maintained replica diverged from main " +
+          s"(replica=${replica.size} rows, main=${main.size})")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tblR
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q259Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -3560,6 +3661,7 @@ object Formats {
     "q256_dv_update_merge" -> q256DvUpdateMerge _,
     "q257_zone_maps_nchars" -> q257ZoneMapsNChars _,
     "q258_zone_broadcast" -> q258ZoneBroadcast _,
+    "q259_corpus_refresh" -> q259CorpusRefresh _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3624,5 +3726,6 @@ object Formats {
     "q256_dv_update_merge" -> q256Sql,
     "q257_zone_maps_nchars" -> q257Sql,
     "q258_zone_broadcast" -> q258Sql,
+    "q259_corpus_refresh" -> q259Sql,
   )
 }

@@ -1093,6 +1093,35 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q251/q242: an orphaned claim (crashed committer) is invisible to " +
+      "the table stream and the change feed") {
+    import graft.sources.{ChangesFilePartition, DigestChanges, DigestFilePartition, DigestManifest, DigestMicroBatchStream, DigestVersionOffset}
+    val dir = tmp("graft_orphclaim_")
+    java.nio.file.Files.write(dir.resolve("a.csv"), java.util.List.of("1,en,10"))
+    java.nio.file.Files.write(dir.resolve("b.csv"), java.util.List.of("2,en,20"))
+    DigestManifest.publish(dir.toString, Seq("a.csv,1"))
+    // a crashed committer CLAIMED v2 (its snapshot file exists, with
+    // content that must never be served) but never registered it
+    java.nio.file.Files.write(dir.resolve("_MANIFEST.v2"),
+      java.util.List.of("a.csv,1", "bogus.csv,999"))
+    // the next live commit waits out the orphan and lands past it
+    DigestManifest.publishAppend(dir.toString, Seq("b.csv,1"), 1)
+    val head = DigestManifest.currentVersion(dir.toString)
+    assert(head == 3, s"expected the live commit to skip the orphan, got v$head")
+    // the table stream plans exactly the two REGISTERED commits' adds
+    val stream = new DigestMicroBatchStream(dir.toString)
+    val files = stream.planInputPartitions(DigestVersionOffset(0),
+      DigestVersionOffset(head))
+      .collect { case p: DigestFilePartition => p.file }
+    assert(files.sorted.toSeq == Seq("a.csv", "b.csv"), files.toSeq.toString)
+    // ...and so does the change feed — the orphan's bogus entry never
+    // appears as a change
+    val cdf = DigestChanges.plan(dir.toString, 0, head)
+      .collect { case p: ChangesFilePartition => (p.file, p.changeType) }
+    assert(cdf.sorted == Seq(("a.csv", "insert"), ("b.csv", "insert")),
+      cdf.toString)
+  }
+
   // ---- remove_orphan_files (q254) -----------------------------------------
 
   test("q254: remove_orphan_files refuses loudly when a snapshot-referenced " +
