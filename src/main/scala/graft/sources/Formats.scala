@@ -3599,6 +3599,80 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q260: branch lifecycle — list, drop, GC reclaim ---------------------
+  // Completes the ref surface (q255): `branches` lists every ref with its
+  // head and fork-base versions; `drop_branch` retires a ref's metadata
+  // synchronously while its now-unreferenced data files are reclaimed by
+  // the next `remove_orphan_files` pass — the same refs-now/bytes-later
+  // division of labor as snapshot expiry. The fixture drives the whole
+  // arc: two branches forked, one written, the listing pinned, the
+  // written branch dropped, its file proven GONE after GC while main and
+  // the surviving branch stay byte-identical (the hash-checked result).
+  def q260BranchLifecycle(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.brlife_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_branch_lifecycle:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q260")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q260 WHERE lang IN ('en','de')")
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'b1')").collect()
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'b2')").collect()
+      val tblB = s"${tbl}_b2"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'branch'='b2')""".stripMargin)
+      s.sql(s"INSERT INTO $tblB SELECT doc_id, lang, n_chars FROM docs_q260 WHERE lang = 'zh'")
+      def branches() = s.sql(s"CALL graft.system.branches(table => '$short')")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      require(branches() == Seq(("b1", 1L, 1L), ("b2", 2L, 1L)),
+        s"q260: listing diverged: ${branches()}")
+      // b2's own data file exists and only b2 references it
+      val b2Files = DigestManifest.head(sink.toString, "b2")._2
+        .map(_.split(",")(0)).toSet --
+        DigestManifest.head(sink.toString)._2.map(_.split(",")(0)).toSet
+      require(b2Files.nonEmpty && b2Files.forall(f =>
+          java.nio.file.Files.exists(sink.resolve(f))),
+        s"q260: expected branch-only data files, got $b2Files")
+      s.sql(s"CALL graft.system.drop_branch(table => '$short', branch => 'b2')").collect()
+      require(branches() == Seq(("b1", 1L, 1L)),
+        s"q260: drop must retire exactly b2: ${branches()}")
+      val unknown =
+        try { s.sql(s"CALL graft.system.drop_branch(table => '$short', branch => 'b2')").collect(); false }
+        catch { case e: Exception => e.getMessage.contains("no branch") }
+      require(unknown, "q260: dropping an unknown branch must refuse loudly")
+      // the dropped branch's bytes are unreferenced now — GC reclaims
+      // them while everything main and b1 reference survives
+      s.sql(s"""CALL graft.system.remove_orphan_files(table => '$short',
+               |  older_than_ms => CAST(0 AS BIGINT))""".stripMargin).collect()
+      require(b2Files.forall(f => !java.nio.file.Files.exists(sink.resolve(f))),
+        "q260: the dropped branch's files must be GC'd")
+      val live = (DigestManifest.head(sink.toString)._2 ++
+        DigestManifest.head(sink.toString, "b1")._2).map(_.split(",")(0))
+      require(live.nonEmpty && live.forall(f =>
+          java.nio.file.Files.exists(sink.resolve(f))),
+        "q260: main/b1-referenced files must survive the GC")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q260Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -3662,6 +3736,7 @@ object Formats {
     "q257_zone_maps_nchars" -> q257ZoneMapsNChars _,
     "q258_zone_broadcast" -> q258ZoneBroadcast _,
     "q259_corpus_refresh" -> q259CorpusRefresh _,
+    "q260_branch_lifecycle" -> q260BranchLifecycle _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -3727,5 +3802,6 @@ object Formats {
     "q257_zone_maps_nchars" -> q257Sql,
     "q258_zone_broadcast" -> q258Sql,
     "q259_corpus_refresh" -> q259Sql,
+    "q260_branch_lifecycle" -> q260Sql,
   )
 }

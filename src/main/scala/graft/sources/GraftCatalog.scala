@@ -422,7 +422,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // them
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "history", "expire_snapshots", "remove_orphan_files",
-      "create_branch", "fast_forward")
+      "create_branch", "fast_forward", "branches", "drop_branch")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -434,6 +434,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "remove_orphan_files" if known => new RemoveOrphanFilesProcedure(catalogName)
       case "create_branch" if known => new CreateBranchProcedure(catalogName)
       case "fast_forward" if known => new FastForwardProcedure(catalogName)
+      case "branches" if known => new BranchesProcedure(catalogName)
+      case "drop_branch" if known => new DropBranchProcedure(catalogName)
       case _ => throw new NoSuchElementException(
         s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
           "(available: system.compact, system.history, system.expire_snapshots, " +

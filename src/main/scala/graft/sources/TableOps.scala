@@ -466,6 +466,97 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
   }
 }
 
+/** `CALL graft.system.branches(table => 'ns.t')` (q260): list the
+  * table's named refs — one row per branch with its head version and the
+  * main version it forked from (the fast-forward base). Read straight
+  * from the per-ref version logs ([[DigestManifest.mName]]), O(refs).
+  */
+class BranchesProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "branches"
+  override def description(): String =
+    "list a graft_digest table's branch refs with head and fork-base versions"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    import scala.jdk.CollectionConverters._
+    val tbl = input.getUTF8String(0).toString
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "branches",
+      requireDelta = false)
+    val dir = Paths.get(path)
+    val refs =
+      if (!Files.isDirectory(dir)) Seq.empty[String]
+      else {
+        val listing = Files.list(dir)
+        try listing.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("_VERSIONS@")).map(_.drop(10)).toSeq.sorted
+        finally listing.close()
+      }
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("forked_from_version", LongType, nullable = false)))
+    val rows = refs.map { b =>
+      val base = ProcedureSupport.manifestLines(path, s"_BASE@$b")
+        .headOption.map(_.trim.toLong).getOrElse(0L)
+      InternalRow(UTF8String.fromString(b),
+        DigestManifest.currentVersion(path, b).toLong, base)
+    }.toArray
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, rows)).iterator()
+  }
+}
+
+/** `CALL graft.system.drop_branch(table => 'ns.t', branch => 'b')`
+  * (q260): retire a ref — its pointer, version log, fast-forward base,
+  * and numbered snapshots are deleted; data files only the branch named
+  * become unreferenced and are reclaimed by the NEXT
+  * `remove_orphan_files` pass (the same division of labor as snapshot
+  * expiry: refs go synchronously, bytes go through GC).
+  */
+class DropBranchProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "drop_branch"
+  override def description(): String =
+    "delete a graft_digest table's branch ref (files reclaimed by remove_orphan_files)"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("branch", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    import scala.jdk.CollectionConverters._
+    val tbl = input.getUTF8String(0).toString
+    val branch = DigestManifest.checkRef(input.getUTF8String(1).toString)
+    require(branch != DigestManifest.MainRef,
+      "graft.system.drop_branch: cannot drop main")
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "drop_branch",
+      requireDelta = false)
+    require(DigestManifest.currentVersion(path, branch) > 0,
+      s"graft.system.drop_branch: no branch '$branch' on $tbl")
+    val dir = Paths.get(path)
+    val prefix = s"_MANIFEST@$branch"
+    var dropped = 0L
+    val listing = Files.list(dir)
+    val doomed = try listing.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      n == prefix || n.startsWith(s"$prefix.v") ||
+        n == s"_VERSIONS@$branch" || n == s"_BASE@$branch"
+    }.toSeq finally listing.close()
+    doomed.foreach { p => Files.deleteIfExists(p); dropped += 1 }
+    val schema = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("deleted_meta_files", LongType, nullable = false)))
+    val row: InternalRow = InternalRow(UTF8String.fromString(branch), dropped)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
 /** `CALL graft.system.remove_orphan_files(table => 'ns.t',
   * older_than_ms => n)` (q254): completes the maintenance trio next to
   * compact (q225) and expire_snapshots (q229). expire_snapshots GCs files
