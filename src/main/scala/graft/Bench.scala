@@ -6,16 +6,19 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-15 FINAL QUERY SET (all 253 queries, q1–q256)
-  * must stay ≤ 216 s (1.3 × the 166.19 s round-15 anchor — min-of-3
-  * full-set runs of 172.06 / 179.65 / 166.19 s, zero failures, zero
-  * flaky, on the round-15 build host; the six round-15 additions
-  * q251–q256 cost 0.05–0.13 s each). For reference the round-14 anchor
-  * was 154.45 s over 247 queries / ceiling 201 s; the streaming
-  * trigger-latency swing story (q184 26.7 s → 5.69 s targeted) is in
-  * PLANS.md "Round 14 final anchor" and is exactly why the exemption
-  * bands below exist. Queries added after this anchor are excluded from
-  * the ratchet until it is re-taken on a quiet run that includes them.
+  * total over the ROUND-15 FINAL QUERY SET (all 257 queries, q1–q260)
+  * must stay ≤ 227 s (1.3 × the 174.87 s round-15 final anchor —
+  * min-of-3 full-set runs of 177.92 / 177.47 / 174.87 s, zero failures,
+  * zero flaky, on the round-15 build host; the ten round-15 additions
+  * q251–q260 cost ≤0.13 s each except the q259 CDC-apply capstone,
+  * whose streaming trigger protocol pays a few seconds by design). An
+  * earlier same-round mid-point anchor read 166.19 s over 253 queries;
+  * the round-14 anchor was 154.45 s over 247 / ceiling 201 s. The
+  * streaming trigger-latency swing story (q184 26.7 s → 5.69 s
+  * targeted) is in PLANS.md "Round 14 final anchor" and is exactly why
+  * the exemption bands below exist. Queries added after this anchor are
+  * excluded from the ratchet until it is re-taken on a quiet run that
+  * includes them.
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
