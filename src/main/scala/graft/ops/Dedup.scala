@@ -752,7 +752,55 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // ---- q265: corpus-RELATIVE stop-shingle cutoff (q41's production twin) --
+  // q41's absolute `df <= 100` blocking cutoff is correct at any one
+  // scale but SATURATES under replication: the round-15 sf10 soak
+  // (copies=100) pushed every rare shingle's df to ~100× and the banded
+  // join degenerated to zero candidates. The production spelling is a
+  // CORPUS-FRACTION cutoff — a shingle is a stop-shingle when it appears
+  // in more than 5% of documents (`df * 20 > n_docs`, pure integer
+  // arithmetic, cross-engine exact) — which is scale-invariant: the same
+  // query yields the same near-dup pairs per document at sf0.01 and
+  // sf10, so the sf10 soak rung exercises the REAL join. Same partial-
+  // agg + broadcast anti-join skew defense as q41; `n_docs` is one
+  // driver-side scalar.
+  def q265RelativeBlocking(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.count() // one bounded scalar: the corpus size
+    val sh = shingles(docs)
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") * lit(20L) > lit(nDocs))
+      .select("shingle")
+    val shf = sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val a = shf.select(col("shingle"), col("doc_id").as("id_a"), col("n_doc").as("n_a"))
+    val b = shf.select(col("shingle"), col("doc_id").as("id_b"), col("n_doc").as("n_b"))
+    val pairs = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_common"))
+    jaccardPairs(pairs)
+  }
+
+  val q265Sql: String =
+    s"""WITH sh AS ($shinglesSql),
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) * 20 <= (SELECT COUNT(*) FROM documents)),
+       |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+       |  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_relative_blocking" -> q265RelativeBlocking _,
     "q40_dedup_exact" -> q40DedupExact _,
     "q41_ngram_jaccard" -> q41NgramJaccard _,
     "q42_minhash_lsh" -> q42MinhashLsh _,
@@ -767,6 +815,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "q265_relative_blocking" -> q265Sql,
     "q40_dedup_exact" -> q40Sql,
     "q41_ngram_jaccard" -> q41Sql,
     "q44_dedup_clusters" -> q44Sql,

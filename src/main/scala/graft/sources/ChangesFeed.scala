@@ -33,16 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * replay), and at 100 TB it is what makes incremental downstream
   * consumption O(changes) instead of O(table-snapshot-diff).
   */
-class DigestChangesTable(path: String, from: Int, to: Option[Int])
+class DigestChangesTable(path: String, from: Int, to: Option[Int],
+    ref: String = DigestManifest.MainRef)
     extends Table with SupportsRead {
   require(from >= 0, s"graft_digest changes: changesFrom must be >= 0, got $from")
-  override def name(): String = s"graft_digest_changes($path @($from,${to.getOrElse("latest")}])"
+  override def name(): String =
+    s"graft_digest_changes($path@$ref @($from,${to.getOrElse("latest")}])"
   override def schema(): StructType = DigestChanges.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new DigestChangesScan(path, from,
-      to.getOrElse(DigestManifest.currentVersion(path)))
+      to.getOrElse(DigestManifest.currentVersion(path, ref)), ref)
 }
 
 object DigestChanges {
@@ -54,25 +56,18 @@ object DigestChanges {
     StructField("_commit_version", LongType, nullable = false)))
 
   private[sources] def manifestFiles(path: String, v: Int): Seq[String] =
-    if (v == 0) Seq.empty
-    else {
-      val mf = Paths.get(path, s"_MANIFEST.v$v")
-      require(Files.exists(mf),
-        s"graft_digest changes: version $v is not resolvable at $path " +
-          "(expired? the feed needs its snapshots retained)")
-      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
-        .asScala.filter(_.nonEmpty).map(_.split(",")(0)).toSeq
-    }
+    manifestEntries(path, v).map(_.file)
 
-  private[sources] def manifestEntries(path: String, v: Int): Seq[ManifestEntry] =
+  private[sources] def manifestEntries(path: String, v: Int,
+      ref: String = DigestManifest.MainRef): Seq[ManifestEntry] =
     if (v == 0) Seq.empty
     else {
-      val mf = Paths.get(path, s"_MANIFEST.v$v")
-      require(Files.exists(mf),
-        s"graft_digest changes: version $v is not resolvable at $path " +
-          "(expired? the feed needs its snapshots retained)")
-      scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
-        .asScala.filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(Files.exists(
+          Paths.get(path, s"${DigestManifest.mName(ref)}.v$v")),
+        s"graft_digest changes: version $v of ref '$ref' is not resolvable " +
+          s"at $path (expired? the feed needs its snapshots retained)")
+      // resolves the sharded snapshot chain (delta → nearest full base)
+      DigestManifest.listingAt(path, ref, v).map(ManifestEntry.parse)
     }
 
   /** The REGISTERED main versions in ascending order — the feed AND the
@@ -81,8 +76,9 @@ object DigestChanges {
     * registered (q251's orphan skip), and diffing against that bogus
     * state would invent changes.
     */
-  private[sources] def registeredVersions(path: String): Seq[Int] = {
-    val vf = Paths.get(path, "_VERSIONS")
+  private[sources] def registeredVersions(path: String,
+      ref: String = DigestManifest.MainRef): Seq[Int] = {
+    val vf = Paths.get(path, DigestManifest.vName(ref))
     if (!Files.exists(vf)) Seq.empty
     else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
       .asScala.filter(_.nonEmpty).map(_.split(",")(0).toInt).toSeq.sorted
@@ -101,13 +97,14 @@ object DigestChanges {
     * answer. Compaction commits (tagged content-preserving) are skipped
     * whole.
     */
-  private[graft] def plan(path: String, from: Int, to: Int): Seq[InputPartition] = {
+  private[graft] def plan(path: String, from: Int, to: Int,
+      ref: String = DigestManifest.MainRef): Seq[InputPartition] = {
     require(to >= from,
       s"graft_digest changes: empty range ($from, $to]")
-    val versions = registeredVersions(path).filter(v => v > from && v <= to)
+    val versions = registeredVersions(path, ref).filter(v => v > from && v <= to)
     var prev = from
     versions.flatMap { v =>
-      val parts = planVersion(path, prev, v)
+      val parts = planVersion(path, prev, v, ref)
       prev = v
       parts
     }
@@ -116,7 +113,8 @@ object DigestChanges {
   /** One version's change partitions: `prevV` is the PREVIOUS REGISTERED
     * version (not necessarily v-1 — orphaned claims leave gaps).
     */
-  private def planVersion(path: String, prevV: Int, v: Int): Seq[InputPartition] = {
+  private def planVersion(path: String, prevV: Int, v: Int,
+      ref: String): Seq[InputPartition] = {
     // a commit tagged content-preserving ([[DigestManifest.markCompaction]]
     // — the snapshot + truncate-overwrite cycle that folds a delta log or
     // deletion vectors into fresh base files) carries ZERO logical
@@ -124,8 +122,9 @@ object DigestChanges {
     // (INSERT OVERWRITE / TRUNCATE over a live log) genuinely changes
     // data — emitting zero change rows would silently diverge every
     // downstream CDC consumer, so the feed refuses loudly instead.
-    if (DigestManifest.isCompaction(path, v)) return Seq.empty
-    val rec = Paths.get(path, s"_CHANGES.v$v")
+    if (ref == DigestManifest.MainRef &&
+      DigestManifest.isCompaction(path, v)) return Seq.empty
+    val rec = Paths.get(path, s"${DigestManifest.changesName(ref)}.v$v")
     val (added, removed, mutated) =
       if (Files.exists(rec)) {
         val lines = scala.jdk.CollectionConverters.ListHasAsScala(
@@ -141,8 +140,8 @@ object DigestChanges {
           })
       } else {
         // legacy commit without a record: full snapshot diff
-        val prevE = manifestEntries(path, prevV)
-        val curE = manifestEntries(path, v)
+        val prevE = manifestEntries(path, prevV, ref)
+        val curE = manifestEntries(path, v, ref)
         val prev = prevE.map(e => e.file -> e).toMap
         val cur = curE.map(e => e.file -> e).toMap
         (curE.filterNot(e => prev.contains(e.file)),
@@ -192,13 +191,15 @@ object DigestChanges {
   }
 }
 
-class DigestChangesScan(path: String, from: Int, to: Int)
+class DigestChangesScan(path: String, from: Int, to: Int,
+    ref: String = DigestManifest.MainRef)
     extends Scan with Batch {
   override def readSchema(): StructType = DigestChanges.schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft_digest_changes($path) ($from,$to]"
+  override def description(): String =
+    s"graft_digest_changes($path@$ref) ($from,$to]"
   override def planInputPartitions(): Array[InputPartition] =
-    DigestChanges.plan(path, from, to).toArray
+    DigestChanges.plan(path, from, to, ref).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangesReaderFactory
 
@@ -207,7 +208,7 @@ class DigestChangesScan(path: String, from: Int, to: Int)
   // readChangeFeed shape). Downstream CDC consumers tail the table's
   // commit log directly instead of re-diffing snapshots.
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new DigestChangesMicroBatchStream(path, from)
+    new DigestChangesMicroBatchStream(path, from, ref)
 }
 
 /** Streaming form of the change feed (q244): offsets are manifest
@@ -215,19 +216,20 @@ class DigestChangesScan(path: String, from: Int, to: Int)
   * CHANGE rows of its version range — including deletes and compaction
   * skips, which the append-only table stream cannot represent.
   */
-class DigestChangesMicroBatchStream(path: String, from: Int)
+class DigestChangesMicroBatchStream(path: String, from: Int,
+    ref: String = DigestManifest.MainRef)
     extends MicroBatchStream {
   private def offset(v: Int) = DigestVersionOffset(v)
   override def initialOffset(): Offset = offset(from)
   override def latestOffset(): Offset =
-    offset(DigestManifest.currentVersion(path))
+    offset(DigestManifest.currentVersion(path, ref))
   override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     DigestChanges.plan(path,
       start.asInstanceOf[DigestVersionOffset].v,
-      end.asInstanceOf[DigestVersionOffset].v).toArray
+      end.asInstanceOf[DigestVersionOffset].v, ref).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ChangesReaderFactory
 }

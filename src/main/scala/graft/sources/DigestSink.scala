@@ -67,11 +67,14 @@ class DigestSink extends TableProvider {
     if (properties.containsKey("changesFrom"))
       new DigestChangesTable(properties.get("path"),
         properties.get("changesFrom").toInt,
-        Option(properties.get("changesTo")).map(_.toInt))
+        Option(properties.get("changesTo")).map(_.toInt),
+        Option(properties.get("branch")).getOrElse(DigestManifest.MainRef))
     // `branch` selects the named ref's view of the directory (q255) —
-    // the fast_forward audit reads the candidate branch through this
+    // the fast_forward audit reads the candidate branch through this;
+    // `versionAsOf` (q262) time-travels WITHIN the branch's own log
     else if (properties.containsKey("branch"))
-      new DigestBranchTable(properties.get("path"), properties.get("branch"))
+      new DigestBranchTable(properties.get("path"), properties.get("branch"),
+        Option(properties.get("versionAsOf")).map(_.toInt))
     else new DigestSinkTable(properties.get("path"),
       langSplit = false,
       requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
@@ -98,15 +101,56 @@ object DigestSink {
 
   /** Serialize a committed file as its manifest entry line, folding the
     * writer-observed zone maps (q253 doc_id, q257 n_chars) into the
-    * entry's attributes.
+    * entry's attributes — but only for the table's DECLARED zone-map
+    * columns (q263, TBLPROPERTIES `'zonemap.columns'`; default both):
+    * the scan prunes off recorded attributes, so the declaration is
+    * enforced at the one place entries are minted.
     */
-  private[sources] def entryLine(f: CommittedFile): String =
+  private[sources] def entryLine(f: CommittedFile,
+      zonemapCols: Set[String] = zmCols.keySet): String =
     ManifestEntry(f.fileName, f.rows,
-      f.zm.fold(Map.empty[String, String]) { case (lo, hi) =>
-        Map("zmin" -> lo.toString, "zmax" -> hi.toString)
-      } ++ f.nm.fold(Map.empty[String, String]) { case (lo, hi) =>
-        Map("nmin" -> lo.toString, "nmax" -> hi.toString)
-      }).line
+      (if (zonemapCols("doc_id"))
+        f.zm.fold(Map.empty[String, String]) { case (lo, hi) =>
+          Map("zmin" -> lo.toString, "zmax" -> hi.toString)
+        }
+      else Map.empty[String, String]) ++
+      (if (zonemapCols("n_chars"))
+        f.nm.fold(Map.empty[String, String]) { case (lo, hi) =>
+          Map("nmin" -> lo.toString, "nmax" -> hi.toString)
+        }
+      else Map.empty[String, String])).line
+
+  /** Parse + validate a `'zonemap.columns'` table property. */
+  private[sources] def parseZonemapCols(prop: String): Set[String] = {
+    val cols = prop.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = cols -- zmCols.keySet
+    require(unknown.isEmpty,
+      s"graft_digest: 'zonemap.columns' names non-zone-mappable columns " +
+        s"$unknown (supported: ${zmCols.keySet.mkString(", ")})")
+    cols
+  }
+
+  /** Paths whose NEXT batch write must lay rows out RANGE-CLUSTERED and
+    * sorted on the given columns into `buckets` writer tasks (q263,
+    * `CALL graft.system.rewrite_sorted`): the Write declares an ORDERED
+    * distribution and the ENGINE plans the range exchange + sort, so
+    * every committed file covers a tight zone — the write-time
+    * clustering that restores zone-map pruning after shuffled ingest.
+    */
+  private val pendingRangeLayout =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Int)]()
+
+  private[sources] def declareRangeLayoutForNextWrite(path: String,
+      cols: Seq[String], buckets: Int): Unit =
+    pendingRangeLayout.put(
+      Paths.get(path).toAbsolutePath.normalize().toString, (cols, buckets))
+
+  private[sources] def clearRangeLayout(path: String): Unit =
+    pendingRangeLayout.remove(Paths.get(path).toAbsolutePath.normalize().toString)
+
+  private[sources] def rangeLayoutFor(path: String): Option[(Seq[String], Int)] =
+    Option(pendingRangeLayout.get(
+      Paths.get(path).toAbsolutePath.normalize().toString))
 
   /** The zone-mapped columns: column name → its (min, max) manifest
     * attribute names. Writers record these at commit (q253/q257) and the
@@ -209,9 +253,37 @@ private[graft] object DvCodec {
   * `TIMESTAMP AS OF` (q224) resolves against — the same
   * snapshot-log-plus-current-pointer shape every production table format
   * uses, at manifest granularity.
+  *
+  * SHARDED SNAPSHOTS — commit I/O is O(changes), not O(table files). A
+  * numbered snapshot is physically one of two shapes:
+  *
+  *   - FULL: plain `file,rows[,k=v]*` lines (v1, every
+  *     [[BaseEvery]]-th version, and any commit whose delta would not be
+  *     both smaller and fold-exact — truncate, whole-table overwrite);
+  *   - DELTA: a `#base:<v-1>` header followed by this commit's change
+  *     records in the `_CHANGES.v<N>` grammar (`+added`, `-removed`,
+  *     `~old|new`) — O(this commit's changes) bytes however many files
+  *     the table holds.
+  *
+  * The CURRENT pointer `_MANIFEST[@ref]` is a one-line
+  * `#version:<N>` indirection (an empty table's pointer is empty), so
+  * the pointer flip is O(1) bytes too. Every reader resolves through
+  * [[listingFor]]/[[listingAt]], which folds the delta chain back to
+  * the nearest full base — at most [[BaseEvery]]-1 O(changes) records —
+  * and a per-(table, ref) cache of the last folded head keeps repeated
+  * planning O(changes since last plan) instead of O(table files). Plain
+  * full-listing files (pre-shard tables, hand-written fixtures) still
+  * resolve unchanged: shape is detected per file, not per table.
   */
 private[graft] object DigestManifest {
   private val lastMicros = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Every BaseEvery-th version is written FULL, bounding any delta
+    * chain a reader must fold to BaseEvery-1 records. 16 balances
+    * per-commit bytes (15/16 commits are O(changes)) against worst-case
+    * plan resolution (≤15 tiny record files after one cold base read).
+    */
+  private val BaseEvery = 16
 
   /** NAMED REFS (q255): `main` is the default branch — the classic
     * `_MANIFEST`/`_VERSIONS` names — and every other ref keeps its own
@@ -233,8 +305,15 @@ private[graft] object DigestManifest {
   private[graft] def mName(ref: String): String =
     if (ref == MainRef) "_MANIFEST" else s"_MANIFEST@${checkRef(ref)}"
 
-  private def vName(ref: String): String =
+  private[sources] def vName(ref: String): String =
     if (ref == MainRef) "_VERSIONS" else s"_VERSIONS@${checkRef(ref)}"
+
+  /** The ref's change-record file stem (q262: every ref keeps its own
+    * O(changes) CDF metadata, so a branch's change history is auditable
+    * BEFORE publish).
+    */
+  private[sources] def changesName(ref: String): String =
+    if (ref == MainRef) "_CHANGES" else s"_CHANGES@${checkRef(ref)}"
 
   /** O(changes) CDF METADATA: every main commit records ITS OWN diff as
     * `_CHANGES.v<N>` — `+<entry>` added, `-<entry>` removed,
@@ -249,29 +328,244 @@ private[graft] object DigestManifest {
     */
   private def writeChangeRecord(dir: java.nio.file.Path, v: Int,
       oldLines: Seq[String], newLines: Seq[String], ref: String): Unit =
-    if (ref == MainRef) {
-      val oldByFile = oldLines.map(l => l.split(",")(0) -> l).toMap
-      val newByFile = newLines.map(l => l.split(",")(0) -> l).toMap
-      val records =
-        newLines.filter(l => !oldByFile.contains(l.split(",")(0))).map("+" + _) ++
-          oldLines.filter(l => !newByFile.contains(l.split(",")(0))).map("-" + _) ++
-          newLines.flatMap { l =>
-            val old = oldByFile.get(l.split(",")(0))
-            if (old.exists(_ != l)) Seq(s"~${old.get}|$l") else Seq.empty
-          }
-      Files.write(dir.resolve(s"_CHANGES.v$v"),
-        records.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve(s"${changesName(ref)}.v$v"),
+      deltaRecords(oldLines, newLines)
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+  /** The change records describing `newLines` relative to `oldLines` —
+    * the one grammar shared by the CDF metadata (`_CHANGES.v<N>`) and
+    * the delta-shaped snapshot bodies: `+entry` added, `-entry` removed,
+    * `~old|new` an entry mutated in place (only a deletion-vector growth
+    * does this). O(changes) lines regardless of table size.
+    */
+  private[sources] def deltaRecords(oldLines: Seq[String],
+      newLines: Seq[String]): Seq[String] = {
+    val oldByFile = oldLines.map(l => l.split(",")(0) -> l).toMap
+    val newByFile = newLines.map(l => l.split(",")(0) -> l).toMap
+    newLines.filter(l => !oldByFile.contains(l.split(",")(0))).map("+" + _) ++
+      oldLines.filter(l => !newByFile.contains(l.split(",")(0))).map("-" + _) ++
+      newLines.flatMap { l =>
+        val old = oldByFile.get(l.split(",")(0))
+        if (old.exists(_ != l)) Seq(s"~${old.get}|$l") else Seq.empty
+      }
+  }
+
+  /** Apply one version's change records to its base listing. The commit
+    * ORDER CONTRACT survives the fold: surviving base entries keep their
+    * committed order (removals drop lines, mutations replace in place)
+    * and added entries append after them in record order — exactly how
+    * every commit path builds its listing, which [[snapshotBytes]]
+    * additionally verifies per commit before choosing the delta shape.
+    */
+  /** First field (the file name) of a manifest line — `indexOf`, not a
+    * regex split: the fold runs this over every line of a 10⁵-entry
+    * listing per plan.
+    */
+  private def fileOf(l: String): String = {
+    val i = l.indexOf(',')
+    if (i < 0) l else l.substring(0, i)
+  }
+
+  private[sources] def foldRecords(base: Seq[String],
+      records: Seq[String]): Seq[String] = {
+    val adds = records.collect { case r if r.startsWith("+") => r.tail }
+    val removed = records.collect {
+      case r if r.startsWith("-") => fileOf(r.tail)
+    }.toSet
+    val mutated: Map[String, String] = records.collect {
+      case r if r.startsWith("~") =>
+        val i = r.indexOf('|')
+        require(i > 0, s"graft_digest: malformed snapshot record '$r'")
+        fileOf(r.substring(1, i)) -> r.substring(i + 1)
+    }.toMap
+    // all-appends (the common commit) skips the per-line rebuild
+    if (removed.isEmpty && mutated.isEmpty) base ++ adds
+    else base.filterNot(l => removed.contains(fileOf(l)))
+      .map(l => mutated.getOrElse(fileOf(l), l)) ++ adds
+  }
+
+  /** The bytes to CAS-claim version `v` with: a `#base:<v-1>` delta when
+    * the delta is both smaller than the full listing and fold-exact
+    * (order included), a full listing otherwise — so correctness never
+    * depends on a caller's listing being delta-expressible, and every
+    * [[BaseEvery]]-th version re-anchors the chain.
+    */
+  private def snapshotBytes(v: Int, base: Seq[String],
+      neu: Seq[String]): Array[Byte] = {
+    val full = neu.mkString("\n").getBytes(StandardCharsets.UTF_8)
+    if (v <= 1 || v % BaseEvery == 0 || base.isEmpty) return full
+    val recs = deltaRecords(base, neu)
+    val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8)
+    if (delta.length < full.length && foldRecords(base, recs) == neu) delta
+    else full
+  }
+
+  /** Per-(table, ref) cache of the last FOLDED listing, so repeated head
+    * resolution costs O(changes since the cached version), not a full
+    * chain re-fold per plan. Safe across processes because a cached
+    * version is only reused after re-checking the snapshot file's
+    * (size, mtime) identity — registered snapshots are immutable, and
+    * the two legitimate rewrites (a dropped-and-recreated table path, an
+    * expire-time delta→full rebase) both change that identity.
+    */
+  private case class CachedListing(v: Int, size: Long, mtime: Long,
+      lines: Seq[String])
+  private val headCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedListing]()
+
+  private def cacheKey(path: String, ref: String): String =
+    Paths.get(path).toAbsolutePath.normalize().toString + "|" + ref
+
+  /** Test/soak hook: simulate a cold process (first plan after restart)
+    * by dropping every cached fold.
+    */
+  private[graft] def clearHeadCacheForTest(): Unit = headCache.clear()
+
+  private def readLines(f: java.nio.file.Path): Seq[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(f))
+      .asScala.filter(_.nonEmpty).toSeq
+
+  /** Resolve the LOGICAL listing of version `v` of `ref`: walk the delta
+    * chain back to the nearest full base (or the validated cached fold),
+    * then apply the records forward. O(changes since base/cache), with
+    * the chain length bounded by [[BaseEvery]].
+    */
+  private[graft] def listingAt(path: String, ref: String, v: Int): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val key = cacheKey(path, ref)
+    def validCache(cur: Int): Option[Seq[String]] = {
+      val c = headCache.get(key)
+      if (c == null || c.v != cur) None
+      else {
+        val f = Paths.get(path, s"${mName(ref)}.v$cur")
+        if (Files.exists(f) && Files.size(f) == c.size &&
+            Files.getLastModifiedTime(f).toMillis == c.mtime) Some(c.lines)
+        else None
+      }
     }
+    var stack = List.empty[Seq[String]] // ascending version order at exit
+    var cur = v
+    var base: Seq[String] = null
+    while (base == null) {
+      validCache(cur) match {
+        case Some(lines) => base = lines
+        case None =>
+          val f = Paths.get(path, s"${mName(ref)}.v$cur")
+          require(Files.exists(f),
+            s"graft_digest: version $cur of ref '$ref' is not resolvable " +
+              s"at $path (expired? snapshots must be retained to read it)")
+          val lines = readLines(f)
+          lines.headOption match {
+            case Some(h) if h.startsWith("#base:") =>
+              stack ::= lines.tail
+              cur = h.drop(6).toInt
+              if (cur == 0) base = Seq.empty
+            case _ => base = lines
+          }
+      }
+    }
+    val folded = stack.foldLeft(base)(foldRecords)
+    val slot = Paths.get(path, s"${mName(ref)}.v$v")
+    if (Files.exists(slot)) {
+      val entry = CachedListing(v, Files.size(slot),
+        Files.getLastModifiedTime(slot).toMillis, folded)
+      headCache.merge(key, entry,
+        (oldE, newE) => if (newE.v >= oldE.v) newE else oldE)
+    }
+    folded
+  }
+
+  /** Resolve any manifest FILE NAME — the current pointer
+    * (`_MANIFEST[@ref]`), a numbered snapshot (`_MANIFEST[@ref].v<k>`),
+    * or a legacy/hand-written full listing — to its logical listing.
+    * Missing file resolves to the empty listing (matching every caller's
+    * historical `if exists` guard); a broken delta chain fails loudly
+    * inside [[listingAt]].
+    */
+  def listingFor(path: String, name: String): Seq[String] = {
+    val f = Paths.get(path, name)
+    if (!Files.exists(f)) return Seq.empty
+    val lines = readLines(f)
+    lines.headOption match {
+      case Some(h) if h.startsWith("#version:") =>
+        listingAt(path, refOfManifestName(name)._1, h.drop(9).trim.toInt)
+      case Some(h) if h.startsWith("#base:") =>
+        val (ref, v) = refOfManifestName(name)
+        require(v > 0,
+          s"graft_digest: $name is delta-shaped but not a numbered snapshot")
+        listingAt(path, ref, v)
+      case _ => lines
+    }
+  }
+
+  /** `(ref, version)` named by a manifest file name; version 0 for the
+    * current pointer itself.
+    */
+  private def refOfManifestName(name: String): (String, Int) = {
+    val (stem, v) = name.lastIndexOf(".v") match {
+      case i if i > 0 && name.drop(i + 2).nonEmpty &&
+          name.drop(i + 2).forall(_.isDigit) =>
+        (name.take(i), name.drop(i + 2).toInt)
+      case _ => (name, 0)
+    }
+    if (stem == "_MANIFEST") (MainRef, v)
+    else {
+      require(stem.startsWith("_MANIFEST@"),
+        s"graft_digest: '$name' is not a manifest file name")
+      (stem.drop(10), v)
+    }
+  }
+
+  /** Every file name MENTIONED by a manifest file — full lines, both
+    * sides of `~` mutations, `+` adds AND `-` removes — without folding.
+    * A conservative SUPERSET of any resolvable listing through this
+    * file, which is exactly what GC reachability wants: sweeping decides
+    * from the union, so over-approximating keeps files, never loses
+    * them.
+    */
+  private[graft] def namesMentioned(path: String, name: String): Set[String] = {
+    val f = Paths.get(path, name)
+    if (!Files.exists(f)) return Set.empty
+    readLines(f).iterator.flatMap { l =>
+      if (l.startsWith("#")) Iterator.empty
+      else if (l.startsWith("+") || l.startsWith("-"))
+        Iterator.single(l.tail.split(",")(0))
+      else if (l.startsWith("~")) {
+        val i = l.indexOf('|')
+        Iterator(l.substring(1, i).split(",")(0),
+          l.substring(i + 1).split(",")(0))
+      } else Iterator.single(l.split(",")(0))
+    }.toSet
+  }
 
   /** How long a CAS loser waits for a claimed-but-unregistered version to
     * finish registering before treating it as an abandoned (crashed)
-    * committer and claiming past it. Registration follows the claim within
-    * microseconds in a live committer, so 2 s is generous.
+    * committer and reclaiming its slot. Registration follows the claim
+    * within microseconds in a live committer, so 2 s is generous.
     */
   private val OrphanWaitMs = 2000L
 
+  /** Paths whose NEXT publishReplace is a content-preserving compaction
+    * commit: the tag is then written between the CAS claim and
+    * registration — atomic with the commit from any reader's view, since
+    * an unregistered version is invisible ([[DigestChanges
+    * .registeredVersions]]). Closes the crash window where a compaction
+    * commit published but its `_COMPACTIONS` tag never landed, bricking
+    * the change feed over that range.
+    */
+  private val pendingCompaction =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def tagNextReplaceAsCompaction(path: String): Unit =
+    pendingCompaction.add(Paths.get(path).toAbsolutePath.normalize().toString)
+
+  def clearCompactionTag(path: String): Unit =
+    pendingCompaction.remove(Paths.get(path).toAbsolutePath.normalize().toString)
+
   /** CAS-claim version `v`: atomically create `_MANIFEST.v<v>` with the
-    * full listing bytes. `CREATE_NEW` maps to `open(O_CREAT|O_EXCL)` — the
+    * snapshot bytes (full or `#base:`-delta — [[snapshotBytes]]).
+    * `CREATE_NEW` maps to `open(O_CREAT|O_EXCL)` — the
     * one filesystem primitive that is atomic ACROSS PROCESSES — so of two
     * committers racing for the same version number exactly one wins; the
     * loser re-reads the new head and retries (rebasing or aborting per its
@@ -289,49 +583,70 @@ private[graft] object DigestManifest {
       case _: java.nio.file.FileAlreadyExistsException => false
     }
 
-  /** The highest version any committer has CLAIMED (its `_MANIFEST.v<k>`
-    * exists), registered or not. The CAS target must skip past these, or
-    * a retry would collide with an in-flight commit forever.
+  /** Claim EXACTLY version `v` — the linearization point of every commit.
+    * Returns true if this committer owns the slot. Returns false when the
+    * slot's holder REGISTERED `v` (or anything past it): a genuine
+    * predecessor — the caller re-reads the head and rebases or aborts.
+    * A slot held by a claim that never registers within [[OrphanWaitMs]]
+    * is an abandoned (crashed) committer: its bytes are atomically moved
+    * aside to a `.orphan-` name (exactly one mover wins; the file is
+    * swept by remove_orphan_files) and the claim retries. A stalled-but-
+    * alive holder that lost its slot this way fails LOUDLY at
+    * registration — [[finishCommit]] re-reads the slot and refuses to
+    * register bytes it did not write — never silently.
     */
-  private def claimedMax(dir: java.nio.file.Path, ref: String): Int = {
-    if (!Files.isDirectory(dir)) 0
-    else {
-      val prefix = s"${mName(ref)}.v"
-      val listing = Files.list(dir)
-      try {
-        var mx = 0
-        listing.forEach { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith(prefix) && n.length > prefix.length &&
-              n.drop(prefix.length).forall(_.isDigit))
-            mx = math.max(mx, n.drop(prefix.length).toInt)
-        }
-        mx
-      } finally listing.close()
+  private def claimExact(dir: java.nio.file.Path, path: String, v: Int,
+      bytes: Array[Byte], ref: String): Boolean = {
+    var attempts = 0
+    while (attempts < 1000) {
+      if (claim(dir, v, bytes, ref)) return true
+      // slot taken: wait for the holder to register; a registered head at
+      // or past v means a real predecessor committed
+      val deadline = System.nanoTime() + OrphanWaitMs * 1000000L
+      while (currentVersion(path, ref) < v && System.nanoTime() < deadline)
+        Thread.sleep(1L)
+      if (currentVersion(path, ref) >= v) return false
+      // abandoned claim: move it aside (atomic — one mover wins) and retry
+      try Files.move(dir.resolve(s"${mName(ref)}.v$v"),
+        dir.resolve(s".orphan-${mName(ref)}.v$v-" +
+          java.util.UUID.randomUUID().toString.take(8)),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.NoSuchFileException => () }
+      attempts += 1
     }
+    throw new IllegalStateException(
+      s"graft_digest: commit CAS starved claiming v$v at $path")
   }
 
-  /** Consistent `(version, lines)` snapshot of the registered head. Reads
-    * the immutable numbered snapshot file, never the `_MANIFEST` pointer —
-    * a pointer read races the flip; a registered version file cannot
-    * change after registration.
+  /** Consistent `(version, lines)` snapshot of the registered head.
+    * Resolves the immutable numbered snapshot chain, never the
+    * `_MANIFEST` pointer — a pointer read races the flip; a registered
+    * version's chain cannot change after registration.
     */
   def head(path: String, ref: String = MainRef): (Int, Seq[String]) = {
     val v = currentVersion(path, ref)
-    if (v == 0) (0, Seq.empty)
-    else (v, scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(Paths.get(path, s"${mName(ref)}.v$v")))
-      .asScala.filter(_.nonEmpty).toSeq)
+    (v, listingAt(path, ref, v))
   }
 
   /** Register a claimed version in `_VERSIONS` (one atomic O_APPEND
     * record) and flip the `_MANIFEST` pointer forward. The pointer flip
     * re-checks after moving: two processes flipping out of order converge
     * on the newest registered version because the snapshot files they copy
-    * from are immutable.
+    * from are immutable. `bytes` are the bytes this committer claimed the
+    * slot with: if the slot no longer holds them, the claim was reclaimed
+    * as an abandoned orphan during a stall — registering would publish
+    * ANOTHER committer's content under this committer's version, so it
+    * refuses loudly instead.
     */
   private def finishCommit(dir: java.nio.file.Path, path: String, v: Int,
-      ref: String): Int = {
+      ref: String, bytes: Array[Byte]): Int = {
+    val slot = dir.resolve(s"${mName(ref)}.v$v")
+    if (!Files.exists(slot) ||
+        !java.util.Arrays.equals(Files.readAllBytes(slot), bytes))
+      throw new java.util.ConcurrentModificationException(
+        s"graft_digest: claim of version $v at $path was reclaimed as an " +
+          "abandoned orphan while this committer stalled — the commit did " +
+          "NOT publish; re-plan and retry")
     // strictly monotone micros IN FILE ORDER: seed from the last
     // registered record so a second process continues the sequence
     val lastRegistered = {
@@ -350,11 +665,18 @@ private[graft] object DigestManifest {
     var settled = false
     while (!settled && flips < 10) {
       val hv = currentVersion(path, ref)
-      val bytes =
+      // the pointer is a one-line `#version:<N>` indirection (O(1) bytes
+      // per flip however large the table); readers resolve it through
+      // [[listingFor]]. An empty table's pointer is an empty file.
+      val pbytes =
         if (hv == 0) Array.emptyByteArray
-        else Files.readAllBytes(dir.resolve(s"${mName(ref)}.v$hv"))
-      val tmp = Files.createTempFile(dir, "_MANIFEST.tmp", "")
-      Files.write(tmp, bytes)
+        else s"#version:$hv\n".getBytes(StandardCharsets.UTF_8)
+      // the tmp prefix must match NO metadata glob: `_MANIFEST*`-prefixed
+      // leftovers from a crash here would be parsed as manifests by
+      // reachability scans and shielded from GC forever — `.manifest-tmp-`
+      // is plain sweepable garbage to remove_orphan_files instead
+      val tmp = Files.createTempFile(dir, ".manifest-tmp-", "")
+      Files.write(tmp, pbytes)
       Files.move(tmp, dir.resolve(mName(ref)), StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
       settled = currentVersion(path, ref) == hv
@@ -363,87 +685,70 @@ private[graft] object DigestManifest {
     v
   }
 
-  /** The CAS target for the next claim attempt: one past everything
-    * registered or claimed. When a claim is ahead of registration (another
-    * committer is mid-commit), wait briefly for it to register so a rebase
-    * sees its content; a claim that never registers within the wait is an
-    * abandoned crashed committer and is skipped (its orphan snapshot file
-    * is GC'd by remove_orphan_files).
-    */
-  private def nextTarget(dir: java.nio.file.Path, path: String,
-      ref: String): Int = {
-    val deadline = System.nanoTime() + OrphanWaitMs * 1000000L
-    var claimed = claimedMax(dir, ref)
-    while (claimed > currentVersion(path, ref) && System.nanoTime() < deadline) {
-      Thread.sleep(1L)
-      claimed = claimedMax(dir, ref)
-    }
-    math.max(claimed, currentVersion(path, ref)) + 1
-  }
-
   /** Atomically publish `lines` as the current manifest; returns the
     * version number the snapshot was recorded under. This is the
-    * LAST-WRITER-WINS full-listing form for single-writer maintenance
-    * paths (snapshot expiry, evolve commits); concurrent data commits go
-    * through [[publishAppend]] / [[publishReplace]], which validate
-    * against the base version their caller planned from. Even here the
-    * version slot is CAS-claimed, so a racing committer can never
-    * overwrite another's numbered snapshot.
+    * LAST-WRITER-WINS form for single-writer maintenance paths (snapshot
+    * expiry, branch creation, partition DDL): an interleaved commit makes
+    * the exact-slot claim fail, and the retry re-claims one past the NEW
+    * head — last writer wins, but never by overwriting another
+    * committer's slot or skipping its registered content.
     */
   def publish(path: String, lines: Seq[String], ref: String = MainRef): Int =
     synchronized {
       val dir = Paths.get(path)
       Files.createDirectories(dir)
-      val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-      var attempts = 0
       var v = -1
       var base: Seq[String] = Seq.empty
+      var claimed: Array[Byte] = null
       while (v < 0) {
-        require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
-        base = head(path, ref)._2
-        val target = nextTarget(dir, path, ref)
-        if (claim(dir, target, bytes, ref)) v = target
-        attempts += 1
+        val (hv, hlines) = head(path, ref)
+        val bytes = snapshotBytes(hv + 1, hlines, lines)
+        if (claimExact(dir, path, hv + 1, bytes, ref)) {
+          v = hv + 1; base = hlines; claimed = bytes
+        }
       }
       writeChangeRecord(dir, v, base, lines, ref)
-      finishCommit(dir, path, v, ref)
+      finishCommit(dir, path, v, ref, claimed)
     }
 
   /** Optimistic APPEND commit: `fresh` lines are appended to whatever the
     * head is NOW — if the head moved past `baseVersion` since the caller
     * planned, the commit REBASES (appends commute with any interleaved
-    * commit) and both committers survive as consecutive versions. This is
-    * the cross-process-safe path for INSERT INTO and delta-log (MERGE/
-    * UPDATE/DELETE verb) commits.
+    * commit) and both committers survive as consecutive versions. The
+    * claim targets EXACTLY head+1: losing the slot race means another
+    * commit registered first, and the retry re-reads the new head and
+    * rebases onto its content — an interleaved commit can never be
+    * skipped past and silently dropped.
     */
   def publishAppend(path: String, fresh: Seq[String], baseVersion: Int,
       ref: String = MainRef): Int =
     synchronized {
       val dir = Paths.get(path)
       Files.createDirectories(dir)
-      var attempts = 0
       var v = -1
       var base: Seq[String] = Seq.empty
+      var claimed: Array[Byte] = null
       while (v < 0) {
-        require(attempts < 1000, s"graft_digest: commit CAS starved at $path")
         val (hv, hlines) = head(path, ref)
         // rebase: appends commute — surviving head entries keep their
         // order (delta replay order is manifest order), fresh goes last
-        val bytes = (hlines ++ fresh).mkString("\n")
-          .getBytes(StandardCharsets.UTF_8)
-        val target = math.max(nextTarget(dir, path, ref), hv + 1)
-        if (claim(dir, target, bytes, ref)) { v = target; base = hlines }
-        attempts += 1
+        val bytes = snapshotBytes(hv + 1, hlines, hlines ++ fresh)
+        if (claimExact(dir, path, hv + 1, bytes, ref)) {
+          v = hv + 1; base = hlines; claimed = bytes
+        }
       }
       writeChangeRecord(dir, v, base, base ++ fresh, ref)
-      finishCommit(dir, path, v, ref)
+      finishCommit(dir, path, v, ref, claimed)
     }
 
   /** Optimistic REPLACE commit: the full listing was computed FROM
     * `baseVersion` (overwrite-by-filter, row-level rewrite, deleteWhere,
-    * truncate) — content does not commute with interleaved commits, so if
-    * the head moved the commit ABORTS loudly instead of silently dropping
-    * the other writer's rows. The caller re-plans and retries.
+    * truncate) — content does not commute with interleaved commits, so
+    * the commit claims EXACTLY `baseVersion + 1`: of all committers
+    * racing from the same base, the claim's `O_CREAT|O_EXCL` picks ONE
+    * winner across processes, and every loser — and every replace whose
+    * base was already stale — ABORTS loudly instead of silently dropping
+    * the interleaved commit. The caller re-plans and retries.
     */
   def publishReplace(path: String, lines: Seq[String], baseVersion: Int,
       ref: String = MainRef): Int =
@@ -457,14 +762,20 @@ private[graft] object DigestManifest {
             s"version $baseVersion but the head is now $hv; re-plan the " +
             "operation against the current table state")
       val base = head(path, ref)._2
-      val bytes = lines.mkString("\n").getBytes(StandardCharsets.UTF_8)
-      val target = nextTarget(dir, path, ref)
-      if (!claim(dir, target, bytes, ref))
+      val target = baseVersion + 1
+      val bytes = snapshotBytes(target, base, lines)
+      if (!claimExact(dir, path, target, bytes, ref))
         throw new java.util.ConcurrentModificationException(
-          s"graft_digest: conflicting commit at $path — lost the version-" +
-            s"$target claim race; re-plan the operation")
+          s"graft_digest: conflicting commit at $path — version $target " +
+            s"was committed by another writer since this operation planned " +
+            s"against version $baseVersion; re-plan the operation")
       writeChangeRecord(dir, target, base, lines, ref)
-      finishCommit(dir, path, target, ref)
+      // a compaction's tag lands between the claim and registration: a
+      // reader either sees an unregistered (invisible) version or a
+      // registered-and-tagged one — never a published-but-untagged commit
+      if (pendingCompaction.remove(dir.toAbsolutePath.normalize().toString))
+        markCompaction(path, target)
+      finishCommit(dir, path, target, ref, bytes)
     }
 
   /** Tag version `v` as a CONTENT-PRESERVING compaction commit (the
@@ -532,6 +843,11 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     * `main` everywhere except the branch flavor ([[DigestBranchTable]]).
     */
   protected def ref: String = DigestManifest.MainRef
+  /** Which columns this table RECORDS zone maps for (q263 —
+    * TBLPROPERTIES `'zonemap.columns'`, parsed by [[GraftCatalog]]);
+    * default: every zone-mappable column.
+    */
+  protected def zonemapCols: Set[String] = DigestSink.zmCols.keySet
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -545,7 +861,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DigestWriteBuilder(path, langSplit, requireDist, retainHistory, ref)
+    new DigestWriteBuilder(path, langSplit, requireDist, retainHistory, ref,
+      zonemapCols)
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
@@ -611,7 +928,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 }
 
 class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
-    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef)
+    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet)
     extends WriteBuilder with SupportsOverwrite {
   // None = append; Some(filters) = overwrite the matching region
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -632,37 +950,59 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def build(): Write =
     new DigestWrite(path, langSplit, requireDist, overwriteFilters,
-      retainHistory = retainHistory, ref = ref)
+      retainHistory = retainHistory, ref = ref, zonemapCols = zonemapCols)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     overwriteFilters: Option[Array[Filter]],
     cols: Array[Int] = Array(0, 1, 2),
-    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef)
+    retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet)
     extends Write with RequiresDistributionAndOrdering {
+
+  // q263: a pending `rewrite_sorted` layout overrides the default
+  // contract — the Write declares an ORDERED (range) distribution on the
+  // sort columns and the ENGINE plans the range exchange + sort, so each
+  // writer task's files cover one tight zone
+  private val rangeLayout: Option[(Seq[String], Int)] =
+    DigestSink.rangeLayoutFor(path)
 
   // q187: the sink-declared layout contract. Clustering by lang puts each
   // lang's rows in exactly one writer task; ordering (lang, doc_id) makes
   // every committed file internally sorted. Unspecified when the caller
   // didn't opt in — the base q168 path plans exactly as before.
   override def requiredDistribution(): Distribution =
-    if (requireDist || langSplit)
-      Distributions.clustered(Array(Expressions.column("lang")))
-    else Distributions.unspecified()
+    rangeLayout match {
+      case Some((sortCols, _)) =>
+        Distributions.ordered(sortCols.toArray.map(c =>
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
+      case None if requireDist || langSplit =>
+        Distributions.clustered(Array(Expressions.column("lang")))
+      case None => Distributions.unspecified()
+    }
 
   override def requiredOrdering(): Array[SortOrder] =
-    if (requireDist || langSplit)
-      Array(
-        Expressions.sort(Expressions.column("lang"), SortDirection.ASCENDING),
-        Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
-    else Array.empty
+    rangeLayout match {
+      case Some((sortCols, _)) =>
+        sortCols.toArray.map(c =>
+          Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+      case None if requireDist || langSplit =>
+        Array(
+          Expressions.sort(Expressions.column("lang"), SortDirection.ASCENDING),
+          Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def requiredNumPartitions(): Int =
-    if (requireDist || langSplit) 4 else 0
+    rangeLayout match {
+      case Some((_, buckets)) => buckets
+      case None if requireDist || langSplit => 4
+      case None => 0
+    }
 
   override def toBatch: BatchWrite =
     new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory,
-      ref)
+      ref, zonemapCols)
 
   // q234: `writeStream.toTable(...)` — the MANIFEST-GATED table as a
   // streaming sink. Each epoch reuses the lang-split writers with the
@@ -696,7 +1036,7 @@ class DigestStreamingWrite(path: String, cols: Array[Int])
     val oldNames = old.map(_.split(",")(0)).toSet
     if (fresh.forall(f => oldNames.contains(f.fileName))) return
     DigestManifest.publishAppend(path,
-      fresh.map(DigestSink.entryLine).sorted
+      fresh.map(DigestSink.entryLine(_)).sorted
         .filterNot(l => oldNames.contains(l.split(",")(0))), baseVersion)
   }
 
@@ -717,7 +1057,8 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     overwriteFilters: Option[Array[Filter]] = None,
     cols: Array[Int] = Array(0, 1, 2),
     retainHistory: Boolean = false,
-    ref: String = DigestManifest.MainRef) extends BatchWrite {
+    ref: String = DigestManifest.MainRef,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet) extends BatchWrite {
   def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
@@ -779,7 +1120,7 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     // manifest order, and job-unique `delta-j<tag>-` names do NOT sort
     // chronologically, so sorting the whole listing here would shuffle
     // older commits' verbs behind newer ones
-    val freshLines = fresh.map(DigestSink.entryLine).sorted
+    val freshLines = fresh.map(DigestSink.entryLine(_, zonemapCols)).sorted
     overwriteFilters match {
       case None =>
         // plain append commutes with interleaved commits: rebase-commit
@@ -965,7 +1306,7 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
     // a delta log commit is an APPEND in manifest terms — it commutes
     // with interleaved commits, so the CAS path rebases instead of aborts
     DigestManifest.publishAppend(path,
-      fresh.map(DigestSink.entryLine).sorted, baseVersion)
+      fresh.map(DigestSink.entryLine(_)).sorted, baseVersion)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -989,14 +1330,36 @@ class DigestDeltaBatchWrite(path: String, cols: Array[Int])
   * some main snapshot names, since both refs' listings point into the
   * same directory.
   */
-class DigestBranchTable(path: String, branch: String)
+class DigestBranchTable(path: String, branch: String,
+    asOfVersion: Option[Int] = None)
     extends DigestSinkTable(path, langSplit = true) {
   DigestManifest.checkRef(branch)
   require(branch != DigestManifest.MainRef,
     "graft_digest: 'main' is the default ref — drop the branch property")
   override protected def ref: String = branch
   override protected def retainHistory: Boolean = true
-  override def name(): String = s"graft_digest_branch($path@$branch)"
+  override def name(): String =
+    s"graft_digest_branch($path@$branch${asOfVersion.fold("")(v => s"@v$v")})"
+
+  // branch time travel (q262): `versionAsOf` resolves within THE
+  // BRANCH'S OWN commit log — an immutable read of `_MANIFEST@b.v<k>`
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    asOfVersion match {
+      case None => super.newScanBuilder(options)
+      case Some(v) =>
+        require(v >= 1 &&
+          Files.exists(Paths.get(path, s"${DigestManifest.mName(branch)}.v$v")),
+          s"graft_digest: no committed version $v on branch '$branch' " +
+            s"(current: ${DigestManifest.currentVersion(path, branch)})")
+        new DigestScanBuilder(path, mergeDeltas = false,
+          manifestName = s"${DigestManifest.mName(branch)}.v$v")
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    if (asOfVersion.isEmpty) super.newWriteBuilder(info)
+    else throw new UnsupportedOperationException(
+      "graft_digest: write to a versionAsOf branch snapshot — time-travel " +
+        "reads are immutable; write to the branch head")
 }
 
 // ---------------------------------------------------------------------------
@@ -1029,15 +1392,20 @@ private[graft] object DigestDv {
     }
 }
 
-class DigestDvTable(path: String)
+class DigestDvTable(path: String,
+    dvRef: String = DigestManifest.MainRef)
     extends DigestSinkTable(path, langSplit = true)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   // DV commits retire nothing physically and rewrite no files; snapshots
-  // stay resolvable so the change feed can diff DV generations (q241)
+  // stay resolvable so the change feed can diff DV generations (q241).
+  // `dvRef` (q264) runs the whole flavor against a BRANCH's commit log:
+  // DV deletes staged on the branch are invisible to main until
+  // fast_forward publishes the grown bitmaps.
   override protected def retainHistory: Boolean = true
-  override def name(): String = s"graft_digest_dv($path)"
+  override protected def ref: String = dvRef
+  override def name(): String = s"graft_digest_dv($path@$dvRef)"
 
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     DigestDv.metaCols
@@ -1045,18 +1413,19 @@ class DigestDvTable(path: String)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DigestDvOperation(path, info.command())
+    () => new DigestDvOperation(path, info.command(), dvRef)
 }
 
 class DigestDvOperation(path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    ref: String = DigestManifest.MainRef)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
   // the version the operation's scan plans against: the commit validates
   // the head has not moved past it (a DV computed from stale positions
   // must never be folded into a listing it did not read)
-  private val baseVersion = DigestManifest.currentVersion(path)
+  private val baseVersion = DigestManifest.currentVersion(path, ref)
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft_digest dv $cmd"
@@ -1079,6 +1448,7 @@ class DigestDvOperation(path: String,
   // each row's physical coordinates (the rowId).
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DigestScanBuilder(path, mergeDeltas = false,
+      manifestName = DigestManifest.mName(ref),
       allowPruning = true, emitMeta = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
@@ -1101,7 +1471,8 @@ class DigestDvOperation(path: String,
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
-            new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx, dataCols)
+            new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx,
+              dataCols, ref)
         }
     }
   }
@@ -1148,7 +1519,8 @@ case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
 }
 
 class DigestDvBatchWrite(path: String, baseVersion: Int,
-    fileIdx: Int, posIdx: Int, dataCols: Array[Int])
+    fileIdx: Int, posIdx: Int, dataCols: Array[Int],
+    ref: String = DigestManifest.MainRef)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   // one unique tag per job (same contract as DigestBatchWrite): insert
@@ -1180,7 +1552,7 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
       case m => throw new IllegalStateException(s"graft_digest dv: unexpected $m")
     }
     if (merged.isEmpty && fresh.isEmpty) return // matched no rows: no commit
-    val (hv, lines) = DigestManifest.head(path)
+    val (hv, lines) = DigestManifest.head(path, ref)
     if (hv != baseVersion)
       throw new java.util.ConcurrentModificationException(
         s"graft_digest: DV operation planned against version $baseVersion " +
@@ -1209,8 +1581,8 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
         ManifestEntry(e.file, e.rows - added,
           e.attrs + ("dv" -> DvCodec.encode(dv))).line
       }
-    } ++ fresh.map(DigestSink.entryLine).sorted
-    DigestManifest.publishReplace(path, newLines, baseVersion)
+    } ++ fresh.map(DigestSink.entryLine(_)).sorted
+    DigestManifest.publishReplace(path, newLines, baseVersion, ref)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -1312,10 +1684,8 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
 
   private def manifestCountable(needLangTags: Boolean): Boolean = {
     if (mergeDeltas || !allowPruning || langs.isDefined) return false
-    val mf = Paths.get(path, manifestName)
-    if (!Files.exists(mf)) return false
-    val files = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(mf)).asScala.filter(_.nonEmpty).map(_.split(",")(0))
+    val files = DigestManifest.listingFor(path, manifestName)
+      .map(_.split(",")(0))
     files.nonEmpty && files.forall(f =>
       !f.startsWith("delta-") && (!needLangTags || DigestSink.langOf(f).isDefined))
   }
@@ -1459,11 +1829,9 @@ class DigestAggScan(path: String, manifestName: String,
     s"graft_digest_agg($path)" + (if (groupByLang) " group_by=lang" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(Paths.get(path, manifestName))).asScala
-      .filter(_.nonEmpty).map { l =>
-        val a = l.split(","); (a(0), a(1).toLong)
-      }.toSeq
+    val entries = DigestManifest.listingFor(path, manifestName).map { l =>
+      val a = l.split(","); (a(0), a(1).toLong)
+    }
     val rows: Seq[(Option[String], Long)] =
       if (groupByLang)
         entries.groupBy { case (f, _) => DigestSink.langOf(f).get }
@@ -1597,13 +1965,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     }
 
   /** Files this scan will read after every pruning stage. */
-  private def plannedEntries(): Seq[ManifestEntry] = {
-    val manifestPath = Paths.get(path, manifestName)
-    if (!Files.exists(manifestPath)) return Seq.empty
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(manifestPath)).asScala
-      .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
-  }
+  private def plannedEntries(): Seq[ManifestEntry] =
+    DigestManifest.listingFor(path, manifestName).map(ManifestEntry.parse)
 
   /** The one file-skipping predicate every planning consumer shares
     * (splits, statistics, clustering, metrics): lang pruning off the

@@ -286,12 +286,7 @@ class EvolveBatchWrite(path: String, fields: Seq[EvolveField]) extends BatchWrit
   // resolve against (same role as parquet footers under mergeSchema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    val old: Seq[String] =
-      if (Files.exists(manifestPath))
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          Files.readAllLines(manifestPath)).asScala.toSeq
-      else Seq.empty
+    val old: Seq[String] = DigestManifest.listingFor(path, "_MANIFEST")
     val ids = fields.map(_.id).mkString(";")
     DigestManifest.publish(path,
       old ++ fresh.map(f => s"${f.fileName},${f.rows},$ids").sorted)
@@ -371,15 +366,11 @@ class EvolveScan(path: String, fields: Seq[EvolveField]) extends Scan with Batch
   override def description(): String = s"graft_evolve manifest-read $path"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val manifestPath = Paths.get(path, "_MANIFEST")
-    if (!Files.exists(manifestPath)) return Array.empty
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(manifestPath)).asScala
-      .filter(_.nonEmpty).map { line =>
-        val a = line.split(",")
-        EvolveFilePartition(path, a(0),
-          a(2).split(";").filter(_.nonEmpty).map(_.toInt).toSeq): InputPartition
-      }.toArray
+    DigestManifest.listingFor(path, "_MANIFEST").map { line =>
+      val a = line.split(",")
+      EvolveFilePartition(path, a(0),
+        a(2).split(";").filter(_.nonEmpty).map(_.toInt).toSeq): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -134,13 +134,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "graft_digest" if props.getOrDefault("rowlevel", "false").toBoolean =>
         new DigestRloTable(props.get("path"))
       case "graft_digest" if props.getOrDefault("dv", "false").toBoolean =>
-        new DigestDvTable(props.get("path"))
+        // q264: the DV flavor composes with a branch ref — deletes stage
+        // as grown bitmaps on the branch's log, invisible to main
+        new DigestDvTable(props.get("path"),
+          Option(props.get("branch")).getOrElse(DigestManifest.MainRef))
       case "graft_digest" if props.containsKey("branch") =>
         new DigestBranchTable(props.get("path"), props.get("branch"))
       case "graft_digest" if props.getOrDefault("partitioned", "false").toBoolean =>
         new DigestPartitionedTable(props.get("path"))
       case "graft_digest" =>
-        new DigestSinkTable(props.get("path"), langSplit = true)
+        // q263: the table's DECLARED zone-map column set (default: all
+        // zone-mappable columns) — commits record exactly these
+        val declared = Option(props.get("zonemap.columns"))
+          .map(DigestSink.parseZonemapCols)
+        declared match {
+          case None => new DigestSinkTable(props.get("path"), langSplit = true)
+          case Some(zc) =>
+            new DigestSinkTable(props.get("path"), langSplit = true) {
+              override protected def zonemapCols: Set[String] = zc
+            }
+        }
       case "graft_evolve" =>
         val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
         new EvolveTable(props.get("path"), fields,
@@ -211,6 +224,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val (next, fields) = EvolveSchema.fromStruct(schema)
       props.put("evolveSchema", EvolveSchema.serialize(next, fields))
     }
+    // validate declarative properties BEFORE registering — a bad
+    // declaration must refuse the CREATE, never brick a registered
+    // table object (q263)
+    Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
     GraftCatalog.tables.put(key(ident), props)
     loadTable(ident)
   }
@@ -422,7 +439,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // them
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "history", "expire_snapshots", "remove_orphan_files",
-      "create_branch", "fast_forward", "branches", "drop_branch")
+      "create_branch", "fast_forward", "branches", "drop_branch",
+      "rewrite_sorted")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -436,6 +454,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "fast_forward" if known => new FastForwardProcedure(catalogName)
       case "branches" if known => new BranchesProcedure(catalogName)
       case "drop_branch" if known => new DropBranchProcedure(catalogName)
+      case "rewrite_sorted" if known => new RewriteSortedProcedure(catalogName)
       case _ => throw new NoSuchElementException(
         s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
           "(available: system.compact, system.history, system.expire_snapshots, " +

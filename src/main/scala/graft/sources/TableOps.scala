@@ -44,13 +44,9 @@ class DigestPartitionedTable(path: String)
     v.toString
   }
 
-  private def manifestLangs(): Seq[String] = {
-    val mf = Paths.get(path, "_MANIFEST")
-    if (!Files.exists(mf)) Seq.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(mf))
-      .asScala.filter(_.nonEmpty).toSeq
+  private def manifestLangs(): Seq[String] =
+    DigestManifest.listingFor(path, "_MANIFEST")
       .flatMap(l => DigestSink.langOf(l.split(",")(0))).distinct
-  }
 
   // ---- declared partitions (the `_PARTITIONS` side file) ------------------
   // one line per declared partition: `lang|k=v;k=v` — tiny driver-side
@@ -119,10 +115,8 @@ class DigestPartitionedTable(path: String)
     // shrink the manifest first (atomic publish), delete data files after
     // — identical ordering contract to deleteWhere; declared-entry removal
     // last (pure metadata)
-    val mf = Paths.get(path, "_MANIFEST")
-    if (Files.exists(mf)) {
-      val old = scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+    val old = DigestManifest.listingFor(path, "_MANIFEST")
+    if (old.nonEmpty) {
       val (dead, keep) = old.partition(l =>
         DigestSink.langOf(l.split(",")(0)).contains(lang))
       if (dead.nonEmpty) {
@@ -175,10 +169,8 @@ class DigestPartitionedTable(path: String)
   override def dropPartitions(idents: Array[InternalRow]): Boolean = {
     val langs = idents.map(langOfIdent).toSet
     if (!langs.forall(allLangs().contains)) return false // nothing dropped
-    val mf = Paths.get(path, "_MANIFEST")
-    if (Files.exists(mf)) {
-      val old = scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+    val old = DigestManifest.listingFor(path, "_MANIFEST")
+    if (old.nonEmpty) {
       val (dead, keep) = old.partition(l =>
         DigestSink.langOf(l.split(",")(0)).exists(langs.contains))
       if (dead.nonEmpty) {
@@ -211,10 +203,16 @@ private[sources] object ProcedureSupport {
   }
 
   def manifestLines(path: String, name: String): Seq[String] = {
-    val mf = Paths.get(path, name)
-    if (!Files.exists(mf)) Seq.empty
-    else scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+    // manifest files resolve through the sharded-snapshot chain
+    // (pointer indirection, `#base:` deltas); other metadata files
+    // (`_VERSIONS`, `_BASE@<branch>`) are plain line files
+    if (name.startsWith("_MANIFEST")) DigestManifest.listingFor(path, name)
+    else {
+      val mf = Paths.get(path, name)
+      if (!Files.exists(mf)) Seq.empty
+      else scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(mf)).asScala.filter(_.nonEmpty).toSeq
+    }
   }
 
   def localScan(schema: StructType, data: => Array[InternalRow]): Scan =
@@ -240,22 +238,27 @@ class HistoryProcedure(catalogName: String) extends UnboundProcedure
   override def bind(inputType: StructType): BoundProcedure = this
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] =
-    Array(ProcedureParameter.in("table", StringType).build())
+    Array(ProcedureParameter.in("table", StringType).build(),
+      // q262: branch-aware history — defaults to main's log
+      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build())
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
+    val ref = DigestManifest.checkRef(input.getUTF8String(1).toString)
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "history",
       requireDelta = true)
-    val versions = ProcedureSupport.manifestLines(path, "_VERSIONS")
-      .map(_.split(",")(0).toInt).sorted
-    require(versions.nonEmpty, s"graft.system.history: $tbl has no commits")
+    val versions = ProcedureSupport.manifestLines(path,
+      DigestManifest.vName(ref)).map(_.split(",")(0).toInt).sorted
+    require(versions.nonEmpty,
+      s"graft.system.history: $tbl has no commits on ref '$ref'")
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("n_base_files", LongType, nullable = false),
       StructField("has_delta", org.apache.spark.sql.types.BooleanType, nullable = false),
       StructField("total_rows", LongType, nullable = false)))
     val rows = versions.map { v =>
-      val entries = ProcedureSupport.manifestLines(path, s"_MANIFEST.v$v")
+      val entries = ProcedureSupport.manifestLines(path,
+        s"${DigestManifest.mName(ref)}.v$v")
       val (delta, base) = entries.partition(_.startsWith("delta-"))
       InternalRow(v.toLong, base.size.toLong, delta.nonEmpty,
         entries.map(_.split(",")(1).toLong).sum): InternalRow
@@ -318,6 +321,34 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
         ProcedureSupport.manifestLines(path, "_MANIFEST") ++
         branchManifests.flatMap(ProcedureSupport.manifestLines(path, _)))
         .map(_.split(",")(0)).toSet
+
+    // 0. REBASE kept delta-shaped snapshots whose chain passes through an
+    //    expiring version: rewrite them as full listings (atomic tmp +
+    //    rename; the LOGICAL listing is unchanged — only the physical
+    //    shape) so deleting the expired base files below cannot strand a
+    //    kept version on an unresolvable chain. With bases every commit
+    //    at most the OLDEST kept version needs this, but the loop is
+    //    shape-driven, not position-driven.
+    val keptSet = kept.map(_._1).toSet
+    kept.foreach { case (v, _) =>
+      val snap = Paths.get(path, s"_MANIFEST.v$v")
+      if (Files.exists(snap)) {
+        val first = {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(snap).asScala.find(_.nonEmpty)
+        }
+        val baseOf = first.filter(_.startsWith("#base:")).map(_.drop(6).toInt)
+        if (baseOf.exists(b => !keptSet.contains(b))) {
+          val folded = DigestManifest.listingAt(path, DigestManifest.MainRef, v)
+          val t = Files.createTempFile(Paths.get(path), ".manifest-tmp-", "")
+          Files.write(t, folded.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.move(t, snap,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    }
 
     // 1. pointers first: rewrite the version log atomically, drop expired
     //    snapshot manifests
@@ -545,7 +576,8 @@ class DropBranchProcedure(catalogName: String) extends UnboundProcedure
     val doomed = try listing.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
       n == prefix || n.startsWith(s"$prefix.v") ||
-        n == s"_VERSIONS@$branch" || n == s"_BASE@$branch"
+        n == s"_VERSIONS@$branch" || n == s"_BASE@$branch" ||
+        n.startsWith(s"_CHANGES@$branch.v") // the ref's CDF metadata (q262)
     }.toSeq finally listing.close()
     doomed.foreach { p => Files.deleteIfExists(p); dropped += 1 }
     val schema = StructType(Seq(
@@ -611,8 +643,61 @@ class RemoveOrphanFilesProcedure(catalogName: String) extends UnboundProcedure
       finally walk.close()
     }
 
-    // reachable = every file any still-resolvable snapshot names; the
-    // current pointer is included for the pre-commit-log edge state
+    var deletedFiles = 0L
+    var deletedDirs = 0L
+    var keptRecent = 0L
+
+    // ---- sweep abandoned CAS claims first --------------------------------
+    // a crashed committer leaves `_MANIFEST[@ref].v<k>` files that were
+    // never registered in the ref's `_VERSIONS` log (q251's orphan-skip) —
+    // metadata-shaped garbage the snapshot sweep below must not treat as
+    // history. Aged unregistered claims are deleted; recent ones are an
+    // in-flight committer's and stay (their data files are age-protected
+    // by the same window).
+    val refs: Seq[String] = {
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val listing = Files.list(dir)
+        try DigestManifest.MainRef +:
+          listing.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("_VERSIONS@")).map(_.drop(10)).toSeq
+        finally listing.close()
+      }
+    }
+    val registered: Map[String, Set[Int]] = refs.map { r =>
+      val vName = if (r == DigestManifest.MainRef) "_VERSIONS" else s"_VERSIONS@$r"
+      r -> ProcedureSupport.manifestLines(path, vName)
+        .map(_.split(",")(0).toInt).toSet
+    }.toMap
+    def claimOf(n: String): Option[(String, Int)] = {
+      val (refPart, vPart) = n.indexOf(".v") match {
+        case i if i > 0 && n.drop(i + 2).nonEmpty &&
+            n.drop(i + 2).forall(_.isDigit) => (n.take(i), n.drop(i + 2))
+        case _ => return None
+      }
+      if (refPart == "_MANIFEST") Some((DigestManifest.MainRef, vPart.toInt))
+      else if (refPart.startsWith("_MANIFEST@")) Some((refPart.drop(10), vPart.toInt))
+      else None
+    }
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      val claims = try listing.iterator().asScala
+        .filter(p => claimOf(p.getFileName.toString).exists { case (r, v) =>
+          !registered.getOrElse(r, Set.empty).contains(v)
+        }).toSeq
+      finally listing.close()
+      claims.foreach { p =>
+        if (Files.getLastModifiedTime(p).compareTo(cutoff) < 0) {
+          Files.deleteIfExists(p); deletedFiles += 1
+        } else keptRecent += 1
+      }
+    }
+
+    // reachable = every file any still-resolvable snapshot MENTIONS
+    // (full lines, delta adds/removes, both sides of mutations — a
+    // conservative superset of every foldable listing, so sweeping can
+    // only keep extra, never lose data); the current pointer is included
+    // for the pre-commit-log edge state
     val reachable: Set[String] = {
       if (!Files.isDirectory(dir)) Set.empty
       else {
@@ -621,14 +706,9 @@ class RemoveOrphanFilesProcedure(catalogName: String) extends UnboundProcedure
           try listing.iterator().asScala.map(_.getFileName.toString)
             .filter(_.startsWith("_MANIFEST")).toSeq
           finally listing.close()
-        manifests.flatMap(ProcedureSupport.manifestLines(path, _))
-          .map(_.split(",")(0)).toSet
+        manifests.flatMap(DigestManifest.namesMentioned(path, _)).toSet
       }
     }
-
-    var deletedFiles = 0L
-    var deletedDirs = 0L
-    var keptRecent = 0L
     def sweepStageDirs(root: java.nio.file.Path): Unit =
       if (Files.isDirectory(root)) {
         val listing = Files.list(root)
@@ -666,11 +746,21 @@ class RemoveOrphanFilesProcedure(catalogName: String) extends UnboundProcedure
       .filter(r => r.toAbsolutePath.normalize() != dir.toAbsolutePath.normalize())
       .foreach(sweepStageDirs)
 
-    reachable.foreach { f =>
-      require(Files.exists(dir.resolve(f)),
-        s"graft.system.remove_orphan_files: $f is referenced by a " +
-          "snapshot but missing — the table was already corrupt")
-    }
+    // integrity check: every file the LIVE state names must exist — the
+    // current pointer and each branch head. Superseded `_MANIFEST.v*`
+    // snapshots are deliberately NOT checked: non-history flavors
+    // physically delete files at deleteWhere/truncate/overwrite while
+    // their retained older snapshots still name them, which is normal
+    // history, not corruption (the history-retaining flavors never delete,
+    // so their snapshots cannot dangle in the first place).
+    val livePointers = "_MANIFEST" +: refs.filterNot(_ == DigestManifest.MainRef)
+      .map(r => s"_MANIFEST@$r")
+    livePointers.flatMap(ProcedureSupport.manifestLines(path, _))
+      .map(_.split(",")(0)).foreach { f =>
+        require(Files.exists(dir.resolve(f)),
+          s"graft.system.remove_orphan_files: $f is referenced by the " +
+            "live table state but missing — the table was already corrupt")
+      }
 
     val schema = StructType(Seq(
       StructField("deleted_files", LongType, nullable = false),
@@ -722,8 +812,14 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
     val snap = Files.createTempDirectory("graft_compact_")
     try {
       spark.table(full).write.mode("overwrite").parquet(snap.toString)
-      spark.read.parquet(snap.toString).writeTo(full)
+      // tag the commit content-preserving ATOMICALLY with the overwrite:
+      // the tag lands between the CAS claim and registration inside
+      // publishReplace, so no reader can ever observe a published-but-
+      // untagged compaction (which would brick the change feed, q241)
+      DigestManifest.tagNextReplaceAsCompaction(path)
+      try spark.read.parquet(snap.toString).writeTo(full)
         .overwrite(org.apache.spark.sql.functions.lit(true))
+      finally DigestManifest.clearCompactionTag(path)
     } finally {
       // the snapshot is consumed once the overwrite commits — leaking a
       // full table copy per CALL would fill the disk under repeated
@@ -738,9 +834,9 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
       s"graft.system.compact: log not retired:\n$after")
     require(!after.exists(l => ManifestEntry.parse(l).attrs.contains("dv")),
       s"graft.system.compact: deletion vectors not folded away:\n$after")
-    // tag the commit as content-preserving so the change feed (q241)
-    // knows this delta-removing version carries zero logical changes
-    DigestManifest.markCompaction(path, DigestManifest.currentVersion(path))
+    require(DigestManifest.isCompaction(path, DigestManifest.currentVersion(path)),
+      "graft.system.compact: the overwrite commit did not carry its " +
+        "compaction tag")
 
     val tableRows = after.map(_.split(",")(1).toLong).sum
     val version = DigestManifest.currentVersion(path).toLong
@@ -751,6 +847,93 @@ class CompactProcedure(catalogName: String) extends UnboundProcedure
         StructField("committed_version", LongType, nullable = false)))
       override def rows(): Array[InternalRow] =
         Array(InternalRow(retired.toLong, tableRows, version))
+    }
+    util.Collections.singletonList(summary).iterator()
+  }
+}
+
+/** `CALL graft.system.rewrite_sorted(table => 'ns.t', cols => 'n_chars',
+  * buckets => 8)` (q263): WRITE-TIME CLUSTERING — the maintenance action
+  * that keeps zone maps (q253/q257) effective. Shuffled ingest widens
+  * every file's zone toward [min, max] and the skipping layer stops
+  * skipping; this procedure snapshots the table and rewrites it through
+  * the committed overwrite path with a DECLARED ordered distribution on
+  * `cols` ([[DigestWrite.requiredDistribution]] →
+  * `Distributions.ordered`), so the ENGINE plans the range exchange +
+  * sort into `buckets` writer tasks and every committed file covers one
+  * tight zone. The commit is tagged content-preserving (atomic with the
+  * CAS claim, same contract as compact) so a change feed never sees it
+  * as data churn. At 100 TB this is the rewrite-data-files/z-order
+  * maintenance job every lakehouse format ships — run it after bulk
+  * unsorted loads to restore pruning.
+  */
+class RewriteSortedProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "rewrite_sorted"
+  override def description(): String =
+    "rewrite a graft_digest table range-clustered on the given columns so zone maps prune again"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("cols", StringType).build(),
+      ProcedureParameter.in("buckets", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("8").build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val cols = input.getUTF8String(1).toString
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val buckets = input.getInt(2)
+    require(cols.nonEmpty, "graft.system.rewrite_sorted: cols must name " +
+      "at least one zone-mapped column")
+    require(buckets >= 2 && buckets <= 4096,
+      s"graft.system.rewrite_sorted: buckets must be in [2, 4096], got $buckets")
+    val unknown = cols.filterNot(DigestSink.zmCols.contains)
+    require(unknown.isEmpty,
+      s"graft.system.rewrite_sorted: ${unknown.mkString(", ")} are not " +
+        s"zone-mapped columns (supported: ${DigestSink.zmCols.keySet.mkString(", ")})")
+    val (props, path) = ProcedureSupport.resolve(catalogName, tbl,
+      "rewrite_sorted", requireDelta = false)
+    require(props.getOrDefault("provider", "") == "graft_digest",
+      s"graft.system.rewrite_sorted: $tbl is not a graft_digest table")
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    val full = (catalogName +: tbl.split("\\.").toSeq).map(p => s"`$p`").mkString(".")
+    // snapshot OUTSIDE the table (cannot overwrite what is being read),
+    // then rewrite through the committed truncate-overwrite path with the
+    // range layout declared for exactly this one write
+    val snap = Files.createTempDirectory("graft_rewrite_sorted_")
+    try {
+      spark.table(full).write.mode("overwrite").parquet(snap.toString)
+      DigestManifest.tagNextReplaceAsCompaction(path)
+      DigestSink.declareRangeLayoutForNextWrite(path, cols, buckets)
+      try spark.read.parquet(snap.toString).writeTo(full)
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+      finally {
+        DigestSink.clearRangeLayout(path)
+        DigestManifest.clearCompactionTag(path)
+      }
+    } finally {
+      val walk = Files.walk(snap)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    require(DigestManifest.isCompaction(path, DigestManifest.currentVersion(path)),
+      "graft.system.rewrite_sorted: the rewrite commit did not carry its " +
+        "content-preserving tag")
+
+    val after = ProcedureSupport.manifestLines(path, "_MANIFEST")
+      .map(ManifestEntry.parse)
+    val version = DigestManifest.currentVersion(path).toLong
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("rewritten_files", LongType, nullable = false),
+        StructField("table_rows", LongType, nullable = false),
+        StructField("committed_version", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version))
     }
     util.Collections.singletonList(summary).iterator()
   }

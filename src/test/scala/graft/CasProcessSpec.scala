@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.DigestManifest
+
+/** TWO-JVM commit-protocol integration tests: a real second process
+  * ([[graft.sources.CasCommitter]]) commits against the same table
+  * directory as this JVM, so the cross-process CAS claim protocol is
+  * exercised where the in-process `synchronized` fast path cannot help.
+  * Pins the r15 ADVICE fix: exact-slot claims mean an interleaved commit
+  * from another process can never be silently skipped past, and a
+  * kill-mid-claim crash leaves an abandoned slot a live writer reclaims.
+  */
+class CasProcessSpec extends AnyFunSuite {
+
+  private def tmp(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  /** Classpath for the second JVM: this repo's compiled classes plus the
+    * scala-library jar (DigestManifest needs nothing else).
+    */
+  private def childClasspath: String = {
+    def of(c: Class[_]): String =
+      java.nio.file.Paths.get(c.getProtectionDomain.getCodeSource
+        .getLocation.toURI).toString
+    Seq(of(graft.sources.CasCommitter.getClass), of(classOf[Option[_]]))
+      .mkString(java.io.File.pathSeparator)
+  }
+
+  private def runChild(args: String*): (Int, String) = {
+    val cmd = (Seq("java", "-cp", childClasspath,
+      "graft.sources.CasCommitter") ++ args)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    (code, out)
+  }
+
+  test("two JVMs racing optimistic appends: every commit from both " +
+      "processes survives — no lost updates, no skipped slots") {
+    val dir = tmp("graft_2jvm_append_")
+    val n = 12
+    // child appends n entries while this JVM appends n of its own
+    val pb = new ProcessBuilder((Seq("java", "-cp", childClasspath,
+      "graft.sources.CasCommitter", "append", dir.toString, n.toString,
+      "bb")): _*).redirectErrorStream(true)
+    val child = pb.start()
+    for (i <- 1 to n) {
+      val f = s"lang_aa-cas$i.csv"
+      java.nio.file.Files.write(dir.resolve(f),
+        s"$i,aa,1\n".getBytes("UTF-8"))
+      DigestManifest.publishAppend(dir.toString, Seq(s"$f,1"),
+        DigestManifest.currentVersion(dir.toString))
+    }
+    val childOut = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"child failed:\n$childOut")
+    val (hv, lines) = DigestManifest.head(dir.toString)
+    assert(hv == 2 * n,
+      s"expected ${2 * n} registered versions (one per commit), got $hv:\n$childOut")
+    val files = lines.map(_.split(",")(0)).toSet
+    val expected = ((1 to n).map(i => s"lang_aa-cas$i.csv") ++
+      (1 to n).map(i => s"lang_bb-cas$i.csv")).toSet
+    assert(files == expected,
+      s"missing commits: ${expected -- files}; unexpected: ${files -- expected}")
+    // every intermediate version is a registered, resolvable snapshot
+    (1 to hv).foreach { v =>
+      assert(java.nio.file.Files.exists(dir.resolve(s"_MANIFEST.v$v")),
+        s"version $v has no snapshot")
+    }
+  }
+
+  test("kill-mid-claim in another process: the abandoned slot blocks a " +
+      "replace only until the orphan wait, then is reclaimed — commit " +
+      "content and head stay consistent") {
+    val dir = tmp("graft_2jvm_orphan_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-base.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-base.csv,1"), 0) == 1)
+    // the child claims v2 exactly like a live committer, then dies
+    // without registering
+    val (code, out) = runChild("claim-and-die", dir.toString)
+    assert(code == 0 && out.contains("CLAIMED=2"), out)
+    assert(DigestManifest.currentVersion(dir.toString) == 1,
+      "the unregistered claim must not be visible as a commit")
+    // a replace planned against v1 must wait out the abandoned claim,
+    // reclaim the slot, and commit as v2 — not skip to v3, not abort
+    val t0 = System.nanoTime()
+    val v = DigestManifest.publishReplace(dir.toString,
+      Seq("lang_aa-base.csv,1"), 1)
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(v == 2, s"replace must reclaim the abandoned slot, got v$v")
+    assert(waitedMs >= 1500L,
+      s"must give the (possibly live) claimant its window (waited ${waitedMs}ms)")
+    assert(DigestManifest.head(dir.toString) ==
+      (2, Seq("lang_aa-base.csv,1")))
+  }
+
+  test("a replace planned before another process's commit aborts loudly " +
+      "instead of dropping it") {
+    val dir = tmp("graft_2jvm_replace_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-r.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-r.csv,1"), 0) == 1)
+    val base = DigestManifest.currentVersion(dir.toString)
+    // another process commits AFTER this JVM planned its replace
+    val (code, out) = runChild("append", dir.toString, "1", "bb")
+    assert(code == 0, out)
+    intercept[java.util.ConcurrentModificationException] {
+      DigestManifest.publishReplace(dir.toString, Seq.empty, base)
+    }
+    // nothing lost: the other process's commit is the head
+    val (_, lines) = DigestManifest.head(dir.toString)
+    assert(lines.map(_.split(",")(0)).contains("lang_bb-cas1.csv"),
+      lines.toString)
+  }
+}

@@ -124,11 +124,9 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // before the first commit
       DigestManifest.versionAt(dir, ts(0) - 1)
     }
-    // both snapshot files exist and differ
-    assert(java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_MANIFEST.v1")).size == 1)
-    assert(java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_MANIFEST.v2")).size == 2)
+    // both snapshot files exist and resolve to the distinct listings
+    assert(DigestManifest.listingAt(dir, DigestManifest.MainRef, 1).size == 1)
+    assert(DigestManifest.listingAt(dir, DigestManifest.MainRef, 2).size == 2)
   }
 
   test("q224: TIMESTAMP AS OF resolves through the commit log; snapshots " +
@@ -189,8 +187,7 @@ class CatalogSpec extends SparkSpec {
                    |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
                    |  VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
       // both merges' delta files coexist in the manifest
-      val manifest = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))).asScala
+      val manifest = DigestManifest.listingFor(dir.toString, "_MANIFEST")
       val deltaFiles = manifest.filter(_.startsWith("delta-")).map(_.split(",")(0))
       assert(deltaFiles.distinct.size == deltaFiles.size && deltaFiles.size >= 2,
         s"expected >=2 distinct delta log files, got $deltaFiles")
@@ -280,7 +277,8 @@ class CatalogSpec extends SparkSpec {
       assert(spark.table(tbl).count() == 2L)
       spark.sql(s"TRUNCATE TABLE $tbl")
       assert(spark.table(tbl).count() == 0L)
-      assert(java.nio.file.Files.readString(dir.resolve("_MANIFEST")).isEmpty,
+      assert(java.nio.file.Files.exists(dir.resolve("_MANIFEST")) &&
+        DigestManifest.listingFor(dir.toString, "_MANIFEST").isEmpty,
         "truncate must publish an EMPTY manifest, not delete it")
       spark.sql(s"INSERT INTO $tbl VALUES (3, 'fr', 30)")
       assert(spark.table(tbl).collect().map(_.getLong(0)).toSeq == Seq(3L))
@@ -300,6 +298,71 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"ALTER NAMESPACE graft.$ns UNSET PROPERTIES ('tier')")
       assert(catalog.loadNamespaceMetadata(Array(ns)).get("tier") == null)
       spark.sql(s"DROP NAMESPACE graft.$ns")
+    }
+  }
+
+  test("q229 × sharded manifests: expiry REBASES a kept delta snapshot " +
+      "whose chain passes through an expiring version — time travel to " +
+      "every kept version still resolves") {
+    withCatalog {
+      val dir = tmp("graft_expire_rebase_")
+      val tbl = s"graft.ns.exprebase_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      (1 to 20).foreach { i =>
+        spark.sql(s"INSERT INTO $tbl VALUES ($i, 'en', ${i * 10})")
+      }
+      // v18..v20 are deltas chained through v17 (expiring); the rebase
+      // must leave v18 a resolvable FULL base
+      assert(scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST.v18")))
+        .asScala.head.startsWith("#base:17"), "precondition: v18 delta-shaped")
+      spark.sql(s"CALL graft.system.expire_snapshots(table => '${tbl.stripPrefix("graft.")}', keep_last => 3)")
+      assert(!java.nio.file.Files.exists(dir.resolve("_MANIFEST.v17")))
+      (18 to 20).foreach { v =>
+        assert(spark.sql(s"SELECT COUNT(*) AS n FROM $tbl VERSION AS OF $v")
+          .head().getLong(0) == v.toLong, s"kept version $v unreadable")
+      }
+      assert(spark.table(tbl).count() == 20L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q263: 'zonemap.columns' refuses unknown columns; rewrite_sorted " +
+      "refuses unknown cols and bad bucket counts") {
+    withCatalog {
+      val dir = tmp("graft_zs_refuse_spec_")
+      val tbl = s"graft.ns.zsref_${System.nanoTime()}"
+      // the catalog validates the declaration at CREATE, before
+      // registering — a bad declaration refuses the DDL, never bricks a
+      // registered table object
+      val e1 = intercept[Exception] {
+        spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                     |USING graft_digest
+                     |TBLPROPERTIES ('path'='$dir', 'zonemap.columns'='lang')""".stripMargin)
+      }
+      assert(e1.getMessage.contains("zone-mappable"),
+        s"bad zonemap.columns must refuse the CREATE: ${e1.getMessage}")
+      assert(!spark.catalog.tableExists(tbl),
+        "a refused CREATE must not leave a registered table")
+      val tbl2 = s"graft.ns.zsok_${System.nanoTime()}"
+      val dir2 = tmp("graft_zs_ok_spec_")
+      spark.sql(s"""CREATE TABLE $tbl2 (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir2')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl2 VALUES (1, 'en', 10)")
+      val short2 = tbl2.stripPrefix("graft.")
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_sorted(table => '$short2', cols => 'lang')").collect()
+      }
+      assert(e2.getMessage.contains("not"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_sorted(table => '$short2', cols => 'n_chars', buckets => 1)").collect()
+      }
+      assert(e3.getMessage.contains("buckets"), e3.getMessage)
+      // the defaulted buckets form works end-to-end on a healthy table
+      val r = spark.sql(s"CALL graft.system.rewrite_sorted(table => '$short2', cols => 'n_chars')").collect()
+      assert(r.length == 1 && spark.table(tbl2).count() == 1L)
+      spark.sql(s"DROP TABLE $tbl2")
     }
   }
 
@@ -410,19 +473,16 @@ class CatalogSpec extends SparkSpec {
     val msg: org.apache.spark.sql.connector.write.WriterCommitMessage =
       DigestCommitMessage(Seq(CommittedFile("lang_en-je0-part-00000.csv", 3)))
     w.commit(0L, Array(msg))
-    val after1 = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_MANIFEST"))
+    val after1 = DigestManifest.listingFor(dir, "_MANIFEST")
     w.commit(0L, Array(msg)) // epoch replay: must not duplicate the entry
-    val after2 = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_MANIFEST"))
+    val after2 = DigestManifest.listingFor(dir, "_MANIFEST")
     assert(after1.size == 1 && after2 == after1,
       s"epoch replay duplicated manifest entries: $after2")
     // a later epoch appends
     w.commit(1L, Array(DigestCommitMessage(
       Seq(CommittedFile("lang_en-je1-part-00000.csv", 2)))
       : org.apache.spark.sql.connector.write.WriterCommitMessage))
-    assert(java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_MANIFEST")).size == 2)
+    assert(DigestManifest.listingFor(dir, "_MANIFEST").size == 2)
   }
 
   test("q235: file pruning keeps files whose names carry no lang (they may " +
@@ -820,13 +880,14 @@ class CatalogSpec extends SparkSpec {
     // nothing lost: the head holds BOTH commits, earlier first
     assert(DigestManifest.head(dir.toString) ==
       (2, Seq("lang_aa-cas1.csv,1", "lang_bb-cas2.csv,1")))
-    // and each version file is a complete immutable snapshot
-    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST.v1"))
+    // and each version resolves to its complete immutable listing
+    assert(DigestManifest.listingAt(dir.toString, DigestManifest.MainRef, 1)
       .size == 1)
   }
 
   test("q251: a claimed-but-never-registered version (crashed committer) " +
-      "is waited out, then skipped — the live commit lands past it") {
+      "is waited out, then its slot is RECLAIMED — the live commit lands " +
+      "in it and the orphan's bytes are moved aside, never served") {
     val dir = tmp("graft_cas_orphan_spec_")
     java.nio.file.Files.write(dir.resolve("lang_aa-o1.csv"),
       "1,aa,10\n".getBytes("UTF-8"))
@@ -843,12 +904,23 @@ class CatalogSpec extends SparkSpec {
     val v = DigestManifest.publishAppend(dir.toString,
       Seq("lang_bb-o2.csv,1"), 1)
     val waitedMs = (System.nanoTime() - t0) / 1000000L
-    assert(v == 3, s"live commit must skip the orphaned claim slot, got v$v")
+    assert(v == 2, s"live commit must reclaim the abandoned claim slot, got v$v")
     assert(waitedMs >= 1500L,
       s"committer must give an in-flight claim time to register (waited ${waitedMs}ms)")
-    // the orphan's content never entered the registered chain
+    // the orphan's content never entered the registered chain — it was
+    // moved aside to a GC-sweepable `.orphan-` name, and the reclaimed
+    // slot holds the live commit
     assert(DigestManifest.head(dir.toString) ==
-      (3, Seq("lang_aa-o1.csv,1", "lang_bb-o2.csv,1")))
+      (2, Seq("lang_aa-o1.csv,1", "lang_bb-o2.csv,1")))
+    val listing = java.nio.file.Files.list(dir)
+    val movedAside = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".orphan-_MANIFEST.v2")).toSeq
+    } finally listing.close()
+    assert(movedAside.size == 1, s"expected one moved-aside orphan claim, got $movedAside")
+    assert(java.nio.file.Files.readString(dir.resolve(movedAside.head))
+      .contains("ghost"), "the moved-aside file must hold the orphan's bytes")
   }
 
   test("q251: publishReplace aborts on a stale base instead of dropping " +
@@ -883,10 +955,9 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"""MERGE INTO $tbl t USING (SELECT 1L AS doc_id, 12L AS n_chars) u
                    |ON t.doc_id = u.doc_id
                    |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin)
-      def deltaOrder(): Seq[String] = scala.jdk.CollectionConverters
-        .ListHasAsScala(java.nio.file.Files.readAllLines(
-          dir.resolve("_MANIFEST"))).asScala.toSeq
-        .filter(_.startsWith("delta-")).map(_.split(",")(0))
+      def deltaOrder(): Seq[String] =
+        DigestManifest.listingFor(dir.toString, "_MANIFEST")
+          .filter(_.startsWith("delta-")).map(_.split(",")(0))
       val before = deltaOrder()
       assert(before.size == 2, s"expected two delta log files, got $before")
       // the trigger from the r14 ADVICE: a plain INSERT INTO goes through
@@ -1104,10 +1175,10 @@ class CatalogSpec extends SparkSpec {
     // content that must never be served) but never registered it
     java.nio.file.Files.write(dir.resolve("_MANIFEST.v2"),
       java.util.List.of("a.csv,1", "bogus.csv,999"))
-    // the next live commit waits out the orphan and lands past it
+    // the next live commit waits out the orphan and reclaims its slot
     DigestManifest.publishAppend(dir.toString, Seq("b.csv,1"), 1)
     val head = DigestManifest.currentVersion(dir.toString)
-    assert(head == 3, s"expected the live commit to skip the orphan, got v$head")
+    assert(head == 2, s"expected the live commit to reclaim the orphan slot, got v$head")
     // the table stream plans exactly the two REGISTERED commits' adds
     val stream = new DigestMicroBatchStream(dir.toString)
     val files = stream.planInputPartitions(DigestVersionOffset(0),
@@ -1123,6 +1194,65 @@ class CatalogSpec extends SparkSpec {
   }
 
   // ---- remove_orphan_files (q254) -----------------------------------------
+
+  test("q254: remove_orphan_files is clean on a healthy non-history table " +
+      "that has run DML (superseded snapshots naming deleted files are " +
+      "history, not corruption)") {
+    withCatalog {
+      val dir = tmp("graft_orph_dml_spec_")
+      val tbl = s"graft.ns.orphdml_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      // metadata DELETE physically drops the de file while _MANIFEST.v1
+      // (a retained superseded snapshot) still names it — a healthy state
+      spark.sql(s"DELETE FROM $tbl WHERE lang = 'de'")
+      val r = spark.sql(s"""CALL graft.system.remove_orphan_files(
+                   |  table => '${tbl.stripPrefix("graft.")}',
+                   |  older_than_ms => CAST(0 AS BIGINT))""".stripMargin).collect()
+      assert(r.length == 1, "procedure must succeed on a healthy post-DML table")
+      assert(spark.table(tbl).count() == 1L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q254: remove_orphan_files sweeps AGED unregistered CAS claims and " +
+      "moved-aside orphan bytes, but keeps recent ones") {
+    withCatalog {
+      val dir = tmp("graft_orph_claim_spec_")
+      val tbl = s"graft.ns.orphclaim_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      // a crashed committer's claim (never registered) plus a moved-aside
+      // orphan and a leaked pointer tmp — aged well past any window
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L)
+      Seq("_MANIFEST.v9", ".orphan-_MANIFEST.v9-deadbeef", ".manifest-tmp-123")
+        .foreach { n =>
+          java.nio.file.Files.write(dir.resolve(n),
+            "lang_zz-ghost.csv,9".getBytes("UTF-8"))
+          java.nio.file.Files.setLastModifiedTime(dir.resolve(n), old)
+        }
+      // and a RECENT unregistered claim — an in-flight committer's, kept
+      java.nio.file.Files.write(dir.resolve("_MANIFEST.v10"),
+        "lang_yy-inflight.csv,1".getBytes("UTF-8"))
+      spark.sql(s"""CALL graft.system.remove_orphan_files(
+                   |  table => '${tbl.stripPrefix("graft.")}',
+                   |  older_than_ms => CAST(60000 AS BIGINT))""".stripMargin).collect()
+      assert(!java.nio.file.Files.exists(dir.resolve("_MANIFEST.v9")),
+        "aged unregistered claim must be swept")
+      assert(!java.nio.file.Files.exists(dir.resolve(".orphan-_MANIFEST.v9-deadbeef")),
+        "moved-aside orphan bytes must be swept")
+      assert(!java.nio.file.Files.exists(dir.resolve(".manifest-tmp-123")),
+        "leaked pointer tmp must be swept")
+      assert(java.nio.file.Files.exists(dir.resolve("_MANIFEST.v10")),
+        "recent unregistered claim is an in-flight committer's — kept")
+      assert(spark.table(tbl).count() == 1L)
+      java.nio.file.Files.delete(dir.resolve("_MANIFEST.v10"))
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 
   test("q254: remove_orphan_files refuses loudly when a snapshot-referenced " +
       "file is already missing (corruption detection, not silent GC)") {

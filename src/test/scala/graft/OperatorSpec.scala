@@ -515,7 +515,7 @@ class OperatorSpec extends SparkSpec {
     // the entry carries the frozen (file, rows) positions plus the
     // writer-observed doc_id zone map (q253) as attributes
     val entry = sources.ManifestEntry.parse(
-      java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST")).get(0))
+      sources.DigestManifest.listingFor(dir.toString, "_MANIFEST").head)
     assert(entry.file == "part-00000.csv" && entry.rows == 2L &&
       entry.attrs.get("zmin").contains("1") && entry.attrs.get("zmax").contains("2"))
     // end-to-end through the engine: round-trip digest equals a direct
@@ -564,7 +564,8 @@ class OperatorSpec extends SparkSpec {
       "overwrite did not replace the matched lang's file content")
     assert(lines("lang_en-part-00000.csv") == enBefore,
       "overwrite disturbed an unmatched lang's file")
-    val manifest = lines("_MANIFEST").map(graft.sources.ManifestEntry.parse)
+    val manifest = graft.sources.DigestManifest
+      .listingFor(dir.toString, "_MANIFEST").map(graft.sources.ManifestEntry.parse)
     assert(manifest.map(e => (e.file, e.rows)).sorted ==
       Seq(("lang_de-part-00000.csv", 1L), ("lang_en-part-00000.csv", 1L)),
       s"manifest merge wrong: $manifest")
@@ -586,8 +587,8 @@ class OperatorSpec extends SparkSpec {
     new DigestBatchWrite(dir.toString, langSplit = true,
       Some(Array(org.apache.spark.sql.sources.EqualTo("lang", "de"))))
       .commit(Array(clash))
-    assert(java.nio.file.Files.readAllLines(dir.resolve("_MANIFEST"))
-      .get(0) == "lang_de-part-00000.csv,3")
+    assert(DigestManifest.listingFor(dir.toString, "_MANIFEST")
+      .head == "lang_de-part-00000.csv,3")
   }
 
   test("q192: DELETE honesty gate — row-level predicates refused; lang delete " +
