@@ -3665,6 +3665,92 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q261: TWO-PROCESS commit race (a real second JVM) -------------------
+  // q251 raced two THREADS through the CAS protocol; this drives a real
+  // second OS process ([[CasCommitter]], launched with this JVM's
+  // compiled classpath) through the same table directory — the one thing
+  // an in-process test can never exercise, because the JVM-level
+  // `synchronized` fast path serializes everything inside one process.
+  // Three contracts, judged by on-disk state:
+  //   1. N commits from EACH process all survive as consecutive
+  //      registered versions (exact-slot claims: no skipped slots, no
+  //      lost updates);
+  //   2. a kill-mid-claim crash in the child leaves an abandoned slot
+  //      the live writer waits out and RECLAIMS (the orphan's bytes are
+  //      moved aside, never served);
+  //   3. a replace planned before the child's commit aborts loudly.
+  def q261CasProcess(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => F, Paths => P}
+    val staged = graft.TempDirs.staged(s"cas_process:$dir") { p =>
+      val sink = p.resolve("t")
+      F.createDirectories(sink)
+      def cpOf(c: Class[_]): String =
+        P.get(c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+      val cp = Seq(cpOf(CasCommitter.getClass), cpOf(classOf[Option[_]]))
+        .mkString(java.io.File.pathSeparator)
+      def child(args: String*): (Int, String) = {
+        val pb = new ProcessBuilder((Seq("java", "-cp", cp,
+          "graft.sources.CasCommitter") ++ args): _*).redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        (proc.waitFor(), out)
+      }
+      val n = 12
+      // 1. the child races n appends against this JVM's n appends
+      val racer = new ProcessBuilder((Seq("java", "-cp", cp,
+        "graft.sources.CasCommitter", "append", sink.toString, n.toString,
+        "bb")): _*).redirectErrorStream(true).start()
+      (1 to n).foreach { i =>
+        F.write(sink.resolve(s"lang_aa-cas$i.csv"),
+          s"$i,aa,1\n".getBytes("UTF-8"))
+        DigestManifest.publishAppend(sink.toString, Seq(s"lang_aa-cas$i.csv,1"),
+          DigestManifest.currentVersion(sink.toString))
+      }
+      val childOut = new String(racer.getInputStream.readAllBytes(), "UTF-8")
+      require(racer.waitFor() == 0, s"q261: child committer failed:\n$childOut")
+      val (hv, lines) = DigestManifest.head(sink.toString)
+      require(hv == 2 * n,
+        s"q261: expected ${2 * n} registered versions (one per commit), got $hv")
+      (1 to hv).foreach { v =>
+        require(DigestManifest.listingAt(sink.toString,
+            DigestManifest.MainRef, v).size == v,
+          s"q261: version $v must resolve to its $v-entry listing")
+      }
+      // 2. kill-mid-claim: the child claims the next slot and dies
+      val (code, out) = child("claim-and-die", sink.toString)
+      require(code == 0 && out.contains(s"CLAIMED=${hv + 1}"), out)
+      require(DigestManifest.currentVersion(sink.toString) == hv,
+        "q261: an unregistered claim must not read as a commit")
+      val reclaimed = DigestManifest.publishAppend(sink.toString,
+        Seq("lang_aa-postorphan.csv,1"), hv)
+      F.write(sink.resolve("lang_aa-postorphan.csv"), "99,aa,1\n".getBytes("UTF-8"))
+      require(reclaimed == hv + 1,
+        s"q261: the live commit must reclaim the abandoned slot, got v$reclaimed")
+      require(!DigestManifest.head(sink.toString)._2.exists(_.contains("ghost")),
+        "q261: the orphan's bytes must never be served")
+      // 3. a replace planned before the child's interleaved commit aborts
+      val base = DigestManifest.currentVersion(sink.toString)
+      require(child("append", sink.toString, "1", "bb")._1 == 0)
+      val aborted =
+        try { DigestManifest.publishReplace(sink.toString, Seq.empty, base); false }
+        catch { case _: java.util.ConcurrentModificationException => true }
+      require(aborted, "q261: a stale replace must abort, not drop the child's commit")
+    }
+    // the judged surface: per-lang committed-file counts off the final
+    // listing (deterministic: 13 aa files, 13 bb files)
+    val rows = DigestManifest.head(staged.resolve("t").toString)._2
+      .flatMap(l => DigestSink.langOf(l.split(",")(0)))
+      .groupBy(identity).toSeq
+      .map { case (lang, fs) => (lang, fs.size.toLong) }
+    import s.implicits._
+    rows.toDF("lang", "n_files").orderBy("lang")
+  }
+
+  val q261Sql: String =
+    """SELECT 'aa' AS lang, CAST(13 AS BIGINT) AS n_files
+      |UNION ALL SELECT 'bb', CAST(13 AS BIGINT)
+      |ORDER BY 1""".stripMargin
+
   // ---- q262: branch-aware CDF + history + branch time travel ---------------
   // q255 proved branch DATA isolation; this extends the isolation contract
   // to METADATA (the r15 judge's item 3): every ref records its own
@@ -4001,6 +4087,7 @@ object Formats {
     "q258_zone_broadcast" -> q258ZoneBroadcast _,
     "q259_corpus_refresh" -> q259CorpusRefresh _,
     "q260_branch_lifecycle" -> q260BranchLifecycle _,
+    "q261_cas_process" -> q261CasProcess _,
     "q262_branch_cdf" -> q262BranchCdf _,
     "q263_rewrite_sorted" -> q263RewriteSorted _,
     "q264_dv_branch" -> q264DvBranch _,
@@ -4070,6 +4157,7 @@ object Formats {
     "q258_zone_broadcast" -> q258Sql,
     "q259_corpus_refresh" -> q259Sql,
     "q260_branch_lifecycle" -> q260Sql,
+    "q261_cas_process" -> q261Sql,
     "q262_branch_cdf" -> q262Sql,
     "q263_rewrite_sorted" -> q263Sql,
     "q264_dv_branch" -> q264Sql,
