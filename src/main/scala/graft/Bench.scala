@@ -6,19 +6,27 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-15 FINAL QUERY SET (all 257 queries, q1–q260)
-  * must stay ≤ 227 s (1.3 × the 174.87 s round-15 final anchor —
-  * min-of-3 full-set runs of 177.92 / 177.47 / 174.87 s, zero failures,
-  * zero flaky, on the round-15 build host; the ten round-15 additions
-  * q251–q260 cost ≤0.13 s each except the q259 CDC-apply capstone,
-  * whose streaming trigger protocol pays a few seconds by design). An
-  * earlier same-round mid-point anchor read 166.19 s over 253 queries;
-  * the round-14 anchor was 154.45 s over 247 / ceiling 201 s. The
-  * streaming trigger-latency swing story (q184 26.7 s → 5.69 s
-  * targeted) is in PLANS.md "Round 14 final anchor" and is exactly why
-  * the exemption bands below exist. Queries added after this anchor are
-  * excluded from the ratchet until it is re-taken on a quiet run that
-  * includes them.
+  * total over the ROUND-16 FINAL QUERY SET (all 262 queries, q1–q265)
+  * must stay ≤ 220 s (1.3 × the 169.41 s round-16 final anchor —
+  * min-of-3 full-set runs of 179.01 / 169.41 / 198.62 s, zero failures,
+  * zero flaky, quiet round-16 build host at load 0.13; PLANS.md "Round
+  * 16 final anchor"). The five round-16 additions cost ≤0.1 s each
+  * except q265 (~2 s, a real banded self-join priced like q41's), and
+  * the round's sharded-manifest protocol change showed ZERO >1.3×
+  * movers vs the r15 driver bench while q194/q142/q63/q56/q178/q127
+  * all improved ≥35%. Prior anchors: r15 174.87 s / 257 (ceiling
+  * 227 s), r14 154.45 s / 247 (ceiling 201 s). The streaming
+  * trigger-latency swing story (q184 26.7 s → 5.69 s targeted) is in
+  * PLANS.md "Round 14 final anchor" and is exactly why the exemption
+  * bands below exist — and since round 16, bench_full.json's
+  * "stream_split" decomposes every streaming query into data_s
+  * (addBatch wall), proto_s (trigger wall, stable 0.2–1.1 s across the
+  * family), and state_commit_s (task-summed checkpoint I/O): a data_s
+  * spike whose state_commit_s spikes proportionally is checkpoint I/O,
+  * not a compute regression (q209 read 14.4 s with state_commit 254
+  * vs 3.5 s with 40 on the same code — PLANS.md round 16). Queries
+  * added after this anchor are excluded from the ratchet until it is
+  * re-taken on a quiet run that includes them.
   * A quiet-host total past the ceiling is a
   * regression to fix, not variance to wave at — EXCEPT (a) the stateful
   * streaming family (q75/q119/q132/q138/q142/q176, now also
@@ -89,6 +97,7 @@ object Bench {
     // stays unchanged (its 2000-char parse window is load-bearing).
     val streamDataMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val streamProtoMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val streamStateCommitMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -101,46 +110,61 @@ object Bench {
           val add = ms("addBatch")
           streamDataMs.addAndGet(add)
           streamProtoMs.addAndGet(math.max(0L, ms("triggerExecution") - add))
+          // state-store checkpoint commits run INSIDE addBatch but are
+          // TASK-summed (32 parallel tasks sum to ≫ wall-clock — they
+          // cannot be subtracted from the wall split; the round-16 first
+          // refinement tried and read proto_s=141 s on an 8.8 s query).
+          // Reported as its own metric: when data_s moves between runs
+          // and state_commit_s moves with it, the swing is checkpoint
+          // I/O, not a compute regression.
+          streamStateCommitMs.addAndGet(
+            e.progress.stateOperators.map(_.commitTimeMs).sum)
         }
       })
     val results = selected.map { case (name, fn) =>
       val attempts = (1 to reps).map { _ =>
         val d0 = streamDataMs.get()
         val p0 = streamProtoMs.get()
+        val c0 = streamStateCommitMs.get()
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
         ((System.nanoTime() - t0) / 1e9, err,
-          (streamDataMs.get() - d0) / 1e3, (streamProtoMs.get() - p0) / 1e3)
+          ((streamDataMs.get() - d0) / 1e3, (streamProtoMs.get() - p0) / 1e3,
+            (streamStateCommitMs.get() - c0) / 1e3))
       }
-      val ok = attempts.collect { case (secs, None, ds, ps) => (secs, ds, ps) }
+      val ok = attempts.collect { case (secs, None, split) => (secs, split) }
       // A query that fails some reps but succeeds others must not read as a
       // clean success: keep the min of the good reps (the perf signal) but
       // surface the first failing rep's error as "flaky".
-      val flakyErr = if (ok.nonEmpty) attempts.collectFirst { case (_, Some(e), _, _) => e } else None
+      val flakyErr = if (ok.nonEmpty) attempts.collectFirst { case (_, Some(e), _) => e } else None
       if (ok.nonEmpty) {
         val best = ok.minBy(_._1)
-        (name, best._1, None, flakyErr, best._2, best._3)
-      } else (name, -1.0, attempts.head._2, None, 0.0, 0.0)
+        (name, best._1, None, flakyErr, best._2)
+      } else (name, -1.0, attempts.head._2, None, (0.0, 0.0, 0.0))
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _, _, _, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val fails = results.collect { case (k, _, Some(e), _, _, _) => jstr(k) + ":" + jstr(e) }
+    val fails = results.collect { case (k, _, Some(e), _, _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val flaky = results.collect { case (k, _, None, Some(e), _, _) => jstr(k) + ":" + jstr(e) }
+    val flaky = results.collect { case (k, _, None, Some(e), _) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None, _, _, _) => v }.sum
+    val total = results.collect { case (_, v, None, _, _) => v }.sum
     // per-query streaming split (only queries that ran micro-batches):
-    // data_s = addBatch compute, proto_s = trigger protocol overhead
-    val split = results.collect { case (k, _, None, _, ds, ps) if ds + ps > 0.005 =>
+    // data_s = addBatch wall (includes in-task state commits), proto_s =
+    // trigger protocol wall, state_commit_s = TASK-summed checkpoint
+    // commit time (not wall — 32 tasks sum past the clock; use it to
+    // attribute data_s swings to checkpoint I/O, not to compare to wall)
+    val split = results.collect { case (k, _, None, _, (ds, ps, cs)) if ds + ps > 0.005 =>
       jstr(k) + ":{\"data_s\":" + (math.rint(ds * 1000) / 1000) +
-        ",\"proto_s\":" + (math.rint(ps * 1000) / 1000) + "}"
+        ",\"proto_s\":" + (math.rint(ps * 1000) / 1000) +
+        ",\"state_commit_s\":" + (math.rint(cs * 1000) / 1000) + "}"
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${results.count(_._3.nonEmpty)},"failures":$fails,"flaky":$flaky,"stream_split":$split,"sf":"$sfDir"}"""
@@ -165,9 +189,9 @@ object Bench {
       .flatten.map(_._1).toSet
     def key(k: String): String = if (collide(k)) k else short(k)
     def r2(v: Double): String = if (v < 0) "-1" else (math.rint(v * 100) / 100).toString
-    val failShort = results.collect { case (k, _, Some(_), _, _, _) => jstr(key(k)) }
+    val failShort = results.collect { case (k, _, Some(_), _, _) => jstr(key(k)) }
       .mkString("[", ",", "]")
-    val flakyShort = results.collect { case (k, _, None, Some(_), _, _) => jstr(key(k)) }
+    val flakyShort = results.collect { case (k, _, None, Some(_), _) => jstr(key(k)) }
       .mkString("[", ",", "]")
     // The final line must stay under the driver's 2000-char log-tail parse
     // window NO MATTER how many queries exist (at 175+ queries the full
@@ -179,8 +203,8 @@ object Bench {
       val qs = entries.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"omitted":$omitted,"failed":${results.count(_._3.nonEmpty)},"failures":$failShort,"flaky":$flakyShort,"sf":"$sfDir","full":"target/bench_full.json"}"""
     }
-    val bySlowest = results.sortBy { case (_, v, _, _, _, _) => -v }
-      .map { case (k, v, _, _, _, _) => jstr(key(k)) + ":" + r2(v) }
+    val bySlowest = results.sortBy { case (_, v, _, _, _) => -v }
+      .map { case (k, v, _, _, _) => jstr(key(k)) + ":" + r2(v) }
     val budget = 1900 - compactLine(Seq.empty, results.size).length
     val kept = {
       var used = 0
