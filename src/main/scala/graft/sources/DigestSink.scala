@@ -327,9 +327,10 @@ private[graft] object DigestManifest {
     * to the snapshot diff, which yields the identical answer.
     */
   private def writeChangeRecord(dir: java.nio.file.Path, v: Int,
-      oldLines: Seq[String], newLines: Seq[String], ref: String): Unit =
+      oldLines: Seq[String], newLines: Seq[String], ref: String,
+      knownRecords: Option[Seq[String]] = None): Unit =
     Files.write(dir.resolve(s"${changesName(ref)}.v$v"),
-      deltaRecords(oldLines, newLines)
+      knownRecords.getOrElse(deltaRecords(oldLines, newLines))
         .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
 
   /** The change records describing `newLines` relative to `oldLines` —
@@ -389,16 +390,36 @@ private[graft] object DigestManifest {
     * (order included), a full listing otherwise — so correctness never
     * depends on a caller's listing being delta-expressible, and every
     * [[BaseEvery]]-th version re-anchors the chain.
+    *
+    * `knownRecords`: a caller that KNOWS its own change records (an
+    * append knows it appended `fresh`) passes them so the commit never
+    * re-DIFFS the full listing — without this, commit CPU was O(table)
+    * per commit (two O(n) maps in [[deltaRecords]] plus a full
+    * `mkString` just to size-compare: the 10⁶-entry soak crawled).
+    * Known records skip the fold-verify (true by construction for
+    * appends) and the full listing is SIZED without materializing.
     */
-  private def snapshotBytes(v: Int, base: Seq[String],
-      neu: Seq[String]): Array[Byte] = {
-    val full = neu.mkString("\n").getBytes(StandardCharsets.UTF_8)
+  private def fullSize(neu: Seq[String]): Long =
+    if (neu.isEmpty) 0L
+    else neu.iterator.map(_.length.toLong + 1L).sum - 1L
+
+  private def snapshotBytes(v: Int, base: Seq[String], neu: Seq[String],
+      knownRecords: Option[Seq[String]] = None): Array[Byte] = {
+    def full = neu.mkString("\n").getBytes(StandardCharsets.UTF_8)
     if (v <= 1 || v % BaseEvery == 0 || base.isEmpty) return full
-    val recs = deltaRecords(base, neu)
-    val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
-      .getBytes(StandardCharsets.UTF_8)
-    if (delta.length < full.length && foldRecords(base, recs) == neu) delta
-    else full
+    knownRecords match {
+      case Some(recs) =>
+        val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8)
+        if (delta.length < fullSize(neu)) delta else full
+      case None =>
+        val recs = deltaRecords(base, neu)
+        val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
+          .getBytes(StandardCharsets.UTF_8)
+        if (delta.length < fullSize(neu) && foldRecords(base, recs) == neu)
+          delta
+        else full
+    }
   }
 
   /** Per-(table, ref) cache of the last FOLDED listing, so repeated head
@@ -728,16 +749,18 @@ private[graft] object DigestManifest {
       var v = -1
       var base: Seq[String] = Seq.empty
       var claimed: Array[Byte] = null
+      // an append KNOWS its own change records — no O(table) re-diff
+      val recs = fresh.map("+" + _)
       while (v < 0) {
         val (hv, hlines) = head(path, ref)
         // rebase: appends commute — surviving head entries keep their
         // order (delta replay order is manifest order), fresh goes last
-        val bytes = snapshotBytes(hv + 1, hlines, hlines ++ fresh)
+        val bytes = snapshotBytes(hv + 1, hlines, hlines ++ fresh, Some(recs))
         if (claimExact(dir, path, hv + 1, bytes, ref)) {
           v = hv + 1; base = hlines; claimed = bytes
         }
       }
-      writeChangeRecord(dir, v, base, base ++ fresh, ref)
+      writeChangeRecord(dir, v, base, base ++ fresh, ref, Some(recs))
       finishCommit(dir, path, v, ref, claimed)
     }
 
