@@ -489,6 +489,11 @@ private[graft] object DigestManifest {
     val folded = stack.foldLeft(base)(foldRecords)
     val slot = Paths.get(path, s"${mName(ref)}.v$v")
     if (Files.exists(slot)) {
+      // bounded: a long session touches hundreds of (mostly tiny, mostly
+      // dead) table paths — past the cap the whole cache resets rather
+      // than pinning every listing ever planned; correctness never
+      // depends on a hit (a miss folds from disk)
+      if (headCache.size() > 512) headCache.clear()
       val entry = CachedListing(v, Files.size(slot),
         Files.getLastModifiedTime(slot).toMillis, folded)
       headCache.merge(key, entry,
@@ -774,7 +779,7 @@ private[graft] object DigestManifest {
     * the interleaved commit. The caller re-plans and retries.
     */
   def publishReplace(path: String, lines: Seq[String], baseVersion: Int,
-      ref: String = MainRef): Int =
+      ref: String = MainRef, knownRecords: Option[Seq[String]] = None): Int =
     synchronized {
       val dir = Paths.get(path)
       Files.createDirectories(dir)
@@ -786,13 +791,13 @@ private[graft] object DigestManifest {
             "operation against the current table state")
       val base = head(path, ref)._2
       val target = baseVersion + 1
-      val bytes = snapshotBytes(target, base, lines)
+      val bytes = snapshotBytes(target, base, lines, knownRecords)
       if (!claimExact(dir, path, target, bytes, ref))
         throw new java.util.ConcurrentModificationException(
           s"graft_digest: conflicting commit at $path — version $target " +
             s"was committed by another writer since this operation planned " +
             s"against version $baseVersion; re-plan the operation")
-      writeChangeRecord(dir, target, base, lines, ref)
+      writeChangeRecord(dir, target, base, lines, ref, knownRecords)
       // a compaction's tag lands between the claim and registration: a
       // reader either sees an unregistered (invisible) version or a
       // registered-and-tagged one — never a published-but-untagged commit
@@ -1588,7 +1593,13 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
     require(clashes.isEmpty,
       s"graft_digest dv: job would commit file names already in the " +
         s"manifest (${clashes.mkString(",")})")
-    val newLines = lines.map { l =>
+    // the commit KNOWS its own change records (in-place DV mutations +
+    // appended insert halves) — collected while building the listing, so
+    // the publish never re-diffs O(table) lines (commit CPU stays
+    // O(changed entries); the records reproduce the listing exactly by
+    // construction: mutations in place, adds appended in order)
+    val records = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mutatedLines = lines.map { l =>
       val e = ManifestEntry.parse(l)
       merged.get(e.file).fold(l) { ps =>
         var dv = DvCodec.decode(e.attrs.getOrElse("dv", ""))
@@ -1601,11 +1612,16 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
             s"graft_digest dv: position $p of ${e.file} is already deleted")
           dv = DvCodec.add(dv, p); added += 1
         }
-        ManifestEntry(e.file, e.rows - added,
+        val nl = ManifestEntry(e.file, e.rows - added,
           e.attrs + ("dv" -> DvCodec.encode(dv))).line
+        records += s"~$l|$nl"
+        nl
       }
-    } ++ fresh.map(DigestSink.entryLine(_)).sorted
-    DigestManifest.publishReplace(path, newLines, baseVersion, ref)
+    }
+    val adds = fresh.map(DigestSink.entryLine(_)).sorted
+    records ++= adds.map("+" + _)
+    DigestManifest.publishReplace(path, mutatedLines ++ adds, baseVersion,
+      ref, Some(records.toSeq))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
