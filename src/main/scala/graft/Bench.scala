@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
   * total over the ROUND-16 FINAL QUERY SET (all 262 queries, q1–q265)
-  * must stay ≤ 220 s (1.3 × the 169.41 s round-16 final anchor —
-  * min-of-3 full-set runs of 179.01 / 169.41 / 198.62 s, zero failures,
-  * zero flaky, quiet round-16 build host at load 0.13; PLANS.md "Round
-  * 16 final anchor"). The five round-16 additions cost ≤0.1 s each
+  * must stay ≤ 216 s (1.3 × the 166.49 s round-16 final anchor —
+  * min-of-3 full-set runs of 166.49 / 180.82 / 175.36 s on the FINAL
+  * round-16 build, zero failures, zero flaky, quiet host at load 0.01;
+  * a mid-round anchor before the O(changes)-commit-CPU work read
+  * 169.41 s min-of-3 of 179.01/169.41/198.62 — PLANS.md "Round 16
+  * final anchor"). The five round-16 additions cost ≤0.1 s each
   * except q265 (~2 s, a real banded self-join priced like q41's), and
   * the round's sharded-manifest protocol change showed ZERO >1.3×
   * movers vs the r15 driver bench while q194/q142/q63/q56/q178/q127
