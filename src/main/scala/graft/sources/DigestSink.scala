@@ -339,7 +339,7 @@ private[graft] object DigestManifest {
     * `~old|new` an entry mutated in place (only a deletion-vector growth
     * does this). O(changes) lines regardless of table size.
     */
-  private[sources] def deltaRecords(oldLines: Seq[String],
+  private[graft] def deltaRecords(oldLines: Seq[String],
       newLines: Seq[String]): Seq[String] = {
     val oldByFile = oldLines.map(l => l.split(",")(0) -> l).toMap
     val newByFile = newLines.map(l => l.split(",")(0) -> l).toMap
@@ -367,7 +367,7 @@ private[graft] object DigestManifest {
     if (i < 0) l else l.substring(0, i)
   }
 
-  private[sources] def foldRecords(base: Seq[String],
+  private[graft] def foldRecords(base: Seq[String],
       records: Seq[String]): Seq[String] = {
     val adds = records.collect { case r if r.startsWith("+") => r.tail }
     val removed = records.collect {

@@ -171,3 +171,92 @@ class ManifestShardSpec extends AnyFunSuite {
     assert(DigestManifest.head(dir.toString) == (1, base))
   }
 }
+
+/** PROPERTY tests for the delta-snapshot algebra — the safety-critical
+  * core of the sharded manifest. Two invariants carry the whole design:
+  *
+  *   1. ROUND-TRIP: for ANY two listings, folding `deltaRecords(a, b)`
+  *      over `a` either reproduces `b` exactly or the writer falls back
+  *      to a full snapshot (which [[graft.sources.DigestManifest]] does
+  *      whenever the fold-verify fails) — so a delta on disk is always
+  *      fold-exact.
+  *   2. KNOWN-RECORDS: the records appends and DV commits construct for
+  *      themselves (skipping the fold-verify as "true by construction")
+  *      must actually reproduce their listings for ANY input — this
+  *      property is what licenses the skip.
+  */
+class ManifestFoldPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.scalacheck.Prop.forAll
+  import org.scalacheck.{Gen, Test => SCTest}
+
+  private val entryGen: Gen[String] = for {
+    id <- Gen.chooseNum(0, 30)
+    rows <- Gen.chooseNum(1L, 999L)
+    attrs <- Gen.oneOf("", ",dv=0:1", ",nmin=1,nmax=9", ",dv=2:ff,zmin=0,zmax=5")
+  } yield s"f$id.csv,$rows$attrs"
+
+  /** A listing: unique file names, arbitrary order/attrs. */
+  private val listingGen: Gen[Seq[String]] =
+    Gen.listOf(entryGen).map(_.groupBy(_.split(",")(0))
+      .map(_._2.head).toSeq.sortBy(_.hashCode()))
+
+  test("property: deltaRecords∘foldRecords is SET-correct for ANY listing " +
+      "pair and ORDER-exact for every commit-shaped target (survivors in " +
+      "base order, fresh appended) — the shapes the writer emits") {
+    val m = graft.sources.DigestManifest
+    def file(l: String): String = l.split(",")(0)
+    val prop = forAll(listingGen, listingGen) { (a: Seq[String], b: Seq[String]) =>
+      val recs = m.deltaRecords(a, b)
+      val folded = m.foldRecords(a, recs)
+      val aFiles = a.map(file).toSet
+      val kept = b.filter(l => aFiles(file(l)))
+      val fresh = b.filterNot(l => aFiles(file(l)))
+      // commit-shaped = surviving entries keep base's relative order and
+      // fresh entries all come after them (how every commit path builds
+      // its listing)
+      val keptNamesInBaseOrder = a.map(file).filter(kept.map(file).toSet)
+      val commitShaped =
+        kept.map(file) == keptNamesInBaseOrder && b == kept ++ fresh
+      // ALWAYS set-correct; order-exact whenever commit-shaped (the
+      // fold-verify in snapshotBytes fails closed to a full snapshot for
+      // anything else, e.g. reorders)
+      folded.sorted == b.sorted && (!commitShaped || folded == b)
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(500))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: APPEND known-records (+fresh) reproduce base ++ fresh " +
+      "for any base and any fresh with unseen names — the fold-verify " +
+      "skip is sound") {
+    val m = graft.sources.DigestManifest
+    val freshGen = Gen.listOf(Gen.chooseNum(100, 130).flatMap(i =>
+      Gen.chooseNum(1L, 99L).map(r => s"g$i.csv,$r")))
+      .map(_.distinctBy(_.split(",")(0)))
+    val prop = forAll(listingGen, freshGen) { (base: Seq[String], fresh: Seq[String]) =>
+      m.foldRecords(base, fresh.map("+" + _)) == base ++ fresh
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(500))
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: DV known-records (in-place ~mutations + appended +adds) " +
+      "reproduce the mutated listing for any subset of mutated entries") {
+    val m = graft.sources.DigestManifest
+    val prop = forAll(listingGen, Gen.chooseNum(0L, 1L)) { (base: Seq[String], salt: Long) =>
+      // mutate a pseudo-random subset in place (grow a dv attr), append one
+      val recs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val mutated = base.map { l =>
+        if ((l.hashCode + salt) % 2 == 0) {
+          val nl = l + ",x=1"
+          recs += s"~$l|$nl"; nl
+        } else l
+      }
+      val adds = Seq("zz-new.csv,5")
+      recs ++= adds.map("+" + _)
+      m.foldRecords(base, recs.toSeq) == mutated ++ adds
+    }
+    val res = SCTest.check(prop)(_.withMinSuccessfulTests(500))
+    assert(res.passed, res.status.toString)
+  }
+}
