@@ -71,10 +71,15 @@ class DigestSink extends TableProvider {
         Option(properties.get("branch")).getOrElse(DigestManifest.MainRef))
     // `branch` selects the named ref's view of the directory (q255) —
     // the fast_forward audit reads the candidate branch through this;
-    // `versionAsOf` (q262) time-travels WITHIN the branch's own log
-    else if (properties.containsKey("branch"))
-      new DigestBranchTable(properties.get("path"), properties.get("branch"),
-        Option(properties.get("versionAsOf")).map(_.toInt))
+    // `versionAsOf` / `timestampAsOf` (q262, epoch micros) time-travel
+    // WITHIN the branch's own commit log
+    else if (properties.containsKey("branch")) {
+      val branch = properties.get("branch")
+      val asOf = Option(properties.get("versionAsOf")).map(_.toInt)
+        .orElse(Option(properties.get("timestampAsOf")).map(ts =>
+          DigestManifest.versionAt(properties.get("path"), ts.toLong, branch)))
+      new DigestBranchTable(properties.get("path"), branch, asOf)
+    }
     else new DigestSinkTable(properties.get("path"),
       langSplit = false,
       requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
@@ -839,11 +844,13 @@ private[graft] object DigestManifest {
   }
 
   /** Resolve `TIMESTAMP AS OF` micros to the latest version committed at
-    * or before it (the standard as-of semantics).
+    * or before it (the standard as-of semantics) — per ref: a branch's
+    * own commit log carries its own timestamps (q262).
     */
-  def versionAt(path: String, micros: Long): Int = {
-    val vf = Paths.get(path, "_VERSIONS")
-    require(Files.exists(vf), s"graft_digest: no commit log at $path")
+  def versionAt(path: String, micros: Long, ref: String = MainRef): Int = {
+    val vf = Paths.get(path, vName(ref))
+    require(Files.exists(vf),
+      s"graft_digest: no commit log for ref '$ref' at $path")
     val entries = scala.jdk.CollectionConverters.ListHasAsScala(
       Files.readAllLines(vf)).asScala.filter(_.nonEmpty)
       .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong) }

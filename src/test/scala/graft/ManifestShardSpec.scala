@@ -260,3 +260,36 @@ class ManifestFoldPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 }
+
+/** Branch TIMESTAMP AS OF (q262 completion): a branch's own commit log
+  * carries its own timestamps, and `timestampAsOf` on a `branch` read
+  * resolves within that log — never main's.
+  */
+class BranchTimestampSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("versionAt resolves per ref, and the branch table option maps a " +
+      "timestamp to the branch's own version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_branch_ts_")
+    dir.toFile.deleteOnExit()
+    val m = graft.sources.DigestManifest
+    m.publish(dir.toString, Seq("a.csv,1"))
+    m.publish(dir.toString, Seq("a.csv,1"), "dev")
+    m.publishAppend(dir.toString, Seq("b.csv,2"), 1, "dev")
+    def tsOf(name: String, v: Int): Long = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(dir.resolve(name)).asScala
+        .filter(_.nonEmpty).map(_.split(","))
+        .find(_(0).toInt == v).get(1).toLong
+    }
+    val t1 = tsOf("_VERSIONS@dev", 1)
+    val t2 = tsOf("_VERSIONS@dev", 2)
+    assert(m.versionAt(dir.toString, t1, "dev") == 1)
+    assert(m.versionAt(dir.toString, t2, "dev") == 2)
+    assert(m.versionAt(dir.toString, t2 + 1000000L, "dev") == 2)
+    // main's log is independent: its only version is 1 whatever the
+    // branch's clock says
+    assert(m.versionAt(dir.toString, t2 + 1000000L) == 1)
+    intercept[IllegalArgumentException] {
+      m.versionAt(dir.toString, t1 - 1, "dev") // before the fork commit
+    }
+  }
+}
