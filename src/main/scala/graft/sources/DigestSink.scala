@@ -331,12 +331,21 @@ private[graft] object DigestManifest {
     * manifest entries. A missing record (pre-upgrade commits) falls back
     * to the snapshot diff, which yields the identical answer.
     */
-  private def writeChangeRecord(dir: java.nio.file.Path, v: Int,
-      oldLines: Seq[String], newLines: Seq[String], ref: String,
-      knownRecords: Option[Seq[String]] = None): Unit =
-    Files.write(dir.resolve(s"${changesName(ref)}.v$v"),
-      knownRecords.getOrElse(deltaRecords(oldLines, newLines))
-        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+  private[graft] def stageChangeRecord(dir: java.nio.file.Path,
+      oldLines: Seq[String], newLines: Seq[String],
+      knownRecords: Option[Seq[String]] = None): java.nio.file.Path = {
+    // staged under a CLAIM-UNIQUE temp name and renamed into place inside
+    // [[finishCommit]] only after the slot-bytes verification passes: a
+    // committer whose claim was reclaimed during a stall can no longer
+    // overwrite the winning committer's already-registered change record
+    // (it finds foreign bytes in the slot and aborts before the rename).
+    // The `.changes-tmp-` prefix matches no metadata glob, so a crash
+    // leaves plain sweepable garbage for remove_orphan_files.
+    val tmp = Files.createTempFile(dir, ".changes-tmp-", "")
+    Files.write(tmp, knownRecords.getOrElse(deltaRecords(oldLines, newLines))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    tmp
+  }
 
   /** The change records describing `newLines` relative to `oldLines` —
     * the one grammar shared by the CDF metadata (`_CHANGES.v<N>`) and
@@ -588,11 +597,19 @@ private[graft] object DigestManifest {
   private val pendingCompaction =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  def tagNextReplaceAsCompaction(path: String): Unit =
-    pendingCompaction.add(Paths.get(path).toAbsolutePath.normalize().toString)
+  // keyed by (path, ref): a concurrent commit on a DIFFERENT ref (a q264
+  // branch DV delete racing a main compaction) must never consume the tag
+  // and mark its own — genuinely data-changing — version as
+  // content-preserving, which would make the main change feed silently
+  // skip it
+  private def compactionKey(path: String, ref: String): String =
+    Paths.get(path).toAbsolutePath.normalize().toString + "#" + ref
 
-  def clearCompactionTag(path: String): Unit =
-    pendingCompaction.remove(Paths.get(path).toAbsolutePath.normalize().toString)
+  def tagNextReplaceAsCompaction(path: String, ref: String = MainRef): Unit =
+    pendingCompaction.add(compactionKey(path, ref))
+
+  def clearCompactionTag(path: String, ref: String = MainRef): Unit =
+    pendingCompaction.remove(compactionKey(path, ref))
 
   /** CAS-claim version `v`: atomically create `_MANIFEST.v<v>` with the
     * snapshot bytes (full or `#base:`-delta — [[snapshotBytes]]).
@@ -626,7 +643,13 @@ private[graft] object DigestManifest {
     * registration — [[finishCommit]] re-reads the slot and refuses to
     * register bytes it did not write — never silently.
     */
-  private def claimExact(dir: java.nio.file.Path, path: String, v: Int,
+  /** Test-only interleaving hook, invoked between the orphan move and the
+    * registration re-check: lets a spec deterministically land a
+    * registration inside the TOCTOU window the restore below closes.
+    */
+  private[graft] var postReclaimHook: () => Unit = () => ()
+
+  private[graft] def claimExact(dir: java.nio.file.Path, path: String, v: Int,
       bytes: Array[Byte], ref: String): Boolean = {
     var attempts = 0
     while (attempts < 1000) {
@@ -638,11 +661,26 @@ private[graft] object DigestManifest {
         Thread.sleep(1L)
       if (currentVersion(path, ref) >= v) return false
       // abandoned claim: move it aside (atomic — one mover wins) and retry
-      try Files.move(dir.resolve(s"${mName(ref)}.v$v"),
-        dir.resolve(s".orphan-${mName(ref)}.v$v-" +
-          java.util.UUID.randomUUID().toString.take(8)),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.NoSuchFileException => () }
+      val aside = dir.resolve(s".orphan-${mName(ref)}.v$v-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val moved =
+        try { Files.move(dir.resolve(s"${mName(ref)}.v$v"), aside,
+          StandardCopyOption.ATOMIC_MOVE); true }
+        catch { case _: java.nio.file.NoSuchFileException => false }
+      if (moved) postReclaimHook()
+      // TOCTOU re-check: the holder may have REGISTERED v between the
+      // currentVersion poll above and the move — the bytes we just moved
+      // aside are then the registered snapshot, and every later delta
+      // chains on them. Restore them (REPLACE: a registered version's
+      // content owns its slot unconditionally — any interloper that
+      // re-claimed the emptied slot in the window holds bytes it can
+      // never register, and its own finishCommit verification will make
+      // it abort loudly) and report the version as committed.
+      if (moved && currentVersion(path, ref) >= v) {
+        Files.move(aside, dir.resolve(s"${mName(ref)}.v$v"),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        return false
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -669,15 +707,39 @@ private[graft] object DigestManifest {
     * ANOTHER committer's content under this committer's version, so it
     * refuses loudly instead.
     */
-  private def finishCommit(dir: java.nio.file.Path, path: String, v: Int,
-      ref: String, bytes: Array[Byte]): Int = {
+  private[graft] def finishCommit(dir: java.nio.file.Path, path: String,
+      v: Int, ref: String, bytes: Array[Byte],
+      changeTemp: java.nio.file.Path, compaction: Boolean = false): Int = {
+    def refuse(why: String): Nothing = {
+      Files.deleteIfExists(changeTemp)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_digest: $why — the commit did NOT publish; re-plan and retry")
+    }
     val slot = dir.resolve(s"${mName(ref)}.v$v")
     if (!Files.exists(slot) ||
         !java.util.Arrays.equals(Files.readAllBytes(slot), bytes))
-      throw new java.util.ConcurrentModificationException(
-        s"graft_digest: claim of version $v at $path was reclaimed as an " +
-          "abandoned orphan while this committer stalled — the commit did " +
-          "NOT publish; re-plan and retry")
+      refuse(s"claim of version $v at $path was reclaimed as an " +
+        "abandoned orphan while this committer stalled")
+    // duplicate-registration guard: if v already registered, this
+    // committer's slot was reclaimed-then-restored during a stall race
+    // (claimExact's TOCTOU restore) — registering again would publish two
+    // contents under one version number
+    if (currentVersion(path, ref) >= v)
+      refuse(s"version $v at $path was already registered by another " +
+        "committer while this committer stalled")
+    // the change record flips in ATOMICALLY and only after the ownership
+    // checks above: a reclaimed-and-superseded committer aborts before
+    // reaching this rename, so it can no longer clobber the winning
+    // committer's registered record. REPLACE_EXISTING is safe here — a
+    // pre-existing record under this version can only be a DEAD
+    // committer's leftover, because we hold the verified slot for v.
+    Files.move(changeTemp, dir.resolve(s"${changesName(ref)}.v$v"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // a compaction's tag lands between the claim and registration: a
+    // reader either sees an unregistered (invisible) version or a
+    // registered-and-tagged one — and only AFTER the ownership checks, so
+    // a reclaimed loser can never mis-tag the winner's version
+    if (compaction) markCompaction(path, v)
     // strictly monotone micros IN FILE ORDER: seed from the last
     // registered record so a second process continues the sequence
     val lastRegistered = {
@@ -738,8 +800,8 @@ private[graft] object DigestManifest {
           v = hv + 1; base = hlines; claimed = bytes
         }
       }
-      writeChangeRecord(dir, v, base, lines, ref)
-      finishCommit(dir, path, v, ref, claimed)
+      finishCommit(dir, path, v, ref, claimed,
+        stageChangeRecord(dir, base, lines))
     }
 
   /** Optimistic APPEND commit: `fresh` lines are appended to whatever the
@@ -770,8 +832,8 @@ private[graft] object DigestManifest {
           v = hv + 1; base = hlines; claimed = bytes
         }
       }
-      writeChangeRecord(dir, v, base, base ++ fresh, ref, Some(recs))
-      finishCommit(dir, path, v, ref, claimed)
+      finishCommit(dir, path, v, ref, claimed,
+        stageChangeRecord(dir, base, base ++ fresh, Some(recs)))
     }
 
   /** Optimistic REPLACE commit: the full listing was computed FROM
@@ -802,13 +864,9 @@ private[graft] object DigestManifest {
           s"graft_digest: conflicting commit at $path — version $target " +
             s"was committed by another writer since this operation planned " +
             s"against version $baseVersion; re-plan the operation")
-      writeChangeRecord(dir, target, base, lines, ref, knownRecords)
-      // a compaction's tag lands between the claim and registration: a
-      // reader either sees an unregistered (invisible) version or a
-      // registered-and-tagged one — never a published-but-untagged commit
-      if (pendingCompaction.remove(dir.toAbsolutePath.normalize().toString))
-        markCompaction(path, target)
-      finishCommit(dir, path, target, ref, bytes)
+      finishCommit(dir, path, target, ref, bytes,
+        stageChangeRecord(dir, base, lines, knownRecords),
+        compaction = pendingCompaction.remove(compactionKey(path, ref)))
     }
 
   /** Tag version `v` as a CONTENT-PRESERVING compaction commit (the

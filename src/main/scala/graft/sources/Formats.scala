@@ -3721,9 +3721,12 @@ object Formats {
       require(code == 0 && out.contains(s"CLAIMED=${hv + 1}"), out)
       require(DigestManifest.currentVersion(sink.toString) == hv,
         "q261: an unregistered claim must not read as a commit")
+      // data file BEFORE the manifest entry (write-then-publish, like
+      // every commit site): the live pointer must never name a missing
+      // file, even transiently or across a crash between the two calls
+      F.write(sink.resolve("lang_aa-postorphan.csv"), "99,aa,1\n".getBytes("UTF-8"))
       val reclaimed = DigestManifest.publishAppend(sink.toString,
         Seq("lang_aa-postorphan.csv,1"), hv)
-      F.write(sink.resolve("lang_aa-postorphan.csv"), "99,aa,1\n".getBytes("UTF-8"))
       require(reclaimed == hv + 1,
         s"q261: the live commit must reclaim the abandoned slot, got v$reclaimed")
       require(!DigestManifest.head(sink.toString)._2.exists(_.contains("ghost")),

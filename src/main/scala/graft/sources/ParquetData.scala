@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.lib.input.FileSplit
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** The COLUMNAR data plane of the graft digest table
+  * (TBLPROPERTIES `'format'='parquet'`): data files are Parquet —
+  * dictionary/RLE-encoded, snappy-compressed, multi-row-group — served
+  * through Spark's own vectorized `ColumnarBatch` reader with per-ROW-GROUP
+  * statistics pruning layered UNDER the manifest's per-file zone maps
+  * (q253). The metadata plane (manifest, DVs, CDF, zones) is byte-format
+  * agnostic: an entry names a file and the reader dispatches on its
+  * extension, so CSV- and parquet-backed files can even coexist in one
+  * table across a format migration.
+  *
+  * At 100 TB this layer is the dominant cost: a row-CSV plane re-parses
+  * every byte of every surviving file per scan; this plane decodes only
+  * the requested columns of only the row groups whose (min, max) overlap
+  * the pushed ranges, in 4k-row vectorized batches that feed whole-stage
+  * codegen directly.
+  */
+object ParquetData {
+  val Ext = ".parquet"
+  def isParquet(file: String): Boolean = file.endsWith(Ext)
+
+  /** One Hadoop conf per use: RAW local fs (no `.crc` sidecars — staged
+    * files are renamed into place, which would orphan checksums), cache
+    * disabled so the raw override actually takes effect (the global
+    * FileSystem cache keys by scheme, not by conf).
+    */
+  private[sources] def hconf(): Configuration = {
+    val c = new Configuration()
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  /** The digest row schema in Parquet terms (doc_id, lang, n_chars). */
+  val Schema: MessageType = Types.buildMessage()
+    .required(PrimitiveType.PrimitiveTypeName.INT64).named("doc_id")
+    .required(PrimitiveType.PrimitiveTypeName.BINARY)
+    .as(LogicalTypeAnnotation.stringType()).named("lang")
+    .required(PrimitiveType.PrimitiveTypeName.INT64).named("n_chars")
+    .named("graft_digest")
+
+  /** Row-at-a-time writer onto a staged path; encoding is columnar
+    * inside the writer (that is Parquet's job — the write side of a
+    * columnar plane is always row-fed by the engine's `DataWriter`
+    * contract). `rowGroupBytes` bounds each row group, so files carry
+    * MULTIPLE independently-prunable groups (the in-file twin of the
+    * manifest's file zones).
+    */
+  final class RowsWriter(staged: Path, rowGroupBytes: Long) {
+    private val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(Schema)
+    private val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new HPath(staged.toUri), hconf()))
+      .withType(Schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(rowGroupBytes)
+      .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
+      .withDictionaryEncoding(true)
+      .build()
+    def write(id: Long, lang: String, n: Long): Unit = {
+      val g = factory.newGroup()
+      g.append("doc_id", id)
+      g.append("lang", lang)
+      g.append("n_chars", n)
+      w.write(g)
+    }
+    def close(): Unit = w.close()
+  }
+
+  /** One row group's footer view: its global row offset (DV positions are
+    * file-global row indexes — group offsets recover them under pruning),
+    * byte extent (for midpoint-addressed split reads), and per-column
+    * (min, max) for the zone-mappable columns.
+    */
+  case class RowGroup(index: Int, rowStart: Long, rows: Long,
+      startPos: Long, bytes: Long, mins: Map[String, Long],
+      maxs: Map[String, Long])
+
+  def rowGroups(file: Path): Seq[RowGroup] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file.toUri), hconf()))
+    try {
+      var rowStart = 0L
+      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+        val stats = b.getColumns.asScala.flatMap { c =>
+          val name = c.getPath.toDotString
+          val s = c.getStatistics
+          if (s == null || !s.hasNonNullValue ||
+              !DigestSink.zmCols.contains(name)) None
+          else (s.genericGetMin, s.genericGetMax) match {
+            case (mn: java.lang.Long, mx: java.lang.Long) =>
+              Some(name -> (mn.longValue(), mx.longValue()))
+            case _ => None
+          }
+        }.toMap
+        val g = RowGroup(i, rowStart, b.getRowCount, b.getStartingPos,
+          b.getCompressedSize, stats.view.mapValues(_._1).toMap,
+          stats.view.mapValues(_._2).toMap)
+        rowStart += b.getRowCount
+        g
+      }
+    } finally r.close()
+  }
+
+  /** Row groups surviving the pushed closed ranges (`col -> [lo, hi]`):
+    * the per-ROW-GROUP layer of the same data-skipping rule the scan
+    * applies per FILE off the manifest zones — a group missing stats for
+    * a ranged column is always kept (absent metadata never drops data).
+    */
+  def survivingGroups(groups: Seq[RowGroup],
+      ranges: Map[String, (Long, Long)]): Seq[RowGroup] =
+    groups.filter { g =>
+      ranges.forall { case (c, (lo, hi)) =>
+        (g.mins.get(c), g.maxs.get(c)) match {
+          case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+          case _ => true
+        }
+      }
+    }
+
+  /** Open Spark's vectorized reader over one CONTIGUOUS byte range of
+    * row groups (parquet's split semantics pick every group whose
+    * midpoint falls inside the range, so exact group extents select
+    * exactly those groups). `requested` drives in-file COLUMN pruning:
+    * only its columns' chunks are read and decoded.
+    */
+  def openRange(file: Path, requested: StructType, start: Long,
+      length: Long): VectorizedParquetRecordReader = {
+    val reader = new VectorizedParquetRecordReader(false, 4096)
+    val conf = hconf()
+    conf.set(reader.SPARK_ROW_REQUESTED_SCHEMA(), requested.json)
+    val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
+    val split = new FileSplit(new HPath(file.toUri), start, length,
+      Array.empty[String])
+    try {
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader
+    } catch { case t: Throwable => reader.close(); throw t }
+  }
+
+  /** Contiguous runs of selected groups — one vectorized reader per run
+    * instead of per group.
+    */
+  def contiguousRuns(selected: Seq[RowGroup]): Seq[Seq[RowGroup]] =
+    selected.foldLeft(Vector.empty[Vector[RowGroup]]) { (runs, g) =>
+      if (runs.nonEmpty && runs.last.last.index + 1 == g.index)
+        runs.init :+ (runs.last :+ g)
+      else runs :+ Vector(g)
+    }
+
+  /** Vectorized batch iterator over the selected row groups, tagged with
+    * each batch's FILE-GLOBAL starting row position (how DV masks stay
+    * position-exact under row-group pruning). Closes readers as runs
+    * drain; `close()` for early termination (limits).
+    */
+  final class BatchIterator(file: Path, requested: StructType,
+      selected: Seq[RowGroup]) extends Iterator[(ColumnarBatch, Long)]
+      with AutoCloseable {
+    private val runs = contiguousRuns(selected).iterator
+    private var reader: VectorizedParquetRecordReader = _
+    private var rowCursor = 0L
+    private var pending: ColumnarBatch = _
+
+    private def advance(): Unit = {
+      while (pending == null) {
+        if (reader == null) {
+          if (!runs.hasNext) return
+          val run = runs.next()
+          rowCursor = run.head.rowStart
+          reader = openRange(file, requested, run.head.startPos,
+            run.map(_.bytes).sum)
+        }
+        if (reader.nextBatch()) pending = reader.resultBatch()
+        else { reader.close(); reader = null }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): (ColumnarBatch, Long) = {
+      advance()
+      val b = pending
+      pending = null
+      val at = rowCursor
+      rowCursor += b.numRows()
+      (b, at)
+    }
+    override def close(): Unit =
+      if (reader != null) { reader.close(); reader = null }
+  }
+
+  /** Plain row iterator over a whole digest parquet file — the
+    * non-vectorized consumers' path (CDF row materialization, procedure
+    * audits). Row-group order, so the i-th row is position i.
+    */
+  def readRows(file: Path): Iterator[(Long, String, Long)] = {
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), new HPath(file.toUri))
+      .withConf(hconf()).build()
+    new Iterator[(Long, String, Long)] {
+      private var g = r.read()
+      override def hasNext: Boolean = {
+        if (g == null) r.close()
+        g != null
+      }
+      override def next(): (Long, String, Long) = {
+        val out = (g.getLong("doc_id", 0), g.getString("lang", 0),
+          g.getLong("n_chars", 0))
+        g = r.read()
+        out
+      }
+    }
+  }
+}
