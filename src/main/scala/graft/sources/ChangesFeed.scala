@@ -288,15 +288,27 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         }
     }
 
-  /** Sequential line reader; `mk` may return null to SKIP a line. */
+  /** Sequential row reader over a DATA file, dispatched on its byte
+    * format (CSV lines or parquet rows — the change feed is data-plane
+    * agnostic, like every metadata consumer); `mk` may return null to
+    * SKIP a row. Row order is file order, so the i-th row is DV
+    * position i on both planes.
+    */
   private def lineReader(path: String, file: String)(
       mk: Array[String] => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(Paths.get(path, file)).iterator()
+      private val rows: Iterator[Array[String]] =
+        if (ParquetData.isParquet(file))
+          ParquetData.readRows(Paths.get(path, file)).map { case (id, lang, n) =>
+            Array(id.toString, lang, n.toString)
+          }
+        else scala.jdk.CollectionConverters.IteratorHasAsScala(
+          Files.readAllLines(Paths.get(path, file)).iterator())
+          .asScala.map(_.split(","))
       private var current: InternalRow = _
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          val r = mk(lines.next().split(","))
+        while (rows.hasNext) {
+          val r = mk(rows.next())
           if (r != null) { current = r; return true }
         }
         false

@@ -58,17 +58,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DigestSink extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.containsKey("changesFrom")) DigestChanges.schema
+    if (options.containsKey("changesFrom") ||
+        options.containsKey("changesFromTimestamp")) DigestChanges.schema
     else DigestSink.rowSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     // `changesFrom`/`changesTo` select the CHANGE DATA FEED view of the
-    // table's commit log (q241) instead of its current snapshot
-    if (properties.containsKey("changesFrom"))
-      new DigestChangesTable(properties.get("path"),
-        properties.get("changesFrom").toInt,
-        Option(properties.get("changesTo")).map(_.toInt),
-        Option(properties.get("branch")).getOrElse(DigestManifest.MainRef))
+    // table's commit log (q241) instead of its current snapshot.
+    // `changesFromTimestamp`/`changesToTimestamp` (q268, epoch micros)
+    // are the TIMESTAMP-ADDRESSED form: each bound resolves through the
+    // commit log's own timestamps ([[DigestManifest.versionAt]] — latest
+    // version at or before the instant, per ref) into the SAME version
+    // plan, so "changes since last Tuesday" needs no version arithmetic
+    // on the consumer's side. A from-instant BEFORE the first commit
+    // refuses loudly (versionAt's contract): there is no committed state
+    // to diff from — ask for version 0 explicitly to read from genesis.
+    if (properties.containsKey("changesFrom") ||
+        properties.containsKey("changesFromTimestamp")) {
+      val path = properties.get("path")
+      val branch = Option(properties.get("branch"))
+        .getOrElse(DigestManifest.MainRef)
+      require(!(properties.containsKey("changesFrom") &&
+          properties.containsKey("changesFromTimestamp")),
+        "graft_digest changes: give changesFrom OR changesFromTimestamp, not both")
+      val from = Option(properties.get("changesFrom")).map(_.toInt)
+        .getOrElse(DigestManifest.versionAt(path,
+          properties.get("changesFromTimestamp").toLong, branch))
+      val to = Option(properties.get("changesTo")).map(_.toInt)
+        .orElse(Option(properties.get("changesToTimestamp")).map(ts =>
+          DigestManifest.versionAt(path, ts.toLong, branch)))
+      new DigestChangesTable(path, from, to, branch)
+    }
     // `branch` selects the named ref's view of the directory (q255) —
     // the fast_forward audit reads the candidate branch through this;
     // `versionAsOf` / `timestampAsOf` (q262, epoch micros) time-travel
@@ -80,9 +100,16 @@ class DigestSink extends TableProvider {
           DigestManifest.versionAt(properties.get("path"), ts.toLong, branch)))
       new DigestBranchTable(properties.get("path"), branch, asOf)
     }
-    else new DigestSinkTable(properties.get("path"),
-      langSplit = false,
-      requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean)
+    else {
+      // `format` rides the provider options too (q266) — the
+      // DataFrame-writer path's twin of TBLPROPERTIES `'format'`
+      val dp = DataPlane.fromProps(k => Option(properties.get(k)))
+      new DigestSinkTable(properties.get("path"),
+        langSplit = false,
+        requireDist = properties.getOrDefault("requireDistribution", "false").toBoolean) {
+        override protected def dataPlane: DataPlane = dp
+      }
+    }
 }
 
 object DigestSink {
@@ -168,6 +195,16 @@ object DigestSink {
     * aggregate read NO data — the counter must stay flat).
     */
   private[graft] val fileReadEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Parquet-plane row-group keep/skip counts (q266's loud proof of
+    * IN-FILE pruning — the footer-stats layer under the manifest's
+    * per-file zones). Local-mode observability twins of the per-task
+    * [[DigestMetrics]] custom metrics.
+    */
+  private[graft] val rowGroupReadEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val rowGroupSkipEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
@@ -369,7 +406,7 @@ private[graft] object DigestManifest {
     * ORDER CONTRACT survives the fold: surviving base entries keep their
     * committed order (removals drop lines, mutations replace in place)
     * and added entries append after them in record order — exactly how
-    * every commit path builds its listing, which [[snapshotBytes]]
+    * every commit path builds its listing, which [[slotBytesFor]]
     * additionally verifies per commit before choosing the delta shape.
     */
   /** First field (the file name) of a manifest line — `indexOf`, not a
@@ -417,21 +454,140 @@ private[graft] object DigestManifest {
     if (neu.isEmpty) 0L
     else neu.iterator.map(_.length.toLong + 1L).sum - 1L
 
-  private def snapshotBytes(v: Int, base: Seq[String], neu: Seq[String],
-      knownRecords: Option[Seq[String]] = None): Array[Byte] = {
-    def full = neu.mkString("\n").getBytes(StandardCharsets.UTF_8)
+  /** PARTITION-GROUPED BASE SHARDS: a full-shape snapshot at or past this
+    * many entries is written as one tiny HEADER (the CAS'd slot: a
+    * `#sharded` line plus one `#shard:<file>:<group>` line per group)
+    * referencing per-lang shard files written BEFORE the claim — so a
+    * lang-pruned plan resolves the listing by reading ONLY the matching
+    * shards (plus the ungrouped catch-all), never materializing the whole
+    * table's metadata on the driver. At 10⁷–10⁸ manifest entries (real
+    * 100 TB tables) this is the difference between a per-plan driver fold
+    * of GBs and a read proportional to the queried partition. Below the
+    * threshold the plain single-file full shape is written unchanged —
+    * fixtures, specs, and hand-written manifests never see shards.
+    * Var (not val) so soak/spec rigs can exercise the shard path at
+    * fixture scale.
+    */
+  private[graft] var shardMinEntries: Int = 65536
+
+  /** A manifest entry's shard group: the lang its file name carries, or
+    * the catch-all `""` (flat `part-*`, `delta-*` verb logs, anything
+    * untagged) — which every pruned read always includes, so absence of
+    * a group can never drop data. Group names never contain `:` (the
+    * header separator); a pathological lang that does goes to the
+    * catch-all.
+    */
+  private def groupOf(file: String): String =
+    DigestSink.langOf(file).filterNot(_.contains(':')).getOrElse("")
+
+  /** The slot bytes of one claim attempt plus any shard files written for
+    * them: a loser discards its shards eagerly; a crashed committer's
+    * shards are unreferenced non-metadata garbage remove_orphan_files
+    * sweeps by age.
+    */
+  private[graft] case class SlotBytes(bytes: Array[Byte],
+      shards: Seq[java.nio.file.Path]) {
+    def discard(): Unit = shards.foreach(Files.deleteIfExists)
+  }
+
+  /** Write `neu` as per-group shard files and return the header bytes
+    * that reference them. Shard lines are `<globalIndex>:<entry>` so any
+    * subset of shards reassembles in EXACT listing order (the commit
+    * order contract survives sharding). Shard names are uuid-qualified —
+    * never `_MANIFEST`-prefixed (reachability scans must not parse them
+    * as manifests) — and unique per claim attempt, which also makes the
+    * header bytes unique: finishCommit's reclaimed-slot byte check gets
+    * strictly stronger.
+    */
+  private def writeShardedBase(dir: java.nio.file.Path, v: Int, ref: String,
+      neu: Seq[String]): SlotBytes = {
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val grouped = new java.util.LinkedHashMap[String, java.lang.StringBuilder]()
+    neu.iterator.zipWithIndex.foreach { case (l, i) =>
+      grouped.computeIfAbsent(groupOf(fileOf(l)),
+        _ => new java.lang.StringBuilder)
+        .append(i).append(':').append(l).append('\n')
+    }
+    val header = new java.lang.StringBuilder("#sharded\n")
+    val paths = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      grouped.entrySet().iterator()).asScala.zipWithIndex.map { case (e, i) =>
+      val name = s".shards.${mName(ref)}.v$v.$uuid.$i"
+      val p = dir.resolve(name)
+      Files.write(p, e.getValue.toString.getBytes(StandardCharsets.UTF_8))
+      header.append("#shard:").append(name).append(':').append(e.getKey)
+        .append('\n')
+      p
+    }.toSeq
+    SlotBytes(header.toString.getBytes(StandardCharsets.UTF_8), paths)
+  }
+
+  /** `(shardFileName, group)` pairs of a `#sharded` header. */
+  private def shardRefs(headerLines: Seq[String]): Seq[(String, String)] =
+    headerLines.filter(_.startsWith("#shard:")).map { l =>
+      val body = l.drop(7)
+      val i = body.lastIndexOf(':')
+      (body.take(i), body.drop(i + 1))
+    }
+
+  /** Reassemble a sharded base: all shards (`groups` = None), or only the
+    * shards matching `groups` plus the ungrouped catch-all — the pruned
+    * read that keeps driver bytes proportional to the queried partition.
+    * Index-sorted, so the reassembled subset keeps exact listing order.
+    */
+  private def readShardedBase(path: String, headerLines: Seq[String],
+      groups: Option[Set[String]]): Seq[String] = {
+    val wanted = shardRefs(headerLines).filter { case (_, g) =>
+      groups.forall(gs => g.isEmpty || gs.contains(g))
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    wanted.foreach { case (name, _) =>
+      val f = Paths.get(path, name)
+      require(Files.exists(f),
+        s"graft_digest: base shard $name missing at $path (metadata " +
+          "corrupted or swept while referenced)")
+      readLines(f).foreach { l =>
+        val i = l.indexOf(':')
+        buf += ((l.take(i).toInt, l.drop(i + 1)))
+      }
+    }
+    buf.sortInPlaceBy(_._1)
+    buf.map(_._2).toSeq
+  }
+
+  /** The bytes to CAS-claim version `v` with — and any shard files
+    * backing them: a `#base:<v-1>` delta when the delta is both smaller
+    * than the full listing and fold-exact (order included), a full
+    * listing otherwise (sharded past [[shardMinEntries]]) — so
+    * correctness never depends on a caller's listing being
+    * delta-expressible, and every [[BaseEvery]]-th version re-anchors the
+    * chain.
+    *
+    * `knownRecords`: a caller that KNOWS its own change records (an
+    * append knows it appended `fresh`) passes them so the commit never
+    * re-DIFFS the full listing — without this, commit CPU was O(table)
+    * per commit (two O(n) maps in [[deltaRecords]] plus a full
+    * `mkString` just to size-compare: the 10⁶-entry soak crawled).
+    * Known records skip the fold-verify (true by construction for
+    * appends) and the full listing is SIZED without materializing.
+    */
+  private def slotBytesFor(dir: java.nio.file.Path, v: Int, ref: String,
+      base: Seq[String], neu: Seq[String],
+      knownRecords: Option[Seq[String]] = None): SlotBytes = {
+    def full: SlotBytes =
+      if (neu.size >= shardMinEntries) writeShardedBase(dir, v, ref, neu)
+      else SlotBytes(neu.mkString("\n").getBytes(StandardCharsets.UTF_8), Nil)
     if (v <= 1 || v % BaseEvery == 0 || base.isEmpty) return full
     knownRecords match {
       case Some(recs) =>
         val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
           .getBytes(StandardCharsets.UTF_8)
-        if (delta.length < fullSize(neu)) delta else full
+        if (delta.length < fullSize(neu)) SlotBytes(delta, Nil) else full
       case None =>
         val recs = deltaRecords(base, neu)
         val delta = (s"#base:${v - 1}" +: recs).mkString("\n")
           .getBytes(StandardCharsets.UTF_8)
         if (delta.length < fullSize(neu) && foldRecords(base, recs) == neu)
-          delta
+          SlotBytes(delta, Nil)
         else full
     }
   }
@@ -496,6 +652,8 @@ private[graft] object DigestManifest {
               stack ::= lines.tail
               cur = h.drop(6).toInt
               if (cur == 0) base = Seq.empty
+            case Some("#sharded") =>
+              base = readShardedBase(path, lines, None)
             case _ => base = lines
           }
       }
@@ -514,6 +672,59 @@ private[graft] object DigestManifest {
         (oldE, newE) => if (newE.v >= oldE.v) newE else oldE)
     }
     folded
+  }
+
+  /** GROUP-PRUNED listing resolution: like [[listingAt]], but a sharded
+    * base contributes only the shards matching `groups` (plus the
+    * ungrouped catch-all). The result is a SUPERSET of the full listing's
+    * entries whose group is in `groups` and a SUBSET of the full listing
+    * — delta records are replayed unfiltered (an add outside `groups`
+    * appends an entry the scan's own `survives` pruning drops; a
+    * removal/mutation of an entry a skipped shard held no-ops against the
+    * partial base), so every consumer that re-filters by its own
+    * predicate gets exactly the same survivors as the full fold, while
+    * the driver reads O(matching shards + changes) bytes instead of the
+    * whole table's metadata. Plain (unsharded) snapshots resolve
+    * IDENTICALLY to [[listingAt]] — pruning here is physical shard
+    * skipping, never a logical filter. A valid cached full fold is used
+    * when present (its residency is already paid) but is group-FILTERED
+    * before returning — in-memory, zero extra I/O — so a pruned read
+    * never hands back foreign-group entries just because a full fold
+    * happened to be cached; a pruned fold is never cached.
+    */
+  private[graft] def listingAtPruned(path: String, ref: String, v: Int,
+      groups: Set[String]): Seq[String] = {
+    if (v == 0) return Seq.empty
+    val key = cacheKey(path, ref)
+    val c = headCache.get(key)
+    if (c != null && c.v == v) {
+      val f = Paths.get(path, s"${mName(ref)}.v$v")
+      if (Files.exists(f) && Files.size(f) == c.size &&
+          Files.getLastModifiedTime(f).toMillis == c.mtime)
+        return c.lines.filter { l =>
+          val g = groupOf(fileOf(l)); g.isEmpty || groups.contains(g)
+        }
+    }
+    var stack = List.empty[Seq[String]]
+    var cur = v
+    var base: Seq[String] = null
+    while (base == null) {
+      val f = Paths.get(path, s"${mName(ref)}.v$cur")
+      require(Files.exists(f),
+        s"graft_digest: version $cur of ref '$ref' is not resolvable " +
+          s"at $path (expired? snapshots must be retained to read it)")
+      val lines = readLines(f)
+      lines.headOption match {
+        case Some(h) if h.startsWith("#base:") =>
+          stack ::= lines.tail
+          cur = h.drop(6).toInt
+          if (cur == 0) base = Seq.empty
+        case Some("#sharded") =>
+          base = readShardedBase(path, lines, Some(groups))
+        case _ => base = lines
+      }
+    }
+    stack.foldLeft(base)(foldRecords)
   }
 
   /** Resolve any manifest FILE NAME — the current pointer
@@ -535,6 +746,30 @@ private[graft] object DigestManifest {
         require(v > 0,
           s"graft_digest: $name is delta-shaped but not a numbered snapshot")
         listingAt(path, ref, v)
+      case Some("#sharded") => readShardedBase(path, lines, None)
+      case _ => lines
+    }
+  }
+
+  /** [[listingFor]] with group pruning — the scan's entry point when a
+    * lang predicate was pushed: resolves through the pointer/snapshot
+    * indirections to [[listingAtPruned]]. Same superset contract.
+    */
+  private[graft] def listingForPruned(path: String, name: String,
+      groups: Set[String]): Seq[String] = {
+    val f = Paths.get(path, name)
+    if (!Files.exists(f)) return Seq.empty
+    val lines = readLines(f)
+    lines.headOption match {
+      case Some(h) if h.startsWith("#version:") =>
+        listingAtPruned(path, refOfManifestName(name)._1,
+          h.drop(9).trim.toInt, groups)
+      case Some(h) if h.startsWith("#base:") =>
+        val (ref, v) = refOfManifestName(name)
+        require(v > 0,
+          s"graft_digest: $name is delta-shaped but not a numbered snapshot")
+        listingAtPruned(path, ref, v, groups)
+      case Some("#sharded") => readShardedBase(path, lines, Some(groups))
       case _ => lines
     }
   }
@@ -567,7 +802,20 @@ private[graft] object DigestManifest {
   private[graft] def namesMentioned(path: String, name: String): Set[String] = {
     val f = Paths.get(path, name)
     if (!Files.exists(f)) return Set.empty
-    readLines(f).iterator.flatMap { l =>
+    val lines = readLines(f)
+    // a sharded header mentions its shard FILES (so reachability keeps
+    // them) and, through them, every data file their entries name
+    if (lines.headOption.contains("#sharded")) {
+      val refs = shardRefs(lines)
+      return refs.map(_._1).toSet ++ refs.iterator.flatMap { case (n, _) =>
+        val sf = Paths.get(path, n)
+        if (!Files.exists(sf)) Iterator.empty
+        else readLines(sf).iterator.map { l =>
+          fileOf(l.drop(l.indexOf(':') + 1))
+        }
+      }
+    }
+    lines.iterator.flatMap { l =>
       if (l.startsWith("#")) Iterator.empty
       else if (l.startsWith("+") || l.startsWith("-"))
         Iterator.single(l.tail.split(",")(0))
@@ -612,7 +860,7 @@ private[graft] object DigestManifest {
     pendingCompaction.remove(compactionKey(path, ref))
 
   /** CAS-claim version `v`: atomically create `_MANIFEST.v<v>` with the
-    * snapshot bytes (full or `#base:`-delta — [[snapshotBytes]]).
+    * snapshot bytes (full or `#base:`-delta — [[slotBytesFor]]).
     * `CREATE_NEW` maps to `open(O_CREAT|O_EXCL)` — the
     * one filesystem primitive that is atomic ACROSS PROCESSES — so of two
     * committers racing for the same version number exactly one wins; the
@@ -795,10 +1043,10 @@ private[graft] object DigestManifest {
       var claimed: Array[Byte] = null
       while (v < 0) {
         val (hv, hlines) = head(path, ref)
-        val bytes = snapshotBytes(hv + 1, hlines, lines)
-        if (claimExact(dir, path, hv + 1, bytes, ref)) {
-          v = hv + 1; base = hlines; claimed = bytes
-        }
+        val sb = slotBytesFor(dir, hv + 1, ref, hlines, lines)
+        if (claimExact(dir, path, hv + 1, sb.bytes, ref)) {
+          v = hv + 1; base = hlines; claimed = sb.bytes
+        } else sb.discard()
       }
       finishCommit(dir, path, v, ref, claimed,
         stageChangeRecord(dir, base, lines))
@@ -827,10 +1075,11 @@ private[graft] object DigestManifest {
         val (hv, hlines) = head(path, ref)
         // rebase: appends commute — surviving head entries keep their
         // order (delta replay order is manifest order), fresh goes last
-        val bytes = snapshotBytes(hv + 1, hlines, hlines ++ fresh, Some(recs))
-        if (claimExact(dir, path, hv + 1, bytes, ref)) {
-          v = hv + 1; base = hlines; claimed = bytes
-        }
+        val sb = slotBytesFor(dir, hv + 1, ref, hlines, hlines ++ fresh,
+          Some(recs))
+        if (claimExact(dir, path, hv + 1, sb.bytes, ref)) {
+          v = hv + 1; base = hlines; claimed = sb.bytes
+        } else sb.discard()
       }
       finishCommit(dir, path, v, ref, claimed,
         stageChangeRecord(dir, base, base ++ fresh, Some(recs)))
@@ -858,13 +1107,15 @@ private[graft] object DigestManifest {
             "operation against the current table state")
       val base = head(path, ref)._2
       val target = baseVersion + 1
-      val bytes = snapshotBytes(target, base, lines, knownRecords)
-      if (!claimExact(dir, path, target, bytes, ref))
+      val sb = slotBytesFor(dir, target, ref, base, lines, knownRecords)
+      if (!claimExact(dir, path, target, sb.bytes, ref)) {
+        sb.discard()
         throw new java.util.ConcurrentModificationException(
           s"graft_digest: conflicting commit at $path — version $target " +
             s"was committed by another writer since this operation planned " +
             s"against version $baseVersion; re-plan the operation")
-      finishCommit(dir, path, target, ref, bytes,
+      }
+      finishCommit(dir, path, target, ref, sb.bytes,
         stageChangeRecord(dir, base, lines, knownRecords),
         compaction = pendingCompaction.remove(compactionKey(path, ref)))
     }
@@ -883,6 +1134,26 @@ private[graft] object DigestManifest {
       s"$v\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Rewrite registered version `v`'s snapshot as a FULL base holding
+    * `folded` (the expiry rebase: a kept delta whose chain passes through
+    * an expiring version is folded to full so the chain cut cannot strand
+    * it). Sharded past [[shardMinEntries]] like any committed base; the
+    * header flips in atomically AFTER its shards exist, and a replaced
+    * sharded header's old shards become unreferenced garbage
+    * remove_orphan_files sweeps.
+    */
+  private[graft] def rewriteSnapshotAsBase(path: String, ref: String, v: Int,
+      folded: Seq[String]): Unit = {
+    val dir = Paths.get(path)
+    val sb =
+      if (folded.size >= shardMinEntries) writeShardedBase(dir, v, ref, folded)
+      else SlotBytes(folded.mkString("\n").getBytes(StandardCharsets.UTF_8), Nil)
+    val t = Files.createTempFile(dir, ".manifest-tmp-", "")
+    Files.write(t, sb.bytes)
+    Files.move(t, dir.resolve(s"${mName(ref)}.v$v"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
   def isCompaction(path: String, v: Int): Boolean = {
@@ -941,6 +1212,12 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     * default: every zone-mappable column.
     */
   protected def zonemapCols: Set[String] = DigestSink.zmCols.keySet
+  /** The DATA-FILE byte format (TBLPROPERTIES `'format'`, parsed by
+    * [[GraftCatalog]] / the provider options): row-CSV (default) or the
+    * Parquet columnar plane ([[ParquetData]]). Read-side dispatch is
+    * per FILE off its extension, so this only steers writes.
+    */
+  protected def dataPlane: DataPlane = DataPlane.Csv
   override def name(): String = s"graft_digest_sink($path)"
   override def schema(): StructType = DigestSink.rowSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -955,7 +1232,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DigestWriteBuilder(path, langSplit, requireDist, retainHistory, ref,
-      zonemapCols)
+      zonemapCols, dataPlane)
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
@@ -1022,7 +1299,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
 class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
     retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
-    zonemapCols: Set[String] = DigestSink.zmCols.keySet)
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    plane: DataPlane = DataPlane.Csv)
     extends WriteBuilder with SupportsOverwrite {
   // None = append; Some(filters) = overwrite the matching region
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -1043,14 +1321,16 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def build(): Write =
     new DigestWrite(path, langSplit, requireDist, overwriteFilters,
-      retainHistory = retainHistory, ref = ref, zonemapCols = zonemapCols)
+      retainHistory = retainHistory, ref = ref, zonemapCols = zonemapCols,
+      plane = plane)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     overwriteFilters: Option[Array[Filter]],
     cols: Array[Int] = Array(0, 1, 2),
     retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
-    zonemapCols: Set[String] = DigestSink.zmCols.keySet)
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    plane: DataPlane = DataPlane.Csv)
     extends Write with RequiresDistributionAndOrdering {
 
   // q263: a pending `rewrite_sorted` layout overrides the default
@@ -1095,7 +1375,7 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def toBatch: BatchWrite =
     new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory,
-      ref, zonemapCols)
+      ref, zonemapCols, plane)
 
   // q234: `writeStream.toTable(...)` — the MANIFEST-GATED table as a
   // streaming sink. Each epoch reuses the lang-split writers with the
@@ -1109,16 +1389,17 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(langSplit && overwriteFilters.isEmpty,
       "graft_digest streaming writes are append-mode on the lang-split flavor")
-    new DigestStreamingWrite(path, cols)
+    new DigestStreamingWrite(path, cols, plane)
   }
 }
 
-class DigestStreamingWrite(path: String, cols: Array[Int])
+class DigestStreamingWrite(path: String, cols: Array[Int],
+    plane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    DigestStreamingWriterFactory(path, cols)
+    DigestStreamingWriterFactory(path, cols, plane)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
@@ -1151,7 +1432,8 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     cols: Array[Int] = Array(0, 1, 2),
     retainHistory: Boolean = false,
     ref: String = DigestManifest.MainRef,
-    zonemapCols: Set[String] = DigestSink.zmCols.keySet) extends BatchWrite {
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    plane: DataPlane = DataPlane.Csv) extends BatchWrite {
   def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
@@ -1170,7 +1452,7 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new DigestWriterFactory(path, langSplit, cols, jobTag)
+    new DigestWriterFactory(path, langSplit, cols, jobTag, plane)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
@@ -1268,11 +1550,12 @@ class DigestRloTable(path: String)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DigestRowLevelOperation(path, info.command())
+    () => new DigestRowLevelOperation(path, info.command(), dataPlane)
 }
 
 class DigestRowLevelOperation(path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    dataPlane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft_digest row-level $cmd"
@@ -1296,7 +1579,7 @@ class DigestRowLevelOperation(path: String,
     new WriteBuilder {
       override def build(): Write =
         new DigestWrite(path, langSplit = true, requireDist = true,
-          Some(Array(new AlwaysTrue)), cols)
+          Some(Array(new AlwaysTrue)), cols, plane = dataPlane)
     }
   }
 }
@@ -1506,12 +1789,13 @@ class DigestDvTable(path: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DigestDvOperation(path, info.command(), dvRef)
+    () => new DigestDvOperation(path, info.command(), dvRef, dataPlane)
 }
 
 class DigestDvOperation(path: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    ref: String = DigestManifest.MainRef)
+    ref: String = DigestManifest.MainRef,
+    dataPlane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -1565,7 +1849,7 @@ class DigestDvOperation(path: String,
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx,
-              dataCols, ref)
+              dataCols, ref, dataPlane)
         }
     }
   }
@@ -1580,7 +1864,8 @@ case class DvCommitMessage(deletes: Map[String, Array[Long]],
   * staged writer — one task commit message carries both halves.
   */
 case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
-    dataCols: Array[Int], jobTag: String)
+    dataCols: Array[Int], jobTag: String,
+    plane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
@@ -1596,7 +1881,8 @@ case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
           "graft_digest dv: updates must arrive as delete+insert pairs")
       override def insert(row: InternalRow): Unit = {
         if (ins == null)
-          ins = new LangSplitDataWriter(path, partitionId, taskId, dataCols, jobTag)
+          ins = new LangSplitDataWriter(path, partitionId, taskId, dataCols,
+            jobTag, plane)
         ins.write(row)
       }
       override def reinsert(meta: InternalRow, row: InternalRow): Unit = insert(row)
@@ -1613,7 +1899,8 @@ case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
 
 class DigestDvBatchWrite(path: String, baseVersion: Int,
     fileIdx: Int, posIdx: Int, dataCols: Array[Int],
-    ref: String = DigestManifest.MainRef)
+    ref: String = DigestManifest.MainRef,
+    plane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   // one unique tag per job (same contract as DigestBatchWrite): insert
@@ -1623,7 +1910,7 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
-    DigestDvWriterFactory(path, fileIdx, posIdx, dataCols, jobTag)
+    DigestDvWriterFactory(path, fileIdx, posIdx, dataCols, jobTag, plane)
 
   // job commit: fold every task's (file → positions) into the listing —
   // union with any existing DV, decrement the entry's live-row count —
@@ -1700,11 +1987,13 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
   }
 }
 
-case class DigestStreamingWriterFactory(path: String, cols: Array[Int])
+case class DigestStreamingWriterFactory(path: String, cols: Array[Int],
+    plane: DataPlane = DataPlane.Csv)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new LangSplitDataWriter(path, partitionId, taskId, cols, s"e$epochId")
+    new LangSplitDataWriter(path, partitionId, taskId, cols, s"e$epochId",
+      plane)
 }
 
 case class DigestDeltaWriterFactory(path: String, cols: Array[Int],
@@ -2068,9 +2357,23 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       }
     }
 
-  /** Files this scan will read after every pruning stage. */
-  private def plannedEntries(): Seq[ManifestEntry] =
-    DigestManifest.listingFor(path, manifestName).map(ManifestEntry.parse)
+  /** Files this scan will read after every pruning stage. With a pushed
+    * lang set the listing resolves GROUP-PRUNED ([[DigestManifest
+    * .listingForPruned]]): on a shard-based table the driver reads only
+    * the matching lang shards' metadata (plus the catch-all) instead of
+    * folding the whole table — the returned superset is re-filtered by
+    * [[survives]] in every consumer, so plans are identical to the full
+    * fold while driver bytes stay proportional to the queried partition.
+    * Unsharded tables resolve identically either way.
+    */
+  private def plannedEntries(): Seq[ManifestEntry] = {
+    val listing = pruneSet match {
+      case Some(ls) if allowPruning && !mergeDeltas =>
+        DigestManifest.listingForPruned(path, manifestName, ls)
+      case _ => DigestManifest.listingFor(path, manifestName)
+    }
+    listing.map(ManifestEntry.parse)
+  }
 
   /** The one file-skipping predicate every planning consumer shares
     * (splits, statistics, clustering, metrics): lang pruning off the
@@ -2164,7 +2467,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
   // how an operator proves its pruning did what the plan claimed, per
   // query, without log archaeology.
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(DigestMetrics.planned, DigestMetrics.pruned, DigestMetrics.rows)
+    Array(DigestMetrics.planned, DigestMetrics.pruned, DigestMetrics.rows,
+      DigestMetrics.rowGroupsPlanned, DigestMetrics.rowGroupsPruned)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     val all = plannedEntries().filterNot(_.file.startsWith("delta-"))
@@ -2184,9 +2488,14 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       // file-level pruning: a name that carries a lang and misses the
       // pushed set — or a zone map that misses the pushed doc_id range —
       // is skipped whole; a file WITHOUT the metadata is always kept
+      // surviving parquet files additionally carry the pushed ranges so
+      // their readers prune ROW GROUPS against the footer stats — the
+      // in-file layer of the same data-skipping rule (same safety gates:
+      // this branch never runs under merge-on-read)
       baseFiles.filter(survives)
         .map(e => DigestFilePartition(path, e.file,
-          dv = e.attrs.getOrElse("dv", ""), emitMeta = emitMeta): InputPartition)
+          dv = e.attrs.getOrElse("dv", ""), emitMeta = emitMeta,
+          zm = zmRanges): InputPartition)
         .toArray
     } else {
       // replay in MANIFEST order, not name order: append order is commit
@@ -2205,13 +2514,24 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DigestReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // COLUMNAR serve is a whole-scan decision (the engine requires every
+    // partition of a scan to agree): only when every planned file is
+    // parquet and nothing row-level intervenes — no DV mask, no
+    // merge-on-read overrides, no metadata columns
+    val columnar = !mergeDeltas && !emitMeta && {
+      val entries = plannedEntries().filter(survives)
+      entries.nonEmpty && entries.forall(e =>
+        ParquetData.isParquet(e.file) && e.attrs.getOrElse("dv", "").isEmpty)
+    }
+    new DigestReaderFactory(columnar)
+  }
 }
 
 case class DigestFilePartition(path: String, file: String,
     overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty,
-    dv: String = "", emitMeta: Boolean = false)
+    dv: String = "", emitMeta: Boolean = false,
+    zm: Map[String, (Long, Long)] = Map.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the lang carried in the file name IS the split's partition key — the
@@ -2227,7 +2547,16 @@ case class DigestFilePartition(path: String, file: String,
 case class DigestInsertsPartition(rows: Seq[(Long, String, Long)])
     extends InputPartition
 
-class DigestReaderFactory extends PartitionReaderFactory {
+class DigestReaderFactory(columnar: Boolean = false)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case fp: DigestFilePartition => new DigestColumnarFileReader(fp)
+      case other => throw new IllegalStateException(
+        s"graft_digest: columnar read planned for non-file partition $other")
+    }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case fp: DigestFilePartition => new DigestFileReader(fp)
@@ -2250,18 +2579,58 @@ class DigestReaderFactory extends PartitionReaderFactory {
 class DigestFileReader(p: DigestFilePartition)
     extends PartitionReader[InternalRow] {
   DigestSink.fileReadEvents.incrementAndGet()
-  private val lines =
-    Files.readAllLines(Paths.get(p.path, p.file)).iterator()
   // the entry's deletion vector (q252): positions masked here are deleted
   // rows — skipped on every read path, no base-file rewrite ever happened
   private val dv = DvCodec.decode(p.dv)
-  private var pos = -1L
   private var current: InternalRow = _
   private var served = 0L
-  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(DigestMetricValue("graft_rows_served", served))
+  private var rgPlanned = 0L
+  private var rgPruned = 0L
+  private var batches: ParquetData.BatchIterator = _
 
-  private def emit(id: Long, lang: UTF8String, n: Long): Boolean = {
+  /** (file-global position, doc_id, lang, n_chars) rows, dispatched on
+    * the FILE's byte format. The parquet path prunes ROW GROUPS against
+    * the pushed ranges off the footer's per-group stats — the in-file
+    * layer under the manifest's per-file zones — and still reports exact
+    * global positions (group offsets come from the same footer), so DV
+    * masks stay position-true under pruning.
+    */
+  private val rows: Iterator[(Long, Long, UTF8String, Long)] =
+    if (ParquetData.isParquet(p.file)) {
+      val file = Paths.get(p.path, p.file)
+      val groups = ParquetData.rowGroups(file)
+      val kept = ParquetData.survivingGroups(groups, p.zm)
+      rgPlanned = kept.size.toLong
+      rgPruned = (groups.size - kept.size).toLong
+      DigestSink.rowGroupReadEvents.addAndGet(rgPlanned)
+      DigestSink.rowGroupSkipEvents.addAndGet(rgPruned)
+      batches = new ParquetData.BatchIterator(file, DigestSink.rowSchema, kept)
+      batches.flatMap { case (batch, startPos) =>
+        val rit = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(batch.rowIterator()).asScala
+        rit.zipWithIndex.map { case (r, i) =>
+          (startPos + i, r.getLong(0), r.getUTF8String(1).copy(), r.getLong(2))
+        }
+      }
+    } else {
+      val lines = Files.readAllLines(Paths.get(p.path, p.file)).iterator()
+      new Iterator[(Long, Long, UTF8String, Long)] {
+        private var pos = -1L
+        override def hasNext: Boolean = lines.hasNext
+        override def next(): (Long, Long, UTF8String, Long) = {
+          val a = lines.next().split(",")
+          pos += 1
+          (pos, a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong)
+        }
+      }
+    }
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(DigestMetricValue("graft_rows_served", served),
+      DigestMetricValue("graft_rowgroups_planned", rgPlanned),
+      DigestMetricValue("graft_rowgroups_pruned", rgPruned))
+
+  private def emit(id: Long, lang: UTF8String, n: Long, pos: Long): Boolean = {
     // the row-level-operation scan (q252) asks for each row's physical
     // coordinates — (_file, _pos) is the rowId a deletion-vector commit
     // is keyed by, the Iceberg position-delete shape
@@ -2274,16 +2643,14 @@ class DigestFileReader(p: DigestFilePartition)
   }
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val a = lines.next().split(",")
-      pos += 1
+    while (rows.hasNext) {
+      val (pos, id, lang, n) = rows.next()
       if (!DvCodec.contains(dv, pos)) {
-        val id = a(0).toLong
         p.overrides.get(id) match {
           case None => // no delta intent: base row as written
-            return emit(id, UTF8String.fromString(a(1)), a(2).toLong)
-          case Some(Some((rid, lang, n))) => // replaced in place
-            return emit(rid, UTF8String.fromString(lang), n)
+            return emit(id, lang, n, pos)
+          case Some(Some((rid, rlang, rn))) => // replaced in place
+            return emit(rid, UTF8String.fromString(rlang), rn, pos)
           case Some(None) => // deleted: skip and keep scanning
         }
       }
@@ -2291,7 +2658,41 @@ class DigestFileReader(p: DigestFilePartition)
     false
   }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (batches != null) batches.close()
+}
+
+/** COLUMNAR serve (the clean-scan fast path of the parquet plane): the
+  * selected row groups' `ColumnarBatch`es flow straight into whole-stage
+  * codegen with no per-row materialization. Planned only when NOTHING
+  * row-level stands between the file and the query — no DV mask, no
+  * merge-on-read overrides, no metadata columns.
+  */
+class DigestColumnarFileReader(p: DigestFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  DigestSink.fileReadEvents.incrementAndGet()
+  private val file = Paths.get(p.path, p.file)
+  private val groups = ParquetData.rowGroups(file)
+  private val kept = ParquetData.survivingGroups(groups, p.zm)
+  DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
+  DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)
+  private val batches =
+    new ParquetData.BatchIterator(file, DigestSink.rowSchema, kept)
+  private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  private var served = 0L
+
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(DigestMetricValue("graft_rows_served", served),
+      DigestMetricValue("graft_rowgroups_planned", kept.size.toLong),
+      DigestMetricValue("graft_rowgroups_pruned", (groups.size - kept.size).toLong))
+
+  override def next(): Boolean =
+    if (batches.hasNext) {
+      current = batches.next()._1
+      served += current.numRows()
+      true
+    } else false
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+  override def close(): Unit = batches.close()
 }
 
 /** The digest scan's declared metric set (q245) — SUM-aggregated across
@@ -2310,6 +2711,12 @@ private[graft] object DigestMetrics {
     new Sum("graft_pruned_files", "digest files skipped by lang pruning")
   val rows: org.apache.spark.sql.connector.metric.CustomMetric =
     new Sum("graft_rows_served", "rows served from digest files")
+  // the parquet plane's IN-FILE pruning observability (q266): per-task
+  // row-group keep/skip counts off the footer-stats layer
+  val rowGroupsPlanned: org.apache.spark.sql.connector.metric.CustomMetric =
+    new Sum("graft_rowgroups_planned", "parquet row groups read after pruning")
+  val rowGroupsPruned: org.apache.spark.sql.connector.metric.CustomMetric =
+    new Sum("graft_rowgroups_pruned", "parquet row groups skipped by footer stats")
 }
 
 case class DigestMetricValue(metricName: String, metricValue: Long)
@@ -2329,13 +2736,71 @@ case class CommittedFile(fileName: String, rows: Long,
 case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
 
+/** The table's DATA-FILE byte format (TBLPROPERTIES `'format'`):
+  * row-CSV (the legacy default) or the Parquet columnar plane
+  * ([[ParquetData]]). Metadata (manifest, DVs, CDF, zones) is
+  * format-agnostic — readers dispatch on each committed file's
+  * extension, so the two can coexist across a format migration.
+  */
+case class DataPlane(format: String = "csv",
+    rowGroupBytes: Long = 128L << 20,
+    rowGroupRows: Int = Int.MaxValue) {
+  require(format == "csv" || format == "parquet",
+    s"graft_digest: unsupported 'format' '$format' (csv | parquet)")
+  require(rowGroupBytes >= 1024,
+    s"graft_digest: 'parquet.rowgroup.bytes' must be >= 1024, got $rowGroupBytes")
+  require(rowGroupRows >= 1,
+    s"graft_digest: 'parquet.rowgroup.rows' must be >= 1, got $rowGroupRows")
+  def parquet: Boolean = format == "parquet"
+  def ext: String = if (parquet) ".parquet" else ".csv"
+}
+
+object DataPlane {
+  val Csv: DataPlane = DataPlane()
+  def fromProps(get: String => Option[String]): DataPlane =
+    DataPlane(get("format").getOrElse("csv"),
+      get("parquet.rowgroup.bytes").map(_.toLong).getOrElse(128L << 20),
+      get("parquet.rowgroup.rows").map(_.toInt).getOrElse(Int.MaxValue))
+}
+
+/** The per-format row sink behind both data writers: rows in, a closed
+  * staged file out. CSV writes lines; parquet feeds [[ParquetData
+  * .RowsWriter]] (encoding is columnar inside the file).
+  */
+private[sources] trait RowsOut {
+  def write(id: Long, lang: String, n: Long): Unit
+  def close(): Unit
+}
+
+private[sources] object RowsOut {
+  def open(staged: Path, plane: DataPlane): RowsOut =
+    if (plane.parquet) {
+      val w = new ParquetData.RowsWriter(staged, plane.rowGroupBytes,
+        plane.rowGroupRows)
+      new RowsOut {
+        override def write(id: Long, lang: String, n: Long): Unit =
+          w.write(id, lang, n)
+        override def close(): Unit = w.close()
+      }
+    } else {
+      val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+      new RowsOut {
+        override def write(id: Long, lang: String, n: Long): Unit =
+          out.write(s"$id,$lang,$n\n")
+        override def close(): Unit = out.close()
+      }
+    }
+}
+
 class DigestWriterFactory(path: String, langSplit: Boolean = false,
-    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "",
+    plane: DataPlane = DataPlane.Csv)
     extends DataWriterFactory {
   def this(path: String) = this(path, false, Array(0, 1, 2), "")
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols, jobTag)
-    else new DigestDataWriter(path, partitionId, taskId, cols, jobTag)
+    if (langSplit) new LangSplitDataWriter(path, partitionId, taskId, cols,
+      jobTag, plane)
+    else new DigestDataWriter(path, partitionId, taskId, cols, jobTag, plane)
 }
 
 /** One task attempt's writer: staged file keyed by the ATTEMPT (taskId),
@@ -2343,7 +2808,8 @@ class DigestWriterFactory(path: String, langSplit: Boolean = false,
   * attempt's output visible however many attempts ran.
   */
 class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
-    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "",
+    plane: DataPlane = DataPlane.Csv)
     extends DataWriter[InternalRow] {
   // "" keeps the legacy names (spec-pinned protocol shape); a real job's
   // tag makes its final names globally unique — see DigestBatchWrite
@@ -2351,7 +2817,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   private val staged: Path =
     Paths.get(path, f"${tagPart}part-$partitionId%05d-attempt-$taskId.staged")
   Files.createDirectories(staged.getParent)
-  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private val out = RowsOut.open(staged, plane)
   private var rows = 0L
   private var idLo = Long.MaxValue
   private var idHi = Long.MinValue
@@ -2362,7 +2828,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     val base = r.numFields - 3 // see LangSplitDataWriter.write
     val id = r.getLong(base + cols(0))
     val nc = r.getLong(base + cols(2))
-    out.write(s"$id,${r.getUTF8String(base + cols(1))},$nc\n")
+    out.write(id, r.getUTF8String(base + cols(1)).toString, nc)
     idLo = math.min(idLo, id); idHi = math.max(idHi, id)
     ncLo = math.min(ncLo, nc); ncHi = math.max(ncHi, nc)
     rows += 1
@@ -2370,7 +2836,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    val fin = Paths.get(path, f"${tagPart}part-$partitionId%05d.csv")
+    val fin = Paths.get(path, f"${tagPart}part-$partitionId%05d${plane.ext}")
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows,
       if (rows > 0) Some((idLo, idHi)) else None,
@@ -2392,13 +2858,14 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   * commit protocol per file.
   */
 class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
-    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "")
+    cols: Array[Int] = Array(0, 1, 2), jobTag: String = "",
+    plane: DataPlane = DataPlane.Csv)
     extends DataWriter[InternalRow] {
   Files.createDirectories(Paths.get(path))
   // "" (the default, non-history flavors) keeps the legacy rename-in-place
   // names; a history-retaining job's tag makes its names globally unique
   private val tagPart = if (jobTag.isEmpty) "" else s"j$jobTag-"
-  private final class OpenFile(val w: java.io.BufferedWriter, val staged: Path) {
+  private final class OpenFile(val w: RowsOut, val staged: Path) {
     var rows = 0L
     var idLo = Long.MaxValue
     var idHi = Long.MinValue
@@ -2422,11 +2889,11 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     val f = open.getOrElseUpdate(lang, {
       val staged = Paths.get(path,
         f"lang_$lang-${tagPart}part-$partitionId%05d-attempt-$taskId.staged")
-      new OpenFile(Files.newBufferedWriter(staged, StandardCharsets.UTF_8), staged)
+      new OpenFile(RowsOut.open(staged, plane), staged)
     })
     val id = r.getLong(base + cols(0))
     val nc = r.getLong(base + cols(2))
-    f.w.write(s"$id,$lang,$nc\n")
+    f.w.write(id, lang, nc)
     f.idLo = math.min(f.idLo, id); f.idHi = math.max(f.idHi, id)
     f.ncLo = math.min(f.ncLo, nc); f.ncHi = math.max(f.ncHi, nc)
     f.rows += 1
@@ -2435,7 +2902,8 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
   override def commit(): WriterCommitMessage = {
     val files = open.toSeq.map { case (lang, f) =>
       f.w.close()
-      val fin = Paths.get(path, f"lang_$lang-${tagPart}part-$partitionId%05d.csv")
+      val fin = Paths.get(path,
+        f"lang_$lang-${tagPart}part-$partitionId%05d${plane.ext}")
       Files.move(f.staged, fin, StandardCopyOption.REPLACE_EXISTING)
       CommittedFile(fin.getFileName.toString, f.rows,
         if (f.rows > 0) Some((f.idLo, f.idHi)) else None,

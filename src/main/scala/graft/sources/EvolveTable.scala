@@ -229,10 +229,12 @@ object EvolveCheck {
 }
 
 class EvolveTable(path: String, fields: Seq[EvolveField],
-    checks: Seq[EvolveCheck] = Seq.empty) extends Table
+    checks: Seq[EvolveCheck] = Seq.empty,
+    ref: String = DigestManifest.MainRef) extends Table
     with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "graft_evolve requires a path property")
-  override def name(): String = s"graft_evolve($path)"
+  override def name(): String =
+    s"graft_evolve($path${if (ref == DigestManifest.MainRef) "" else s"@$ref"})"
   override def schema(): StructType = EvolveSchema.struct(fields)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
@@ -255,7 +257,7 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new EvolveBatchWrite(path, fields)
+        override def toBatch: BatchWrite = new EvolveBatchWrite(path, fields, ref)
       }
     }
 
@@ -270,11 +272,12 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
         // readSchema() must echo it verbatim
         current = requiredSchema.fieldNames.toSeq
           .flatMap(n => fields.find(_.name == n))
-      override def build(): Scan = new EvolveScan(path, current)
+      override def build(): Scan = new EvolveScan(path, current, ref)
     }
 }
 
-class EvolveBatchWrite(path: String, fields: Seq[EvolveField]) extends BatchWrite {
+class EvolveBatchWrite(path: String, fields: Seq[EvolveField],
+    ref: String = DigestManifest.MainRef) extends BatchWrite {
   private val jobTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
@@ -286,10 +289,11 @@ class EvolveBatchWrite(path: String, fields: Seq[EvolveField]) extends BatchWrit
   // resolve against (same role as parquet footers under mergeSchema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
-    val old: Seq[String] = DigestManifest.listingFor(path, "_MANIFEST")
+    val old: Seq[String] =
+      DigestManifest.listingFor(path, DigestManifest.mName(ref))
     val ids = fields.map(_.id).mkString(";")
     DigestManifest.publish(path,
-      old ++ fresh.map(f => s"${f.fileName},${f.rows},$ids").sorted)
+      old ++ fresh.map(f => s"${f.fileName},${f.rows},$ids").sorted, ref)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -360,13 +364,15 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
 case class EvolveFilePartition(path: String, file: String,
     fileIds: Seq[Int]) extends InputPartition
 
-class EvolveScan(path: String, fields: Seq[EvolveField]) extends Scan with Batch {
+class EvolveScan(path: String, fields: Seq[EvolveField],
+    ref: String = DigestManifest.MainRef) extends Scan with Batch {
   override def readSchema(): StructType = EvolveSchema.struct(fields)
   override def toBatch: Batch = this
-  override def description(): String = s"graft_evolve manifest-read $path"
+  override def description(): String =
+    s"graft_evolve manifest-read $path@$ref"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    DigestManifest.listingFor(path, "_MANIFEST").map { line =>
+    DigestManifest.listingFor(path, DigestManifest.mName(ref)).map { line =>
       val a = line.split(",")
       EvolveFilePartition(path, a(0),
         a(2).split(";").filter(_.nonEmpty).map(_.toInt).toSeq): InputPartition
@@ -416,4 +422,25 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
     }
   override def get(): InternalRow = current
   override def close(): Unit = ()
+}
+
+/** Provider-options view of an evolve table (q270): `path` +
+  * `evolveSchema` (the serialized (id, name, type) list to READ UNDER) +
+  * optional `branch`. The fast_forward audit uses this to stream a
+  * BRANCH's rows under MAIN's current schema before publishing — the
+  * same field-id resolution as the catalog table, addressed without a
+  * catalog entry.
+  */
+class EvolveSource extends org.apache.spark.sql.connector.catalog.TableProvider {
+  private def fieldsOf(options: CaseInsensitiveStringMap): Seq[EvolveField] =
+    EvolveSchema.parse(options.get("evolveSchema"))._2
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EvolveSchema.struct(fieldsOf(options))
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new EvolveTable(opts.get("path"), fieldsOf(opts),
+      ref = Option(opts.get("branch")).getOrElse(DigestManifest.MainRef))
+  }
 }

@@ -136,28 +136,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "graft_digest" if props.getOrDefault("dv", "false").toBoolean =>
         // q264: the DV flavor composes with a branch ref — deletes stage
         // as grown bitmaps on the branch's log, invisible to main
+        val dp = GraftCatalog.planeOf(props)
         new DigestDvTable(props.get("path"),
-          Option(props.get("branch")).getOrElse(DigestManifest.MainRef))
+          Option(props.get("branch")).getOrElse(DigestManifest.MainRef)) {
+          override protected def dataPlane: DataPlane = dp
+        }
       case "graft_digest" if props.containsKey("branch") =>
         new DigestBranchTable(props.get("path"), props.get("branch"))
       case "graft_digest" if props.getOrDefault("partitioned", "false").toBoolean =>
         new DigestPartitionedTable(props.get("path"))
       case "graft_digest" =>
         // q263: the table's DECLARED zone-map column set (default: all
-        // zone-mappable columns) — commits record exactly these
-        val declared = Option(props.get("zonemap.columns"))
+        // zone-mappable columns) — commits record exactly these.
+        // q266: `'format'` picks the data plane (csv | parquet).
+        val zc = Option(props.get("zonemap.columns"))
           .map(DigestSink.parseZonemapCols)
-        declared match {
-          case None => new DigestSinkTable(props.get("path"), langSplit = true)
-          case Some(zc) =>
-            new DigestSinkTable(props.get("path"), langSplit = true) {
-              override protected def zonemapCols: Set[String] = zc
-            }
+          .getOrElse(DigestSink.zmCols.keySet)
+        val dp = GraftCatalog.planeOf(props)
+        new DigestSinkTable(props.get("path"), langSplit = true) {
+          override protected def zonemapCols: Set[String] = zc
+          override protected def dataPlane: DataPlane = dp
         }
       case "graft_evolve" =>
+        // q270: a `'branch'` prop reads/commits through the named ref's
+        // own manifest log — the table's serialized schema STAYS the one
+        // this entry was created with, which is exactly how a branch
+        // writer diverges from an ALTERed main (the fast_forward schema
+        // gate audits that divergence)
         val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
         new EvolveTable(props.get("path"), fields,
-          EvolveCheck.parse(props.get("evolveConstraints")))
+          EvolveCheck.parse(props.get("evolveConstraints")),
+          ref = Option(props.get("branch")).getOrElse(DigestManifest.MainRef))
       case _ =>
         new SeqTable(
           props.getOrDefault("rows", "1000").toLong,
@@ -183,9 +192,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = timeTravelPath(ident)
+    // `VERSION AS OF 'release_x'` (q269): a NON-numeric version string is
+    // a named tag — an immutable pin resolved through the `_TAGS`
+    // registry (create_tag refuses purely-numeric names, so the two
+    // address spaces cannot collide)
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF wants a commit number, got '$version'")
+      case _: NumberFormatException =>
+        DigestTags.tagsOf(path).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"graft catalog: VERSION AS OF '$version' — no such tag on " +
+              s"${ident.name()} (tags: ${DigestTags.tagsOf(path).keys.toSeq.sorted
+                .mkString(", ")})"))
     }
     require(v >= 1 && Files.exists(Paths.get(path, s"_MANIFEST.v$v")),
       s"graft catalog: no committed version $v of ${ident.name()} " +
@@ -228,6 +245,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // declaration must refuse the CREATE, never brick a registered
     // table object (q263)
     Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
+    GraftCatalog.planeOf(props) // validates 'format' / 'parquet.rowgroup.bytes'
     GraftCatalog.tables.put(key(ident), props)
     loadTable(ident)
   }
@@ -455,6 +473,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "branches" if known => new BranchesProcedure(catalogName)
       case "drop_branch" if known => new DropBranchProcedure(catalogName)
       case "rewrite_sorted" if known => new RewriteSortedProcedure(catalogName)
+      case "create_tag" if known => new CreateTagProcedure(catalogName)
+      case "drop_tag" if known => new DropTagProcedure(catalogName)
+      case "tags" if known => new TagsProcedure(catalogName)
       case _ => throw new NoSuchElementException(
         s"graft catalog: no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
           "(available: system.compact, system.history, system.expire_snapshots, " +
@@ -464,6 +485,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** Parse + validate the digest data-plane properties (q266:
+    * `'format'='csv'|'parquet'`, `'parquet.rowgroup.bytes'`).
+    */
+  private[sources] def planeOf(props: util.Map[String, String]): DataPlane =
+    DataPlane.fromProps(k => Option(props.get(k)))
+
   // registry-key separator: NUL cannot appear in an identifier part, so
   // joined keys are unambiguous (written as the escape, not a raw byte,
   // to keep this file greppable/diffable text)

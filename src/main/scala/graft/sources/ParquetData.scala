@@ -7,7 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.hadoop.mapreduce.TaskAttemptID
-import org.apache.hadoop.mapreduce.lib.input.FileSplit
+// the OLD-API split class: Spark's reader base casts its mapreduce split
+// to mapred.FileSplit, which (Hadoop 2+) extends the mapreduce one
+import org.apache.hadoop.mapred.FileSplit
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
@@ -66,7 +68,8 @@ object ParquetData {
     * MULTIPLE independently-prunable groups (the in-file twin of the
     * manifest's file zones).
     */
-  final class RowsWriter(staged: Path, rowGroupBytes: Long) {
+  final class RowsWriter(staged: Path, rowGroupBytes: Long,
+      rowGroupRows: Int = Int.MaxValue) {
     private val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(Schema)
     private val w = ExampleParquetWriter.builder(
@@ -74,6 +77,11 @@ object ParquetData {
       .withType(Schema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withRowGroupSize(rowGroupBytes)
+      // the byte bound's size check only starts at ~100 buffered records,
+      // so tiny-fixture tables additionally bound by ROW COUNT to get
+      // multi-group files ('parquet.rowgroup.rows'); production tables
+      // leave it unbounded and split by bytes
+      .withRowGroupRowCountLimit(rowGroupRows)
       .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
       .withDictionaryEncoding(true)
       .build()
@@ -148,7 +156,21 @@ object ParquetData {
       length: Long): VectorizedParquetRecordReader = {
     val reader = new VectorizedParquetRecordReader(false, 4096)
     val conf = hconf()
-    conf.set(reader.SPARK_ROW_REQUESTED_SCHEMA(), requested.json)
+    conf.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    // the session-conf keys Spark's file source plants before handing the
+    // conf to this reader (it reads them raw, with no defaults)
+    val sc = org.apache.spark.sql.internal.SQLConf
+    conf.setBoolean(sc.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(sc.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(sc.CASE_SENSITIVE.key, false)
+    conf.setBoolean(sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(sc.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    conf.setBoolean(sc.NESTED_SCHEMA_PRUNING_ENABLED.key, true)
+    conf.set(sc.SESSION_LOCAL_TIMEZONE.key, java.time.ZoneId.systemDefault().getId)
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
     val split = new FileSplit(new HPath(file.toUri), start, length,
       Array.empty[String])

@@ -189,16 +189,24 @@ private[sources] object ProcedureSupport {
     * returns (registry props, table path).
     */
   def resolve(catalogName: String, tbl: String, proc: String,
-      requireDelta: Boolean, allowDv: Boolean = false): (util.Map[String, String], String) = {
+      requireDelta: Boolean, allowDv: Boolean = false,
+      allowEvolve: Boolean = false): (util.Map[String, String], String) = {
     val parts = tbl.split("\\.")
     val props = GraftCatalog.tables.get(GraftCatalog.regKey(catalogName, parts.toSeq))
     require(props != null, s"graft.system.$proc: no such table $tbl")
-    if (requireDelta)
-      require(props.getOrDefault("provider", "") == "graft_digest" &&
+    if (requireDelta) {
+      // graft_evolve commits are appends through the same manifest
+      // protocol and never delete files — history-retaining by
+      // construction, so the branch lifecycle composes (q270)
+      val evolveOk =
+        allowEvolve && props.getOrDefault("provider", "") == "graft_evolve"
+      require(evolveOk || (props.getOrDefault("provider", "") == "graft_digest" &&
         (props.getOrDefault("delta", "false").toBoolean ||
-          (allowDv && props.getOrDefault("dv", "false").toBoolean)),
+          (allowDv && props.getOrDefault("dv", "false").toBoolean))),
         s"graft.system.$proc: $tbl is not a delta (merge-on-read)" +
-          s"${if (allowDv) " or deletion-vector" else ""} table")
+          s"${if (allowDv) " or deletion-vector" else ""}" +
+          s"${if (allowEvolve) " or evolve" else ""} table")
+    }
     (props, props.get("path"))
   }
 
@@ -301,7 +309,14 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
       .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong) }
       .sortBy(_._1)
     require(entries.nonEmpty, s"graft.system.expire_snapshots: $tbl has no commits")
-    val (expired, kept) = entries.splitAt(math.max(0, entries.size - keepLast))
+    // RETENTION PINS (q269): tagged versions are unexpirable regardless of
+    // the keep-last policy — an audit pin ("the snapshot release X trained
+    // on") must never be silently expired; their delta-chain dependencies
+    // are covered by the shape-driven rebase below, which folds any kept
+    // snapshot whose chain passes through an expiring version to full
+    val pinned = DigestTags.tagsOf(path).values.toSet
+    val keepSet = entries.takeRight(keepLast).map(_._1).toSet ++ pinned
+    val (expired, kept) = entries.partition(e => !keepSet.contains(e._1))
 
     // files a SURVIVING reader may plan against: every kept snapshot plus
     // the current pointer (the latest kept version by construction) —
@@ -340,12 +355,8 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
         val baseOf = first.filter(_.startsWith("#base:")).map(_.drop(6).toInt)
         if (baseOf.exists(b => !keptSet.contains(b))) {
           val folded = DigestManifest.listingAt(path, DigestManifest.MainRef, v)
-          val t = Files.createTempFile(Paths.get(path), ".manifest-tmp-", "")
-          Files.write(t, folded.mkString("\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          Files.move(t, snap,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          DigestManifest.rewriteSnapshotAsBase(path, DigestManifest.MainRef,
+            v, folded)
         }
       }
     }
@@ -415,7 +426,7 @@ class CreateBranchProcedure(catalogName: String) extends UnboundProcedure
     require(branch != DigestManifest.MainRef,
       "graft.system.create_branch: 'main' already exists")
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "create_branch",
-      requireDelta = true, allowDv = true)
+      requireDelta = true, allowDv = true, allowEvolve = true)
     require(DigestManifest.currentVersion(path, branch) == 0,
       s"graft.system.create_branch: branch '$branch' already exists on $tbl")
     val (mainV, lines) = DigestManifest.head(path)
@@ -462,8 +473,8 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
     val tbl = input.getUTF8String(0).toString
     val branch = DigestManifest.checkRef(input.getUTF8String(1).toString)
     val audit = input.getUTF8String(2).toString
-    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "fast_forward",
-      requireDelta = true, allowDv = true)
+    val (props, path) = ProcedureSupport.resolve(catalogName, tbl, "fast_forward",
+      requireDelta = true, allowDv = true, allowEvolve = true)
     val (bv, blines) = DigestManifest.head(path, branch)
     require(bv > 0, s"graft.system.fast_forward: no branch '$branch' on $tbl")
     val baseFile = Paths.get(path, s"_BASE@$branch")
@@ -475,12 +486,43 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
       s"graft.system.fast_forward: main moved v$base → v$mainV since the " +
         s"branch forked — not a fast-forward; re-create the branch from " +
         "the current head")
-    // AUDIT GATE: a violating row anywhere in the branch blocks the
-    // publish; the scan streams through the branch ref's own listing
     val spark = org.apache.spark.sql.SparkSession.active
-    val violations = spark.read.format("graft.sources.DigestSink")
-      .option("path", path).option("branch", branch).load()
-      .filter(s"NOT ($audit)").limit(1).count()
+    val evolve = props.getOrDefault("provider", "") == "graft_evolve"
+    if (evolve) {
+      // SCHEMA GATE (q270): every manifest entry carries the field-id
+      // list its file was written under; publishing an entry whose id no
+      // longer exists in MAIN's CURRENT schema would silently drop
+      // branch-written data the moment main readers resolve it — refuse
+      // loudly instead. Main-side ADD/RENAME are compatible (field-id
+      // resolution serves old files under new names, new columns read as
+      // null/default); a DROP of a branch-written field is divergence.
+      val mainIds = EvolveSchema.parse(props.get("evolveSchema"))._2
+        .map(_.id).toSet
+      val orphaned = blines.flatMap { l =>
+        val a = l.split(",")
+        a(2).split(";").filter(_.nonEmpty).map(_.toInt)
+          .filterNot(mainIds.contains).map(id => s"${a(0)}:field-id $id")
+      }
+      require(orphaned.isEmpty,
+        s"graft.system.fast_forward: branch '$branch' holds data under " +
+          s"field ids main's schema no longer has (${orphaned.distinct.mkString(", ")}) " +
+          "— publishing would silently drop it; re-create the branch from " +
+          "the current schema or restore the dropped column")
+    }
+    // AUDIT GATE: a violating row anywhere in the branch blocks the
+    // publish; the scan streams through the branch ref's own listing —
+    // under MAIN's CURRENT schema for an evolve table (what a main
+    // reader will actually see post-publish is what gets audited)
+    val branchRows =
+      if (evolve)
+        spark.read.format("graft.sources.EvolveSource")
+          .option("path", path)
+          .option("evolveSchema", props.get("evolveSchema"))
+          .option("branch", branch).load()
+      else
+        spark.read.format("graft.sources.DigestSink")
+          .option("path", path).option("branch", branch).load()
+    val violations = branchRows.filter(s"NOT ($audit)").limit(1).count()
     require(violations == 0L,
       s"graft.system.fast_forward: audit '$audit' failed on branch " +
         s"'$branch' — main left untouched")
@@ -586,6 +628,150 @@ class DropBranchProcedure(catalogName: String) extends UnboundProcedure
     val row: InternalRow = InternalRow(UTF8String.fromString(branch), dropped)
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** NAMED TAGS (q269): immutable named snapshots — `_TAGS` is a
+  * `name,version` registry next to the branch refs. A tag is a RETENTION
+  * PIN: `expire_snapshots` treats tagged versions (and, via its
+  * shape-driven rebase, their delta-chain dependencies) as unexpirable,
+  * so "the snapshot release X trained on" survives any keep-last policy
+  * until `drop_tag` releases it. Readers address a tag as
+  * `VERSION AS OF 'name'` (the string form resolves through this
+  * registry; numeric strings stay version numbers).
+  */
+private[sources] object DigestTags {
+  private def file(path: String) = Paths.get(path, "_TAGS")
+
+  def tagsOf(path: String): Map[String, Int] = {
+    val f = file(path)
+    if (!Files.exists(f)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(f).asScala.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf(',')
+        l.take(i) -> l.drop(i + 1).toInt
+      }.toMap
+    }
+  }
+
+  /** Atomic registry rewrite (single-writer maintenance semantics, like
+    * every lifecycle procedure here).
+    */
+  def write(path: String, tags: Map[String, Int]): Unit = {
+    val t = Files.createTempFile(Paths.get(path), ".manifest-tmp-", "")
+    Files.write(t, tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n,$v" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(t, file(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** `CALL graft.system.create_tag(table => 'ns.t', tag => 'release_x'
+  * [, version => n])` — pin a registered version (default: the current
+  * head) under an immutable name.
+  */
+class CreateTagProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "create_tag"
+  override def description(): String =
+    "pin a registered version of a graft_digest table under an immutable name"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("-1").build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val tag = DigestManifest.checkRef(input.getUTF8String(1).toString)
+    require(tag.exists(!_.isDigit),
+      s"graft.system.create_tag: tag '$tag' must not be purely numeric — " +
+        "it would shadow VERSION AS OF numbers")
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "create_tag",
+      requireDelta = false)
+    val head = DigestManifest.currentVersion(path)
+    val v = input.getInt(2) match { case -1 => head case n => n }
+    require(v >= 1 && v <= head &&
+        Files.exists(Paths.get(path, s"_MANIFEST.v$v")),
+      s"graft.system.create_tag: version $v of $tbl is not a registered, " +
+        s"resolvable snapshot (head: $head)")
+    val tags = DigestTags.tagsOf(path)
+    // immutable by contract: re-pointing a tag silently would defeat the
+    // audit purpose — drop and recreate to move one
+    require(!tags.contains(tag),
+      s"graft.system.create_tag: tag '$tag' already exists on $tbl " +
+        s"(at v${tags(tag)}); drop_tag first")
+    DigestTags.write(path, tags + (tag -> v))
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    val row: InternalRow = InternalRow(UTF8String.fromString(tag), v.toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** `CALL graft.system.drop_tag(table => 'ns.t', tag => 'release_x')` —
+  * release the pin; the next expire/GC cycle may reclaim the version.
+  */
+class DropTagProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "drop_tag"
+  override def description(): String =
+    "release a named snapshot pin of a graft_digest table"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val tag = input.getUTF8String(1).toString
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "drop_tag",
+      requireDelta = false)
+    val tags = DigestTags.tagsOf(path)
+    require(tags.contains(tag),
+      s"graft.system.drop_tag: no tag '$tag' on $tbl " +
+        s"(tags: ${tags.keys.toSeq.sorted.mkString(", ")})")
+    DigestTags.write(path, tags - tag)
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("released_version", LongType, nullable = false)))
+    val row: InternalRow =
+      InternalRow(UTF8String.fromString(tag), tags(tag).toLong)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, Array(row))).iterator()
+  }
+}
+
+/** `CALL graft.system.tags(table => 'ns.t')` — list the pins. */
+class TagsProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "tags"
+  override def description(): String =
+    "list a graft_digest table's named snapshot tags"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "tags",
+      requireDelta = false)
+    val schema = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    val rows = DigestTags.tagsOf(path).toSeq.sortBy(_._1).map { case (n, v) =>
+      InternalRow(UTF8String.fromString(n), v.toLong): InternalRow
+    }.toArray
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, rows)).iterator()
   }
 }
 
@@ -729,7 +915,7 @@ class RemoveOrphanFilesProcedure(catalogName: String) extends UnboundProcedure
         val n = p.getFileName.toString
         val isMeta = n.startsWith("_MANIFEST") || n.startsWith("_VERSIONS") ||
           n.startsWith("_BASE@") || n.startsWith("_CHANGES") ||
-          n == "_COMPACTIONS" || n == "_PARTITIONS"
+          n == "_COMPACTIONS" || n == "_PARTITIONS" || n == "_TAGS"
         if (!isMeta && !Files.isDirectory(p) && !reachable.contains(n)) {
           if (Files.getLastModifiedTime(p).compareTo(cutoff) < 0) {
             Files.deleteIfExists(p); deletedFiles += 1

