@@ -1641,7 +1641,12 @@ class DigestDeltaOperation(path: String,
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
     val sch = info.schema()
-    val cols = Array("doc_id", "lang", "n_chars").map(sch.fieldIndex)
+    // a pure DELETE's write schema is EMPTY (only rowIds flow; the
+    // writer's insert/update paths are never called) — map data columns
+    // only when the plan carries them
+    val cols =
+      if (sch.fields.isEmpty) Array.empty[Int]
+      else Array("doc_id", "lang", "n_chars").map(sch.fieldIndex)
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new org.apache.spark.sql.connector.write.DeltaWrite {

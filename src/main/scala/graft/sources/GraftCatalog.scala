@@ -129,10 +129,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // lang-split digest sink (whose catalog flavor carries the
     // overwrite-by-filter + declared-distribution write surface, q186)
     props.getOrDefault("provider", "graft_seq") match {
+      // every digest flavor honors the declared data plane ('format',
+      // q266) on its WRITE paths; reads dispatch per FILE byte format,
+      // so mixed-plane history (a CSV table converted to parquet
+      // mid-life, a branch forked across the conversion) always reads
+      // correctly and serves columnar exactly when a scan's planned
+      // files are all parquet and row-level-clean
       case "graft_digest" if props.getOrDefault("delta", "false").toBoolean =>
-        new DigestDeltaTable(props.get("path"))
+        val dp = GraftCatalog.planeOf(props)
+        new DigestDeltaTable(props.get("path")) {
+          override protected def dataPlane: DataPlane = dp
+        }
       case "graft_digest" if props.getOrDefault("rowlevel", "false").toBoolean =>
-        new DigestRloTable(props.get("path"))
+        val dp = GraftCatalog.planeOf(props)
+        new DigestRloTable(props.get("path")) {
+          override protected def dataPlane: DataPlane = dp
+        }
       case "graft_digest" if props.getOrDefault("dv", "false").toBoolean =>
         // q264: the DV flavor composes with a branch ref — deletes stage
         // as grown bitmaps on the branch's log, invisible to main
@@ -142,9 +154,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           override protected def dataPlane: DataPlane = dp
         }
       case "graft_digest" if props.containsKey("branch") =>
-        new DigestBranchTable(props.get("path"), props.get("branch"))
+        val dp = GraftCatalog.planeOf(props)
+        new DigestBranchTable(props.get("path"), props.get("branch")) {
+          override protected def dataPlane: DataPlane = dp
+        }
       case "graft_digest" if props.getOrDefault("partitioned", "false").toBoolean =>
-        new DigestPartitionedTable(props.get("path"))
+        val dp = GraftCatalog.planeOf(props)
+        new DigestPartitionedTable(props.get("path")) {
+          override protected def dataPlane: DataPlane = dp
+        }
       case "graft_digest" =>
         // q263: the table's DECLARED zone-map column set (default: all
         // zone-mappable columns) — commits record exactly these.
