@@ -2273,32 +2273,32 @@ private[graft] object DeltaFold {
   type Row3 = (Long, String, Long)
 
   /** Fold verb lines (in log order) into (overrides for base rows,
-    * surviving inserts).
+    * surviving inserts). Base overrides and live inserts are tracked
+    * SEPARATELY per id: a DELETE-then-INSERT sequence (a pure DELETE
+    * followed by a MERGE re-insert of the same rowId) must keep masking
+    * the base row while emitting the insert — a single intent slot lost
+    * the mask and double-served the row.
     */
   def fold(lines: Seq[String]): (Map[Long, Option[Row3]], Seq[Row3]) = {
-    // intent per id: Left(base override) or Right(insert payload)
-    val state = scala.collection.mutable.LinkedHashMap
-      .empty[Long, Either[Option[Row3], Option[Row3]]]
+    val over = scala.collection.mutable.LinkedHashMap.empty[Long, Option[Row3]]
+    val ins = scala.collection.mutable.LinkedHashMap.empty[Long, Row3]
     lines.foreach { l =>
       val a = l.split(",")
       val id = a(1).toLong
       a(0) match {
-        case "I" => state(id) = Right(Some((id, a(2), a(3).toLong)))
+        case "I" => ins(id) = (id, a(2), a(3).toLong)
         case "U" =>
-          state.get(id) match {
-            case Some(Right(_)) => state(id) = Right(Some((id, a(2), a(3).toLong)))
-            case _ => state(id) = Left(Some((id, a(2), a(3).toLong)))
-          }
+          if (ins.contains(id)) ins(id) = (id, a(2), a(3).toLong)
+          else over(id) = Some((id, a(2), a(3).toLong))
         case "D" =>
-          state.get(id) match {
-            case Some(Right(_)) => state.remove(id) // I then D annihilates
-            case _ => state(id) = Left(None)
-          }
+          // the verb hits the id's LATEST row: a live insert annihilates
+          // (any earlier base mask stays masked); otherwise the base row
+          // is masked
+          if (ins.contains(id)) ins.remove(id)
+          else over(id) = None
       }
     }
-    val overrides = state.collect { case (id, Left(v)) => id -> v }.toMap
-    val inserts = state.values.collect { case Right(Some(r)) => r }.toSeq
-    (overrides, inserts)
+    (over.toMap, ins.values.toSeq)
   }
 }
 

@@ -4501,6 +4501,113 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q271: parquet plane × delta flavor × compaction ---------------------
+  // The merge-on-read flavor on columnar data files: base inserts land as
+  // parquet, UPDATE/DELETE/MERGE accumulate as plain-text `delta-*` verb
+  // logs folded at read time over the parquet base, and `CALL compact`
+  // materializes the folded state back INTO parquet — the plane is
+  // carried through the maintenance write, so a table stays columnar
+  // across its whole DML lifecycle. The pure-DELETE leg matters: a
+  // delete-only WriteDelta plans an EMPTY write schema (only rowIds
+  // flow), the path q271 is the oracled witness for. Pinned in-query:
+  // data files parquet before AND after compaction, verb logs text and
+  // retired by compact, pre/post-compact answers identical, and the
+  // pre-compact version still time-travels (the flavor retains history).
+  def q271ParquetDelta(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.pqdelta_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_parquet_delta:$dir") { p =>
+      import scala.jdk.CollectionConverters._
+      val sink = p.resolve("sink")
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest
+               |TBLPROPERTIES ('path'='$sink', 'delta'='true', 'format'='parquet',
+               |  'parquet.rowgroup.rows'='24')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q271")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q271")
+      def files(): Seq[String] = {
+        val l = java.nio.file.Files.list(sink)
+        try l.iterator().asScala.map(_.getFileName.toString)
+          .filter(f => !f.startsWith("_") && !f.startsWith(".")).toSeq
+        finally l.close()
+      }
+      require(files().nonEmpty && files().forall(_.endsWith(".parquet")),
+        s"q271: delta-flavor base insert must write parquet: ${files()}")
+      s.sql(s"UPDATE $tbl SET n_chars = n_chars + 7 WHERE doc_id % 11 = 4")
+      s.sql(s"DELETE FROM $tbl WHERE doc_id % 17 = 5") // the empty-schema leg
+      s.sql(s"""MERGE INTO $tbl t
+               |USING (
+               |  SELECT doc_id, lang, n_chars FROM docs_q271 WHERE doc_id % 13 = 0
+               |  UNION ALL
+               |  SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+               |  FROM docs_q271 WHERE doc_id % 13 = 1) u
+               |ON t.doc_id = u.doc_id
+               |WHEN MATCHED AND t.doc_id % 26 = 0 THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars * 2
+               |WHEN NOT MATCHED THEN
+               |  INSERT (doc_id, lang, n_chars) VALUES (u.doc_id, u.lang, u.n_chars)""".stripMargin)
+      val verbLogs = files().filter(_.startsWith("delta-"))
+      require(verbLogs.nonEmpty && verbLogs.forall(!_.endsWith(".parquet")),
+        s"q271: DML must stage as text verb logs, got $verbLogs")
+      val digest = s"""SELECT lang, COUNT(*) AS n_docs,
+                      |  SUM(n_chars) AS sum_chars,
+                      |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+                      |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+                      |FROM $tbl
+                      |GROUP BY lang
+                      |ORDER BY lang""".stripMargin
+      val preCompact = s.sql(digest).collect().toSeq
+      val preVersion = DigestManifest.currentVersion(sink.toString)
+      val preCount = s.table(tbl).count()
+      s.sql(s"CALL graft.system.compact(table => '$short')").collect()
+      // the LISTING is the post-compact contract: every live entry is a
+      // parquet data file and the verb logs are retired (their on-disk
+      // bytes legitimately remain — history retention serves time travel
+      // until expire/GC reclaims them)
+      val live = DigestManifest.listingFor(sink.toString, "_MANIFEST")
+        .filter(_.nonEmpty).map(ManifestEntry.parse(_).file)
+      require(live.nonEmpty && live.forall(_.endsWith(".parquet")),
+        s"q271: compaction must materialize parquet (plane carried " +
+          s"through the maintenance write): $live")
+      require(s.sql(digest).collect().toSeq == preCompact,
+        "q271: compaction changed the answer")
+      require(s.sql(s"SELECT COUNT(*) FROM $tbl VERSION AS OF $preVersion")
+          .head().getLong(0) == preCount,
+        "q271: the pre-compact version must still time-travel")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q271Sql: String =
+    """WITH t0 AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 11 = 4 THEN n_chars + 7 ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |t1 AS (SELECT * FROM t0 WHERE doc_id % 17 <> 5),
+      |final AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 13 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+      |  FROM t1 WHERE doc_id % 26 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 13 = 0 AND doc_id % 17 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars FROM documents
+      |  WHERE doc_id % 13 = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -4574,6 +4681,7 @@ object Formats {
     "q268_cdf_timestamp" -> q268CdfTimestamp _,
     "q269_tags" -> q269Tags _,
     "q270_evolve_branch" -> q270EvolveBranch _,
+    "q271_parquet_delta" -> q271ParquetDelta _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4649,5 +4757,6 @@ object Formats {
     "q268_cdf_timestamp" -> q268Sql,
     "q269_tags" -> q269Sql,
     "q270_evolve_branch" -> q270Sql,
+    "q271_parquet_delta" -> q271Sql,
   )
 }

@@ -745,9 +745,14 @@ class PlanSpec extends SparkSpec {
       "I,10,fr,5", "U,10,fr,6",   // insert then update → one insert, payload 6
       "I,11,es,7", "D,11",        // insert then delete → nothing
       "U,1,en,99", "D,1",         // update then delete of a base row → delete
-      "U,2,de,21"))               // plain base replace
-    assert(ov == Map(1L -> None, 2L -> Some((2L, "de", 21L))), s"overrides: $ov")
-    assert(ins == Seq((10L, "fr", 6L)), s"inserts: $ins")
+      "U,2,de,21",                // plain base replace
+      "D,3", "I,3,zh,8",          // delete then re-insert (q271): base stays
+                                  // MASKED and the insert serves — one row
+      "D,4", "I,4,es,9", "D,4"))  // ...and a second delete annihilates the
+                                  // re-insert while the base mask holds
+    assert(ov == Map(1L -> None, 2L -> Some((2L, "de", 21L)),
+      3L -> None, 4L -> None), s"overrides: $ov")
+    assert(ins == Seq((10L, "fr", 6L), (3L, "zh", 8L)), s"inserts: $ins")
     spark.sql("DROP TABLE graft.ns.deltaspec")
   }
 
