@@ -2394,9 +2394,13 @@ object Formats {
     require(rows(byTime(ts(1), ts(3))) == rows(byVersion(1, 3)),
       "q268: timestamp-addressed feed must be row-identical to its " +
         "version-addressed twin")
-    // (2) an instant strictly between commits resolves to the EARLIER one
-    require(ts(4) - 1 > ts(3),
-      "q268: fixture needs distinct commit micros (strictly monotone log)")
+    // (2) an instant before commit 4 resolves to the EARLIER commit —
+    // registration micros are strictly monotone BY CONSTRUCTION
+    // (finishCommit seeds max(now, prev+1, lastRegistered+1)), so
+    // ts(4)-1 ∈ [ts(3), ts(4)) always and the as-of-backward resolution
+    // is deterministic even for adjacent-microsecond commits
+    require(ts(4) > ts(3),
+      "q268: registration micros must be strictly monotone")
     require(rows(byTime(ts(1), ts(4) - 1)) == rows(byVersion(1, 3)),
       "q268: an instant between commits must resolve as-of (backward)")
     // (3) before-first-commit refusal, loud — not an empty feed
