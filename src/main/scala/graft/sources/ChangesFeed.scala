@@ -297,9 +297,16 @@ class ChangesReaderFactory extends PartitionReaderFactory {
   private def lineReader(path: String, file: String)(
       mk: Array[String] => InternalRow): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val rows: Iterator[Array[String]] =
+      // held as the concrete reader so close() can release the parquet
+      // file handle on EARLY termination (LIMIT) — exhaustion-close
+      // alone leaks one fd per partially-read file
+      private val pqReader: ParquetData.RowsReader =
         if (ParquetData.isParquet(file))
-          ParquetData.readRows(Paths.get(path, file)).map { case (id, lang, n) =>
+          new ParquetData.RowsReader(Paths.get(path, file))
+        else null
+      private val rows: Iterator[Array[String]] =
+        if (pqReader != null)
+          pqReader.map { case (id, lang, n) =>
             Array(id.toString, lang, n.toString)
           }
         else scala.jdk.CollectionConverters.IteratorHasAsScala(
@@ -314,7 +321,7 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (pqReader != null) pqReader.close()
     }
 }
 

@@ -98,7 +98,13 @@ class DigestSink extends TableProvider {
       val asOf = Option(properties.get("versionAsOf")).map(_.toInt)
         .orElse(Option(properties.get("timestampAsOf")).map(ts =>
           DigestManifest.versionAt(properties.get("path"), ts.toLong, branch)))
-      new DigestBranchTable(properties.get("path"), branch, asOf)
+      // the declared plane rides the provider options here too — a
+      // branch write through this path must not silently fall back to
+      // CSV on a parquet table
+      val dp = DataPlane.fromProps(k => Option(properties.get(k)))
+      new DigestBranchTable(properties.get("path"), branch, asOf) {
+        override protected def dataPlane: DataPlane = dp
+      }
     }
     else {
       // `format` rides the provider options too (q266) — the
@@ -897,6 +903,23 @@ private[graft] object DigestManifest {
     */
   private[graft] var postReclaimHook: () => Unit = () => ()
 
+  private[graft] def contentHash(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Version `v`'s registered content hash (the registration's 3rd
+    * field) — None on legacy 2-field records or an unregistered `v`.
+    */
+  private def registeredHash(dir: java.nio.file.Path, ref: String,
+      v: Int): Option[String] = {
+    val vf = dir.resolve(vName(ref))
+    if (!Files.exists(vf)) return None
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(vf))
+      .asScala.filter(_.nonEmpty).map(_.split(","))
+      .find(_(0).toInt == v)
+      .collect { case a if a.length >= 3 => a(2) }
+  }
+
   private[graft] def claimExact(dir: java.nio.file.Path, path: String, v: Int,
       bytes: Array[Byte], ref: String): Boolean = {
     var attempts = 0
@@ -919,14 +942,26 @@ private[graft] object DigestManifest {
       // TOCTOU re-check: the holder may have REGISTERED v between the
       // currentVersion poll above and the move — the bytes we just moved
       // aside are then the registered snapshot, and every later delta
-      // chains on them. Restore them (REPLACE: a registered version's
-      // content owns its slot unconditionally — any interloper that
-      // re-claimed the emptied slot in the window holds bytes it can
-      // never register, and its own finishCommit verification will make
-      // it abort loudly) and report the version as committed.
+      // chains on them. Restore them — but ONLY when the registration's
+      // content hash says the moved-aside bytes ARE the registered
+      // content: an interloper that re-claimed the emptied slot during a
+      // long stall here may itself have REGISTERED its own content, and
+      // a blind REPLACE would overwrite a registered snapshot with stale
+      // orphan bytes (silent chain corruption). Hash mismatch → the slot
+      // already holds (or will hold) the registered content; the orphan
+      // stays for GC. Legacy hashless registrations restore as before.
       if (moved && currentVersion(path, ref) >= v) {
-        Files.move(aside, dir.resolve(s"${mName(ref)}.v$v"),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        val slot = dir.resolve(s"${mName(ref)}.v$v")
+        val restore = registeredHash(dir, ref, v) match {
+          case None => true
+          case Some(h) =>
+            contentHash(Files.readAllBytes(aside)) == h &&
+              !(Files.exists(slot) &&
+                contentHash(Files.readAllBytes(slot)) == h)
+        }
+        if (restore)
+          Files.move(aside, slot,
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         return false
       }
       attempts += 1
@@ -988,6 +1023,11 @@ private[graft] object DigestManifest {
     // registered-and-tagged one — and only AFTER the ownership checks, so
     // a reclaimed loser can never mis-tag the winner's version
     if (compaction) markCompaction(path, v)
+    // a NON-compaction registering v must scrub a dead compactor's
+    // leftover tag for the same number (crash between its tag and its
+    // registration) — a mis-tagged data commit is silently skipped by
+    // the change feed
+    else unmarkCompaction(dir, path, v)
     // strictly monotone micros IN FILE ORDER: seed from the last
     // registered record so a second process continues the sequence
     val lastRegistered = {
@@ -1000,7 +1040,14 @@ private[graft] object DigestManifest {
     val now = System.currentTimeMillis() * 1000L
     val ts = lastMicros.updateAndGet(prev =>
       math.max(math.max(now, prev + 1), lastRegistered + 1))
-    Files.write(dir.resolve(vName(ref)), s"$v,$ts\n".getBytes(StandardCharsets.UTF_8),
+    // registration CARRIES the snapshot's content hash (3rd field;
+    // legacy 2-field lines parse everywhere — consumers read fields 0/1):
+    // the claimExact TOCTOU restore uses it to tell "the bytes I moved
+    // aside ARE the registered content" from "an interloper registered
+    // its own content in my stall window" — restoring blindly in the
+    // second case would overwrite a REGISTERED snapshot with stale bytes
+    Files.write(dir.resolve(vName(ref)),
+      s"$v,$ts,${contentHash(bytes)}\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     var flips = 0
     var settled = false
@@ -1134,6 +1181,26 @@ private[graft] object DigestManifest {
       s"$v\n".getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Remove a STALE compaction tag for `v`: a compactor that crashed
+    * between tagging and registering leaves the tag on an unregistered
+    * version number; the data-changing committer that later reclaims and
+    * registers `v` must scrub it (exactly like it scrubs the dead change
+    * record) or the change feed silently skips its commit.
+    */
+  private def unmarkCompaction(dir: java.nio.file.Path, path: String,
+      v: Int): Unit = synchronized {
+    val f = dir.resolve("_COMPACTIONS")
+    if (!Files.exists(f)) return
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(f)).asScala.filter(_.nonEmpty)
+    if (!lines.exists(_.trim == v.toString)) return
+    val t = Files.createTempFile(dir, ".manifest-tmp-", "")
+    Files.write(t, lines.filterNot(_.trim == v.toString)
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(t, f, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Rewrite registered version `v`'s snapshot as a FULL base holding
@@ -2483,8 +2550,16 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       DigestMetricValue("graft_pruned_files", if (mergeDeltas) 0 else all.size - kept))
   }
 
+  // the listing snapshot planInputPartitions planned from — the columnar
+  // decision in createReaderFactory MUST read the SAME snapshot: a commit
+  // landing between the two resolutions (a compaction to all-parquet, a
+  // CSV append) could otherwise declare columnar for partitions that
+  // carry DV masks or CSV bytes. Also saves a second O(table) fold.
+  @volatile private var plannedSnapshot: Seq[ManifestEntry] = null
+
   override def planInputPartitions(): Array[InputPartition] = {
     val entries = plannedEntries()
+    plannedSnapshot = entries
     val (deltaFiles, baseFiles) = entries.partition(_.file.startsWith("delta-"))
     if (!mergeDeltas) {
       require(deltaFiles.isEmpty,
@@ -2523,9 +2598,12 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     // COLUMNAR serve is a whole-scan decision (the engine requires every
     // partition of a scan to agree): only when every planned file is
     // parquet and nothing row-level intervenes — no DV mask, no
-    // merge-on-read overrides, no metadata columns
+    // merge-on-read overrides, no metadata columns. Decided from the
+    // SAME listing snapshot the partitions were planned from, never a
+    // re-resolved (possibly newer) one.
     val columnar = !mergeDeltas && !emitMeta && {
-      val entries = plannedEntries().filter(survives)
+      val entries =
+        Option(plannedSnapshot).getOrElse(plannedEntries()).filter(survives)
       entries.nonEmpty && entries.forall(e =>
         ParquetData.isParquet(e.file) && e.attrs.getOrElse("dv", "").isEmpty)
     }

@@ -235,22 +235,31 @@ object ParquetData {
     * non-vectorized consumers' path (CDF row materialization, procedure
     * audits). Row-group order, so the i-th row is position i.
     */
-  def readRows(file: Path): Iterator[(Long, String, Long)] = {
-    val r = org.apache.parquet.hadoop.ParquetReader
+  /** Row iterator over a parquet data file PLUS an explicit close — the
+    * exhaustion-close alone leaks the file handle when a consumer stops
+    * early (LIMIT, per-partition abort); PartitionReaders must call
+    * close() from their own close().
+    */
+  final class RowsReader(file: Path) extends Iterator[(Long, String, Long)]
+      with AutoCloseable {
+    private val r = org.apache.parquet.hadoop.ParquetReader
       .builder(new GroupReadSupport(), new HPath(file.toUri))
       .withConf(hconf()).build()
-    new Iterator[(Long, String, Long)] {
-      private var g = r.read()
-      override def hasNext: Boolean = {
-        if (g == null) r.close()
-        g != null
-      }
-      override def next(): (Long, String, Long) = {
-        val out = (g.getLong("doc_id", 0), g.getString("lang", 0),
-          g.getLong("n_chars", 0))
-        g = r.read()
-        out
-      }
+    private var closed = false
+    private var g = r.read()
+    override def close(): Unit = if (!closed) { closed = true; r.close() }
+    override def hasNext: Boolean = {
+      if (g == null) close()
+      g != null
+    }
+    override def next(): (Long, String, Long) = {
+      val out = (g.getLong("doc_id", 0), g.getString("lang", 0),
+        g.getLong("n_chars", 0))
+      g = r.read()
+      out
     }
   }
+
+  def readRows(file: Path): Iterator[(Long, String, Long)] =
+    new RowsReader(file)
 }

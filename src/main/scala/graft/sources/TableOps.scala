@@ -305,8 +305,10 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     require(keepLast >= 1, "graft.system.expire_snapshots: keep_last must be >= 1")
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "expire_snapshots",
       requireDelta = true)
+    // (version, micros, RAW line) — the raw line is written back verbatim
+    // so the registration's content-hash field (3rd) survives expiry
     val entries = ProcedureSupport.manifestLines(path, "_VERSIONS")
-      .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong) }
+      .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong, l) }
       .sortBy(_._1)
     require(entries.nonEmpty, s"graft.system.expire_snapshots: $tbl has no commits")
     // RETENTION PINS (q269): tagged versions are unexpirable regardless of
@@ -345,7 +347,7 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     //    at most the OLDEST kept version needs this, but the loop is
     //    shape-driven, not position-driven.
     val keptSet = kept.map(_._1).toSet
-    kept.foreach { case (v, _) =>
+    kept.foreach { case (v, _, _) =>
       val snap = Paths.get(path, s"_MANIFEST.v$v")
       if (Files.exists(snap)) {
         val first = {
@@ -364,12 +366,12 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     // 1. pointers first: rewrite the version log atomically, drop expired
     //    snapshot manifests
     val tmp = Paths.get(path, "_VERSIONS.tmp")
-    Files.write(tmp, kept.map { case (v, ts) => s"$v,$ts" }.mkString("", "\n", "\n")
+    Files.write(tmp, kept.map(_._3).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, "_VERSIONS"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    expired.foreach { case (v, _) =>
+    expired.foreach { case (v, _, _) =>
       Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v"))
       // an expired version's change record goes with its snapshot — the
       // feed must fail resolvably on an expired range, not half-plan it
@@ -498,7 +500,15 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
       // null/default); a DROP of a branch-written field is divergence.
       val mainIds = EvolveSchema.parse(props.get("evolveSchema"))._2
         .map(_.id).toSet
-      val orphaned = blines.flatMap { l =>
+      // gate only entries the BRANCH added since the fork: entries
+      // inherited from main's own head may legitimately carry since-
+      // dropped field ids (main itself serves those files under its
+      // current schema — the column is simply resolved away), and
+      // refusing on them would permanently block every publish after
+      // any main-side DROP over pre-existing data
+      val inherited = DigestManifest
+        .listingAt(path, DigestManifest.MainRef, base).toSet
+      val orphaned = blines.filterNot(inherited.contains).flatMap { l =>
         val a = l.split(",")
         a(2).split(";").filter(_.nonEmpty).map(_.toInt)
           .filterNot(mainIds.contains).map(id => s"${a(0)}:field-id $id")
