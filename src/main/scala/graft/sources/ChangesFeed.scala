@@ -122,8 +122,10 @@ object DigestChanges {
     // (INSERT OVERWRITE / TRUNCATE over a live log) genuinely changes
     // data — emitting zero change rows would silently diverge every
     // downstream CDC consumer, so the feed refuses loudly instead.
-    if (ref == DigestManifest.MainRef &&
-      DigestManifest.isCompaction(path, v)) return Seq.empty
+    // ref-qualified lookup: a branch commit whose version NUMBER collides
+    // with a tagged main compaction (branch logs restart at v1) must not
+    // be skipped — and a branch compaction, if one is ever tagged, is
+    if (DigestManifest.isCompaction(path, v, ref)) return Seq.empty
     val rec = Paths.get(path, s"${DigestManifest.changesName(ref)}.v$v")
     val (added, removed, mutated) =
       if (Files.exists(rec)) {

@@ -81,6 +81,12 @@ class DigestSink extends TableProvider {
       require(!(properties.containsKey("changesFrom") &&
           properties.containsKey("changesFromTimestamp")),
         "graft_digest changes: give changesFrom OR changesFromTimestamp, not both")
+      // the to-side mirrors the from-side guard: silently preferring
+      // changesTo over changesToTimestamp would serve a different window
+      // than the consumer asked for
+      require(!(properties.containsKey("changesTo") &&
+          properties.containsKey("changesToTimestamp")),
+        "graft_digest changes: give changesTo OR changesToTimestamp, not both")
       val from = Option(properties.get("changesFrom")).map(_.toInt)
         .getOrElse(DigestManifest.versionAt(path,
           properties.get("changesFromTimestamp").toLong, branch))
@@ -211,6 +217,14 @@ object DigestSink {
   private[graft] val rowGroupReadEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
   private[graft] val rowGroupSkipEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Counts parquet COLUMN CHUNKS decoded (row groups read × columns
+    * requested) — the loud proof of in-file COLUMN pruning (q272): a
+    * single-column projection over a 3-column table must decode one
+    * chunk per surviving group, not three.
+    */
+  private[graft] val columnChunkReadEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
@@ -1022,12 +1036,13 @@ private[graft] object DigestManifest {
     // reader either sees an unregistered (invisible) version or a
     // registered-and-tagged one — and only AFTER the ownership checks, so
     // a reclaimed loser can never mis-tag the winner's version
-    if (compaction) markCompaction(path, v)
+    if (compaction) markCompaction(path, v, ref)
     // a NON-compaction registering v must scrub a dead compactor's
-    // leftover tag for the same number (crash between its tag and its
-    // registration) — a mis-tagged data commit is silently skipped by
-    // the change feed
-    else unmarkCompaction(dir, path, v)
+    // leftover tag for the same (ref, version) — crash between its tag
+    // and its registration — or the change feed silently skips this data
+    // commit. Ref-qualified: a branch registering ITS version N must not
+    // touch main's legitimate compaction tag for main's version N
+    else unmarkCompaction(dir, path, v, ref)
     // strictly monotone micros IN FILE ORDER: seed from the last
     // registered record so a second process continues the sequence
     val lastRegistered = {
@@ -1167,40 +1182,63 @@ private[graft] object DigestManifest {
         compaction = pendingCompaction.remove(compactionKey(path, ref)))
     }
 
-  /** Tag version `v` as a CONTENT-PRESERVING compaction commit (the
-    * snapshot + truncate-overwrite cycle that folds the delta log into
-    * fresh base files without changing the logical rows). The change
+  /** Tag version `v` on `ref` as a CONTENT-PRESERVING compaction commit
+    * (the snapshot + truncate-overwrite cycle that folds the delta log
+    * into fresh base files without changing the logical rows). The change
     * feed uses this tag — and ONLY this tag — to decide a delta-removing
     * commit may be skipped: an untagged commit that retires delta files
     * (INSERT OVERWRITE / TRUNCATE over a live log) genuinely changes
     * data, and [[DigestChanges.plan]] refuses it loudly rather than
     * silently emitting zero change rows.
+    *
+    * Entries are REF-QUALIFIED (`<ref>:<v>`; legacy bare `<v>` lines
+    * parse as main): branch logs start at v1, so a bare version number
+    * could not tell a branch commit from a main compaction with the same
+    * number — a branch commit would scrub (or inherit) main's tag.
+    * Scrubs are APPEND-ONLY tombstones (`!<ref>:<v>`): a whole-file
+    * rewrite raced against a concurrent O_APPEND tag from another
+    * process would silently drop the tag; with both paths O_APPEND, the
+    * later line wins (file order IS append order) and nothing is lost.
     */
-  def markCompaction(path: String, v: Int): Unit = synchronized {
-    Files.write(Paths.get(path, "_COMPACTIONS"),
-      s"$v\n".getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+  def markCompaction(path: String, v: Int, ref: String = MainRef): Unit =
+    synchronized {
+      Files.write(Paths.get(path, "_COMPACTIONS"),
+        s"$ref:$v\n".getBytes(StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  /** One `_COMPACTIONS` line → (isTombstone, ref, version); bare-number
+    * legacy lines qualify as main.
+    */
+  private def parseCompactionLine(raw: String): Option[(Boolean, String, Int)] = {
+    val line = raw.trim
+    if (line.isEmpty) None
+    else {
+      val tomb = line.startsWith("!")
+      val body = if (tomb) line.tail else line
+      val i = body.lastIndexOf(':')
+      val (ref, vs) = if (i < 0) (MainRef, body) else
+        (body.substring(0, i), body.substring(i + 1))
+      vs.toIntOption.map(v => (tomb, ref, v))
+    }
   }
 
-  /** Remove a STALE compaction tag for `v`: a compactor that crashed
-    * between tagging and registering leaves the tag on an unregistered
-    * version number; the data-changing committer that later reclaims and
-    * registers `v` must scrub it (exactly like it scrubs the dead change
-    * record) or the change feed silently skips its commit.
+  /** Remove a STALE compaction tag for `v` on `ref`: a compactor that
+    * crashed between tagging and registering leaves the tag on an
+    * unregistered version number; the data-changing committer that later
+    * reclaims and registers `v` must scrub it (exactly like it scrubs the
+    * dead change record) or the change feed silently skips its commit.
+    * The scrub is an appended tombstone, never a rewrite (see
+    * [[markCompaction]]).
     */
   private def unmarkCompaction(dir: java.nio.file.Path, path: String,
-      v: Int): Unit = synchronized {
-    val f = dir.resolve("_COMPACTIONS")
-    if (!Files.exists(f)) return
-    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(f)).asScala.filter(_.nonEmpty)
-    if (!lines.exists(_.trim == v.toString)) return
-    val t = Files.createTempFile(dir, ".manifest-tmp-", "")
-    Files.write(t, lines.filterNot(_.trim == v.toString)
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(t, f, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+      v: Int, ref: String): Unit = synchronized {
+    if (!isCompaction(path, v, ref)) return
+    Files.write(dir.resolve("_COMPACTIONS"),
+      s"!$ref:$v\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
   }
 
   /** Rewrite registered version `v`'s snapshot as a FULL base holding
@@ -1223,10 +1261,21 @@ private[graft] object DigestManifest {
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  def isCompaction(path: String, v: Int): Boolean = {
+  def isCompaction(path: String, v: Int, ref: String = MainRef): Boolean = {
     val f = Paths.get(path, "_COMPACTIONS")
-    Files.exists(f) && scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.readAllLines(f)).asScala.exists(_.trim == v.toString)
+    if (!Files.exists(f)) return false
+    // last matching line wins: a tombstone cancels an earlier tag, and a
+    // (theoretical) later re-tag would re-arm it — file order IS append
+    // order, both writers use O_APPEND
+    var tagged = false
+    scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(f))
+      .asScala.foreach { raw =>
+        parseCompactionLine(raw) match {
+          case Some((tomb, r, n)) if r == ref && n == v => tagged = !tomb
+          case _ => ()
+        }
+      }
+    tagged
   }
 
   def currentVersion(path: String, ref: String = MainRef): Int = {
@@ -2129,8 +2178,26 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
     streamMaxVersions: Option[Int] = None, emitMeta: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   def this(path: String) = this(path, false)
+
+  // ---- q272: COLUMN pruning — the projection reaches the data files -----
+  // The engine hands the scan the columns the query actually references
+  // (projection ∪ residual-filter refs); the parquet plane then decodes
+  // ONLY those columns' chunks per surviving row group
+  // ([[ParquetData.openRange]] keys decode off the requested schema), and
+  // the CSV plane projects post-parse. Gated OFF in the scan roles that
+  // must carry full rows — merge-on-read (verb folds replace whole rows
+  // by id) and the row-level-operation scans (the rewrite reproduces
+  // unmatched rows; the DV scan emits (_file,_pos) coordinates of full
+  // rows). At 100 TB on a wide table this is the largest remaining scan
+  // cost: a 2-column projection over a 100-column table must read 2% of
+  // the data bytes, not all of them.
+  private var required: Option[StructType] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (!mergeDeltas && allowPruning && !emitMeta)
+      required = Some(requiredSchema)
 
   // ---- q240: COUNT from the commit log — the metadata-only aggregate -----
   // The manifest already records every committed file's EXACT row count
@@ -2269,7 +2336,7 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
       new DigestAggScan(path, manifestName, groupByLang, nAggs)
     case None =>
       new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning,
-        streamMaxVersions, zmRanges, emitMeta)
+        streamMaxVersions, zmRanges, emitMeta, required)
   }
 }
 
@@ -2375,7 +2442,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     allowPruning: Boolean = true,
     streamMaxVersions: Option[Int] = None,
     zmRanges: Map[String, (Long, Long)] = Map.empty,
-    emitMeta: Boolean = false)
+    emitMeta: Boolean = false,
+    required: Option[StructType] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2386,7 +2454,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
   // physical coordinates — the (_file, _pos) rowId a DV commit is keyed by
   override def readSchema(): StructType =
     if (emitMeta) StructType(DigestSink.rowSchema.fields ++ DigestDv.metaFields)
-    else DigestSink.rowSchema
+    else required.getOrElse(DigestSink.rowSchema)
   override def toBatch: Batch = this
 
   // q242: the commit log doubles as a stream — see [[DigestMicroBatchStream]]
@@ -2413,7 +2481,11 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
   }
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (allowPruning && !mergeDeltas)
+    // a projection pruned past `lang` cannot declare lang runtime
+    // filtering — the engine resolves these attributes against the
+    // scan's (pruned) output and fails analysis on a missing column
+    if (allowPruning && !mergeDeltas &&
+        required.forall(_.fieldNames.contains("lang")))
       Array(org.apache.spark.sql.connector.expressions.Expressions.column("lang"))
     else Array.empty
 
@@ -2474,10 +2546,21 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       mergeDeltas || e.file.startsWith("delta-") || survives(e)
     }
     val rows = survivors.map(_.rows).sum
-    val bytes = survivors.map { e =>
+    val fileBytes = survivors.map { e =>
       val p = Paths.get(path, e.file)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
+    // a column-pruned scan serves proportionally fewer bytes — report
+    // them, or the optimizer costs a narrow probe side at full-row width
+    // and misses broadcast opportunities the pruning created (q258).
+    // Before pushdown existed the engine applied this width ratio itself
+    // at the relation level; with a pruned readSchema the scan owns it.
+    val bytes = required match {
+      case Some(r) if r.defaultSize < DigestSink.rowSchema.defaultSize =>
+        math.max(1L, fileBytes * math.max(1, r.defaultSize) /
+          DigestSink.rowSchema.defaultSize)
+      case _ => fileBytes
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -2502,6 +2585,11 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     * (which may hold any lang) survives.
     */
   private def clusteredFiles: Option[Seq[String]] = {
+    // a pruned projection without `lang` cannot DECLARE lang clustering —
+    // the engine resolves the partitioning's key expressions against the
+    // scan's output attributes (and a lang-less projection has no lang
+    // join to co-locate anyway)
+    if (!required.forall(_.fieldNames.contains("lang"))) return None
     val files = plannedEntries().filter(survives).map(_.file)
     if (!mergeDeltas && files.nonEmpty &&
         files.forall(f => DigestSink.langOf(f).isDefined)) Some(files)
@@ -2575,7 +2663,7 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       baseFiles.filter(survives)
         .map(e => DigestFilePartition(path, e.file,
           dv = e.attrs.getOrElse("dv", ""), emitMeta = emitMeta,
-          zm = zmRanges): InputPartition)
+          zm = zmRanges, req = required): InputPartition)
         .toArray
     } else {
       // replay in MANIFEST order, not name order: append order is commit
@@ -2601,7 +2689,11 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     // merge-on-read overrides, no metadata columns. Decided from the
     // SAME listing snapshot the partitions were planned from, never a
     // re-resolved (possibly newer) one.
-    val columnar = !mergeDeltas && !emitMeta && {
+    // an EMPTY pruned projection (`SELECT count(*)` past the agg gate)
+    // serves row counts from footers/line counts via the row reader —
+    // never plan a zero-column ColumnarBatch
+    val columnar = !mergeDeltas && !emitMeta &&
+      required.forall(_.fields.nonEmpty) && {
       val entries =
         Option(plannedSnapshot).getOrElse(plannedEntries()).filter(survives)
       entries.nonEmpty && entries.forall(e =>
@@ -2614,7 +2706,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
 case class DigestFilePartition(path: String, file: String,
     overrides: Map[Long, Option[(Long, String, Long)]] = Map.empty,
     dv: String = "", emitMeta: Boolean = false,
-    zm: Map[String, (Long, Long)] = Map.empty)
+    zm: Map[String, (Long, Long)] = Map.empty,
+    req: Option[StructType] = None)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the lang carried in the file name IS the split's partition key — the
@@ -2671,6 +2764,79 @@ class DigestFileReader(p: DigestFilePartition)
   private var rgPruned = 0L
   private var batches: ParquetData.BatchIterator = _
 
+  // COLUMN pruning (q272): a pushed projection narrower than the table
+  // schema serves projected rows — parquet decodes only the requested
+  // columns' chunks; CSV projects post-parse. Only planned in scan roles
+  // without overrides or metadata columns (the builder's gate), so the
+  // pruned path never meets the merge/rowid logic below.
+  private val prunedTo: Option[StructType] =
+    p.req.filter(r => !p.emitMeta && p.overrides.isEmpty &&
+      r.fieldNames.toSeq != DigestSink.rowSchema.fieldNames.toSeq)
+
+  private def keptGroups(file: java.nio.file.Path): Seq[ParquetData.RowGroup] = {
+    val groups = ParquetData.rowGroups(file)
+    val kept = ParquetData.survivingGroups(groups, p.zm)
+    rgPlanned = kept.size.toLong
+    rgPruned = (groups.size - kept.size).toLong
+    DigestSink.rowGroupReadEvents.addAndGet(rgPlanned)
+    DigestSink.rowGroupSkipEvents.addAndGet(rgPruned)
+    kept
+  }
+
+  /** Pruned-projection rows as (file-global position, projected row).
+    * An EMPTY projection (`SELECT count(*)` past the agg gate) is served
+    * from METADATA alone on the parquet plane — footer row counts give
+    * the positions, zero data bytes are decoded (the DV mask still
+    * applies per position).
+    */
+  private val prows: Iterator[(Long, InternalRow)] =
+    prunedTo match {
+      case None => null
+      case Some(req) if ParquetData.isParquet(p.file) =>
+        val file = Paths.get(p.path, p.file)
+        val kept = keptGroups(file)
+        if (req.fields.isEmpty)
+          kept.iterator.flatMap(g =>
+            (g.rowStart until g.rowStart + g.rows).iterator
+              .map(pos => (pos, InternalRow.empty)))
+        else {
+          batches = new ParquetData.BatchIterator(file, req, kept)
+          val extract: Array[(InternalRow, Int) => Any] =
+            req.fields.map { f => f.name match {
+              case "lang" => (r: InternalRow, i: Int) => r.getUTF8String(i).copy()
+              case _ => (r: InternalRow, i: Int) => r.getLong(i)
+            }}
+          batches.flatMap { case (batch, startPos) =>
+            val rit = scala.jdk.CollectionConverters
+              .IteratorHasAsScala(batch.rowIterator()).asScala
+            rit.zipWithIndex.map { case (r, i) =>
+              (startPos + i, InternalRow.fromSeq(
+                extract.zipWithIndex.map { case (e, j) => e(r, j) }.toSeq))
+            }
+          }
+        }
+      case Some(req) =>
+        val idx = req.fieldNames.map {
+          case "doc_id" => 0
+          case "lang" => 1
+          case "n_chars" => 2
+        }
+        val lines = Files.readAllLines(Paths.get(p.path, p.file)).iterator()
+        new Iterator[(Long, InternalRow)] {
+          private var pos = -1L
+          override def hasNext: Boolean = lines.hasNext
+          override def next(): (Long, InternalRow) = {
+            val a = lines.next().split(",")
+            pos += 1
+            (pos, InternalRow.fromSeq(idx.toSeq.map {
+              case 0 => a(0).toLong
+              case 1 => UTF8String.fromString(a(1))
+              case 2 => a(2).toLong
+            }))
+          }
+        }
+    }
+
   /** (file-global position, doc_id, lang, n_chars) rows, dispatched on
     * the FILE's byte format. The parquet path prunes ROW GROUPS against
     * the pushed ranges off the footer's per-group stats — the in-file
@@ -2679,14 +2845,10 @@ class DigestFileReader(p: DigestFilePartition)
     * masks stay position-true under pruning.
     */
   private val rows: Iterator[(Long, Long, UTF8String, Long)] =
-    if (ParquetData.isParquet(p.file)) {
+    if (prunedTo.isDefined) null
+    else if (ParquetData.isParquet(p.file)) {
       val file = Paths.get(p.path, p.file)
-      val groups = ParquetData.rowGroups(file)
-      val kept = ParquetData.survivingGroups(groups, p.zm)
-      rgPlanned = kept.size.toLong
-      rgPruned = (groups.size - kept.size).toLong
-      DigestSink.rowGroupReadEvents.addAndGet(rgPlanned)
-      DigestSink.rowGroupSkipEvents.addAndGet(rgPruned)
+      val kept = keptGroups(file)
       batches = new ParquetData.BatchIterator(file, DigestSink.rowSchema, kept)
       batches.flatMap { case (batch, startPos) =>
         val rit = scala.jdk.CollectionConverters
@@ -2726,6 +2888,17 @@ class DigestFileReader(p: DigestFilePartition)
   }
 
   override def next(): Boolean = {
+    if (prows != null) {
+      while (prows.hasNext) {
+        val (pos, row) = prows.next()
+        if (!DvCodec.contains(dv, pos)) {
+          current = row
+          served += 1
+          return true
+        }
+      }
+      return false
+    }
     while (rows.hasNext) {
       val (pos, id, lang, n) = rows.next()
       if (!DvCodec.contains(dv, pos)) {
@@ -2758,8 +2931,8 @@ class DigestColumnarFileReader(p: DigestFilePartition)
   private val kept = ParquetData.survivingGroups(groups, p.zm)
   DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
   DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)
-  private val batches =
-    new ParquetData.BatchIterator(file, DigestSink.rowSchema, kept)
+  private val batches = new ParquetData.BatchIterator(file,
+    p.req.getOrElse(DigestSink.rowSchema), kept)
   private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
   private var served = 0L
 

@@ -4612,6 +4612,127 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q272: COLUMN pruning — the projection reaches the data files -----
+  // `SupportsPushDownRequiredColumns` on the digest scan: the engine
+  // hands the scan exactly the columns the query references, and the
+  // parquet plane decodes ONLY those columns' chunks per surviving row
+  // group (the columnChunkReadEvents counter is the loud proof: a
+  // 1-column projection over the 3-column table must count groups×1,
+  // never groups×3). The CSV plane projects post-parse; an EMPTY
+  // projection (no column referenced at all) serves row counts from
+  // parquet FOOTERS alone — zero data chunks decoded; and the pruned
+  // read stays DV-position-exact (deletes keyed by file-global row
+  // positions survive both row-group pruning and column pruning). At
+  // 100 TB on a wide table this is the single largest scan saving there
+  // is: a 2-of-100-column projection reads 2% of the data bytes.
+  def q272ColumnPrune(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tblA = s"graft.ns.cp_a_${Integer.toHexString(dir.hashCode)}"
+    val tblB = s"graft.ns.cp_b_${Integer.toHexString(dir.hashCode)}"
+    val tblC = s"graft.ns.cp_c_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_column_prune:$dir") { p =>
+      def counters(q: String): (Long, Long, Long) = {
+        val c0 = DigestSink.columnChunkReadEvents.get()
+        val r0 = DigestSink.rowGroupReadEvents.get()
+        val s0 = DigestSink.rowGroupSkipEvents.get()
+        s.sql(q).collect()
+        (DigestSink.columnChunkReadEvents.get() - c0,
+          DigestSink.rowGroupReadEvents.get() - r0,
+          DigestSink.rowGroupSkipEvents.get() - s0)
+      }
+      t(s, dir, "documents").createOrReplaceTempView("docs_q272")
+      val nDocs = s.table("docs_q272").count()
+
+      // -- clean parquet table: chunk-exact pruning, still columnar ------
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblA (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest
+               |TBLPROPERTIES ('path'='${p.resolve("a")}', 'format'='parquet',
+               |  'parquet.rowgroup.rows'='24')""".stripMargin)
+      s.sql(s"INSERT INTO $tblA SELECT doc_id, lang, n_chars FROM docs_q272")
+      val (c1, r1, _) = counters(s"SELECT SUM(doc_id) AS x FROM $tblA")
+      require(r1 > 0 && c1 == r1,
+        s"q272: a 1-column projection must decode 1 chunk per group " +
+          s"(decoded $c1 over $r1 groups)")
+      val (c3, r3, _) = counters(
+        s"SELECT MAX(lang) AS l, SUM(doc_id + n_chars) AS x FROM $tblA")
+      require(c3 == 3 * r3,
+        s"q272: the all-columns read is the 3-chunks-per-group baseline " +
+          s"(decoded $c3 over $r3 groups)")
+      // the pruned projection still serves COLUMNAR batches
+      val colq = s.sql(s"SELECT SUM(n_chars) AS x FROM $tblA")
+      colq.collect()
+      require(colq.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+        s"q272: pruned parquet scan must stay columnar:\n" +
+          colq.queryExecution.executedPlan)
+      // an EMPTY projection is served from footer metadata alone: the
+      // readers open no data chunks at all, yet row counts stay exact
+      val f0 = DigestSink.fileReadEvents.get()
+      val (c0e, _, _) = counters(
+        s"SELECT SUM(one) AS x FROM (SELECT 1 AS one FROM $tblA)")
+      require(c0e == 0L,
+        s"q272: the no-column read must decode ZERO chunks (decoded $c0e)")
+      require(DigestSink.fileReadEvents.get() > f0,
+        "q272: the no-column read must still have planned file partitions")
+      val metaCount = s.sql(
+        s"SELECT SUM(one) AS x FROM (SELECT 1 AS one FROM $tblA)")
+        .collect()(0).getLong(0)
+      require(metaCount == nDocs,
+        s"q272: footer-served count $metaCount != $nDocs")
+
+      // -- DV parquet table: pruned reads stay position-exact ------------
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest
+               |TBLPROPERTIES ('path'='${p.resolve("b")}', 'dv'='true',
+               |  'format'='parquet', 'parquet.rowgroup.rows'='24')""".stripMargin)
+      s.sql(s"INSERT INTO $tblB SELECT doc_id, lang, n_chars FROM docs_q272")
+      s.sql(s"DELETE FROM $tblB WHERE doc_id % 7 = 3")
+      val (cdv, rdv, _) = counters(s"SELECT SUM(n_chars) AS x FROM $tblB")
+      require(rdv > 0 && cdv == rdv,
+        s"q272: the DV'd single-column read must still decode 1 chunk " +
+          s"per group (decoded $cdv over $rdv groups)")
+      // a doc_id band conjoins all three layers: row-group skipping
+      // (footer stats), column pruning (2 of 3 chunks: the residual
+      // filter keeps doc_id, the aggregate keeps n_chars), DV masking
+      val (cband, rband, sband) = counters(
+        s"SELECT SUM(n_chars) AS x FROM $tblB WHERE doc_id BETWEEN 100 AND 199")
+      require(sband > 0 && cband == 2 * rband,
+        s"q272: the band read must skip groups (skipped $sband) and " +
+          s"decode 2 chunks per surviving group (decoded $cband over $rband)")
+
+      // -- CSV plane: the projection applies post-parse ------------------
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblC (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest
+               |TBLPROPERTIES ('path'='${p.resolve("c")}')""".stripMargin)
+      s.sql(s"INSERT INTO $tblC SELECT doc_id, lang, n_chars FROM docs_q272")
+      val sumPq = s.sql(s"SELECT SUM(n_chars) AS x FROM $tblA")
+        .collect()(0).getLong(0)
+      val (ccsv, _, _) = counters(s"SELECT SUM(n_chars) AS x FROM $tblC")
+      require(ccsv == 0L, s"q272: the CSV read must decode no parquet chunks")
+      val sumCsv = s.sql(s"SELECT SUM(n_chars) AS x FROM $tblC")
+        .collect()(0).getLong(0)
+      require(sumCsv == sumPq,
+        s"q272: CSV post-parse projection diverged ($sumCsv != $sumPq)")
+    }
+    // the oracle-checked result reads the DV'd table through the pruned
+    // scan — deletes must stay position-exact under column pruning
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tblB
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q272Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id % 7 <> 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -4686,6 +4807,7 @@ object Formats {
     "q269_tags" -> q269Tags _,
     "q270_evolve_branch" -> q270EvolveBranch _,
     "q271_parquet_delta" -> q271ParquetDelta _,
+    "q272_column_prune" -> q272ColumnPrune _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4762,5 +4884,6 @@ object Formats {
     "q269_tags" -> q269Sql,
     "q270_evolve_branch" -> q270Sql,
     "q271_parquet_delta" -> q271Sql,
+    "q272_column_prune" -> q272Sql,
   )
 }

@@ -203,6 +203,8 @@ object ParquetData {
     private var reader: VectorizedParquetRecordReader = _
     private var rowCursor = 0L
     private var pending: ColumnarBatch = _
+    private var runExpected = 0L
+    private var runServed = 0L
 
     private def advance(): Unit = {
       while (pending == null) {
@@ -210,11 +212,30 @@ object ParquetData {
           if (!runs.hasNext) return
           val run = runs.next()
           rowCursor = run.head.rowStart
+          runExpected = run.map(_.rows).sum
+          runServed = 0L
+          // observability for the column-pruning lock (q272): chunks
+          // decoded = groups in the run × columns actually requested
+          DigestSink.columnChunkReadEvents.addAndGet(
+            run.size.toLong * requested.fields.length)
+          // split length from BLOCK OFFSETS, not a sum of compressed
+          // sizes: parquet split selection is midpoint-based against
+          // actual block extents, and any inter-block gap (padding, bloom
+          // filters, a future writer) would make the size-sum undercount
+          // the extent and silently drop the run's last group
           reader = openRange(file, requested, run.head.startPos,
-            run.map(_.bytes).sum)
+            run.last.startPos + run.last.bytes - run.head.startPos)
         }
         if (reader.nextBatch()) pending = reader.resultBatch()
-        else { reader.close(); reader = null }
+        else {
+          reader.close(); reader = null
+          // the DV masks key off file-global row positions derived from
+          // the footer's per-group row counts — a reader that served a
+          // different count would desynchronize every downstream mask
+          require(runServed == runExpected,
+            s"graft_digest parquet: run served $runServed rows, footer " +
+              s"says $runExpected ($file) — split selection drifted")
+        }
       }
     }
 
@@ -225,6 +246,7 @@ object ParquetData {
       pending = null
       val at = rowCursor
       rowCursor += b.numRows()
+      runServed += b.numRows()
       (b, at)
     }
     override def close(): Unit =

@@ -157,4 +157,78 @@ class CommitProtocolSpec extends AnyFunSuite {
         "the main replace the tag targeted must be marked a compaction")
     } finally DigestManifest.clearCompactionTag(path)
   }
+
+  test("a branch commit whose version NUMBER reaches a tagged main " +
+      "compaction never scrubs main's tag (ref-qualified registry)") {
+    val dir = tmp("graft_proto_refscrub_")
+    val path = dir.toString
+    seedTable(dir)
+    // main compacts at v2 (tag applied through the real replace path)
+    DigestManifest.tagNextReplaceAsCompaction(path)
+    val mv = try DigestManifest.publishReplace(path,
+      Seq("lang_aa-seed.csv,1"), 1)
+    finally DigestManifest.clearCompactionTag(path)
+    assert(DigestManifest.isCompaction(path, mv))
+    // branch logs restart at v1: commit on a branch until ITS version
+    // number equals main's compaction version — each branch registration
+    // scrubs stale tags for (branch, v), never (main, v)
+    (1 to mv).foreach { i =>
+      Files.write(dir.resolve(s"lang_br$i.csv"), s"$i,br,1\n".getBytes("UTF-8"))
+      DigestManifest.publishAppend(path, Seq(s"lang_br$i.csv,1"), i - 1,
+        ref = "dev")
+    }
+    assert(DigestManifest.currentVersion(path, "dev") == mv)
+    assert(DigestManifest.isCompaction(path, mv),
+      "a branch commit with a colliding version number scrubbed main's " +
+        "compaction tag — main's CDF would replay the compaction as data")
+    assert(!DigestManifest.isCompaction(path, mv, "dev"),
+      "the branch's own data commit must not read as a compaction")
+    // and the main change feed still skips the compaction whole
+    assert(graft.sources.DigestChanges.plan(path, mv - 1, mv).isEmpty,
+      "main's CDF must skip the tagged compaction version")
+    // while the branch feed still serves its colliding-number data commit
+    assert(graft.sources.DigestChanges.plan(path, mv - 1, mv, "dev").nonEmpty,
+      "the branch's data commit at the colliding number must still serve")
+  }
+
+  test("the stale-tag scrub is an append-only tombstone: a dead " +
+      "compactor's tag cancels without a file rewrite, legacy bare lines " +
+      "parse as main") {
+    val dir = tmp("graft_proto_tomb_")
+    val path = dir.toString
+    seedTable(dir)
+    // legacy writer left a BARE version number (pre-ref-qualified format):
+    // it must read as main's tag
+    Files.write(dir.resolve("_COMPACTIONS"), "2\n".getBytes("UTF-8"))
+    assert(DigestManifest.isCompaction(path, 2))
+    assert(!DigestManifest.isCompaction(path, 2, "dev"))
+    // a data commit registering v2 on main scrubs the dead compactor's
+    // leftover tag — by appending a tombstone, never rewriting (a rewrite
+    // raced against a concurrent O_APPEND tag would drop the tag)
+    Files.write(dir.resolve("lang_ff-data.csv"), "6,ff,1\n".getBytes("UTF-8"))
+    DigestManifest.publishAppend(path, Seq("lang_ff-data.csv,1"), 1)
+    assert(!DigestManifest.isCompaction(path, 2),
+      "the dead compactor's stale tag must be scrubbed by the data commit")
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(dir.resolve("_COMPACTIONS"))).asScala
+    assert(lines.contains("2"), "the original tag line must survive " +
+      "(append-only file — no rewrite)")
+    assert(lines.exists(_.startsWith("!")), "the scrub must be a tombstone")
+  }
+
+  test("the CDF to-side guard mirrors the from-side: changesTo together " +
+      "with changesToTimestamp refuses") {
+    val dir = tmp("graft_proto_cdfguard_")
+    seedTable(dir)
+    val props = new java.util.HashMap[String, String]()
+    props.put("path", dir.toString)
+    props.put("changesFrom", "0")
+    props.put("changesTo", "1")
+    props.put("changesToTimestamp", "123456789")
+    val ex = intercept[IllegalArgumentException] {
+      new graft.sources.DigestSink().getTable(
+        graft.sources.DigestChanges.schema, Array.empty, props)
+    }
+    assert(ex.getMessage.contains("changesTo OR changesToTimestamp"))
+  }
 }
