@@ -4733,6 +4733,95 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q273: a TAG pins a BRANCH head — the WAP audit trail ---------------
+  // `create_tag(..., branch => 'wap')` names the audited candidate
+  // immutably BEFORE publish; the pin resolves through the branch's own
+  // snapshot chain and SURVIVES `drop_branch` (the drop keeps tagged
+  // chains), so "what exactly did we audit for release X" stays
+  // answerable forever — while the branch name itself is protected from
+  // reuse until the pin is released (a new incarnation would reuse the
+  // pinned chain's version numbers).
+  def q273BranchTag(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.brtag_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_branch_tag:$dir") { p =>
+      val sink = p.resolve("sink")
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q273")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q273 WHERE lang IN ('de','fr')")
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'wap')").collect()
+      val tblW = s"${tbl}_wap"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblW (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'branch'='wap')""".stripMargin)
+      s.sql(s"INSERT INTO $tblW SELECT doc_id, lang, n_chars FROM docs_q273 WHERE lang = 'en'")
+      // the audit pin: name the EXACT candidate before publish
+      val made = s.sql(s"CALL graft.system.create_tag(table => '$short', " +
+        s"tag => 'audited', branch => 'wap')").collect()
+      require(made.toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          == Seq(("audited", 2L, "wap")),
+        s"q273: create_tag summary wrong: ${made.toSeq}")
+      def tagStats() = s.sql(
+        s"SELECT COUNT(*) c, SUM(n_chars) sc FROM $tbl VERSION AS OF 'audited'")
+        .collect()(0)
+      val expect = s.sql("SELECT COUNT(*) c, SUM(n_chars) sc FROM docs_q273 " +
+        "WHERE lang IN ('de','fr','en')").collect()(0)
+      require(tagStats() == expect,
+        s"q273: the pinned candidate must read de+fr+en: ${tagStats()} vs $expect")
+      // publish the audited candidate, then main moves on
+      s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+               |  branch => 'wap', audit => 'n_chars >= 0')""".stripMargin).collect()
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q273 WHERE lang = 'es'")
+      // drop the branch: its ref is gone from the listing...
+      s.sql(s"CALL graft.system.drop_branch(table => '$short', branch => 'wap')").collect()
+      require(!s.sql(s"CALL graft.system.branches(table => '$short')")
+          .collect().exists(_.getString(0) == "wap"),
+        "q273: the dropped branch must leave the listing")
+      // ...but the tag still time-travels to EXACTLY the audited content,
+      // not main's moved-on head
+      require(tagStats() == expect,
+        s"q273: the pin must survive drop_branch: ${tagStats()} vs $expect")
+      require(s.sql(s"CALL graft.system.tags(table => '$short')").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+          == Seq(("audited", 2L, "wap")),
+        "q273: tags() must list the branch pin")
+      // the pinned name cannot be reused — a new incarnation would claim
+      // the pinned chain's version numbers
+      require({
+        try { s.sql(s"CALL graft.system.create_branch(table => '$short', " +
+          "branch => 'wap')").collect(); false }
+        catch { case e: Exception => e.getMessage.contains("pin") } },
+        "q273: re-creating a tag-pinned dropped branch must refuse")
+      // releasing the last pin sweeps the kept chain and frees the name
+      s.sql(s"CALL graft.system.drop_tag(table => '$short', tag => 'audited')").collect()
+      require(!java.nio.file.Files.exists(sink.resolve("_MANIFEST@wap.v2")),
+        "q273: releasing the last pin must sweep the kept chain")
+      require({
+        try { s.sql(s"SELECT * FROM $tbl VERSION AS OF 'audited'").collect(); false }
+        catch { case e: Exception => e.getMessage.contains("no such tag") } },
+        "q273: reading a dropped tag must refuse loudly")
+      s.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'wap')").collect()
+      s.sql(s"CALL graft.system.drop_branch(table => '$short', branch => 'wap')").collect()
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q273Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr', 'en', 'es')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -4808,6 +4897,7 @@ object Formats {
     "q270_evolve_branch" -> q270EvolveBranch _,
     "q271_parquet_delta" -> q271ParquetDelta _,
     "q272_column_prune" -> q272ColumnPrune _,
+    "q273_branch_tag" -> q273BranchTag _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4885,5 +4975,6 @@ object Formats {
     "q270_evolve_branch" -> q270Sql,
     "q271_parquet_delta" -> q271Sql,
     "q272_column_prune" -> q272Sql,
+    "q273_branch_tag" -> q273Sql,
   )
 }

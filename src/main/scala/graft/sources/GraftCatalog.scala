@@ -213,8 +213,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // `VERSION AS OF 'release_x'` (q269): a NON-numeric version string is
     // a named tag — an immutable pin resolved through the `_TAGS`
     // registry (create_tag refuses purely-numeric names, so the two
-    // address spaces cannot collide)
-    val v = try version.toInt catch {
+    // address spaces cannot collide). A BRANCH tag (round-18) resolves
+    // through the branch's own snapshot chain — which drop_branch keeps
+    // for pinned versions, so the tag outlives the branch ref itself.
+    val (v, ref) = try (version.toInt, DigestManifest.MainRef) catch {
       case _: NumberFormatException =>
         DigestTags.tagsOf(path).getOrElse(version,
           throw new IllegalArgumentException(
@@ -222,10 +224,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"${ident.name()} (tags: ${DigestTags.tagsOf(path).keys.toSeq.sorted
                 .mkString(", ")})"))
     }
-    require(v >= 1 && Files.exists(Paths.get(path, s"_MANIFEST.v$v")),
-      s"graft catalog: no committed version $v of ${ident.name()} " +
-        s"(current: ${DigestManifest.currentVersion(path)})")
-    new DigestDeltaTable(path, asOfVersion = Some(v))
+    require(v >= 1 &&
+        Files.exists(Paths.get(path, s"${DigestManifest.mName(ref)}.v$v")),
+      s"graft catalog: no committed version $v" +
+        (if (ref == DigestManifest.MainRef) "" else s" of branch '$ref'") +
+        s" of ${ident.name()} " +
+        s"(current: ${DigestManifest.currentVersion(path, ref)})")
+    if (ref == DigestManifest.MainRef)
+      new DigestDeltaTable(path, asOfVersion = Some(v))
+    else new DigestBranchTable(path, ref, asOfVersion = Some(v))
   }
 
   // Spark hands TIMESTAMP AS OF down as MICROSECONDS since the epoch;

@@ -316,7 +316,11 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     // on") must never be silently expired; their delta-chain dependencies
     // are covered by the shape-driven rebase below, which folds any kept
     // snapshot whose chain passes through an expiring version to full
-    val pinned = DigestTags.tagsOf(path).values.toSet
+    // main-ref pins only: branch-tagged versions live in the branch's
+    // own snapshot namespace, which main expiry never deletes (their
+    // data files stay referenced via the `_MANIFEST@` reference scan)
+    val pinned = DigestTags.tagsOf(path).values
+      .collect { case (v, r) if r == DigestManifest.MainRef => v }.toSet
     val keepSet = entries.takeRight(keepLast).map(_._1).toSet ++ pinned
     val (expired, kept) = entries.partition(e => !keepSet.contains(e._1))
 
@@ -431,6 +435,13 @@ class CreateBranchProcedure(catalogName: String) extends UnboundProcedure
       requireDelta = true, allowDv = true, allowEvolve = true)
     require(DigestManifest.currentVersion(path, branch) == 0,
       s"graft.system.create_branch: branch '$branch' already exists on $tbl")
+    // a dropped branch whose snapshots are still TAG-PINNED holds its
+    // name: a new incarnation would claim version numbers the pinned
+    // chain already uses and corrupt the pin
+    require(!DigestTags.tagsOf(path).values.exists(_._2 == branch),
+      s"graft.system.create_branch: tags still pin snapshots of a " +
+        s"dropped branch '$branch' on $tbl — drop_tag first or pick " +
+        "another name")
     val (mainV, lines) = DigestManifest.head(path)
     require(mainV > 0, s"graft.system.create_branch: $tbl has no commits yet")
     DigestManifest.publish(path, lines, branch)
@@ -623,13 +634,21 @@ class DropBranchProcedure(catalogName: String) extends UnboundProcedure
       s"graft.system.drop_branch: no branch '$branch' on $tbl")
     val dir = Paths.get(path)
     val prefix = s"_MANIFEST@$branch"
+    // TAG PINS survive the drop (round-18): a tagged branch version's
+    // snapshot chain stays resolvable — "the candidate we audited" keeps
+    // time-traveling after the branch ref itself is gone. Everything
+    // else (pointer, version log, CDF records, unpinned snapshots) goes.
+    val keep: Set[String] = DigestTags.tagsOf(path).toSeq
+      .collect { case (_, (v, r)) if r == branch => v }
+      .flatMap(v => DigestTags.chainFiles(path, branch, v)).toSet
     var dropped = 0L
     val listing = Files.list(dir)
     val doomed = try listing.iterator().asScala.filter { p =>
       val n = p.getFileName.toString
-      n == prefix || n.startsWith(s"$prefix.v") ||
+      (n == prefix || n.startsWith(s"$prefix.v") ||
         n == s"_VERSIONS@$branch" || n == s"_BASE@$branch" ||
-        n.startsWith(s"_CHANGES@$branch.v") // the ref's CDF metadata (q262)
+        n.startsWith(s"_CHANGES@$branch.v")) && // the ref's CDF metadata (q262)
+        !keep.contains(n)
     }.toSeq finally listing.close()
     doomed.foreach { p => Files.deleteIfExists(p); dropped += 1 }
     val schema = StructType(Seq(
@@ -653,14 +672,20 @@ class DropBranchProcedure(catalogName: String) extends UnboundProcedure
 private[sources] object DigestTags {
   private def file(path: String) = Paths.get(path, "_TAGS")
 
-  def tagsOf(path: String): Map[String, Int] = {
+  /** tag name -> (version, ref). Lines are `name,version[,ref]`; legacy
+    * 2-field lines parse as main — a tag may pin a BRANCH head (round-18:
+    * "the candidate we audited" named immutably before publish), resolved
+    * through the per-ref snapshot chain.
+    */
+  def tagsOf(path: String): Map[String, (Int, String)] = {
     val f = file(path)
     if (!Files.exists(f)) Map.empty
     else {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(f).asScala.filter(_.nonEmpty).map { l =>
-        val i = l.lastIndexOf(',')
-        l.take(i) -> l.drop(i + 1).toInt
+        val a = l.split(",")
+        a(0) -> (a(1).toInt,
+          if (a.length > 2) a(2) else DigestManifest.MainRef)
       }.toMap
     }
   }
@@ -668,13 +693,36 @@ private[sources] object DigestTags {
   /** Atomic registry rewrite (single-writer maintenance semantics, like
     * every lifecycle procedure here).
     */
-  def write(path: String, tags: Map[String, Int]): Unit = {
+  def write(path: String, tags: Map[String, (Int, String)]): Unit = {
     val t = Files.createTempFile(Paths.get(path), ".manifest-tmp-", "")
-    Files.write(t, tags.toSeq.sortBy(_._1).map { case (n, v) => s"$n,$v" }
+    Files.write(t, tags.toSeq.sortBy(_._1).map { case (n, (v, r)) => s"$n,$v,$r" }
       .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(t, file(path),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The snapshot FILES a tagged (version, ref) resolves through: the
+    * numbered snapshot plus its `#base:` delta chain. What drop_branch
+    * must keep, and what releasing the last pin of a dead branch sweeps.
+    */
+  def chainFiles(path: String, ref: String, v0: Int): Seq[String] = {
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = v0
+    var done = false
+    while (!done && cur > 0) {
+      val name = s"${DigestManifest.mName(ref)}.v$cur"
+      names += name
+      val f = Paths.get(path, name)
+      if (!Files.exists(f)) done = true
+      else {
+        val in = Files.newBufferedReader(f)
+        val first = try Option(in.readLine()).getOrElse("") finally in.close()
+        if (first.startsWith("#base:")) cur = first.drop(6).toInt
+        else done = true
+      }
+    }
+    names.toSeq
   }
 }
 
@@ -693,7 +741,8 @@ class CreateTagProcedure(catalogName: String) extends UnboundProcedure
     Array(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("tag", StringType).build(),
       ProcedureParameter.in("version", org.apache.spark.sql.types.IntegerType)
-        .defaultValue("-1").build())
+        .defaultValue("-1").build(),
+      ProcedureParameter.in("branch", StringType).defaultValue("''").build())
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
@@ -703,23 +752,36 @@ class CreateTagProcedure(catalogName: String) extends UnboundProcedure
         "it would shadow VERSION AS OF numbers")
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "create_tag",
       requireDelta = false)
-    val head = DigestManifest.currentVersion(path)
+    // `branch =>` pins a version of THE BRANCH'S commit log (round-18:
+    // name the audited WAP candidate immutably before publish); the pin
+    // survives branch drop — drop_branch keeps tagged snapshot chains
+    val ref = Option(input.getUTF8String(3)).map(_.toString)
+      .filter(_.nonEmpty).getOrElse(DigestManifest.MainRef)
+    if (ref != DigestManifest.MainRef) {
+      DigestManifest.checkRef(ref)
+      require(DigestManifest.currentVersion(path, ref) > 0,
+        s"graft.system.create_tag: no branch '$ref' on $tbl")
+    }
+    val head = DigestManifest.currentVersion(path, ref)
     val v = input.getInt(2) match { case -1 => head case n => n }
     require(v >= 1 && v <= head &&
-        Files.exists(Paths.get(path, s"_MANIFEST.v$v")),
-      s"graft.system.create_tag: version $v of $tbl is not a registered, " +
-        s"resolvable snapshot (head: $head)")
+        Files.exists(Paths.get(path, s"${DigestManifest.mName(ref)}.v$v")),
+      s"graft.system.create_tag: version $v of $tbl" +
+        (if (ref == DigestManifest.MainRef) "" else s" (branch '$ref')") +
+        s" is not a registered, resolvable snapshot (head: $head)")
     val tags = DigestTags.tagsOf(path)
     // immutable by contract: re-pointing a tag silently would defeat the
     // audit purpose — drop and recreate to move one
     require(!tags.contains(tag),
       s"graft.system.create_tag: tag '$tag' already exists on $tbl " +
-        s"(at v${tags(tag)}); drop_tag first")
-    DigestTags.write(path, tags + (tag -> v))
+        s"(at v${tags(tag)._1}); drop_tag first")
+    DigestTags.write(path, tags + (tag -> (v, ref)))
     val schema = StructType(Seq(
       StructField("tag", StringType, nullable = false),
-      StructField("version", LongType, nullable = false)))
-    val row: InternalRow = InternalRow(UTF8String.fromString(tag), v.toLong)
+      StructField("version", LongType, nullable = false),
+      StructField("ref", StringType, nullable = false)))
+    val row: InternalRow = InternalRow(UTF8String.fromString(tag), v.toLong,
+      UTF8String.fromString(ref))
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, Array(row))).iterator()
   }
@@ -748,12 +810,23 @@ class DropTagProcedure(catalogName: String) extends UnboundProcedure
     require(tags.contains(tag),
       s"graft.system.drop_tag: no tag '$tag' on $tbl " +
         s"(tags: ${tags.keys.toSeq.sorted.mkString(", ")})")
-    DigestTags.write(path, tags - tag)
+    val (v, ref) = tags(tag)
+    val remaining = tags - tag
+    DigestTags.write(path, remaining)
+    // releasing the LAST pin of a DROPPED branch sweeps the snapshot
+    // chain drop_branch kept for it — otherwise the leftovers would
+    // block re-creating the branch name forever (create_branch refuses
+    // while pinned chains exist)
+    if (ref != DigestManifest.MainRef &&
+        DigestManifest.currentVersion(path, ref) == 0 &&
+        !remaining.values.exists(_._2 == ref))
+      DigestTags.chainFiles(path, ref, v)
+        .foreach(n => Files.deleteIfExists(Paths.get(path, n)))
     val schema = StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("released_version", LongType, nullable = false)))
     val row: InternalRow =
-      InternalRow(UTF8String.fromString(tag), tags(tag).toLong)
+      InternalRow(UTF8String.fromString(tag), v.toLong)
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, Array(row))).iterator()
   }
@@ -776,10 +849,13 @@ class TagsProcedure(catalogName: String) extends UnboundProcedure
       requireDelta = false)
     val schema = StructType(Seq(
       StructField("tag", StringType, nullable = false),
-      StructField("version", LongType, nullable = false)))
-    val rows = DigestTags.tagsOf(path).toSeq.sortBy(_._1).map { case (n, v) =>
-      InternalRow(UTF8String.fromString(n), v.toLong): InternalRow
-    }.toArray
+      StructField("version", LongType, nullable = false),
+      StructField("ref", StringType, nullable = false)))
+    val rows = DigestTags.tagsOf(path).toSeq.sortBy(_._1)
+      .map { case (n, (v, r)) =>
+        InternalRow(UTF8String.fromString(n), v.toLong,
+          UTF8String.fromString(r)): InternalRow
+      }.toArray
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, rows)).iterator()
   }

@@ -92,6 +92,12 @@ object SoakDml {
                    |USING graft_digest TBLPROPERTIES ('path'='$dDir', 'delta'='true')""".stripMargin)
       spark.sql(s"INSERT INTO $dlt SELECT doc_id, lang, n_chars FROM soak_docs")
       timed("merge_delta") { spark.sql(mergeSql(dlt)) }
+      // the UNCOMPACTED merge-on-read serve (round-18 item 4): verb logs
+      // are read and folded task-side, inserts serve from hash shards —
+      // this scan's cost must track the log, never a driver fold
+      timed("delta_scan_unc") {
+        spark.sql(s"SELECT COUNT(*) c, SUM(n_chars) s FROM $dlt").collect()
+      }
       timed("compact") {
         val r = spark.sql(s"CALL graft.system.compact(table => 'ns.soakdelta_$tag')")
           .head()

@@ -38,7 +38,8 @@ object SoakManifest {
     val rungs = Iterator.iterate(10000)(_ * 10).takeWhile(_ <= maxEntries).toSeq
     println("entries,langs,commits,tail_commit_bytes,base_bytes," +
       "head_hot_us,head_cold_us,pruned_cold_us,pruned_bytes," +
-      "pruned_entries,cdf_plan_us")
+      "pruned_entries,cdf_plan_us,banded_cold_us,banded_bytes," +
+      "banded_entries")
     rungs.foreach { target =>
       val dir = java.nio.file.Files.createTempDirectory(s"soak_manifest_$target-")
       val path = dir.toString
@@ -110,7 +111,7 @@ object SoakManifest {
       val wantLang = s"l${nLangs - 1}"
       val prunedCold = timeUs {
         prunedEntries = DigestManifest.listingForPruned(path, "_MANIFEST",
-          Set(wantLang)).size
+          Some(Set(wantLang))).size
       }
       // driver bytes the pruned plan read: matching + catch-all shards of
       // the chain's base, plus every later delta snapshot — versus the
@@ -136,8 +137,78 @@ object SoakManifest {
         }.sum
       }
       val cdf = timeUs(graft.sources.DigestChanges.plan(path, hv, hv + 1))
+
+      // ---- the round-18 banded rung: shard-ZONE pruning ----------------
+      // A second table whose entries carry doc_id zones (ordered ingest:
+      // entry i covers [i*100, i*100+99]) over FIXED langs — how a log
+      // table grows: same partitions, more files over time. A doc_id BAND
+      // plan must stay FLAT while the table grows 100×: the `#zones:`
+      // shard summaries let the cold fold read only the overlapping
+      // sub-shards, never the whole base.
+      val zdir = java.nio.file.Files.createTempDirectory(s"soak_zones_$target-")
+      val zpath = zdir.toString
+      val zLangs = 4
+      var zn = 0
+      while (zn < target) {
+        val batch = (zn until math.min(zn + batchSize, target)).map(i =>
+          s"lang_l${i % zLangs}-part-$i.csv,${i % 97 + 1}," +
+            s"zmin=${i * 100L},zmax=${i * 100L + 99L}")
+        DigestManifest.publishAppend(zpath, batch,
+          DigestManifest.currentVersion(zpath))
+        zn += batch.size
+      }
+      val zhv = DigestManifest.currentVersion(zpath)
+      DigestManifest.clearHeadCacheForTest()
+      var bandedEntries = 0
+      // a 100-file band in the middle of the ingest range
+      val bandLo = (target / 2) * 100L
+      val bandHi = bandLo + 100L * 100L - 1L
+      val bandedCold = timeUs {
+        bandedEntries = DigestManifest.listingForPruned(zpath, "_MANIFEST",
+          None, Map("doc_id" -> (bandLo, bandHi))).size
+      }
+      // driver bytes the banded plan read: the chain base's header + the
+      // zone-overlapping shards, plus every later delta snapshot
+      val bandedBytes = {
+        val chainBaseV = (zhv to 1 by -1).find { v =>
+          val p = zdir.resolve(s"_MANIFEST.v$v")
+          java.nio.file.Files.exists(p) && !firstLineOf(p).startsWith("#base:")
+        }.getOrElse(1)
+        val basePath = zdir.resolve(s"_MANIFEST.v$chainBaseV")
+        val baseRead =
+          if (firstLineOf(basePath) == "#sharded") {
+            import scala.jdk.CollectionConverters._
+            val header = java.nio.file.Files.readAllLines(basePath).asScala.toSeq
+            val zones = header.filter(_.startsWith("#zones:")).map { l =>
+              val p = l.drop(7).split(":")
+              (p(0), p(1), p(2).toLong, p(3).toLong)
+            }.collect { case (n, "doc_id", lo, hi) => n -> (lo, hi) }.toMap
+            java.nio.file.Files.size(basePath) +
+              headerShards(basePath)
+                .filter { case (s, _) => zones.get(s) match {
+                  case Some((lo, hi)) => hi >= bandLo && lo <= bandHi
+                  case None => true
+                }}
+                .map { case (s, _) =>
+                  java.nio.file.Files.size(zdir.resolve(s))
+                }.sum
+          } else java.nio.file.Files.size(basePath)
+        baseRead + (chainBaseV + 1 to zhv).map { v =>
+          val p = zdir.resolve(s"_MANIFEST.v$v")
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p) else 0L
+        }.sum
+      }
+
       println(s"$target,$nLangs,${commits + 1},$tailBytes,$baseBytes," +
-        s"$hot,$cold,$prunedCold,$prunedBytes,$prunedEntries,$cdf")
+        s"$hot,$cold,$prunedCold,$prunedBytes,$prunedEntries,$cdf," +
+        s"$bandedCold,$bandedBytes,$bandedEntries")
+      // sweep the banded rung's directory too
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(zdir).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        java.nio.file.Files.deleteIfExists(zdir)
+      }
       // sweep the rung's directory — 10^6-entry logs add up
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(dir).iterator().asScala.toSeq

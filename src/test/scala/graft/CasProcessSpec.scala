@@ -203,4 +203,63 @@ class CasProcessSpec extends AnyFunSuite {
       dir.resolve(s"_CHANGES.v$dvv")), "UTF-8")
     assert(rec.startsWith("~") && rec.contains("dv="), rec)
   }
+
+  test("the PARQUET plane's zero-rewrite DV race: a second JVM grows the " +
+      "bitmap while this one appends parquet files — data bytes stay " +
+      "byte-identical and the mask reads position-exact") {
+    val dir = tmp("graft_2jvm_pqdv_")
+    def writePq(name: String, rows: Seq[(Long, String, Long)]): Unit = {
+      val w = new graft.sources.ParquetData.RowsWriter(dir.resolve(name), 1L << 20)
+      rows.foreach { case (id, l, n) => w.write(id, l, n) }
+      w.close()
+    }
+    writePq("lang_aa-dvfile.parquet", Seq((1L, "aa", 10L), (2L, "aa", 20L),
+      (3L, "aa", 30L)))
+    assert(DigestManifest.publishAppend(dir.toString,
+      Seq("lang_aa-dvfile.parquet,3"), 0) == 1)
+    val md5Before = java.security.MessageDigest.getInstance("MD5").digest(
+      java.nio.file.Files.readAllBytes(dir.resolve("lang_aa-dvfile.parquet")))
+    // the DV grow is METADATA-ONLY, so the child needs no parquet libs —
+    // exactly the zero-rewrite property under test
+    val pb = new ProcessBuilder((Seq("java", "-cp", childClasspath,
+      "graft.sources.CasCommitter", "dv-grow", dir.toString,
+      "lang_aa-dvfile.parquet", "1")): _*).redirectErrorStream(true)
+    val child = pb.start()
+    val n = 6
+    for (i <- 1 to n) {
+      val f = s"lang_aa-pq$i.parquet"
+      writePq(f, Seq((100L + i, "aa", 1L)))
+      DigestManifest.publishAppend(dir.toString, Seq(s"$f,1"),
+        DigestManifest.currentVersion(dir.toString))
+    }
+    val childOut = new String(child.getInputStream.readAllBytes(), "UTF-8")
+    assert(child.waitFor() == 0, s"pq dv child failed:\n$childOut")
+    assert(childOut.contains("DVGROWN="), childOut)
+    val (hv, lines) = DigestManifest.head(dir.toString)
+    assert(hv == 1 + n + 1, s"expected ${1 + n + 1} versions, got $hv")
+    val entries = lines.map(graft.sources.ManifestEntry.parse)
+    val dvEntry = entries.find(_.file == "lang_aa-dvfile.parquet").get
+    val dv = graft.sources.DvCodec.decode(dvEntry.attrs("dv"))
+    assert(graft.sources.DvCodec.contains(dv, 1L) &&
+      graft.sources.DvCodec.cardinality(dv) == 1L, dvEntry.line)
+    assert(dvEntry.rows == 2L, dvEntry.line)
+    assert((1 to n).forall(i =>
+      entries.exists(_.file == s"lang_aa-pq$i.parquet")), lines.toString)
+    // ZERO parquet bytes rewritten by the race: per-file byte identity
+    val md5After = java.security.MessageDigest.getInstance("MD5").digest(
+      java.nio.file.Files.readAllBytes(dir.resolve("lang_aa-dvfile.parquet")))
+    assert(java.util.Arrays.equals(md5Before, md5After),
+      "the DV commit must not rewrite parquet data bytes")
+    // the mask reads position-exact through the REAL parquet row reader:
+    // file-global position 1 (doc_id 2) is gone, 1 and 3 survive
+    val reader = new graft.sources.DigestFileReader(
+      graft.sources.DigestFilePartition(dir.toString,
+        "lang_aa-dvfile.parquet", dv = dvEntry.attrs("dv")))
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try while (reader.next()) {
+      val r = reader.get()
+      served += ((r.getLong(0), r.getLong(2)))
+    } finally reader.close()
+    assert(served.toSeq == Seq((1L, 10L), (3L, 30L)), served.toString)
+  }
 }

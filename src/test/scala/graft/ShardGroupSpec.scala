@@ -79,7 +79,7 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
       // in a skipped group (must no-op against the partial base)
       DigestManifest.publishAppend(path, Seq("lang_bb-f4.csv,11"), 1)
       DigestManifest.publishAppend(path, Seq("lang_cc-f3.csv,12"), 2)
-      val pruned = DigestManifest.listingForPruned(path, "_MANIFEST", Set("bb"))
+      val pruned = DigestManifest.listingForPruned(path, "_MANIFEST", Some(Set("bb")))
       val bbAndCatchall = mixed.filter(l =>
         l.startsWith("lang_bb-") || l.startsWith("part-"))
       // base contribution: exactly bb + catch-all, in order; replayed
@@ -105,7 +105,7 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
       assert(DigestManifest.publishReplace(path, v2Lines, 1) == 2)
       assert(DigestManifest.head(path) == (2, v2Lines))
       val prunedBb = DigestManifest.listingForPruned(path, "_MANIFEST",
-        Set("bb"))
+        Some(Set("bb")))
       assert(prunedBb.contains("lang_bb-f2.csv,5,dv=AQ") &&
         !prunedBb.exists(_.startsWith("lang_aa-")), prunedBb.toString)
       // time travel to v1 still resolves the sharded base exactly
@@ -132,12 +132,117 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
       }
       DigestManifest.clearHeadCacheForTest()
       val pruned = DigestManifest.listingForPruned(path, "_MANIFEST",
-        Set("l1"))
+        Some(Set("l1")))
       // base shard l1 (i%3==1 for i in 1..16 → f1,f4,f7,f10,f13,f16 = 6
       // entries) + the 4 post-base adds (v17..v20) unfiltered
       assert(pruned.count(_.startsWith("lang_l1-")) == 7 &&
         pruned.size == 6 + 4, pruned.toString)
     }
+  }
+
+  private def withTarget[A](n: Int)(body: => A): A = {
+    val old = DigestManifest.shardTargetEntries
+    DigestManifest.shardTargetEntries = n
+    try body
+    finally DigestManifest.shardTargetEntries = old
+  }
+
+  // 12 single-lang entries with tight, disjoint doc_id zones — ordered
+  // ingest: entry i covers [i*100, i*100+99]
+  private def zoned(n: Int): Seq[String] =
+    (0 until n).map(i => s"lang_en-z$i.csv,10,zmin=${i * 100},zmax=${i * 100 + 99}")
+
+  test("a large group splits into bounded sub-shards that reassemble in " +
+      "exact order, and each carries a zone summary header line") {
+    withThreshold(4)(withTarget(4) {
+      val dir = tmp("graft_shard_split_")
+      val path = dir.toString
+      val lines = zoned(10)
+      DigestManifest.publishAppend(path, lines, 0)
+      import scala.jdk.CollectionConverters._
+      val header = Files.readAllLines(dir.resolve("_MANIFEST.v1")).asScala
+      assert(header.head == "#sharded")
+      // 10 entries / target 4 → 3 sub-shards of the en group
+      assert(header.count(_.startsWith("#shard:")) == 3, header.toString)
+      // every sub-shard is fully zoned on both declared columns... except
+      // n_chars: zoned() entries carry no nmin/nmax, so only doc_id lines
+      assert(header.count(_.startsWith("#zones:")) == 3, header.toString)
+      assert(header.filter(_.startsWith("#zones:")).forall(_.contains(":doc_id:")))
+      assert(DigestManifest.head(path) == (1, lines),
+        "sub-sharded base must reassemble in exact commit order")
+    })
+  }
+
+  test("a doc_id band prunes SHARDS off the zone summaries: the banded " +
+      "cold read touches only overlapping sub-shards") {
+    withThreshold(4)(withTarget(4) {
+      val dir = tmp("graft_shard_zone_")
+      val path = dir.toString
+      val lines = zoned(12) // 3 sub-shards: [0,399],[400,799],[800,1199]
+      DigestManifest.publishAppend(path, lines, 0)
+      DigestManifest.clearHeadCacheForTest()
+      // band [450, 520] overlaps only the middle sub-shard (entries 4-7)
+      val banded = DigestManifest.listingForPruned(path, "_MANIFEST",
+        None, Map("doc_id" -> (450L, 520L)))
+      assert(banded == lines.slice(4, 8), banded.toString)
+      // conjunction with a group set still works (same lang here)
+      val both = DigestManifest.listingForPruned(path, "_MANIFEST",
+        Some(Set("en")), Map("doc_id" -> (450L, 520L)))
+      assert(both == lines.slice(4, 8), both.toString)
+      // a foreign-lang set empties it (no catch-all in this table)
+      assert(DigestManifest.listingForPruned(path, "_MANIFEST",
+        Some(Set("fr")), Map("doc_id" -> (450L, 520L))).isEmpty)
+      // and the full fold is untouched
+      assert(DigestManifest.head(path)._2 == lines)
+    })
+  }
+
+  test("a shard holding any zone-less entry records no summary and is " +
+      "always kept by banded reads (absent metadata never drops data)") {
+    withThreshold(4)(withTarget(4) {
+      val dir = tmp("graft_shard_nozone_")
+      val path = dir.toString
+      val lines = zoned(4) ++ Seq("lang_en-plain.csv,7") ++
+        zoned(4).map(_.replace("-z", "-w")) // second zoned run, same zones
+      DigestManifest.publishAppend(path, lines, 0)
+      import scala.jdk.CollectionConverters._
+      val header = Files.readAllLines(dir.resolve("_MANIFEST.v1")).asScala
+      // 9 entries / target 4 → 3 sub-shards; the middle one holds the
+      // zone-less entry → exactly 2 zone lines
+      assert(header.count(_.startsWith("#shard:")) == 3)
+      assert(header.count(_.startsWith("#zones:")) == 2, header.toString)
+      DigestManifest.clearHeadCacheForTest()
+      // a band hitting NOTHING still returns the summary-less shard's
+      // entries — the scan's own survives() decides from current attrs
+      val banded = DigestManifest.listingForPruned(path, "_MANIFEST",
+        None, Map("doc_id" -> (100000L, 100010L)))
+      assert(banded.contains("lang_en-plain.csv,7"), banded.toString)
+      assert(!banded.exists(_.startsWith("lang_en-z0")), banded.toString)
+    })
+  }
+
+  test("a mutation whose old side sits in a SKIPPED shard upserts its " +
+      "new side: a zone widened past the shard summary still surfaces") {
+    withThreshold(4)(withTarget(4) {
+      val dir = tmp("graft_shard_upsert_")
+      val path = dir.toString
+      val lines = zoned(12)
+      DigestManifest.publishAppend(path, lines, 0)
+      // v2 mutates entry 0 (shard [0,399]) to cover a FAR band — wider
+      // than the base-write-time shard summary knows
+      val widened = "lang_en-z0.csv,10,zmin=5000,zmax=5099"
+      val v2 = lines.updated(0, widened)
+      DigestManifest.publishReplace(path, v2, 1)
+      DigestManifest.clearHeadCacheForTest()
+      // banded read for the NEW range: entry 0's base shard [0,399] is
+      // skipped, but the delta's mutation record must upsert the widened
+      // line — without the upsert the live row would vanish from the plan
+      val banded = DigestManifest.listingForPruned(path, "_MANIFEST",
+        None, Map("doc_id" -> (5000L, 5050L)))
+      assert(banded.contains(widened), banded.toString)
+      // and over a FULL base the upsert fold is byte-identical
+      assert(DigestManifest.head(path)._2 == v2)
+    })
   }
 
   test("GC: referenced shard files survive remove_orphan_files however " +
