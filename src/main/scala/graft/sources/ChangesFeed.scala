@@ -178,17 +178,20 @@ object DigestChanges {
         s"graft_digest changes: version $v mutated the entry of " +
           s"${e.file} in a way that is not a deletion-vector growth — " +
           "not representable as changes")
-      ChangesDvPartition(path, e.file, fresh, v): InputPartition
+      ChangesDvPartition(path, e.file, fresh, v,
+        e.attrs.getOrElse("ids", "")): InputPartition
     }
     // whole-file inserts/deletes read through the entry's OWN mask:
     // rows already deleted by a DV were never live in that state
     removed.map(e => ChangesFilePartition(path, e.file, "delete", v,
-        e.attrs.getOrElse("dv", "")): InputPartition) ++
+        e.attrs.getOrElse("dv", ""),
+        e.attrs.getOrElse("ids", "")): InputPartition) ++
       added.map { e =>
         if (e.file.startsWith("delta-"))
           ChangesDeltaPartition(path, e.file, v): InputPartition
         else ChangesFilePartition(path, e.file, "insert", v,
-          e.attrs.getOrElse("dv", "")): InputPartition
+          e.attrs.getOrElse("dv", ""),
+          e.attrs.getOrElse("ids", "")): InputPartition
       } ++ dvDeltas
   }
 }
@@ -241,7 +244,8 @@ class DigestChangesMicroBatchStream(path: String, from: Int,
   * (q252) — masked positions were not live, so they are not changes.
   */
 case class ChangesFilePartition(path: String, file: String,
-    changeType: String, version: Int, dv: String = "") extends InputPartition
+    changeType: String, version: Int, dv: String = "",
+    ids: String = "") extends InputPartition
 
 /** One delta-log file committed at `version`: its verbs are the changes. */
 case class ChangesDeltaPartition(path: String, file: String, version: Int)
@@ -252,7 +256,8 @@ case class ChangesDeltaPartition(path: String, file: String, version: Int)
   * from the untouched base file.
   */
 case class ChangesDvPartition(path: String, file: String,
-    positions: Seq[Long], version: Int) extends InputPartition
+    positions: Seq[Long], version: Int,
+    ids: String = "") extends InputPartition
 
 class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

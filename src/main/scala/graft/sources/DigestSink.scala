@@ -2274,9 +2274,17 @@ class DigestDeltaWriter(path: String, partitionId: Int, taskId: Long,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    val fin = Paths.get(path, f"delta-j$jobTag-part-$partitionId%05d.csv")
-    Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
-    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
+    // a task that saw no verbs commits NOTHING: a zero-row verb file
+    // would pollute the log (and the task count grew with the sharded
+    // merge-on-read serve — an empty inserts shard must stay invisible)
+    if (rows == 0L) {
+      Files.deleteIfExists(staged)
+      DigestCommitMessage(Seq.empty)
+    } else {
+      val fin = Paths.get(path, f"delta-j$jobTag-part-$partitionId%05d.csv")
+      Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
+      DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
+    }
   }
   override def abort(): Unit = { out.close(); Files.deleteIfExists(staged) }
   override def close(): Unit = ()

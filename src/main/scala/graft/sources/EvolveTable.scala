@@ -228,11 +228,53 @@ object EvolveCheck {
     }
 }
 
+/** Evolve manifest-entry codec. New entries are ManifestEntry-shaped —
+  * `file,rows,ids=1;2;3[,key=value]*` — so the whole metadata layer
+  * (change records, DV mutations, zone attrs) composes; legacy
+  * positional `file,rows,1;2;3` lines still parse. Zone attrs are keyed
+  * by FIELD ID (`zmin.c<id>`), never by name, so RENAME stays a pure
+  * metadata op for the data-skipping layer too.
+  */
+private[sources] object EvolveEntry {
+  def render(file: String, rows: Long, ids: Seq[Int],
+      attrs: Map[String, String] = Map.empty): String =
+    ManifestEntry(file, rows, attrs + ("ids" -> ids.mkString(";"))).line
+
+  def parse(line: String): (String, Long, Seq[Int], Map[String, String]) = {
+    val a = line.split(",")
+    if (a.length > 2 && !a(2).contains('='))
+      (a(0), a(1).toLong,
+        a(2).split(";").filter(_.nonEmpty).map(_.toInt).toSeq, Map.empty)
+    else {
+      val e = ManifestEntry.parse(line)
+      (e.file, e.rows, e.attrs.getOrElse("ids", "").split(";")
+        .filter(_.nonEmpty).map(_.toInt).toSeq, e.attrs)
+    }
+  }
+
+  def idsOf(line: String): Seq[Int] = parse(line)._3
+}
+
 class EvolveTable(path: String, fields: Seq[EvolveField],
     checks: Seq[EvolveCheck] = Seq.empty,
-    ref: String = DigestManifest.MainRef) extends Table
-    with SupportsRead with SupportsWrite {
+    ref: String = DigestManifest.MainRef,
+    plane: DataPlane = DataPlane.Csv,
+    zoneCols: Seq[String] = Nil) extends Table
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "graft_evolve requires a path property")
+  // declared zone columns resolve BY NAME against the current schema to
+  // stable field ids; a rename must update 'zonemap.columns' with it
+  private val zoneIds: Seq[Int] = zoneCols.map { c =>
+    val f = fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+      s"graft_evolve: 'zonemap.columns' names unknown column '$c' " +
+        s"(schema: ${fields.map(_.name).mkString(", ")}) — renamed zone " +
+        "columns must update the property"))
+    require(f.dataType == LongType,
+      s"graft_evolve: zone-map column '$c' must be BIGINT, is ${f.dataType.sql}")
+    f.id
+  }
   override def name(): String =
     s"graft_evolve($path${if (ref == DigestManifest.MainRef) "" else s"@$ref"})"
   override def schema(): StructType = EvolveSchema.struct(fields)
@@ -251,49 +293,136 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
+  // DELETE/UPDATE/MERGE without rewriting data files (round-18 item 3 —
+  // the digest DV machinery generalized to the declared schema): rowId
+  // is the physical (_file, _pos) coordinate, deletes land as bitmap
+  // growth on the entry, inserts as fresh files under the current ids
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    DigestDv.metaCols
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new EvolveDvOperation(path, fields, info.command(), ref, plane,
+      zoneIds)
+
   // writes bind to the schema CURRENT AT PLAN TIME: the committed file
   // records exactly those ids, so a concurrent ALTER never reinterprets
   // an in-flight write
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new EvolveBatchWrite(path, fields, ref)
+        override def toBatch: BatchWrite =
+          new EvolveBatchWrite(path, fields, ref, plane, zoneIds)
       }
     }
 
   // column pruning reaches the reader: an evolved table accretes columns
   // over its life, and a projection must not parse cells it never serves
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-      private var current: Seq[EvolveField] = fields
-      override def pruneColumns(requiredSchema: StructType): Unit =
-        // serve EXACTLY the engine's required schema, in ITS order —
-        // readSchema() must echo it verbatim
-        current = requiredSchema.fieldNames.toSeq
-          .flatMap(n => fields.find(_.name == n))
-      override def build(): Scan = new EvolveScan(path, current, ref)
-    }
+    new EvolveScanBuilder(path, fields, ref, zoneIds)
 }
 
+/** Scan builder: column pruning (q223) + zone-range file skipping over
+  * the declared zone columns (round-18: the digest q253 layer on the
+  * declared schema — all filters stay residual, pruning only shrinks
+  * the file list). `emitMeta` is the row-level-operation role: full
+  * rows + (_file, _pos), pruning of columns disabled (the op must see
+  * every column), file skipping still ON (an unmatched file simply gets
+  * no deletion vector).
+  */
+class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
+    ref: String, zoneIds: Seq[Int], emitMeta: Boolean = false)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+
+  private var current: Seq[EvolveField] = fields
+  private val zoneName: Map[String, Int] =
+    zoneIds.flatMap(id => fields.find(_.id == id).map(_.name -> id)).toMap
+  private val zLo = scala.collection.mutable.Map(
+    zoneIds.map(_ -> Long.MinValue): _*)
+  private val zHi = scala.collection.mutable.Map(
+    zoneIds.map(_ -> Long.MaxValue): _*)
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (!emitMeta)
+      current = requiredSchema.fieldNames.toSeq
+        .flatMap(n => fields.find(_.name == n))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None
+    }
+    filters.foreach {
+      case EqualTo(c, v) if zoneName.contains(c) => longOf(v).foreach { x =>
+        val id = zoneName(c)
+        zLo(id) = math.max(zLo(id), x); zHi(id) = math.min(zHi(id), x)
+      }
+      case GreaterThan(c, v) if zoneName.contains(c) =>
+        longOf(v).foreach(x => zLo(zoneName(c)) = math.max(zLo(zoneName(c)), x + 1))
+      case GreaterThanOrEqual(c, v) if zoneName.contains(c) =>
+        longOf(v).foreach(x => zLo(zoneName(c)) = math.max(zLo(zoneName(c)), x))
+      case LessThan(c, v) if zoneName.contains(c) =>
+        longOf(v).foreach(x => zHi(zoneName(c)) = math.min(zHi(zoneName(c)), x - 1))
+      case LessThanOrEqual(c, v) if zoneName.contains(c) =>
+        longOf(v).foreach(x => zHi(zoneName(c)) = math.min(zHi(zoneName(c)), x))
+      case _ => ()
+    }
+    def tightened(id: Int): Boolean =
+      zLo(id) != Long.MinValue || zHi(id) != Long.MaxValue
+    accepted = filters.filter {
+      case EqualTo(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case GreaterThan(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case GreaterThanOrEqual(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case LessThan(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case LessThanOrEqual(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case _ => false
+    }
+    filters // all residual: pruning shrinks the file list, never row checks
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  private def ranges: Map[Int, (Long, Long)] =
+    zoneIds.filter(id => zLo(id) != Long.MinValue || zHi(id) != Long.MaxValue)
+      .map(id => id -> (zLo(id), zHi(id))).toMap
+
+  override def build(): Scan = new EvolveScan(path, current, ref, ranges,
+    emitMeta)
+}
+
+/** One committed evolve file: name, rows, and the writer-observed
+  * per-zone-field (min, max) — keyed by FIELD ID.
+  */
+case class EvolveCommittedFile(fileName: String, rows: Long,
+    zones: Map[Int, (Long, Long)] = Map.empty)
+case class EvolveCommitMessage(files: Seq[EvolveCommittedFile])
+    extends WriterCommitMessage
+
 class EvolveBatchWrite(path: String, fields: Seq[EvolveField],
-    ref: String = DigestManifest.MainRef) extends BatchWrite {
+    ref: String = DigestManifest.MainRef,
+    plane: DataPlane = DataPlane.Csv,
+    zoneIds: Seq[Int] = Nil) extends BatchWrite {
   private val jobTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EvolveWriterFactory(path, fields, jobTag)
+    new EvolveWriterFactory(path, fields, jobTag, plane, zoneIds)
 
-  // manifest entries carry the writing schema's field-id list —
-  // `file,rows,id;id;id` — the per-file evolution metadata readers
-  // resolve against (same role as parquet footers under mergeSchema)
+  // manifest entries carry the writing schema's field-id list
+  // (`ids=1;2;3` — the per-file evolution metadata readers resolve
+  // against, same role as parquet footers under mergeSchema) plus the
+  // writer-observed zone attrs (`zmin.c<id>`/`zmax.c<id>`, round-18)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fresh = messages.collect { case m: DigestCommitMessage => m.files }.flatten
+    val fresh = messages.collect { case m: EvolveCommitMessage => m.files }.flatten
     val old: Seq[String] =
       DigestManifest.listingFor(path, DigestManifest.mName(ref))
-    val ids = fields.map(_.id).mkString(";")
+    val ids = fields.map(_.id)
     DigestManifest.publish(path,
-      old ++ fresh.map(f => s"${f.fileName},${f.rows},$ids").sorted, ref)
+      old ++ fresh.map(f => EvolveEntry.render(f.fileName, f.rows, ids,
+        EvolveWriterFactory.zoneAttrs(f.zones))).sorted, ref)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -307,75 +436,149 @@ class EvolveBatchWrite(path: String, fields: Seq[EvolveField],
   }
 }
 
-class EvolveWriterFactory(path: String, fields: Seq[EvolveField], jobTag: String)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new EvolveDataWriter(path, fields, jobTag, partitionId, taskId)
+object EvolveWriterFactory {
+  def zoneAttrs(zones: Map[Int, (Long, Long)]): Map[String, String] =
+    zones.flatMap { case (id, (lo, hi)) =>
+      Seq(s"zmin.c$id" -> lo.toString, s"zmax.c$id" -> hi.toString)
+    }
 }
 
-/** Same staged-attempt/rename-on-commit protocol as [[DigestDataWriter]];
-  * serialization is positional over the WRITE-TIME schema, `\N` for null
-  * (the table stays append-only text so evolution stays file-inspectable).
+class EvolveWriterFactory(path: String, fields: Seq[EvolveField],
+    jobTag: String, plane: DataPlane = DataPlane.Csv,
+    zoneIds: Seq[Int] = Nil)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new EvolveDataWriter(path, fields, jobTag, partitionId, taskId, plane,
+      zoneIds)
+}
+
+/** Same staged-attempt/rename-on-commit protocol as [[DigestDataWriter]].
+  * CSV plane: positional text over the WRITE-TIME schema, `\N` for null
+  * (append-only text keeps evolution file-inspectable). Parquet plane
+  * (round-18): columns are named `c<fieldId>` so bytes stay id-addressed
+  * — a later RENAME is invisible to the data layer. `colIdx` maps each
+  * schema field to its position in incoming rows (identity for table
+  * writes; the DV insert half arrives in the rewritten query's order).
   */
 class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
-  private val staged =
-    Paths.get(path, f"ev-j$jobTag-part-$partitionId%05d-attempt-$taskId.staged")
+    partitionId: Int, taskId: Long, plane: DataPlane = DataPlane.Csv,
+    zoneIds: Seq[Int] = Nil, colIdx: Array[Int] = Array.empty)
+    extends DataWriter[InternalRow] {
+  private val idx: Array[Int] =
+    if (colIdx.nonEmpty) colIdx else fields.indices.toArray
+  private val staged = Paths.get(path,
+    f"ev-j$jobTag-part-$partitionId%05d-attempt-$taskId.staged")
   Files.createDirectories(staged.getParent)
-  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private val out =
+    if (plane.parquet) null
+    else Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private val pq =
+    if (!plane.parquet) null
+    else new ParquetData.GenericRowsWriter(staged,
+      ParquetData.messageType("graft_evolve",
+        fields.map(f => s"c${f.id}" -> f.dataType)),
+      plane.rowGroupBytes, plane.rowGroupRows)
   private var rows = 0L
+  // writer-observed zone (min, max) per declared zone field id
+  private val zMin = scala.collection.mutable.Map(zoneIds.map(_ -> Long.MaxValue): _*)
+  private val zMax = scala.collection.mutable.Map(zoneIds.map(_ -> Long.MinValue): _*)
 
   override def write(r: InternalRow): Unit = {
-    val cells = fields.indices.map { i =>
-      if (r.isNullAt(i)) "\\N"
+    val vals: Seq[Any] = fields.indices.map { i =>
+      val j = idx(i)
+      if (r.isNullAt(j)) null
       else fields(i).dataType match {
-        case LongType => r.getLong(i).toString
-        case DoubleType => r.getDouble(i).toString
-        case StringType =>
-          val v = r.getUTF8String(i).toString
-          require(!v.exists(c => c == ',' || c == '\n'),
-            s"graft_evolve: string cell contains a delimiter: '$v'")
-          // a REAL value equal to the null sentinel would silently
-          // round-trip back as NULL through EvolveFileReader — refuse it
-          // the same way the delimiter guard does
-          require(v != "\\N",
-            "graft_evolve: string cell equals the null sentinel \\N")
+        case LongType =>
+          val v = r.getLong(j)
+          if (zMin.contains(fields(i).id)) {
+            zMin(fields(i).id) = math.min(zMin(fields(i).id), v)
+            zMax(fields(i).id) = math.max(zMax(fields(i).id), v)
+          }
           v
+        case DoubleType => r.getDouble(j)
+        case StringType => r.getUTF8String(j).toString
       }
     }
-    out.write(cells.mkString(",")); out.write("\n")
+    if (pq != null) pq.write(vals)
+    else {
+      val cells = fields.indices.map { i =>
+        vals(i) match {
+          case null => "\\N"
+          case v: String =>
+            require(!v.exists(c => c == ',' || c == '\n'),
+              s"graft_evolve: string cell contains a delimiter: '$v'")
+            // a REAL value equal to the null sentinel would silently
+            // round-trip back as NULL through the reader — refuse it
+            require(v != "\\N",
+              "graft_evolve: string cell equals the null sentinel \\N")
+            v
+          case v => v.toString
+        }
+      }
+      out.write(cells.mkString(",")); out.write("\n")
+    }
     rows += 1
   }
 
+  private def zones: Map[Int, (Long, Long)] =
+    zoneIds.filter(id => zMin(id) != Long.MaxValue)
+      .map(id => id -> (zMin(id), zMax(id))).toMap
+
   override def commit(): WriterCommitMessage = {
-    out.close()
-    val fin = Paths.get(path, f"ev-j$jobTag-part-$partitionId%05d.csv")
+    if (pq != null) pq.close() else out.close()
+    val fin = Paths.get(path,
+      f"ev-j$jobTag-part-$partitionId%05d${plane.ext}")
     Files.move(staged, fin, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows)))
+    EvolveCommitMessage(Seq(
+      EvolveCommittedFile(fin.getFileName.toString, rows, zones)))
   }
-  override def abort(): Unit = { out.close(); Files.deleteIfExists(staged) }
+  override def abort(): Unit = {
+    if (pq != null) pq.close() else out.close()
+    Files.deleteIfExists(staged)
+  }
   override def close(): Unit = ()
 }
 
 /** One partition per committed file; each resolves the CURRENT schema
   * against the file's recorded id list — position of each current id in
-  * the file, or NULL where the file predates the column.
+  * the file, or the existence default where the file predates the
+  * column. `dv` masks deleted positions; `zm` (by field id) drives
+  * parquet row-group pruning inside surviving files.
   */
 case class EvolveFilePartition(path: String, file: String,
-    fileIds: Seq[Int]) extends InputPartition
+    fileIds: Seq[Int], dv: String = "",
+    zm: Map[Int, (Long, Long)] = Map.empty,
+    emitMeta: Boolean = false) extends InputPartition
 
 class EvolveScan(path: String, fields: Seq[EvolveField],
-    ref: String = DigestManifest.MainRef) extends Scan with Batch {
-  override def readSchema(): StructType = EvolveSchema.struct(fields)
+    ref: String = DigestManifest.MainRef,
+    ranges: Map[Int, (Long, Long)] = Map.empty,
+    emitMeta: Boolean = false) extends Scan with Batch {
+  override def readSchema(): StructType =
+    if (emitMeta) StructType(EvolveSchema.struct(fields).fields ++
+      DigestDv.metaFields)
+    else EvolveSchema.struct(fields)
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_evolve manifest-read $path@$ref"
+    s"graft_evolve manifest-read $path@$ref" +
+      (if (ranges.nonEmpty) s" zones=${ranges.keys.toSeq.sorted.mkString("|")}"
+       else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    DigestManifest.listingFor(path, DigestManifest.mName(ref)).map { line =>
-      val a = line.split(",")
-      EvolveFilePartition(path, a(0),
-        a(2).split(";").filter(_.nonEmpty).map(_.toInt).toSeq): InputPartition
+    DigestManifest.listingFor(path, DigestManifest.mName(ref)).flatMap { line =>
+      val (file, _, fileIds, attrs) = EvolveEntry.parse(line)
+      // zone file skipping: the entry's recorded per-id (min, max) must
+      // overlap every pushed range; a file without the attr is kept
+      val keep = ranges.forall { case (id, (lo, hi)) =>
+        (attrs.get(s"zmin.c$id"), attrs.get(s"zmax.c$id")) match {
+          case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
+          case _ => true
+        }
+      }
+      if (keep)
+        Some(EvolveFilePartition(path, file, fileIds,
+          attrs.getOrElse("dv", ""), ranges, emitMeta): InputPartition)
+      else None
     }.toArray
   }
 
@@ -385,13 +588,83 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
   }
 }
 
+/** Shared (position, cells) iterator over one evolve data file under the
+  * requested `fields` — cells align with `fields`; [[EvolveRows.Missing]]
+  * marks a column the file predates (callers substitute the existence
+  * default). Dispatches on the FILE's byte format; the parquet path
+  * prunes row groups against `zm` (keyed by field id) and reports
+  * file-global positions off the footer, so DV masks stay exact under
+  * pruning.
+  */
+private[sources] object EvolveRows {
+  case object Missing
+
+  final class It(path: String, file: String, fileIds: Seq[Int],
+      fields: Seq[EvolveField], zm: Map[Int, (Long, Long)] = Map.empty)
+      extends Iterator[(Long, Array[Any])] with AutoCloseable {
+    private var batches: ParquetData.BatchIterator = _
+    private val rows: Iterator[(Long, Array[Any])] =
+      if (ParquetData.isParquet(file)) {
+        val f = Paths.get(path, file)
+        val groups = ParquetData.rowGroups(f)
+        val kept = ParquetData.survivingGroups(groups,
+          zm.map { case (id, r) => s"c$id" -> r })
+        val present = fields.filter(fd => fileIds.contains(fd.id))
+        val req = StructType(present.map(fd =>
+          StructField(s"c${fd.id}", fd.dataType, nullable = true)))
+        val slot: Array[Int] =
+          fields.map(fd => present.indexWhere(_.id == fd.id)).toArray
+        batches = new ParquetData.BatchIterator(f, req, kept)
+        batches.flatMap { case (batch, start) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(batch.rowIterator())
+            .asScala.zipWithIndex.map { case (r, i) =>
+              val vals: Array[Any] = fields.indices.map { k =>
+                val j = slot(k)
+                if (j < 0) Missing
+                else if (r.isNullAt(j)) null
+                else fields(k).dataType match {
+                  case LongType => r.getLong(j)
+                  case DoubleType => r.getDouble(j)
+                  case StringType => r.getUTF8String(j).copy()
+                }
+              }.toArray
+              (start + i, vals)
+            }
+        }
+      } else {
+        val slot: Array[Int] = fields.map(f => fileIds.indexOf(f.id)).toArray
+        val lines = Files.readAllLines(Paths.get(path, file)).iterator()
+        new Iterator[(Long, Array[Any])] {
+          private var pos = -1L
+          override def hasNext: Boolean = lines.hasNext
+          override def next(): (Long, Array[Any]) = {
+            val cells = lines.next().split(",", -1)
+            pos += 1
+            val vals: Array[Any] = fields.indices.map { i =>
+              val j = slot(i)
+              if (j < 0) Missing
+              else if (cells(j) == "\\N") null
+              else fields(i).dataType match {
+                case LongType => cells(j).toLong
+                case DoubleType => cells(j).toDouble
+                case StringType => UTF8String.fromString(cells(j))
+              }
+            }.toArray
+            (pos, vals)
+          }
+        }
+      }
+    override def hasNext: Boolean = rows.hasNext
+    override def next(): (Long, Array[Any]) = rows.next()
+    override def close(): Unit = if (batches != null) batches.close()
+  }
+}
+
 class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
     extends PartitionReader[InternalRow] {
-  // current-schema position -> cell index in this file (-1 = predates column)
-  private val slot: Array[Int] = fields.map(f => p.fileIds.indexOf(f.id)).toArray
   // the EXISTENCE default per field, pre-parsed once: what a row written
-  // before the column existed serves instead of NULL (an explicit \N in a
-  // file that HAS the column stays NULL — the writer recorded a real null)
+  // before the column existed serves instead of NULL (an explicit null in
+  // a file that HAS the column stays NULL — the writer recorded it)
   private val existsDefault: Array[Any] = fields.map { f =>
     f.default.map { t =>
       EvolveSchema.parseDefault(f.dataType, t, f.name) match {
@@ -400,28 +673,295 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
       }
     }.orNull
   }.toArray
-  private val lines = Files.readAllLines(Paths.get(p.path, p.file)).iterator()
+  private val dv = DvCodec.decode(p.dv)
+  private val rows = new EvolveRows.It(p.path, p.file, p.fileIds, fields, p.zm)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!lines.hasNext) false
-    else {
-      val cells = lines.next().split(",", -1)
-      val vals: Array[Any] = fields.indices.map { i =>
-        val j = slot(i)
-        if (j < 0) existsDefault(i)
-        else if (cells(j) == "\\N") null
-        else fields(i).dataType match {
-          case LongType => cells(j).toLong
-          case DoubleType => cells(j).toDouble
-          case StringType => UTF8String.fromString(cells(j))
-        }
-      }.toArray
-      current = InternalRow(vals: _*)
-      true
+  override def next(): Boolean = {
+    while (rows.hasNext) {
+      val (pos, cells) = rows.next()
+      if (!DvCodec.contains(dv, pos)) {
+        val vals: Array[Any] = fields.indices.map { i =>
+          cells(i) match {
+            case EvolveRows.Missing => existsDefault(i)
+            case v => v
+          }
+        }.toArray
+        current =
+          if (p.emitMeta)
+            InternalRow((vals.toSeq ++
+              Seq(UTF8String.fromString(p.file), pos)): _*)
+          else InternalRow(vals: _*)
+        return true
+      }
     }
+    false
+  }
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = rows.close()
+}
+
+// ---------------------------------------------------------------------------
+// Row-level operations on the declared schema (round-18 item 3): the
+// digest DV machinery (q252/q256) generalized — rowId = (_file, _pos),
+// deletes fold as bitmap growth on the entry, UPDATE/MERGE arrive as
+// delete+insert pairs, insert halves land as fresh files under the
+// CURRENT field ids, and the whole change publishes as ONE replace
+// against the version the scan planned from.
+// ---------------------------------------------------------------------------
+class EvolveDvOperation(path: String, fields: Seq[EvolveField],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    ref: String, plane: DataPlane, zoneIds: Seq[Int])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  private val baseVersion = DigestManifest.currentVersion(path, ref)
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_evolve dv $cmd"
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EvolveScanBuilder(path, fields, ref, zoneIds, emitMeta = true)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder = {
+    val rid = info.rowIdSchema().orElseThrow(() => new IllegalStateException(
+      "graft_evolve dv: WriteDelta planned without a rowId schema"))
+    val fileIdx = rid.fieldIndex("_file")
+    val posIdx = rid.fieldIndex("_pos")
+    // insert halves arrive in the rewritten query's column order —
+    // resolve BY NAME; a pure DELETE plans an empty data schema
+    val sch = info.schema()
+    val colIdx =
+      if (fields.forall(f => sch.fieldNames.contains(f.name)))
+        fields.map(f => sch.fieldIndex(f.name)).toArray
+      else Array.empty[Int]
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new EvolveDvBatchWrite(path, fields, baseVersion, fileIdx,
+              posIdx, colIdx, ref, plane, zoneIds)
+        }
+    }
+  }
+}
+
+class EvolveDvBatchWrite(path: String, fields: Seq[EvolveField],
+    baseVersion: Int, fileIdx: Int, posIdx: Int, colIdx: Array[Int],
+    ref: String, plane: DataPlane, zoneIds: Seq[Int])
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private val jobTag: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    EvolveDvWriterFactory(path, fields, fileIdx, posIdx, colIdx, jobTag,
+      plane, zoneIds)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val merged = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[EvolveCommittedFile]
+    messages.foreach {
+      case EvolveDvMessage(dels, files) =>
+        dels.foreach { case (f, ps) =>
+          merged.getOrElseUpdate(f,
+            scala.collection.mutable.ArrayBuffer.empty) ++= ps
+        }
+        fresh ++= files
+      case m => throw new IllegalStateException(s"graft_evolve dv: unexpected $m")
+    }
+    if (merged.isEmpty && fresh.isEmpty) return
+    val (hv, lines) = DigestManifest.head(path, ref)
+    if (hv != baseVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"graft_evolve: DV operation planned against version $baseVersion " +
+          s"but the head is now $hv; re-run it")
+    val known = lines.map(l => EvolveEntry.parse(l)._1).toSet
+    val unknown = merged.keys.filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"graft_evolve dv: deletes target files absent from the listing: $unknown")
+    val records = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mutatedLines = lines.map { l =>
+      val (file, rows, ids, attrs) = EvolveEntry.parse(l)
+      merged.get(file).fold(l) { ps =>
+        var dv = DvCodec.decode(attrs.getOrElse("dv", ""))
+        var added = 0L
+        ps.foreach { p =>
+          require(!DvCodec.contains(dv, p),
+            s"graft_evolve dv: position $p of $file is already deleted")
+          dv = DvCodec.add(dv, p); added += 1
+        }
+        val nl = EvolveEntry.render(file, rows - added, ids,
+          (attrs - "ids") + ("dv" -> DvCodec.encode(dv)))
+        records += s"~$l|$nl"
+        nl
+      }
+    }
+    val ids = fields.map(_.id)
+    val adds = fresh.map(f => EvolveEntry.render(f.fileName, f.rows, ids,
+      EvolveWriterFactory.zoneAttrs(f.zones))).sorted
+    records ++= adds.map("+" + _)
+    DigestManifest.publishReplace(path, mutatedLines ++ adds, baseVersion,
+      ref, Some(records.toSeq))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      val listing = Files.list(dir)
+      try listing.forEach { p =>
+        if (p.getFileName.toString.endsWith(".staged")) Files.deleteIfExists(p)
+      } finally listing.close()
+    }
+  }
+}
+
+case class EvolveDvMessage(deletes: Map[String, Array[Long]],
+    files: Seq[EvolveCommittedFile] = Seq.empty) extends WriterCommitMessage
+
+/** DV-flavor task writer for the declared schema: position deletes
+  * accumulate in memory (pure metadata), inserts stream through the
+  * evolve staged writer under the current ids — one task message
+  * carries both halves. A top-level case class: it ships to executors.
+  */
+case class EvolveDvWriterFactory(path: String, fields: Seq[EvolveField],
+    fileIdx: Int, posIdx: Int, colIdx: Array[Int], jobTag: String,
+    plane: DataPlane, zoneIds: Seq[Int])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private var ins: EvolveDataWriter = _
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+          scala.collection.mutable.ArrayBuffer.empty) += id.getLong(posIdx)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "graft_evolve dv: updates must arrive as delete+insert pairs")
+      override def insert(row: InternalRow): Unit = {
+        require(colIdx.nonEmpty,
+          "graft_evolve dv: insert arrived without resolvable data columns")
+        if (ins == null)
+          ins = new EvolveDataWriter(path, fields, jobTag, partitionId,
+            taskId, plane, zoneIds, colIdx)
+        ins.write(row)
+      }
+      override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+        insert(row)
+      override def commit(): WriterCommitMessage = {
+        val files =
+          if (ins == null) Seq.empty[EvolveCommittedFile]
+          else ins.commit().asInstanceOf[EvolveCommitMessage].files
+        EvolveDvMessage(dels.view.mapValues(_.toArray).toMap, files)
+      }
+      override def abort(): Unit = if (ins != null) ins.abort()
+      override def close(): Unit = ()
+    }
+}
+
+// ---------------------------------------------------------------------------
+// CHANGE DATA FEED on the declared schema (round-18 item 3): evolve
+// commits publish through the same manifest protocol, so per-version
+// `_CHANGES.v<N>` records exist and [[DigestChanges.plan]] is reused
+// verbatim — only row MATERIALIZATION is schema-aware (field-id
+// resolution per file, change columns appended).
+// ---------------------------------------------------------------------------
+class EvolveChangesTable(path: String, fields: Seq[EvolveField],
+    from: Int, to: Option[Int], ref: String = DigestManifest.MainRef)
+    extends Table with SupportsRead {
+  require(from >= 0, s"graft_evolve changes: changesFrom must be >= 0, got $from")
+  override def name(): String =
+    s"graft_evolve_changes($path@$ref @($from,${to.getOrElse("latest")}])"
+  override def schema(): StructType = EvolveChanges.schema(fields)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new EvolveChangesScan(path, fields, from,
+      to.getOrElse(DigestManifest.currentVersion(path, ref)), ref)
+}
+
+object EvolveChanges {
+  def schema(fields: Seq[EvolveField]): StructType =
+    StructType(EvolveSchema.struct(fields).fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+}
+
+class EvolveChangesScan(path: String, fields: Seq[EvolveField],
+    from: Int, to: Int, ref: String) extends Scan with Batch {
+  override def readSchema(): StructType = EvolveChanges.schema(fields)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_evolve_changes($path@$ref) ($from,$to]"
+  override def planInputPartitions(): Array[InputPartition] =
+    DigestChanges.plan(path, from, to, ref).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EvolveChangesReaderFactory(fields)
+}
+
+class EvolveChangesReaderFactory(fields: Seq[EvolveField])
+    extends PartitionReaderFactory {
+  private def reader(path: String, file: String, ids: Seq[Int],
+      dv: String, keepPos: Long => Boolean, changeType: Long => String,
+      version: Int): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val mask = DvCodec.decode(dv)
+      private val existsDefault: Array[Any] = fields.map { f =>
+        f.default.map { t =>
+          EvolveSchema.parseDefault(f.dataType, t, f.name) match {
+            case s: String => UTF8String.fromString(s)
+            case v => v
+          }
+        }.orNull
+      }.toArray
+      private val rows = new EvolveRows.It(path, file, ids, fields)
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val (pos, cells) = rows.next()
+          if (!DvCodec.contains(mask, pos) && keepPos(pos)) {
+            val vals = fields.indices.map { i =>
+              cells(i) match {
+                case EvolveRows.Missing => existsDefault(i)
+                case v => v
+              }
+            }
+            current = InternalRow((vals ++ Seq(
+              UTF8String.fromString(changeType(pos)), version.toLong)): _*)
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = rows.close()
+    }
+
+  private def parseIds(ids: String): Seq[Int] =
+    ids.split(";").filter(_.nonEmpty).map(_.toInt).toSeq
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case fp: ChangesFilePartition =>
+        reader(fp.path, fp.file, parseIds(fp.ids),
+          fp.dv, _ => true, _ => fp.changeType, fp.version)
+      case vp: ChangesDvPartition =>
+        val want = vp.positions.toSet
+        reader(vp.path, vp.file, parseIds(vp.ids),
+          "", want.contains, _ => "delete", vp.version)
+      case other => throw new IllegalStateException(
+        s"graft_evolve changes: unexpected partition $other " +
+          "(the evolve flavor has no delta verb logs)")
+    }
 }
 
 /** Provider-options view of an evolve table (q270): `path` +
@@ -435,12 +975,24 @@ class EvolveSource extends org.apache.spark.sql.connector.catalog.TableProvider 
   private def fieldsOf(options: CaseInsensitiveStringMap): Seq[EvolveField] =
     EvolveSchema.parse(options.get("evolveSchema"))._2
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EvolveSchema.struct(fieldsOf(options))
+    if (options.containsKey("changesFrom"))
+      EvolveChanges.schema(fieldsOf(options))
+    else EvolveSchema.struct(fieldsOf(options))
   override def getTable(schema: StructType,
       partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new EvolveTable(opts.get("path"), fieldsOf(opts),
-      ref = Option(opts.get("branch")).getOrElse(DigestManifest.MainRef))
+    val ref = Option(opts.get("branch")).getOrElse(DigestManifest.MainRef)
+    // the declared-schema CHANGE DATA FEED (round-18): same option
+    // grammar as the digest table's q241 feed
+    if (opts.containsKey("changesFrom"))
+      new EvolveChangesTable(opts.get("path"), fieldsOf(opts),
+        opts.get("changesFrom").toInt,
+        Option(opts.get("changesTo")).map(_.toInt), ref)
+    else
+      new EvolveTable(opts.get("path"), fieldsOf(opts), ref = ref,
+        plane = DataPlane.fromProps(k => Option(opts.get(k))),
+        zoneCols = Option(opts.get("zonemap.columns")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 }

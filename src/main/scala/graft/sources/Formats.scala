@@ -4822,6 +4822,156 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q274: the DECLARED-SCHEMA lakehouse table (round-18 item 3) -------
+  // The evolve (field-id) table now carries the full lakehouse surface
+  // the 3-column digest table proved: a 10-column CREATE-declared schema
+  // through BOTH data planes ('format'='parquet' with id-addressed
+  // `c<fieldId>` columns — rename-proof bytes), DECLARED zone maps
+  // ('zonemap.columns' on any BIGINT field, recorded per file + pruned
+  // per row group), DELETION VECTORS (DELETE/UPDATE as (_file,_pos)
+  // bitmap growth — zero data bytes rewritten), schema evolution ON TOP
+  // of all of it (ADD COLUMN serves existence defaults from parquet
+  // files that predate it), and the CHANGE DATA FEED (the same
+  // O(changes) per-version records, materialized under field-id
+  // resolution).
+  def q274EvolveLakehouse(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.evlake_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_evolve_lakehouse:$dir") { p =>
+      val sink = p.resolve("sink")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (
+               |  doc_id BIGINT, lang STRING, n_chars BIGINT, tokens BIGINT,
+               |  quality DOUBLE, source STRING, year BIGINT, score DOUBLE,
+               |  title STRING, bucket BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'format'='parquet',
+               |  'parquet.rowgroup.rows'='24',
+               |  'zonemap.columns'='doc_id,bucket')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q274")
+      val proj = """SELECT doc_id, lang, n_chars, n_chars div 5 AS tokens,
+                   |  CAST(doc_id % 100 AS DOUBLE) / 100 AS quality, source,
+                   |  2000 + doc_id % 25 AS year,
+                   |  CAST(n_chars AS DOUBLE) / 7 AS score,
+                   |  concat('d', doc_id) AS title, doc_id div 100 AS bucket
+                   |FROM docs_q274""".stripMargin
+      val cut = s.sql("SELECT CAST(percentile(doc_id, 0.5) AS BIGINT) c " +
+        "FROM docs_q274").head().getLong(0)
+      // banded ingest → per-file doc_id zones are tight
+      s.sql(s"INSERT INTO $tbl $proj WHERE doc_id < $cut")
+      s.sql(s"INSERT INTO $tbl $proj WHERE doc_id >= $cut")
+      // every data file is parquet; every entry records ids + both zones
+      val entries = DigestManifest.listingFor(sink.toString, "_MANIFEST")
+      require(entries.nonEmpty, "q274: empty listing")
+      entries.foreach { l =>
+        val (f, _, ids, attrs) = EvolveEntry.parse(l)
+        require(f.endsWith(".parquet"), s"q274: non-parquet data file $l")
+        require(ids == (1 to 10), s"q274: wrong ids in $l")
+        require(attrs.contains("zmin.c1") && attrs.contains("zmax.c10"),
+          s"q274: missing zone attrs in $l")
+      }
+      // file-level ZONE pruning: a sub-band query plans fewer partitions
+      def parts(q: String): Int =
+        s.sql(q).queryExecution.toRdd.getNumPartitions
+      val full = parts(s"SELECT * FROM $tbl")
+      val banded = parts(s"SELECT * FROM $tbl WHERE doc_id < ${cut / 2}")
+      require(banded < full,
+        s"q274: the band must skip files ($banded vs $full)")
+      // COLUMN pruning reaches the parquet chunks: a 1-column projection
+      // decodes 1 chunk per row group, the 10-column read decodes 10
+      def chunks(q: String): Long = {
+        val c0 = DigestSink.columnChunkReadEvents.get()
+        s.sql(q).collect()
+        DigestSink.columnChunkReadEvents.get() - c0
+      }
+      val c1 = chunks(s"SELECT SUM(tokens) AS x FROM $tbl")
+      val cAll = chunks(s"SELECT MAX(title) AS t, SUM(doc_id + n_chars + " +
+        s"tokens + year + bucket) AS x, MAX(lang) AS l, MAX(source) AS s2, " +
+        s"SUM(quality + score) AS q FROM $tbl")
+      require(c1 > 0 && cAll == 10 * c1,
+        s"q274: chunk decode must track the projection ($c1 vs $cAll)")
+
+      // DELETION VECTORS on the declared schema: DELETE grows bitmaps,
+      // parquet bytes stay byte-identical
+      def dataFiles(): Seq[java.nio.file.Path] = {
+        val l = java.nio.file.Files.list(sink)
+        try l.iterator().asScala.filter { f =>
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq.sortBy(_.getFileName.toString)
+        finally l.close()
+      }
+      def md5s(): Seq[String] = dataFiles().map { f =>
+        java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(
+            java.nio.file.Files.readAllBytes(f)))
+      }
+      val before = md5s()
+      val nBefore = s.table(tbl).count()
+      s.sql(s"DELETE FROM $tbl WHERE doc_id % 7 = 3")
+      val nDeleted = nBefore - s.table(tbl).count()
+      require(nDeleted > 0, "q274: the DELETE must hit rows")
+      require(md5s() == before,
+        "q274: a DV delete must rewrite ZERO parquet data bytes")
+      // UPDATE = DV delete + parquet insert half (delete+insert pairs)
+      val nDe = s.table(tbl).where("lang = 'de'").count()
+      s.sql(s"UPDATE $tbl SET year = year + 1 WHERE lang = 'de'")
+      require(dataFiles().forall(_.getFileName.toString.endsWith(".parquet")),
+        "q274: the update's insert half must land on the parquet plane")
+
+      // SCHEMA EVOLUTION on top: files written BEFORE the column serve
+      // its existence default — no parquet file is touched
+      val preAlter = md5s().toSet
+      s.sql(s"ALTER TABLE $tbl ADD COLUMN extra BIGINT DEFAULT 7")
+      require(preAlter.subsetOf(md5s().toSet),
+        "q274: ADD COLUMN must not rewrite any data file")
+      val extras = s.sql(s"SELECT DISTINCT extra FROM $tbl").collect()
+        .map(_.getLong(0)).toSeq
+      require(extras == Seq(7L),
+        s"q274: pre-existing rows must serve the existence default: $extras")
+
+      // CHANGE DATA FEED under field-id resolution: deletes = the DV'd
+      // rows + the update's delete halves; inserts = initial ingest +
+      // the update's insert halves
+      val evSchema = GraftCatalog.regKeyProps("graft",
+        Seq("ns", tbl.split("\\.").last)).get("evolveSchema")
+      val changes = s.read.format("graft.sources.EvolveSource")
+        .option("path", sink.toString)
+        .option("evolveSchema", evSchema)
+        .option("changesFrom", "0").load()
+      val byType = changes.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(byType.getOrElse("delete", 0L) == nDeleted + nDe,
+        s"q274: CDF deletes diverged: $byType (want ${nDeleted + nDe})")
+      require(byType.getOrElse("insert", 0L) == nBefore + nDe,
+        s"q274: CDF inserts diverged: $byType (want ${nBefore + nDe})")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs, SUM(tokens) AS sum_tokens,
+             |  SUM(year) AS sum_year, SUM(bucket) AS sum_bucket,
+             |  SUM(extra) AS sum_extra,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q274Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 5 AS tokens,
+      |    2000 + doc_id % 25 + CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS year,
+      |    doc_id // 100 AS bucket, 7 AS extra
+      |  FROM documents
+      |  WHERE doc_id % 7 <> 3)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(year) AS BIGINT) AS sum_year,
+      |  CAST(SUM(bucket) AS BIGINT) AS sum_bucket,
+      |  CAST(SUM(extra) AS BIGINT) AS sum_extra,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM t
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -4898,6 +5048,7 @@ object Formats {
     "q271_parquet_delta" -> q271ParquetDelta _,
     "q272_column_prune" -> q272ColumnPrune _,
     "q273_branch_tag" -> q273BranchTag _,
+    "q274_evolve_lakehouse" -> q274EvolveLakehouse _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -4976,5 +5127,6 @@ object Formats {
     "q271_parquet_delta" -> q271Sql,
     "q272_column_prune" -> q272Sql,
     "q273_branch_tag" -> q273Sql,
+    "q274_evolve_lakehouse" -> q274Sql,
   )
 }

@@ -184,7 +184,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
         new EvolveTable(props.get("path"), fields,
           EvolveCheck.parse(props.get("evolveConstraints")),
-          ref = Option(props.get("branch")).getOrElse(DigestManifest.MainRef))
+          ref = Option(props.get("branch")).getOrElse(DigestManifest.MainRef),
+          // the declared-schema table carries the full lakehouse surface
+          // (round-18): a data plane and declared zone columns
+          plane = GraftCatalog.planeOf(props),
+          zoneCols = Option(props.get("zonemap.columns")).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case _ =>
         new SeqTable(
           props.getOrDefault("rows", "1000").toLong,
@@ -268,8 +273,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     // validate declarative properties BEFORE registering — a bad
     // declaration must refuse the CREATE, never brick a registered
-    // table object (q263)
-    Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
+    // table object (q263). The evolve flavor validates zone columns
+    // against ITS declared schema (BIGINT fields); the digest flavor
+    // against the fixed zone-mappable set.
+    if (provider == "graft_evolve")
+      Option(props.get("zonemap.columns")).foreach { zc =>
+        val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
+        zc.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+          val f = fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft catalog: 'zonemap.columns' names unknown column '$c'"))
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"graft catalog: zone-map column '$c' must be BIGINT")
+        }
+      }
+    else Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
     GraftCatalog.planeOf(props) // validates 'format' / 'parquet.rowgroup.bytes'
     GraftCatalog.tables.put(key(ident), props)
     loadTable(ident)
@@ -522,6 +540,17 @@ object GraftCatalog {
   private[sources] val keySep = "\u0000"
   private[sources] def regKey(catalogName: String, parts: Seq[String]): String =
     (catalogName +: parts).mkString(keySep)
+
+  /** A registered table's live properties (queries use this to address a
+    * table's serialized evolve schema for the provider-options read path).
+    */
+  private[sources] def regKeyProps(catalogName: String,
+      parts: Seq[String]): util.Map[String, String] = {
+    val p = tables.get(regKey(catalogName, parts))
+    require(p != null,
+      s"graft catalog: no registered table ${parts.mkString(".")}")
+    p
+  }
 
   private[sources] val tables =
     new java.util.concurrent.ConcurrentHashMap[String, util.Map[String, String]]()

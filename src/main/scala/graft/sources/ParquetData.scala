@@ -110,11 +110,13 @@ object ParquetData {
     try {
       var rowStart = 0L
       r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+        // every INT64 column's (min, max) — generic: the digest plane
+        // prunes on its zone-map columns, the evolve plane on any of its
+        // declared BIGINT zone columns (id-addressed `c<id>` names)
         val stats = b.getColumns.asScala.flatMap { c =>
           val name = c.getPath.toDotString
           val s = c.getStatistics
-          if (s == null || !s.hasNonNullValue ||
-              !DigestSink.zmCols.contains(name)) None
+          if (s == null || !s.hasNonNullValue) None
           else (s.genericGetMin, s.genericGetMax) match {
             case (mn: java.lang.Long, mx: java.lang.Long) =>
               Some(name -> (mn.longValue(), mx.longValue()))
@@ -284,4 +286,62 @@ object ParquetData {
 
   def readRows(file: Path): Iterator[(Long, String, Long)] =
     new RowsReader(file)
+
+  // ---- DECLARED-SCHEMA (evolve) plane: id-addressed generic rows ----------
+
+  /** Build an all-OPTIONAL parquet message for a declared schema. Column
+    * names are the caller's (the evolve plane passes `c<fieldId>` so
+    * RENAME stays a metadata op — bytes are addressed by id, never by
+    * the mutable name).
+    */
+  def messageType(name: String,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): MessageType = {
+    val b = Types.buildMessage()
+    cols.foreach { case (n, dt) =>
+      dt match {
+        case org.apache.spark.sql.types.LongType =>
+          b.optional(PrimitiveType.PrimitiveTypeName.INT64).named(n)
+        case org.apache.spark.sql.types.DoubleType =>
+          b.optional(PrimitiveType.PrimitiveTypeName.DOUBLE).named(n)
+        case org.apache.spark.sql.types.StringType =>
+          b.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(n)
+        case other => throw new IllegalArgumentException(
+          s"graft parquet plane: unsupported column type ${other.sql} for '$n'")
+      }
+    }
+    b.named(name)
+  }
+
+  /** Row-at-a-time generic writer (the evolve plane's twin of
+    * [[RowsWriter]]): `values` align positionally with `cols`; null
+    * cells are parquet nulls.
+    */
+  final class GenericRowsWriter(staged: Path, schema: MessageType,
+      rowGroupBytes: Long, rowGroupRows: Int = Int.MaxValue) {
+    private val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
+    private val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new HPath(staged.toUri), hconf()))
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(rowGroupBytes)
+      .withRowGroupRowCountLimit(rowGroupRows)
+      .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
+      .withDictionaryEncoding(true)
+      .build()
+    def write(values: Seq[Any]): Unit = {
+      val g = factory.newGroup()
+      values.zipWithIndex.foreach {
+        case (null, _) => ()
+        case (v: Long, i) => g.add(i, v)
+        case (v: Double, i) => g.add(i, v)
+        case (v: String, i) => g.add(i, v)
+        case (v, i) => throw new IllegalArgumentException(
+          s"graft parquet plane: unsupported cell $v at $i")
+      }
+      w.write(g)
+    }
+    def close(): Unit = w.close()
+  }
 }

@@ -520,9 +520,8 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
       val inherited = DigestManifest
         .listingAt(path, DigestManifest.MainRef, base).toSet
       val orphaned = blines.filterNot(inherited.contains).flatMap { l =>
-        val a = l.split(",")
-        a(2).split(";").filter(_.nonEmpty).map(_.toInt)
-          .filterNot(mainIds.contains).map(id => s"${a(0)}:field-id $id")
+        val (file, _, ids, _) = EvolveEntry.parse(l)
+        ids.filterNot(mainIds.contains).map(id => s"$file:field-id $id")
       }
       require(orphaned.isEmpty,
         s"graft.system.fast_forward: branch '$branch' holds data under " +
