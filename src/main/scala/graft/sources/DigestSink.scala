@@ -151,7 +151,8 @@ object DigestSink {
     * enforced at the one place entries are minted.
     */
   private[sources] def entryLine(f: CommittedFile,
-      zonemapCols: Set[String] = zmCols.keySet): String =
+      zonemapCols: Set[String] = zmCols.keySet,
+      bloomCols: Set[String] = Set.empty): String =
     ManifestEntry(f.fileName, f.rows,
       (if (zonemapCols("doc_id"))
         f.zm.fold(Map.empty[String, String]) { case (lo, hi) =>
@@ -162,6 +163,11 @@ object DigestSink {
         f.nm.fold(Map.empty[String, String]) { case (lo, hi) =>
           Map("nmin" -> lo.toString, "nmax" -> hi.toString)
         }
+      else Map.empty[String, String]) ++
+      // q278: the per-file doc_id bloom rides the entry ONLY on declared
+      // opt-in ('bloom.columns') — observed always, minted here, like zones
+      (if (bloomCols("doc_id"))
+        f.bf.fold(Map.empty[String, String])(b => Map("bf" -> b))
       else Map.empty[String, String])).line
 
   /** Parse + validate a `'zonemap.columns'` table property. */
@@ -171,6 +177,22 @@ object DigestSink {
     require(unknown.isEmpty,
       s"graft_digest: 'zonemap.columns' names non-zone-mappable columns " +
         s"$unknown (supported: ${zmCols.keySet.mkString(", ")})")
+    cols
+  }
+
+  /** The bloom-filterable columns (q278): point-lookup equality semantics
+    * need a hashable long — today that is doc_id (lang points prune via
+    * the file layout, q235).
+    */
+  private[graft] val bfCols: Set[String] = Set("doc_id")
+
+  /** Parse + validate a `'bloom.columns'` table property. */
+  private[sources] def parseBloomCols(prop: String): Set[String] = {
+    val cols = prop.split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val unknown = cols -- bfCols
+    require(unknown.isEmpty,
+      s"graft_digest: 'bloom.columns' names non-bloom-filterable columns " +
+        s"$unknown (supported: ${bfCols.mkString(", ")})")
     cols
   }
 
@@ -195,6 +217,29 @@ object DigestSink {
   private[sources] def rangeLayoutFor(path: String): Option[(Seq[String], Int)] =
     Option(pendingRangeLayout.get(
       Paths.get(path).toAbsolutePath.normalize().toString))
+
+  /** Paths whose NEXT batch write must PRESERVE the incoming task layout
+    * (q277, `CALL graft.system.rewrite_zorder`): the procedure pre-shapes
+    * the data itself (range-partitioned + sorted on an interleaved-bit
+    * z-value — a COMPUTED column no declarable column distribution can
+    * express), so the Write declares an UNSPECIFIED distribution and the
+    * engine plans no exchange at all; each writer task's files then cover
+    * one tight z-tile, which bounds EVERY interleaved column's zone.
+    */
+  private val pendingPreservedLayout =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[sources] def declarePreservedLayoutForNextWrite(path: String): Unit =
+    pendingPreservedLayout.add(
+      Paths.get(path).toAbsolutePath.normalize().toString)
+
+  private[sources] def clearPreservedLayout(path: String): Unit =
+    pendingPreservedLayout.remove(
+      Paths.get(path).toAbsolutePath.normalize().toString)
+
+  private[graft] def preservedLayoutFor(path: String): Boolean =
+    pendingPreservedLayout.contains(
+      Paths.get(path).toAbsolutePath.normalize().toString)
 
   /** The zone-mapped columns: column name → its (min, max) manifest
     * attribute names. Writers record these at commit (q253/q257) and the
@@ -311,6 +356,103 @@ private[graft] object DvCodec {
         case b if ((fresh >>> b) & 1L) == 1L => w * WordBits + b
       }
     }
+}
+
+/** Per-file BLOOM FILTER codec (q278). Zone maps prune RANGE predicates
+  * on clustered columns; a point lookup (`doc_id = x`, `doc_id IN (...)`)
+  * on a column whose values are SCATTERED across files — the normal state
+  * after hash-shuffled ingest, where every file's zone is [min, max] —
+  * prunes nothing. A small per-file bloom filter closes that gap: the
+  * writer hashes every value it commits, the filter rides the manifest
+  * entry (attr `bf`), and the scan skips files whose filter definitively
+  * excludes every probed point. False positives only cost an extra file
+  * read (the residual row filter keeps results exact); false negatives
+  * are impossible, so absence-of-value skips are safe.
+  *
+  * Shape: k=4 probes from one splitmix64 hash, positions mod 2^j bits.
+  * Writers build at [[BuildBits]] and FOLD DOWN at file close to the
+  * smallest power of two ≥ [[BitsPerRow]]·rows — folding halves (OR the
+  * upper half onto the lower) preserve exactly the `mod 2^j` probe
+  * semantics, so the build is one fixed-size streaming pass whatever the
+  * final size. Encoding is the DV codec's sparse `word:hex` grammar with
+  * a leading bit-count token. Manifest-resident blooms keep point-lookup
+  * planning a ZERO-data-I/O driver decision (the 100 TB win: a needle
+  * query opens ~1 file instead of every file of the needle's partition);
+  * a production variant would additionally spill big filters to file
+  * footers — the cap ([[BuildBits]]) bounds entry bloat at ~2 KB/file
+  * against that trade.
+  */
+private[graft] object BloomCodec {
+  val BuildBits = 1 << 14 // 16384 bits = 256 words: the fold-down ceiling
+  val BitsPerRow = 8 // target density ~2.4% fpp at k=4 (below the ceiling)
+  val K = 4
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def newBuild(): Array[Long] = new Array[Long](BuildBits / 64)
+
+  def add(words: Array[Long], x: Long): Unit = {
+    val h = mix64(x)
+    var i = 0
+    while (i < K) {
+      val p = ((h >>> (i * 14)) & (BuildBits - 1)).toInt
+      words(p >>> 6) |= 1L << (p & 63)
+      i += 1
+    }
+  }
+
+  /** Fold the fixed-size build down to ≥ BitsPerRow·rows and encode.
+    * `bits;word:hex;word:hex…` — empty filters (0 rows) encode as the
+    * minimum size with no set words.
+    */
+  def encode(build: Array[Long], rows: Long): String = {
+    var bits = 1024
+    while (bits < BuildBits && bits < BitsPerRow * rows) bits <<= 1
+    var words = build
+    while (words.length * 64 > bits) {
+      val half = new Array[Long](words.length / 2)
+      var i = 0
+      while (i < half.length) {
+        half(i) = words(i) | words(i + half.length)
+        i += 1
+      }
+      words = half
+    }
+    val sparse = words.iterator.zipWithIndex.filter(_._1 != 0L)
+      .map { case (w, i) => s"$i:${java.lang.Long.toHexString(w)}" }
+      .mkString(";")
+    if (sparse.isEmpty) bits.toString else s"$bits;$sparse"
+  }
+
+  /** May the encoded filter contain `x`? (No parse-failure tolerance —
+    * a malformed attr is corruption and must be loud.)
+    */
+  def mayContain(enc: String, x: Long): Boolean = {
+    val parts = enc.split(";")
+    val bits = parts(0).toInt
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"graft_digest: malformed bloom filter size '${parts(0)}'")
+    val words = new Array[Long](bits / 64)
+    parts.iterator.drop(1).foreach { e =>
+      val i = e.indexOf(':')
+      require(i > 0, s"graft_digest: malformed bloom filter entry '$e'")
+      // unsigned: a word with bit 63 set is a legal filter word
+      words(e.take(i).toInt) = java.lang.Long.parseUnsignedLong(e.drop(i + 1), 16)
+    }
+    val h = mix64(x)
+    var i = 0
+    while (i < K) {
+      val p = ((h >>> (i * 14)) & (bits - 1)).toInt
+      if ((words(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** The table's COMMIT LOG. Every manifest publish goes through here: the
@@ -1451,6 +1593,11 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
     * default: every zone-mappable column.
     */
   protected def zonemapCols: Set[String] = DigestSink.zmCols.keySet
+  /** Which columns this table RECORDS per-file bloom filters for (q278 —
+    * TBLPROPERTIES `'bloom.columns'`, parsed by [[GraftCatalog]]);
+    * default: none (opt-in — the filter costs manifest bytes).
+    */
+  protected def bloomCols: Set[String] = Set.empty
   /** The DATA-FILE byte format (TBLPROPERTIES `'format'`, parsed by
     * [[GraftCatalog]] / the provider options): row-CSV (default) or the
     * Parquet columnar plane ([[ParquetData]]). Read-side dispatch is
@@ -1471,7 +1618,7 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DigestWriteBuilder(path, langSplit, requireDist, retainHistory, ref,
-      zonemapCols, dataPlane)
+      zonemapCols, dataPlane, bloomCols)
 
   // MANIFEST-GATED read-back: partitions are exactly the job-committed
   // manifest entries — a reader can never observe a staged attempt or a
@@ -1539,7 +1686,8 @@ class DigestSinkTable(path: String, langSplit: Boolean = false,
 class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
     retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
     zonemapCols: Set[String] = DigestSink.zmCols.keySet,
-    plane: DataPlane = DataPlane.Csv)
+    plane: DataPlane = DataPlane.Csv,
+    bloomCols: Set[String] = Set.empty)
     extends WriteBuilder with SupportsOverwrite {
   // None = append; Some(filters) = overwrite the matching region
   private var overwriteFilters: Option[Array[Filter]] = None
@@ -1561,7 +1709,7 @@ class DigestWriteBuilder(path: String, langSplit: Boolean, requireDist: Boolean,
   override def build(): Write =
     new DigestWrite(path, langSplit, requireDist, overwriteFilters,
       retainHistory = retainHistory, ref = ref, zonemapCols = zonemapCols,
-      plane = plane)
+      plane = plane, bloomCols = bloomCols)
 }
 
 class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
@@ -1569,7 +1717,8 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
     cols: Array[Int] = Array(0, 1, 2),
     retainHistory: Boolean = false, ref: String = DigestManifest.MainRef,
     zonemapCols: Set[String] = DigestSink.zmCols.keySet,
-    plane: DataPlane = DataPlane.Csv)
+    plane: DataPlane = DataPlane.Csv,
+    bloomCols: Set[String] = Set.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   // q263: a pending `rewrite_sorted` layout overrides the default
@@ -1579,12 +1728,18 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
   private val rangeLayout: Option[(Seq[String], Int)] =
     DigestSink.rangeLayoutFor(path)
 
+  // q277: a pending `rewrite_zorder` pre-shaped the incoming data on a
+  // computed z-value — declare NO distribution/ordering so the engine
+  // keeps the procedure's layout instead of re-clustering it by lang
+  private val preservedLayout: Boolean = DigestSink.preservedLayoutFor(path)
+
   // q187: the sink-declared layout contract. Clustering by lang puts each
   // lang's rows in exactly one writer task; ordering (lang, doc_id) makes
   // every committed file internally sorted. Unspecified when the caller
   // didn't opt in — the base q168 path plans exactly as before.
   override def requiredDistribution(): Distribution =
     rangeLayout match {
+      case _ if preservedLayout => Distributions.unspecified()
       case Some((sortCols, _)) =>
         Distributions.ordered(sortCols.toArray.map(c =>
           Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)))
@@ -1595,6 +1750,7 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def requiredOrdering(): Array[SortOrder] =
     rangeLayout match {
+      case _ if preservedLayout => Array.empty
       case Some((sortCols, _)) =>
         sortCols.toArray.map(c =>
           Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
@@ -1607,6 +1763,7 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def requiredNumPartitions(): Int =
     rangeLayout match {
+      case _ if preservedLayout => 0
       case Some((_, buckets)) => buckets
       case None if requireDist || langSplit => 4
       case None => 0
@@ -1614,7 +1771,7 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
 
   override def toBatch: BatchWrite =
     new DigestBatchWrite(path, langSplit, overwriteFilters, cols, retainHistory,
-      ref, zonemapCols, plane)
+      ref, zonemapCols, plane, bloomCols)
 
   // q234: `writeStream.toTable(...)` — the MANIFEST-GATED table as a
   // streaming sink. Each epoch reuses the lang-split writers with the
@@ -1672,7 +1829,8 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     retainHistory: Boolean = false,
     ref: String = DigestManifest.MainRef,
     zonemapCols: Set[String] = DigestSink.zmCols.keySet,
-    plane: DataPlane = DataPlane.Csv) extends BatchWrite {
+    plane: DataPlane = DataPlane.Csv,
+    bloomCols: Set[String] = Set.empty) extends BatchWrite {
   def this(path: String, langSplit: Boolean, overwriteFilters: Option[Array[Filter]]) =
     this(path, langSplit, overwriteFilters, Array(0, 1, 2))
   def this(path: String) = this(path, false, None)
@@ -1734,7 +1892,8 @@ class DigestBatchWrite(path: String, langSplit: Boolean = false,
     // manifest order, and job-unique `delta-j<tag>-` names do NOT sort
     // chronologically, so sorting the whole listing here would shuffle
     // older commits' verbs behind newer ones
-    val freshLines = fresh.map(DigestSink.entryLine(_, zonemapCols)).sorted
+    val freshLines = fresh.map(DigestSink.entryLine(_, zonemapCols, bloomCols))
+      .sorted
     overwriteFilters match {
       case None =>
         // plain append commutes with interleaved commits: rebase-commit
@@ -2412,6 +2571,12 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
     DigestSink.zmCols.keys.map(_ -> Long.MinValue).toSeq: _*)
   private val zHi = scala.collection.mutable.Map(
     DigestSink.zmCols.keys.map(_ -> Long.MaxValue).toSeq: _*)
+  // BLOOM pruning points (q278): the conjunction of pushed equality/IN
+  // predicates on a bloom-filterable column, as the intersection of
+  // their point sets — a file whose manifest-recorded filter excludes
+  // EVERY point is skipped whole. Same gates and residual contract as
+  // zones; entries without a filter are always kept.
+  private var bloomPoints: Option[Set[Long]] = None
   private var accepted: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -2440,6 +2605,14 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
           longOf(v).foreach(x => zHi(c) = math.min(zHi(c), x))
         case _ => ()
       }
+      val pointSets = filters.collect {
+        case EqualTo(c, v) if DigestSink.bfCols(c) && longOf(v).isDefined =>
+          Set(longOf(v).get)
+        case In(c, vs) if DigestSink.bfCols(c) &&
+            vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+          vs.flatMap(longOf(_)).toSet
+      }
+      if (pointSets.nonEmpty) bloomPoints = Some(pointSets.reduce(_ intersect _))
       def tightened(c: String): Boolean =
         zLo(c) != Long.MinValue || zHi(c) != Long.MaxValue
       accepted = filters.filter {
@@ -2449,6 +2622,7 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
         case GreaterThanOrEqual(c, _) if zm(c) => tightened(c)
         case LessThan(c, _) if zm(c) => tightened(c)
         case LessThanOrEqual(c, _) if zm(c) => tightened(c)
+        case In(c, _) if DigestSink.bfCols(c) => bloomPoints.isDefined
         case _ => false
       }
     }
@@ -2467,7 +2641,7 @@ class DigestScanBuilder(path: String, mergeDeltas: Boolean = false,
       new DigestAggScan(path, manifestName, groupByLang, nAggs)
     case None =>
       new DigestScan(path, mergeDeltas, manifestName, langs, allowPruning,
-        streamMaxVersions, zmRanges, emitMeta, required)
+        streamMaxVersions, zmRanges, emitMeta, required, bloomPoints)
   }
 }
 
@@ -2584,7 +2758,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
     streamMaxVersions: Option[Int] = None,
     zmRanges: Map[String, (Long, Long)] = Map.empty,
     emitMeta: Boolean = false,
-    required: Option[StructType] = None)
+    required: Option[StructType] = None,
+    bloomPoints: Option[Set[Long]] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2680,7 +2855,11 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
           case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
           case _ => true
         }
-      }
+      } &&
+      // q278: a point lookup keeps the file only if its recorded bloom
+      // may contain SOME probed point; filterless entries are always kept
+      bloomPoints.forall(pts => e.attrs.get("bf").forall(enc =>
+        pts.exists(p => BloomCodec.mayContain(enc, p))))
 
   // EXACT statistics from the manifest — the table's own metadata layer
   // already counts every committed row, so the optimizer sizes this scan
@@ -3168,9 +3347,13 @@ case class DigestMetricValue(metricName: String, metricValue: Long)
   * are the writer-observed (min, max) of doc_id / n_chars over the
   * file's rows — the zone maps the commit records in the manifest entry
   * (q253/q257) so range scans can skip the file without opening it.
+  * `bf` is the writer-built doc_id bloom filter (q278, [[BloomCodec]]):
+  * always OBSERVED (a fixed-size streaming fold, like the zones), minted
+  * into the entry only when the table declares `'bloom.columns'`.
   */
 case class CommittedFile(fileName: String, rows: Long,
-    zm: Option[(Long, Long)] = None, nm: Option[(Long, Long)] = None)
+    zm: Option[(Long, Long)] = None, nm: Option[(Long, Long)] = None,
+    bf: Option[String] = None)
 
 case class DigestCommitMessage(files: Seq[CommittedFile])
     extends WriterCommitMessage
@@ -3262,6 +3445,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
   private var idHi = Long.MinValue
   private var ncLo = Long.MaxValue
   private var ncHi = Long.MinValue
+  private val bloom = BloomCodec.newBuild()
 
   override def write(r: InternalRow): Unit = {
     val base = r.numFields - 3 // see LangSplitDataWriter.write
@@ -3270,6 +3454,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     out.write(id, r.getUTF8String(base + cols(1)).toString, nc)
     idLo = math.min(idLo, id); idHi = math.max(idHi, id)
     ncLo = math.min(ncLo, nc); ncHi = math.max(ncHi, nc)
+    BloomCodec.add(bloom, id)
     rows += 1
   }
 
@@ -3279,7 +3464,8 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     Files.move(staged, fin, StandardCopyOption.REPLACE_EXISTING)
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows,
       if (rows > 0) Some((idLo, idHi)) else None,
-      if (rows > 0) Some((ncLo, ncHi)) else None)))
+      if (rows > 0) Some((ncLo, ncHi)) else None,
+      if (rows > 0) Some(BloomCodec.encode(bloom, rows)) else None)))
   }
 
   override def abort(): Unit = {
@@ -3310,6 +3496,7 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     var idHi = Long.MinValue
     var ncLo = Long.MaxValue
     var ncHi = Long.MinValue
+    val bloom: Array[Long] = BloomCodec.newBuild()
   }
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, OpenFile]
 
@@ -3335,6 +3522,7 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
     f.w.write(id, lang, nc)
     f.idLo = math.min(f.idLo, id); f.idHi = math.max(f.idHi, id)
     f.ncLo = math.min(f.ncLo, nc); f.ncHi = math.max(f.ncHi, nc)
+    BloomCodec.add(f.bloom, id)
     f.rows += 1
   }
 
@@ -3346,7 +3534,8 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
       Files.move(f.staged, fin, StandardCopyOption.REPLACE_EXISTING)
       CommittedFile(fin.getFileName.toString, f.rows,
         if (f.rows > 0) Some((f.idLo, f.idHi)) else None,
-        if (f.rows > 0) Some((f.ncLo, f.ncHi)) else None)
+        if (f.rows > 0) Some((f.ncLo, f.ncHi)) else None,
+        if (f.rows > 0) Some(BloomCodec.encode(f.bloom, f.rows)) else None)
     }
     DigestCommitMessage(files)
   }

@@ -4972,6 +4972,329 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q275: ROLLBACK — restore an earlier version as a new commit --------
+  // `CALL graft.system.rollback(table, version)` is the undo button for a
+  // bad load: the target snapshot's listing is re-published through the
+  // optimistic replace path, so (a) the rollback is itself a versioned
+  // commit — history stays intact and the rolled-back state remains
+  // time-travelable, (b) the change feed emits the INVERSE of the undone
+  // commits (delete rows for what they inserted), so a CDC replica
+  // converges to the restored state with no special casing, and (c) a
+  // rollback can be rolled back. Locks below pin all three, plus the
+  // refusals (current head, expired version).
+  def q275Rollback(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.rollb_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_rollback:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink', 'delta'='true')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q275")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q275 WHERE lang IN ('de','fr')")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q275 WHERE lang = 'en'")
+      // the "bad load" to undo
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q275 WHERE lang = 'es'")
+      val esRows = s.sql("SELECT COUNT(*) FROM docs_q275 WHERE lang = 'es'")
+        .collect()(0).getLong(0)
+      val made = s.sql(s"CALL graft.system.rollback(table => '$short', version => 2)")
+        .collect()
+      require(made.length == 1 && made(0).getLong(0) == 2L && made(0).getLong(1) == 4L,
+        s"q275: rollback summary wrong: ${made.toSeq}")
+      // (a) restored state reads WITHOUT the bad load; the undone version
+      // is still time-travelable (history preserved, not erased)
+      require(s.table(tbl).filter("lang = 'es'").count() == 0,
+        "q275: the rolled-back load must be gone from the live table")
+      require(s.sql(s"SELECT COUNT(*) FROM $tbl VERSION AS OF 3")
+          .collect()(0).getLong(0) ==
+        s.sql(s"SELECT COUNT(*) FROM $tbl").collect()(0).getLong(0) + esRows,
+        "q275: the undone version must still time-travel with its rows")
+      // (b) the change feed's rollback commit is the bad load's INVERSE:
+      // exactly the es rows, as deletes
+      // the window (3, 4]: changesFrom is exclusive — "changes AFTER v3"
+      val inverse = s.read.format("graft.sources.DigestSink")
+        .option("path", sink).option("changesFrom", "3").option("changesTo", "4")
+        .load()
+      require(inverse.count() == esRows &&
+          inverse.filter("_change_type = 'delete'").count() == esRows,
+        s"q275: the rollback commit must emit the inverse deletes ($esRows)")
+      // (c) a rollback can itself be rolled back — restore the bad load...
+      s.sql(s"CALL graft.system.rollback(table => '$short', version => 3)").collect()
+      require(s.table(tbl).filter("lang = 'es'").count() == esRows,
+        "q275: rolling back the rollback must restore the undone rows")
+      // ...and undo it again for the oracled final state
+      s.sql(s"CALL graft.system.rollback(table => '$short', version => 2)").collect()
+      // refusals: the current head is not an EARLIER version; a version
+      // never committed refuses
+      require({
+        try { s.sql(s"CALL graft.system.rollback(table => '$short', " +
+          s"version => ${DigestManifest.currentVersion(sink)})").collect(); false }
+        catch { case e: Exception => e.getMessage.contains("EARLIER") } },
+        "q275: rolling back to the current head must refuse")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q275Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr', 'en')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q276: INCREMENTAL MV MAINTENANCE from the change feed --------------
+  // The aggregate twin of q250's row-replica CDC apply: a per-lang
+  // (n_docs, sum_chars) MATERIALIZED VIEW maintained purely from
+  // O(changes) inputs — each version's change batch contributes
+  // (+1, +n_chars) per insert and (0, +n_chars) per update_postimage,
+  // and the NEGATIVE side of updates/deletes (whose feed rows carry ids,
+  // not payloads) is resolved by a KEYED JOIN of the touched ids against
+  // the PREVIOUS version's snapshot (time travel) — a broadcast point
+  // lookup, never a rescan of the live table. At 100 TB this is how
+  // corpus statistics stay fresh: the daily refresh costs O(changed
+  // rows) + O(touched-id lookups) instead of a full recompute — and the
+  // in-query lock proves the maintained view equals the recompute after
+  // a full insert/update/delete/compaction history.
+  def q276IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageChangesTable(s, dir)
+    val sink = staged.resolve("sink").toString
+    val h = Integer.toHexString(dir.hashCode)
+    val tbl = s"graft.ns.docchf_$h"
+    def batch(v: Int): DataFrame = s.read
+      .format("graft.sources.DigestSink")
+      .option("path", sink)
+      .option("changesFrom", (v - 1).toString).option("changesTo", v.toString)
+      .load()
+    // one delta-aggregate per committed version, each computed ONLY from
+    // that version's batch and keyed lookups against the PRE-state
+    val deltas = (1 to 3).map { v =>
+      val b = batch(v).cache()
+      val plus = b.filter("_change_type IN ('insert', 'update_postimage')")
+        .groupBy("lang")
+        .agg(sum(expr("CASE WHEN _change_type = 'insert' THEN 1 ELSE 0 END"))
+          .as("d_docs"), sum("n_chars").as("d_chars"))
+      // negative side: updates subtract their pre-image n_chars, deletes
+      // subtract the row — both resolved at VERSION AS OF (v-1) by id
+      val touched = b.filter("_change_type IN ('update_postimage', 'delete')")
+        .select(col("doc_id"), col("_change_type").as("ct"))
+      // v=1 has no pre-state (nothing committed before it) — and by the
+      // same token its batch can only hold inserts
+      if (v == 1) plus
+      else {
+        val minus = s.sql(
+            s"SELECT doc_id, lang, n_chars FROM $tbl VERSION AS OF ${v - 1}")
+          .join(broadcast(touched), "doc_id")
+          .groupBy("lang")
+          .agg(sum(expr("CASE WHEN ct = 'delete' THEN -1 ELSE 0 END")).as("d_docs"),
+            sum(expr("-n_chars")).as("d_chars"))
+        plus.unionByName(minus)
+      }
+    }
+    val mv = deltas.reduce(_ unionByName _)
+      .groupBy("lang")
+      .agg(sum("d_docs").as("n_docs"), sum("d_chars").as("sum_chars"))
+      .filter("n_docs > 0")
+    // the maintained view must equal the recompute — including across the
+    // compaction commit, which the feed correctly treats as zero changes
+    val recomputed = s.table(tbl).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    val diff = mv.unionByName(recomputed).distinct().count()
+    require(diff == recomputed.count(),
+      s"q276: the incrementally maintained view must equal the recompute " +
+        s"($diff distinct rows across both vs ${recomputed.count()})")
+    mv.orderBy("lang")
+  }
+
+  val q276Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE lang IN ('de', 'fr', 'en')
+      |    AND NOT (doc_id % 7 = 0 AND doc_id % 3 <> 0)
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, n_chars
+      |  FROM documents WHERE lang IN ('de', 'fr', 'en') AND doc_id % 50 = 0)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q277: Z-ORDER — multi-dimensional clustering for zone maps ---------
+  // rewrite_sorted (q263) restores pruning on its LEADING column only; a
+  // range predicate on any other column still reads every file. z-order
+  // interleaves the bits of ALL the named columns and clusters on that,
+  // so each file covers one z-tile — tight zones in EVERY dimension —
+  // and the q253/q257 skipping layer prunes range predicates on ANY of
+  // them. Locks: ingest through the lang-clustered writer leaves BOTH
+  // columns' zones wide (probes open every file); after rewrite_zorder,
+  // band probes on doc_id AND n_chars each skip files (fileReadEvents),
+  // the rewrite is change-feed-invisible (content-preserving tag), and
+  // the digest read through the pruned scan stays hash-exact.
+  def q277Zorder(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.zord_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_zorder:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      val short = tbl.stripPrefix("graft.")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest TBLPROPERTIES ('path'='$sink')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q277")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q277")
+      // band cuts at lo + span/8 per column: in min/max-scaled bit space
+      // that zeroes each column's top three bits, so the rows below a cut
+      // are confined to a fixed fraction of z-tiles REGARDLESS of the
+      // column's value distribution — the probes prune by construction
+      val bounds = s.sql("SELECT MIN(doc_id), MAX(doc_id), MIN(n_chars), " +
+        "MAX(n_chars) FROM docs_q277").collect()(0)
+      val idBand = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 8
+      val ncBand = bounds.getLong(2) + (bounds.getLong(3) - bounds.getLong(2)) / 8
+      def files(): Int = DigestManifest.listingFor(sink, "_MANIFEST")
+        .count(_.nonEmpty)
+      def opened(pred: String): Long = {
+        val before = DigestSink.fileReadEvents.get()
+        s.sql(s"SELECT SUM(n_chars) FROM $tbl WHERE $pred").collect()
+        DigestSink.fileReadEvents.get() - before
+      }
+      // lang-clustered ingest: every file's doc_id AND n_chars zones are
+      // wide, so both band probes open everything — the problem z-order
+      // exists to fix
+      val before = files()
+      require(opened(s"doc_id < $idBand") == before &&
+          opened(s"n_chars < $ncBand") == before,
+        s"q277: pre-rewrite band probes must open all $before files")
+      val zsum = s.sql(s"""CALL graft.system.rewrite_zorder(table => '$short',
+        |cols => 'doc_id,n_chars', buckets => 8)""".stripMargin).collect()
+      require(zsum.length == 1 && zsum(0).getLong(1) ==
+          s.table("docs_q277").count(),
+        s"q277: the rewrite must preserve every row: ${zsum.toSeq}")
+      // z-tiles bound BOTH dimensions: each band probe now skips files
+      val after = files()
+      val idOpened = opened(s"doc_id < $idBand")
+      val ncOpened = opened(s"n_chars < $ncBand")
+      require(idOpened < after && ncOpened < after,
+        s"q277: z-order must prune both dimensions " +
+          s"(doc_id: $idOpened/$after, n_chars: $ncOpened/$after)")
+      // ...while the unbounded decoy still opens everything (live counter)
+      require(opened("n_chars >= 0") == after,
+        "q277: the unpruned decoy must open every file")
+      // a single-column lexicographic rewrite CANNOT do this: re-sort the
+      // same table on doc_id alone and the n_chars probe stops pruning
+      s.sql(s"""CALL graft.system.rewrite_sorted(table => '$short',
+        |cols => 'doc_id', buckets => 8)""".stripMargin).collect()
+      val sortedFiles = files()
+      require(opened(s"doc_id < $idBand") < sortedFiles,
+        "q277: the doc_id-sorted rewrite must prune the leading column")
+      // ...but the non-leading column's zones are population samples, not
+      // tiles: most files straddle the band (small files can miss it by
+      // luck, so ≥ half — the structural tile guarantee above is z-order's)
+      require(opened(s"n_chars < $ncBand") >= (sortedFiles + 1) / 2,
+        "q277: a lexicographic sort leaves the non-leading column mostly " +
+          "unprunable — the gap z-order closes")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q277Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---- q278: per-file BLOOM FILTERS — point-lookup skipping ----------------
+  // Zone maps (q253) prune RANGE predicates, but only when the column is
+  // clustered; after shuffled ingest every file's zone is [min, max] and
+  // a needle query (`doc_id = x`, `doc_id IN (...)`) opens the whole
+  // table. With `'bloom.columns'='doc_id'` every writer commits a small
+  // per-file bloom filter into the manifest entry ([[BloomCodec]]) and
+  // the scan drops files whose filter excludes every probed point —
+  // false positives cost one extra read (the residual filter keeps
+  // results exact), false negatives are impossible. At 100 TB this is
+  // the difference between one file and one PARTITION for the most
+  // common debugging query there is. Locks: zones provably wide (each
+  // entry spans > half the doc space — zones alone could prune nothing),
+  // a present-point probe opens ≤ 3 of the files, an absent-point probe
+  // opens ≤ 2 and returns nothing, the unbounded decoy opens everything,
+  // and the IN-probe digest is hash-checked against the oracle.
+  def q278BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.bloom_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_bloom:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_digest
+               |TBLPROPERTIES ('path'='$sink', 'bloom.columns'='doc_id')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q278")
+      // shuffled ingest: residue-class commits give every file a
+      // near-full doc_id zone — the regime where zones cannot help
+      (0 until 3).foreach(k => s.sql(
+        s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q278 WHERE doc_id % 3 = $k"))
+      val entries = DigestManifest.listingFor(sink, "_MANIFEST")
+        .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(entries.nonEmpty && entries.forall(_.attrs.contains("bf")),
+        s"q278: every committed entry must carry a bloom filter:\n" +
+          entries.map(_.line).mkString("\n"))
+      val span = s.sql("SELECT MAX(doc_id) - MIN(doc_id) FROM docs_q278")
+        .collect()(0).getLong(0)
+      require(entries.forall(e =>
+          e.attrs("zmax").toLong - e.attrs("zmin").toLong > span / 2),
+        "q278: the fixture must leave every file's doc_id zone wide — " +
+          "bloom skipping is the layer zones cannot replace")
+      def opened(pred: String): Long = {
+        val before = DigestSink.fileReadEvents.get()
+        s.sql(s"SELECT SUM(n_chars) FROM $tbl WHERE $pred").collect()
+        DigestSink.fileReadEvents.get() - before
+      }
+      val total = entries.size
+      val present = opened("doc_id = 42")
+      require(present >= 1 && present <= 3 && present < total,
+        s"q278: a present-point probe must open ~1 file ($present/$total)")
+      // an ABSENT point: every filter definitively excludes it (a rare
+      // false positive costs one read, never a wrong row)
+      val ghost = span * 2 + 123457
+      require(opened(s"doc_id = $ghost") <= 2,
+        "q278: an absent-point probe must skip (almost) everything")
+      require(s.sql(s"SELECT * FROM $tbl WHERE doc_id = $ghost").count() == 0,
+        "q278: the absent probe must return nothing")
+      // the unbounded decoy still opens every file — the counter is live
+      require(opened("n_chars >= 0") == total,
+        s"q278: the unpruned decoy must open all $total files")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |WHERE doc_id IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q278Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -5049,6 +5372,10 @@ object Formats {
     "q272_column_prune" -> q272ColumnPrune _,
     "q273_branch_tag" -> q273BranchTag _,
     "q274_evolve_lakehouse" -> q274EvolveLakehouse _,
+    "q275_rollback" -> q275Rollback _,
+    "q276_incremental_mv" -> q276IncrementalMv _,
+    "q277_zorder" -> q277Zorder _,
+    "q278_bloom_skipping" -> q278BloomSkipping _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -5128,5 +5455,9 @@ object Formats {
     "q272_column_prune" -> q272Sql,
     "q273_branch_tag" -> q273Sql,
     "q274_evolve_lakehouse" -> q274Sql,
+    "q275_rollback" -> q275Sql,
+    "q276_incremental_mv" -> q276Sql,
+    "q277_zorder" -> q277Sql,
+    "q278_bloom_skipping" -> q278Sql,
   )
 }

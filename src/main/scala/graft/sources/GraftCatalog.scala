@@ -170,9 +170,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val zc = Option(props.get("zonemap.columns"))
           .map(DigestSink.parseZonemapCols)
           .getOrElse(DigestSink.zmCols.keySet)
+        // q278: declared per-file bloom filters (opt-in, default none)
+        val bc = Option(props.get("bloom.columns"))
+          .map(DigestSink.parseBloomCols)
+          .getOrElse(Set.empty[String])
         val dp = GraftCatalog.planeOf(props)
         new DigestSinkTable(props.get("path"), langSplit = true) {
           override protected def zonemapCols: Set[String] = zc
+          override protected def bloomCols: Set[String] = bc
           override protected def dataPlane: DataPlane = dp
         }
       case "graft_evolve" =>
@@ -288,6 +293,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     else Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
+    Option(props.get("bloom.columns")).foreach(DigestSink.parseBloomCols)
     GraftCatalog.planeOf(props) // validates 'format' / 'parquet.rowgroup.bytes'
     GraftCatalog.tables.put(key(ident), props)
     loadTable(ident)
@@ -501,7 +507,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "history", "expire_snapshots", "remove_orphan_files",
       "create_branch", "fast_forward", "branches", "drop_branch",
-      "rewrite_sorted")
+      "rewrite_sorted", "rewrite_zorder", "rollback")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -516,6 +522,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "branches" if known => new BranchesProcedure(catalogName)
       case "drop_branch" if known => new DropBranchProcedure(catalogName)
       case "rewrite_sorted" if known => new RewriteSortedProcedure(catalogName)
+      case "rewrite_zorder" if known => new RewriteZorderProcedure(catalogName)
+      case "rollback" if known => new RollbackProcedure(catalogName)
       case "create_tag" if known => new CreateTagProcedure(catalogName)
       case "drop_tag" if known => new DropTagProcedure(catalogName)
       case "tags" if known => new TagsProcedure(catalogName)

@@ -1209,3 +1209,188 @@ class RewriteSortedProcedure(catalogName: String) extends UnboundProcedure
     util.Collections.singletonList(summary).iterator()
   }
 }
+
+/** `CALL graft.system.rollback(table => 'ns.t', version => N)` (q275):
+  * restore the table to a previously committed state AS A NEW COMMIT —
+  * the undo button every production table format ships for a bad load.
+  * The target snapshot's listing is re-published through the optimistic
+  * replace path, so the rollback gets its own version number, history
+  * stays intact (the rolled-back versions remain time-travelable, and a
+  * rollback can itself be rolled back), and the change feed emits the
+  * INVERSE of the undone commits — a downstream CDC consumer converges
+  * to the restored state with no special casing. Restricted to the
+  * history-retaining flavor: only it guarantees the target version's
+  * data files still exist (non-history commits physically delete retired
+  * files). A `branch =>` arg rolls back the branch's own ref.
+  */
+class RollbackProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "rollback"
+  override def description(): String =
+    "restore a graft_digest delta table to an earlier version as a new commit"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", org.apache.spark.sql.types.IntegerType)
+        .build(),
+      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val target = input.getInt(1)
+    val ref = DigestManifest.checkRef(input.getUTF8String(2).toString)
+    val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "rollback",
+      requireDelta = true)
+    val headV = DigestManifest.currentVersion(path, ref)
+    require(target >= 1 && target < headV,
+      s"graft.system.rollback: version $target of $tbl" +
+        (if (ref == DigestManifest.MainRef) "" else s" (branch '$ref')") +
+        s" must be an EARLIER committed version (head: $headV)")
+    require(Files.exists(Paths.get(path, s"${DigestManifest.mName(ref)}.v$target")),
+      s"graft.system.rollback: version $target of $tbl was expired — " +
+        "an expired snapshot cannot be restored (its files may be GC'd)")
+    val restored = ProcedureSupport.manifestLines(path,
+      s"${DigestManifest.mName(ref)}.v$target")
+    // belt and braces on the flavor gate: every restored entry's data
+    // file must still exist — refuse loudly rather than publish a
+    // listing that names a missing file
+    val missing = restored.map(_.split(",")(0))
+      .filterNot(f => Files.exists(Paths.get(path, f)))
+    require(missing.isEmpty,
+      s"graft.system.rollback: data files of version $target are gone " +
+        s"(${missing.take(3).mkString(", ")}); cannot restore")
+    // one optimistic replace planned against the CURRENT head: a commit
+    // racing this rollback aborts it loudly (re-issue against the new
+    // head), and the staged change record is the diff current -> target
+    // — exactly the inverse of what the undone commits published
+    val newV = DigestManifest.publishReplace(path, restored, headV, ref)
+    val schema = StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false),
+      StructField("table_rows", LongType, nullable = false)))
+    val rows = Array(InternalRow(target.toLong, newV.toLong,
+      restored.filter(_.nonEmpty).map(_.split(",")(1).toLong).sum): InternalRow)
+    util.Collections.singletonList(
+      ProcedureSupport.localScan(schema, rows)).iterator()
+  }
+}
+
+/** `CALL graft.system.rewrite_zorder(table => 'ns.t',
+  * cols => 'doc_id,n_chars', buckets => 8)` (q277): MULTI-DIMENSIONAL
+  * clustering. `rewrite_sorted` restores pruning on its LEADING column
+  * only — a lexicographic sort leaves every non-leading column's
+  * per-file zone at [min, max], so range predicates on it skip nothing.
+  * Z-ordering interleaves the bits of ALL the named columns into one
+  * z-value and clusters on THAT: a contiguous z-range is a tile in
+  * every dimension at once, so each committed file's zone is tight on
+  * EVERY named column and the zone-map layer (q253/q257) prunes range
+  * predicates on any of them. This is the rewrite-data-files
+  * sort_order=zorder maintenance action of production formats — at
+  * 100 TB it is what makes two-column range scans prune without
+  * duplicating the table per sort order.
+  *
+  * The z-value is computed by the procedure (min/max-scaled to
+  * `bitsPerCol` bits per column, bit-interleaved), the data is
+  * range-partitioned + sorted on it, and the write declares a PRESERVED
+  * layout ([[DigestSink.declarePreservedLayoutForNextWrite]]) — no
+  * declarable column distribution can express a computed interleave, so
+  * the engine is told to keep the procedure's own exchange. The commit
+  * is tagged content-preserving, exactly like compact/rewrite_sorted.
+  */
+class RewriteZorderProcedure(catalogName: String) extends UnboundProcedure
+    with BoundProcedure {
+  override def name(): String = "rewrite_zorder"
+  override def description(): String =
+    "rewrite a graft_digest table z-order-clustered on the given columns so zone maps prune on every one of them"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("cols", StringType).build(),
+      ProcedureParameter.in("buckets", org.apache.spark.sql.types.IntegerType)
+        .defaultValue("8").build())
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val tbl = input.getUTF8String(0).toString
+    val cols = input.getUTF8String(1).toString
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val buckets = input.getInt(2)
+    require(cols.size >= 2,
+      "graft.system.rewrite_zorder: z-ordering needs at least two columns " +
+        "(one column is plain clustering — use rewrite_sorted)")
+    require(cols.distinct.size == cols.size,
+      s"graft.system.rewrite_zorder: duplicate columns in ${cols.mkString(",")}")
+    require(buckets >= 2 && buckets <= 4096,
+      s"graft.system.rewrite_zorder: buckets must be in [2, 4096], got $buckets")
+    val unknown = cols.filterNot(DigestSink.zmCols.contains)
+    require(unknown.isEmpty,
+      s"graft.system.rewrite_zorder: ${unknown.mkString(", ")} are not " +
+        s"zone-mapped columns (supported: ${DigestSink.zmCols.keySet.mkString(", ")})")
+    val (props, path) = ProcedureSupport.resolve(catalogName, tbl,
+      "rewrite_zorder", requireDelta = false)
+    require(props.getOrDefault("provider", "") == "graft_digest",
+      s"graft.system.rewrite_zorder: $tbl is not a graft_digest table")
+
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions._
+    val full = (catalogName +: tbl.split("\\.").toSeq).map(p => s"`$p`").mkString(".")
+    val snap = Files.createTempDirectory("graft_rewrite_zorder_")
+    try {
+      spark.table(full).write.mode("overwrite").parquet(snap.toString)
+      val df = spark.read.parquet(snap.toString)
+      // per-column bounds for the scaling — a bounded driver read of
+      // 2·|cols| longs, never rows
+      val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+      val bitsPer = 48 / cols.size // 2 cols -> 24 bits each, 3 -> 16
+      val scaled = cols.zipWithIndex.map { case (c, i) =>
+        val lo = bounds.getLong(2 * i)
+        val hi = bounds.getLong(2 * i + 1)
+        val span = math.max(1L, hi - lo)
+        // (c - lo) * maxCode / span, all in long arithmetic
+        (col(c) - lit(lo)).cast("long") * lit((1L << bitsPer) - 1) / lit(span)
+      }
+      val z = (0 until bitsPer).foldLeft(lit(0L)) { (acc, b) =>
+        scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
+          a.bitwiseOR(shiftleft(
+            shiftright(s, b).bitwiseAND(lit(1L)).cast("long"),
+            b * cols.size + i))
+        }
+      }
+      DigestManifest.tagNextReplaceAsCompaction(path)
+      DigestSink.declarePreservedLayoutForNextWrite(path)
+      try df.withColumn("__graft_z", z)
+        .repartitionByRange(buckets, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .writeTo(full)
+        .overwrite(lit(true))
+      finally {
+        DigestSink.clearPreservedLayout(path)
+        DigestManifest.clearCompactionTag(path)
+      }
+    } finally {
+      val walk = Files.walk(snap)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    require(DigestManifest.isCompaction(path, DigestManifest.currentVersion(path)),
+      "graft.system.rewrite_zorder: the rewrite commit did not carry its " +
+        "content-preserving tag")
+
+    val after = ProcedureSupport.manifestLines(path, "_MANIFEST")
+      .map(ManifestEntry.parse)
+    val version = DigestManifest.currentVersion(path).toLong
+    val summary: Scan = new LocalScan {
+      override def readSchema(): StructType = StructType(Seq(
+        StructField("rewritten_files", LongType, nullable = false),
+        StructField("table_rows", LongType, nullable = false),
+        StructField("committed_version", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version))
+    }
+    util.Collections.singletonList(summary).iterator()
+  }
+}

@@ -1338,4 +1338,103 @@ class CatalogSpec extends SparkSpec {
     assert(planned(LessThan("n_chars", java.lang.Long.valueOf(100L)),
       GreaterThanOrEqual("doc_id", java.lang.Long.valueOf(15L))) == 1)
   }
+
+  test("q275: rollback refuses non-delta tables, the current head, and " +
+      "expired versions; a branch rolls back without moving main") {
+    withCatalog {
+      // non-history flavor: the files a restore needs may be deleted
+      val dirP = tmp("graft_rb_plain_spec_")
+      val tblP = s"graft.ns.rbplain_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tblP (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dirP')""".stripMargin)
+      spark.sql(s"INSERT INTO $tblP VALUES (1, 'en', 10)")
+      val eP = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '${tblP.stripPrefix("graft.")}', " +
+          "version => 1)").collect()
+      }
+      assert(eP.getMessage.contains("not a delta"), eP.getMessage)
+
+      val dir = tmp("graft_rb_spec_")
+      val tbl = s"graft.ns.rb_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10)")
+      spark.sql(s"INSERT INTO $tbl VALUES (2, 'de', 20)")
+      // the head is not an EARLIER version
+      val eHead = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '$short', version => 2)").collect()
+      }
+      assert(eHead.getMessage.contains("EARLIER"), eHead.getMessage)
+      // an expired snapshot cannot be restored — its pointer is gone
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 'fr', 30)")
+      spark.sql(s"CALL graft.system.expire_snapshots(table => '$short', keep_last => 2)").collect()
+      val eExp = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '$short', version => 1)").collect()
+      }
+      assert(eExp.getMessage.contains("expired"), eExp.getMessage)
+
+      // branch rollback: only the branch ref moves
+      spark.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'wip')").collect()
+      val tblB = s"${tbl}_wip"
+      spark.sql(s"""CREATE TABLE $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'branch'='wip')""".stripMargin)
+      spark.sql(s"INSERT INTO $tblB VALUES (4, 'es', 40)")
+      spark.sql(s"INSERT INTO $tblB VALUES (5, 'zh', 50)")
+      val mainHead = DigestManifest.currentVersion(dir.toString)
+      val bHead = DigestManifest.currentVersion(dir.toString, "wip")
+      spark.sql(s"CALL graft.system.rollback(table => '$short', " +
+        s"version => ${bHead - 1}, branch => 'wip')").collect()
+      assert(spark.table(tblB).count() == spark.table(tbl).count() + 1,
+        "branch rollback must undo exactly the last branch insert")
+      assert(DigestManifest.currentVersion(dir.toString) == mainHead,
+        "a branch rollback must not move main")
+      spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $tblB")
+      spark.sql(s"DROP TABLE $tblP")
+    }
+  }
+
+  test("q277: rewrite_zorder refuses one column, unknown columns, and bad " +
+      "buckets; the preserved-layout declaration never leaks past the call") {
+    withCatalog {
+      val dir = tmp("graft_zo_spec_")
+      val tbl = s"graft.ns.zo_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20), (3, 'fr', 30)")
+      val e1 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_zorder(table => '$short', cols => 'doc_id')").collect()
+      }
+      assert(e1.getMessage.contains("rewrite_sorted"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_zorder(table => '$short', cols => 'doc_id,lang')").collect()
+      }
+      assert(e2.getMessage.contains("zone-mapped"), e2.getMessage)
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_zorder(table => '$short', " +
+          "cols => 'doc_id,n_chars', buckets => 1)").collect()
+      }
+      assert(e3.getMessage.contains("buckets"), e3.getMessage)
+      // healthy call: content preserved, tagged content-preserving, and
+      // the layout declaration is consumed — a refused NEXT call must not
+      // inherit it, and a plain insert afterwards lang-clusters as always
+      val before = spark.table(tbl).orderBy("doc_id").collect().toSeq
+      val r = spark.sql(s"CALL graft.system.rewrite_zorder(table => '$short', " +
+        "cols => 'doc_id,n_chars', buckets => 2)").collect()
+      assert(r.length == 1 && r(0).getLong(1) == 3L, r.toSeq.toString)
+      assert(spark.table(tbl).orderBy("doc_id").collect().toSeq == before,
+        "z-order must preserve content exactly")
+      assert(!graft.sources.DigestSink.preservedLayoutFor(dir.toString),
+        "the preserved-layout declaration must be consumed by the call")
+      assert(DigestManifest.isCompaction(dir.toString,
+        DigestManifest.currentVersion(dir.toString)),
+        "the z-order rewrite must be tagged content-preserving")
+      spark.sql(s"INSERT INTO $tbl VALUES (4, 'en', 40)")
+      val enFiles = DigestManifest.listingFor(dir.toString, "_MANIFEST")
+        .filter(_.nonEmpty).map(_.split(",")(0)).filter(_.startsWith("lang_en-"))
+      assert(enFiles.nonEmpty, "the post-call insert must lang-cluster again")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }

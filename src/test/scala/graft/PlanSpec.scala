@@ -988,4 +988,58 @@ class PlanSpec extends SparkSpec {
       "shingle lambda re-inlined below the exchange")
     assert(scanSection.nonEmpty)
   }
+
+  // ---- q278: BloomCodec algebra — the properties the skipping rests on ----
+
+  test("q278: BloomCodec has no false negatives at ANY fold size, an empty " +
+      "filter excludes everything, and absent probes mostly miss") {
+    import graft.sources.BloomCodec
+    // rows counts chosen to land every fold rung between the 1024-bit
+    // floor and the 16384-bit build ceiling
+    for (n <- Seq(1, 7, 100, 128, 500, 2048, 10000)) {
+      val b = BloomCodec.newBuild()
+      val vals = (0 until n).map(i => i.toLong * 2654435761L % 1000003L)
+      vals.foreach(BloomCodec.add(b, _))
+      val enc = BloomCodec.encode(b, n)
+      val bits = enc.split(";")(0).toInt
+      assert(Integer.bitCount(bits) == 1 && bits >= 1024 && bits <= BloomCodec.BuildBits,
+        s"n=$n bits=$bits")
+      // NO false negative, whatever the fold folded
+      assert(vals.forall(BloomCodec.mayContain(enc, _)),
+        s"n=$n: a committed value fell out of the folded filter")
+      // absent values: mostly excluded while the filter is SIZED for its
+      // rows (n ≤ ceiling/BitsPerRow). Past that the capped filter
+      // saturates — it stops PRUNING but never lies (the no-false-negative
+      // row above still holds), which is exactly the safe failure mode a
+      // bounded manifest-resident filter must have; production files
+      // bigger than the cap would spill the filter to the file footer.
+      val ghosts = (0 until 1000).map(i => 2000000L + i * 7919L)
+        .filterNot(vals.contains)
+      val kept = ghosts.count(BloomCodec.mayContain(enc, _))
+      if (n <= BloomCodec.BuildBits / BloomCodec.BitsPerRow)
+        assert(kept <= ghosts.size / 5,
+          s"n=$n bits=$bits: absent-probe fpp ${kept}/${ghosts.size} is useless")
+      // …and the entry bloat stays bounded whatever the row count
+      // structural max: 256 words x ~21 chars sparse-encoded
+      assert(enc.length <= 5500, s"n=$n: bloom attr ${enc.length}B too big")
+    }
+    // empty filter: contains nothing
+    val empty = BloomCodec.encode(BloomCodec.newBuild(), 0)
+    assert(!BloomCodec.mayContain(empty, 0L) && !BloomCodec.mayContain(empty, 42L))
+    // malformed encodings are corruption — loud, not lenient
+    intercept[Exception] { BloomCodec.mayContain("1000;0:ff", 1L) } // not 2^j
+    intercept[Exception] { BloomCodec.mayContain("1024;broken", 1L) }
+  }
+
+  test("q278: a bloom-pruned probe composes with lang pruning and stays " +
+      "exact under a false-positive-free fixture") {
+    import graft.sources.{BloomCodec, DigestManifest}
+    // fold-halving preserves mod-2^j probe semantics: a filter built at
+    // the ceiling then folded twice answers exactly like one built small
+    val big = BloomCodec.newBuild()
+    (0L until 64L).foreach(BloomCodec.add(big, _))
+    val enc = BloomCodec.encode(big, 64) // folds to the 1024-bit floor
+    assert(enc.split(";")(0).toInt == 1024)
+    (0L until 64L).foreach(v => assert(BloomCodec.mayContain(enc, v)))
+  }
 }
