@@ -1348,8 +1348,10 @@ class RewriteZorderProcedure(catalogName: String) extends UnboundProcedure
         val lo = bounds.getLong(2 * i)
         val hi = bounds.getLong(2 * i + 1)
         val span = math.max(1L, hi - lo)
-        // (c - lo) * maxCode / span, all in long arithmetic
-        (col(c) - lit(lo)).cast("long") * lit((1L << bitsPer) - 1) / lit(span)
+        // (c - lo) * maxCode / span — the quotient floor-cast back to
+        // long so the bit probes below see exact integral codes
+        ((col(c) - lit(lo)).cast("long") * lit((1L << bitsPer) - 1) /
+          lit(span)).cast("long")
       }
       val z = (0 until bitsPer).foldLeft(lit(0L)) { (acc, b) =>
         scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
