@@ -297,17 +297,26 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
   override def isDeterministic: Boolean = false
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("keep_last", org.apache.spark.sql.types.IntegerType).build())
+      ProcedureParameter.in("keep_last", org.apache.spark.sql.types.IntegerType).build(),
+      // round-18: a long-lived WAP branch accumulates versions like main
+      // does — expiry composes with the per-ref log
+      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build())
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
     val keepLast = input.getInt(1)
     require(keepLast >= 1, "graft.system.expire_snapshots: keep_last must be >= 1")
+    val ref = DigestManifest.checkRef(input.getUTF8String(2).toString)
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "expire_snapshots",
       requireDelta = true)
+    val mStem = DigestManifest.mName(ref)
+    val cStem = DigestManifest.changesName(ref)
+    if (ref != DigestManifest.MainRef)
+      require(DigestManifest.currentVersion(path, ref) > 0,
+        s"graft.system.expire_snapshots: no branch '$ref' on $tbl")
     // (version, micros, RAW line) — the raw line is written back verbatim
     // so the registration's content-hash field (3rd) survives expiry
-    val entries = ProcedureSupport.manifestLines(path, "_VERSIONS")
+    val entries = ProcedureSupport.manifestLines(path, DigestManifest.vName(ref))
       .map { l => val a = l.split(","); (a(0).toInt, a(1).toLong, l) }
       .sortBy(_._1)
     require(entries.nonEmpty, s"graft.system.expire_snapshots: $tbl has no commits")
@@ -315,32 +324,34 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     // the keep-last policy — an audit pin ("the snapshot release X trained
     // on") must never be silently expired; their delta-chain dependencies
     // are covered by the shape-driven rebase below, which folds any kept
-    // snapshot whose chain passes through an expiring version to full
-    // main-ref pins only: branch-tagged versions live in the branch's
-    // own snapshot namespace, which main expiry never deletes (their
-    // data files stay referenced via the `_MANIFEST@` reference scan)
+    // snapshot whose chain passes through an expiring version to full.
+    // Pins are PER-REF: expiring a branch honors the branch's own tags
+    // (q273), and a main expiry never touches branch-tagged snapshots
+    // anyway (they live in the branch's own namespace; their data files
+    // stay referenced via the `_MANIFEST@` reference scan)
     val pinned = DigestTags.tagsOf(path).values
-      .collect { case (v, r) if r == DigestManifest.MainRef => v }.toSet
+      .collect { case (v, r) if r == ref => v }.toSet
     val keepSet = entries.takeRight(keepLast).map(_._1).toSet ++ pinned
     val (expired, kept) = entries.partition(e => !keepSet.contains(e._1))
 
-    // files a SURVIVING reader may plan against: every kept snapshot plus
-    // the current pointer (the latest kept version by construction) —
-    // and every BRANCH ref's snapshots (q255): both refs' listings point
-    // into this directory, so expiry on main must never GC a file a live
-    // branch still names
-    val branchManifests: Seq[String] = {
+    // files a SURVIVING reader may plan against: every kept snapshot of
+    // THIS ref plus its current pointer — and every OTHER ref's pointer
+    // and snapshots (q255): all refs' listings point into this one
+    // directory, so expiry on any ref must never GC a file another ref
+    // still names
+    val otherManifests: Seq[String] = {
       val listing = Files.list(Paths.get(path))
       try {
         import scala.jdk.CollectionConverters._
         listing.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_MANIFEST@")).toSeq
+          .filter(n => n.startsWith("_MANIFEST") &&
+            n != mStem && !n.startsWith(s"$mStem.v")).toSeq
       } finally listing.close()
     }
     val referenced: Set[String] =
-      (kept.map(v => s"_MANIFEST.v${v._1}").flatMap(ProcedureSupport.manifestLines(path, _)) ++
-        ProcedureSupport.manifestLines(path, "_MANIFEST") ++
-        branchManifests.flatMap(ProcedureSupport.manifestLines(path, _)))
+      (kept.map(v => s"$mStem.v${v._1}").flatMap(ProcedureSupport.manifestLines(path, _)) ++
+        ProcedureSupport.manifestLines(path, mStem) ++
+        otherManifests.flatMap(ProcedureSupport.manifestLines(path, _)))
         .map(_.split(",")(0)).toSet
 
     // 0. REBASE kept delta-shaped snapshots whose chain passes through an
@@ -352,7 +363,7 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
     //    shape-driven, not position-driven.
     val keptSet = kept.map(_._1).toSet
     kept.foreach { case (v, _, _) =>
-      val snap = Paths.get(path, s"_MANIFEST.v$v")
+      val snap = Paths.get(path, s"$mStem.v$v")
       if (Files.exists(snap)) {
         val first = {
           import scala.jdk.CollectionConverters._
@@ -360,26 +371,25 @@ class ExpireSnapshotsProcedure(catalogName: String) extends UnboundProcedure
         }
         val baseOf = first.filter(_.startsWith("#base:")).map(_.drop(6).toInt)
         if (baseOf.exists(b => !keptSet.contains(b))) {
-          val folded = DigestManifest.listingAt(path, DigestManifest.MainRef, v)
-          DigestManifest.rewriteSnapshotAsBase(path, DigestManifest.MainRef,
-            v, folded)
+          val folded = DigestManifest.listingAt(path, ref, v)
+          DigestManifest.rewriteSnapshotAsBase(path, ref, v, folded)
         }
       }
     }
 
     // 1. pointers first: rewrite the version log atomically, drop expired
     //    snapshot manifests
-    val tmp = Paths.get(path, "_VERSIONS.tmp")
+    val tmp = Paths.get(path, s"${DigestManifest.vName(ref)}.tmp")
     Files.write(tmp, kept.map(_._3).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, "_VERSIONS"),
+    Files.move(tmp, Paths.get(path, DigestManifest.vName(ref)),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     expired.foreach { case (v, _, _) =>
-      Files.deleteIfExists(Paths.get(path, s"_MANIFEST.v$v"))
+      Files.deleteIfExists(Paths.get(path, s"$mStem.v$v"))
       // an expired version's change record goes with its snapshot — the
       // feed must fail resolvably on an expired range, not half-plan it
-      Files.deleteIfExists(Paths.get(path, s"_CHANGES.v$v"))
+      Files.deleteIfExists(Paths.get(path, s"$cStem.v$v"))
     }
 
     // 2. then the data files nothing references anymore (data files only —

@@ -120,4 +120,80 @@ class PlaneFlavorsSpec extends SparkSpec {
     assert(parts == Set("lang=aa", "lang=bb"), parts.toString)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("streaming epochs honor the parquet plane: every epoch's committed " +
+      "files are parquet and the batch read-back is value-exact") {
+    setupCatalog()
+    val dir = tmp("graft_plane_stream_")
+    val tbl = s"graft.ns.plstream_${System.nanoTime()}"
+    spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft_digest TBLPROPERTIES ('path'='$dir',
+                 |  'format'='parquet')""".stripMargin)
+    val ckpt = tmp("graft_plane_stream_ckpt_")
+    val q = spark.readStream.format("graft.sources.SeqSource")
+      .option("rows", "400").option("slices", "4")
+      .option("columnar", "false").option("rowsPerBatch", "100")
+      .load()
+      .selectExpr("id AS doc_id", "substr(h, 1, 1) AS lang", "v AS n_chars")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(tbl)
+    q.awaitTermination()
+    // multiple epochs landed, every committed data file is parquet, and
+    // the manifest-gated batch read folds them value-exactly
+    val files = dataFiles(dir)
+    val epochs = files.flatMap(n => "-je(\\d+)-".r.findFirstMatchIn(n).map(_.group(1)))
+      .distinct
+    assert(epochs.size >= 2, s"expected multiple epochs, got $files")
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")), files.toString)
+    assert(spark.table(tbl).count() == 400)
+    assert(spark.sql(s"SELECT SUM(n_chars) FROM $tbl").head().getLong(0) ==
+      (0L until 400L).map(i => i * 2654435761L % 1000003L).sum)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("expire_snapshots on a BRANCH: per-ref retention with per-ref pins, " +
+      "main untouched, no file another ref names is GC'd") {
+    setupCatalog()
+    val dir = tmp("graft_plane_brexp_")
+    val tbl = s"graft.ns.brexp_${System.nanoTime()}"
+    val short = tbl.split("\\.").drop(1).mkString(".")
+    spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'aa', 10)")
+    spark.sql(s"CALL graft.system.create_branch(table => '$short', branch => 'work')").collect()
+    val tblB = s"${tbl}_work"
+    spark.sql(s"""CREATE TABLE $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                 |USING graft_digest TBLPROPERTIES ('path'='$dir', 'branch'='work')""".stripMargin)
+    (2 to 5).foreach(i => spark.sql(s"INSERT INTO $tblB VALUES ($i, 'bb', ${i * 10})"))
+    // pin an early branch version, then expire the branch to keep_last=1
+    spark.sql(s"CALL graft.system.create_tag(table => '$short', tag => 'early', " +
+      "version => 2, branch => 'work')").collect()
+    val mainVersions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_MANIFEST.v")).toSet
+    val r = spark.sql(s"CALL graft.system.expire_snapshots(table => '$short', " +
+      "keep_last => 1, branch => 'work')").collect()
+    assert(r.length == 1, r.toSeq.toString)
+    // the pinned version and the head survive; earlier branch snapshots gone
+    assert(Files.exists(dir.resolve("_MANIFEST@work.v2")), "pin must survive")
+    assert(!Files.exists(dir.resolve("_MANIFEST@work.v3")), "v3 must expire")
+    // main's snapshots are untouched and main still reads
+    val mainAfter = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("_MANIFEST.v")).toSet
+    assert(mainAfter == mainVersions, s"$mainVersions vs $mainAfter")
+    assert(spark.table(tbl).count() == 1)
+    // the branch head and the pin still read exactly their content
+    assert(spark.table(tblB).count() == 5)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $tbl VERSION AS OF 'early'")
+      .head().getLong(0) == 2)
+    // expiring an unknown branch refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.expire_snapshots(table => '$short', " +
+        "keep_last => 1, branch => 'ghost')").collect()
+    }
+    assert(e.getMessage.contains("no branch"), e.getMessage)
+    spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $tblB")
+  }
 }
