@@ -6,20 +6,21 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-17 FINAL QUERY SET (all 268 queries, q1–q271)
-  * must stay ≤ 214 s (1.3 × the 164.53 s round-17 final anchor —
-  * min-of-3 full-set runs of 178.33 / 167.88 / 164.53 s on the FINAL
-  * round-17 build, zero failures, zero flaky; a mid-round 267-query
-  * anchor read 168.43 s min-of-3 of 171.29/172.27/168.42 at ~1%
-  * spread — PLANS.md "Round 17 anchor"). The six round-17 additions
-  * (q266–q271: parquet plane ×3, timestamp CDF, tags,
-  * branch×evolution) cost ~0.7 s together, and the round's
-  * partition-grouped-shard + pruned-read + DeltaFold changes showed
-  * ZERO real >1.3× movers vs the r16 driver bench (q169/q56/q45 moved
-  * <0.5 s, ambient band) while the r16 driver spikes re-read at their
-  * quiet values (q75 19.7→8.5, q145 5.5→0.57, q113 2.7→0.35). Prior
-  * anchors: r16 166.49 s / 262 (ceiling 216 s), r15 174.87 s / 257
-  * (ceiling 227 s), r14 154.45 s / 247 (ceiling 201 s). The streaming
+  * total over the ROUND-18 FINAL QUERY SET (all 275 queries, q1–q278)
+  * must stay ≤ 197 s (1.3 × the 151.22 s round-18 final anchor —
+  * min-of-3 full-set runs of 156.48 / 164.54 / 151.22 s on the FINAL
+  * round-18 build, zero failures, zero flaky — PLANS.md "Round 18
+  * final anchor"; the fastest full-set run of any round, 13.3 s under
+  * the r17 anchor WITH seven more queries). The seven round-18
+  * additions (q272–q278: column pruning, branch tags, declared-schema
+  * lakehouse, rollback, incremental MV, z-order, bloom filters) cost
+  * ~0.9 s together, and the round showed ZERO >1.3× movers vs the r17
+  * driver bench across its compact top-150 — the r17 driver spikes
+  * re-read at quiet values (q138 7.53→4.42, q184 6.99→4.31, q157
+  * 6.27→3.80, q198 3.92→1.39, q169 1.30→0.99 — the two r17
+  * monitor-flagged drifts resolved ambient). Prior anchors: r17
+  * 164.53 s / 268 (ceiling 214 s), r16 166.49 s / 262 (216 s), r15
+  * 174.87 s / 257 (227 s), r14 154.45 s / 247 (201 s). The streaming
   * trigger-latency swing story (q184 26.7 s → 5.69 s targeted) is in
   * PLANS.md "Round 14 final anchor" and is exactly why the exemption
   * bands below exist — and since round 16, bench_full.json's
