@@ -124,7 +124,8 @@ object DigestChanges {
     // downstream CDC consumer, so the feed refuses loudly instead.
     // ref-qualified lookup: a branch commit whose version NUMBER collides
     // with a tagged main compaction (branch logs restart at v1) must not
-    // be skipped — and a branch compaction, if one is ever tagged, is
+    // be skipped — and a branch compaction, if one is ever tagged,
+    // skips only its own branch's feed
     if (DigestManifest.isCompaction(path, v, ref)) return Seq.empty
     val rec = Paths.get(path, s"${DigestManifest.changesName(ref)}.v$v")
     val (added, removed, mutated) =

@@ -259,7 +259,8 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
     checks: Seq[EvolveCheck] = Seq.empty,
     ref: String = DigestManifest.MainRef,
     plane: DataPlane = DataPlane.Csv,
-    zoneCols: Seq[String] = Nil) extends Table
+    zoneCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -273,6 +274,17 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
         "columns must update the property"))
     require(f.dataType == LongType,
       s"graft_evolve: zone-map column '$c' must be BIGINT, is ${f.dataType.sql}")
+    f.id
+  }
+  // declared bloom columns (q279 — the q278 point-lookup layer on the
+  // declared schema): same name->id resolution contract as zones
+  private val bloomIds: Seq[Int] = bloomCols.map { c =>
+    val f = fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+      s"graft_evolve: 'bloom.columns' names unknown column '$c' " +
+        s"(schema: ${fields.map(_.name).mkString(", ")}) — renamed bloom " +
+        "columns must update the property"))
+    require(f.dataType == LongType,
+      s"graft_evolve: bloom column '$c' must be BIGINT, is ${f.dataType.sql}")
     f.id
   }
   override def name(): String =
@@ -303,7 +315,7 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => new EvolveDvOperation(path, fields, info.command(), ref, plane,
-      zoneIds)
+      zoneIds, bloomIds)
 
   // writes bind to the schema CURRENT AT PLAN TIME: the committed file
   // records exactly those ids, so a concurrent ALTER never reinterprets
@@ -312,14 +324,14 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new EvolveBatchWrite(path, fields, ref, plane, zoneIds)
+          new EvolveBatchWrite(path, fields, ref, plane, zoneIds, bloomIds)
       }
     }
 
   // column pruning reaches the reader: an evolved table accretes columns
   // over its life, and a projection must not parse cells it never serves
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EvolveScanBuilder(path, fields, ref, zoneIds)
+    new EvolveScanBuilder(path, fields, ref, zoneIds, bloomIds)
 }
 
 /** Scan builder: column pruning (q223) + zone-range file skipping over
@@ -331,11 +343,12 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
   * no deletion vector).
   */
 class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
-    ref: String, zoneIds: Seq[Int], emitMeta: Boolean = false)
+    ref: String, zoneIds: Seq[Int], bloomIds: Seq[Int] = Nil,
+    emitMeta: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 
   private var current: Seq[EvolveField] = fields
   private val zoneName: Map[String, Int] =
@@ -344,6 +357,10 @@ class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
     zoneIds.map(_ -> Long.MinValue): _*)
   private val zHi = scala.collection.mutable.Map(
     zoneIds.map(_ -> Long.MaxValue): _*)
+  private val bloomName: Map[String, Int] =
+    bloomIds.flatMap(id => fields.find(_.id == id).map(_.name -> id)).toMap
+  // per bloom field id, the intersection of pushed point sets (q279)
+  private var bloomPoints: Map[Int, Set[Long]] = Map.empty
   private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -371,6 +388,15 @@ class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
         longOf(v).foreach(x => zHi(zoneName(c)) = math.min(zHi(zoneName(c)), x))
       case _ => ()
     }
+    val pointSets: Seq[(Int, Set[Long])] = filters.collect {
+      case EqualTo(c, v) if bloomName.contains(c) && longOf(v).isDefined =>
+        bloomName(c) -> Set(longOf(v).get)
+      case In(c, vs) if bloomName.contains(c) &&
+          vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
+        bloomName(c) -> vs.flatMap(longOf(_)).toSet
+    }
+    bloomPoints = pointSets.groupBy(_._1).view
+      .mapValues(_.map(_._2).reduce(_ intersect _)).toMap
     def tightened(id: Int): Boolean =
       zLo(id) != Long.MinValue || zHi(id) != Long.MaxValue
     accepted = filters.filter {
@@ -379,6 +405,7 @@ class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
       case GreaterThanOrEqual(c, _) if zoneName.contains(c) => tightened(zoneName(c))
       case LessThan(c, _) if zoneName.contains(c) => tightened(zoneName(c))
       case LessThanOrEqual(c, _) if zoneName.contains(c) => tightened(zoneName(c))
+      case In(c, _) if bloomName.contains(c) => bloomPoints.contains(bloomName(c))
       case _ => false
     }
     filters // all residual: pruning shrinks the file list, never row checks
@@ -390,26 +417,28 @@ class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
       .map(id => id -> (zLo(id), zHi(id))).toMap
 
   override def build(): Scan = new EvolveScan(path, current, ref, ranges,
-    emitMeta)
+    emitMeta, bloomPoints)
 }
 
 /** One committed evolve file: name, rows, and the writer-observed
   * per-zone-field (min, max) — keyed by FIELD ID.
   */
 case class EvolveCommittedFile(fileName: String, rows: Long,
-    zones: Map[Int, (Long, Long)] = Map.empty)
+    zones: Map[Int, (Long, Long)] = Map.empty,
+    blooms: Map[Int, String] = Map.empty)
 case class EvolveCommitMessage(files: Seq[EvolveCommittedFile])
     extends WriterCommitMessage
 
 class EvolveBatchWrite(path: String, fields: Seq[EvolveField],
     ref: String = DigestManifest.MainRef,
     plane: DataPlane = DataPlane.Csv,
-    zoneIds: Seq[Int] = Nil) extends BatchWrite {
+    zoneIds: Seq[Int] = Nil,
+    bloomIds: Seq[Int] = Nil) extends BatchWrite {
   private val jobTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new EvolveWriterFactory(path, fields, jobTag, plane, zoneIds)
+    new EvolveWriterFactory(path, fields, jobTag, plane, zoneIds, bloomIds)
 
   // manifest entries carry the writing schema's field-id list
   // (`ids=1;2;3` — the per-file evolution metadata readers resolve
@@ -422,7 +451,8 @@ class EvolveBatchWrite(path: String, fields: Seq[EvolveField],
     val ids = fields.map(_.id)
     DigestManifest.publish(path,
       old ++ fresh.map(f => EvolveEntry.render(f.fileName, f.rows, ids,
-        EvolveWriterFactory.zoneAttrs(f.zones))).sorted, ref)
+        EvolveWriterFactory.zoneAttrs(f.zones) ++
+          EvolveWriterFactory.bloomAttrs(f.blooms))).sorted, ref)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -441,15 +471,18 @@ object EvolveWriterFactory {
     zones.flatMap { case (id, (lo, hi)) =>
       Seq(s"zmin.c$id" -> lo.toString, s"zmax.c$id" -> hi.toString)
     }
+
+  def bloomAttrs(blooms: Map[Int, String]): Map[String, String] =
+    blooms.map { case (id, enc) => s"bf.c$id" -> enc }
 }
 
 class EvolveWriterFactory(path: String, fields: Seq[EvolveField],
     jobTag: String, plane: DataPlane = DataPlane.Csv,
-    zoneIds: Seq[Int] = Nil)
+    zoneIds: Seq[Int] = Nil, bloomIds: Seq[Int] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new EvolveDataWriter(path, fields, jobTag, partitionId, taskId, plane,
-      zoneIds)
+      zoneIds, bloomIds)
 }
 
 /** Same staged-attempt/rename-on-commit protocol as [[DigestDataWriter]].
@@ -462,7 +495,8 @@ class EvolveWriterFactory(path: String, fields: Seq[EvolveField],
   */
 class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
     partitionId: Int, taskId: Long, plane: DataPlane = DataPlane.Csv,
-    zoneIds: Seq[Int] = Nil, colIdx: Array[Int] = Array.empty)
+    zoneIds: Seq[Int] = Nil, bloomIds: Seq[Int] = Nil,
+    colIdx: Array[Int] = Array.empty)
     extends DataWriter[InternalRow] {
   private val idx: Array[Int] =
     if (colIdx.nonEmpty) colIdx else fields.indices.toArray
@@ -482,6 +516,10 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
   // writer-observed zone (min, max) per declared zone field id
   private val zMin = scala.collection.mutable.Map(zoneIds.map(_ -> Long.MaxValue): _*)
   private val zMax = scala.collection.mutable.Map(zoneIds.map(_ -> Long.MinValue): _*)
+  // streaming bloom build per declared bloom field id (q279); NULL cells
+  // are skipped — a null never equals a probed point
+  private val blooms: Map[Int, Array[Long]] =
+    bloomIds.map(_ -> BloomCodec.newBuild()).toMap
 
   override def write(r: InternalRow): Unit = {
     val vals: Seq[Any] = fields.indices.map { i =>
@@ -494,6 +532,7 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
             zMin(fields(i).id) = math.min(zMin(fields(i).id), v)
             zMax(fields(i).id) = math.max(zMax(fields(i).id), v)
           }
+          blooms.get(fields(i).id).foreach(BloomCodec.add(_, v))
           v
         case DoubleType => r.getDouble(j)
         case StringType => r.getUTF8String(j).toString
@@ -530,7 +569,10 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
       f"ev-j$jobTag-part-$partitionId%05d${plane.ext}")
     Files.move(staged, fin, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     EvolveCommitMessage(Seq(
-      EvolveCommittedFile(fin.getFileName.toString, rows, zones)))
+      EvolveCommittedFile(fin.getFileName.toString, rows, zones,
+        if (rows > 0) blooms.map { case (id, b) =>
+          id -> BloomCodec.encode(b, rows)
+        } else Map.empty)))
   }
   override def abort(): Unit = {
     if (pq != null) pq.close() else out.close()
@@ -553,7 +595,8 @@ case class EvolveFilePartition(path: String, file: String,
 class EvolveScan(path: String, fields: Seq[EvolveField],
     ref: String = DigestManifest.MainRef,
     ranges: Map[Int, (Long, Long)] = Map.empty,
-    emitMeta: Boolean = false) extends Scan with Batch {
+    emitMeta: Boolean = false,
+    bloomPoints: Map[Int, Set[Long]] = Map.empty) extends Scan with Batch {
   override def readSchema(): StructType =
     if (emitMeta) StructType(EvolveSchema.struct(fields).fields ++
       DigestDv.metaFields)
@@ -574,7 +617,14 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
           case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
           case _ => true
         }
-      }
+      } &&
+        // bloom file skipping (q279): a point lookup keeps the file only
+        // if its recorded filter may contain SOME probed point;
+        // filterless entries are always kept
+        bloomPoints.forall { case (id, pts) =>
+          attrs.get(s"bf.c$id").forall(enc =>
+            pts.exists(x => BloomCodec.mayContain(enc, x)))
+        }
       if (keep)
         Some(EvolveFilePartition(path, file, fileIds,
           attrs.getOrElse("dv", ""), ranges, emitMeta): InputPartition)
@@ -602,6 +652,9 @@ private[sources] object EvolveRows {
   final class It(path: String, file: String, fileIds: Seq[Int],
       fields: Seq[EvolveField], zm: Map[Int, (Long, Long)] = Map.empty)
       extends Iterator[(Long, Array[Any])] with AutoCloseable {
+    // same data-file-open observability as the digest reader — the
+    // q274/q279 pruning locks count what was actually opened
+    DigestSink.fileReadEvents.incrementAndGet()
     private var batches: ParquetData.BatchIterator = _
     private val rows: Iterator[(Long, Array[Any])] =
       if (ParquetData.isParquet(file)) {
@@ -711,7 +764,8 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
 // ---------------------------------------------------------------------------
 class EvolveDvOperation(path: String, fields: Seq[EvolveField],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    ref: String, plane: DataPlane, zoneIds: Seq[Int])
+    ref: String, plane: DataPlane, zoneIds: Seq[Int],
+    bloomIds: Seq[Int] = Nil)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.expressions.Expressions
@@ -745,7 +799,7 @@ class EvolveDvOperation(path: String, fields: Seq[EvolveField],
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new EvolveDvBatchWrite(path, fields, baseVersion, fileIdx,
-              posIdx, colIdx, ref, plane, zoneIds)
+              posIdx, colIdx, ref, plane, zoneIds, bloomIds)
         }
     }
   }
@@ -753,7 +807,8 @@ class EvolveDvOperation(path: String, fields: Seq[EvolveField],
 
 class EvolveDvBatchWrite(path: String, fields: Seq[EvolveField],
     baseVersion: Int, fileIdx: Int, posIdx: Int, colIdx: Array[Int],
-    ref: String, plane: DataPlane, zoneIds: Seq[Int])
+    ref: String, plane: DataPlane, zoneIds: Seq[Int],
+    bloomIds: Seq[Int] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   private val jobTag: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
@@ -761,6 +816,7 @@ class EvolveDvBatchWrite(path: String, fields: Seq[EvolveField],
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     EvolveDvWriterFactory(path, fields, fileIdx, posIdx, colIdx, jobTag,
+      bloomIds,
       plane, zoneIds)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -805,7 +861,8 @@ class EvolveDvBatchWrite(path: String, fields: Seq[EvolveField],
     }
     val ids = fields.map(_.id)
     val adds = fresh.map(f => EvolveEntry.render(f.fileName, f.rows, ids,
-      EvolveWriterFactory.zoneAttrs(f.zones))).sorted
+      EvolveWriterFactory.zoneAttrs(f.zones) ++
+        EvolveWriterFactory.bloomAttrs(f.blooms))).sorted
     records ++= adds.map("+" + _)
     DigestManifest.publishReplace(path, mutatedLines ++ adds, baseVersion,
       ref, Some(records.toSeq))
@@ -832,7 +889,7 @@ case class EvolveDvMessage(deletes: Map[String, Array[Long]],
   */
 case class EvolveDvWriterFactory(path: String, fields: Seq[EvolveField],
     fileIdx: Int, posIdx: Int, colIdx: Array[Int], jobTag: String,
-    plane: DataPlane, zoneIds: Seq[Int])
+    bloomIds: Seq[Int], plane: DataPlane, zoneIds: Seq[Int])
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
@@ -852,7 +909,7 @@ case class EvolveDvWriterFactory(path: String, fields: Seq[EvolveField],
           "graft_evolve dv: insert arrived without resolvable data columns")
         if (ins == null)
           ins = new EvolveDataWriter(path, fields, jobTag, partitionId,
-            taskId, plane, zoneIds, colIdx)
+            taskId, plane, zoneIds, bloomIds, colIdx)
         ins.write(row)
       }
       override def reinsert(meta: InternalRow, row: InternalRow): Unit =

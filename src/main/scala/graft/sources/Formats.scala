@@ -5295,6 +5295,92 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q279: bloom filters on the DECLARED-SCHEMA (evolve) table ----------
+  // q278's point-lookup layer generalized the way q274 generalized zones/
+  // DV/CDF: `'bloom.columns'` on any declared BIGINT field — writers fold
+  // a per-file filter into the entry (`bf.c<fieldId>`, id-addressed like
+  // the zone attrs, so RENAME never detaches it), and the scan skips
+  // files whose filter excludes every probed point. The fixture's probe
+  // column (`bucket`) is a hash of n_chars — scattered across every file,
+  // NO zone declared for it, so nothing but the bloom can prune a point
+  // lookup. Locks: every entry carries the filter, a present-point probe
+  // opens fewer files than exist, an absent-point probe opens ≤1, the
+  // decoy opens all — and the filter SURVIVES deletion-vector growth
+  // (the DV mutation rewrites the entry's attrs around it).
+  def q279EvolveBloom(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val tbl = s"graft.ns.evbloom_${Integer.toHexString(dir.hashCode)}"
+    graft.TempDirs.staged(s"dsv2_evolve_bloom:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl
+               |(doc_id BIGINT, lang STRING, n_chars BIGINT, bucket BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'format'='parquet',
+               |  'bloom.columns'='bucket')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q279")
+      val third = s.sql("SELECT (MAX(doc_id) + 3) DIV 3 FROM docs_q279")
+        .collect()(0).getLong(0)
+      (0 until 3).foreach(k => s.sql(
+        s"""INSERT INTO $tbl SELECT doc_id, lang, n_chars,
+           |  (doc_id * 2654435761) % 1000003 AS bucket
+           |FROM docs_q279
+           |WHERE doc_id >= ${k * third} AND doc_id < ${(k + 1) * third}"""
+          .stripMargin))
+      val entries = DigestManifest.listingFor(sink, "_MANIFEST")
+        .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      val bfAttr = entries.head.attrs.keys.find(_.startsWith("bf.c"))
+        .getOrElse(throw new AssertionError(
+          s"q279: no bloom attr on ${entries.head.line}"))
+      require(entries.forall(_.attrs.contains(bfAttr)),
+        s"q279: every committed entry must carry $bfAttr:\n" +
+          entries.map(_.line).mkString("\n"))
+      // DV growth must not detach the filter: delete a slice, then the
+      // mutated entries still carry their bloom
+      s.sql(s"DELETE FROM $tbl WHERE doc_id % 10 = 3")
+      val after = DigestManifest.listingFor(sink, "_MANIFEST")
+        .filter(_.nonEmpty).map(ManifestEntry.parse).toSeq
+      require(after.exists(_.attrs.contains("dv")) &&
+          after.filter(e => !e.attrs.contains("dv")).forall(_.rows >= 0) &&
+          after.filter(_.attrs.contains("dv")).forall(_.attrs.contains(bfAttr)),
+        s"q279: the DV mutation must preserve the bloom attr:\n" +
+          after.map(_.line).mkString("\n"))
+      def opened(pred: String): Long = {
+        val before = DigestSink.fileReadEvents.get()
+        s.sql(s"SELECT SUM(n_chars) FROM $tbl WHERE $pred").collect()
+        DigestSink.fileReadEvents.get() - before
+      }
+      val total = after.count(e => !e.file.startsWith("delta-"))
+      // the probed point: doc 42's bucket (42 % 10 != 3 — it survived the
+      // delete); scattered hash values live in ~1 of the files at any SF
+      val probe = (42L * 2654435761L) % 1000003L
+      val present = opened(s"bucket = $probe")
+      require(present >= 1 && present < total,
+        s"q279: a present-point probe must skip files ($present/$total)")
+      require(opened(s"bucket = ${1000003L + 5}") <= 1,
+        "q279: an absent-point probe must skip (almost) everything")
+      require(opened("n_chars >= 0") == total,
+        s"q279: the unpruned decoy must open all $total files")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  SUM(bucket) AS sum_bucket,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q279Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM((doc_id * 2654435761) % 1000003) AS BIGINT) AS sum_bucket,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE doc_id % 10 <> 3
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -5376,6 +5462,7 @@ object Formats {
     "q276_incremental_mv" -> q276IncrementalMv _,
     "q277_zorder" -> q277Zorder _,
     "q278_bloom_skipping" -> q278BloomSkipping _,
+    "q279_evolve_bloom" -> q279EvolveBloom _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -5459,5 +5546,6 @@ object Formats {
     "q276_incremental_mv" -> q276Sql,
     "q277_zorder" -> q277Sql,
     "q278_bloom_skipping" -> q278Sql,
+    "q279_evolve_bloom" -> q279Sql,
   )
 }

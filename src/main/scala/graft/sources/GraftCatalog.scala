@@ -194,6 +194,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // (round-18): a data plane and declared zone columns
           plane = GraftCatalog.planeOf(props),
           zoneCols = Option(props.get("zonemap.columns")).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          // q279: declared bloom columns resolve by name to field ids
+          bloomCols = Option(props.get("bloom.columns")).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       case _ =>
         new SeqTable(
@@ -281,19 +284,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // table object (q263). The evolve flavor validates zone columns
     // against ITS declared schema (BIGINT fields); the digest flavor
     // against the fixed zone-mappable set.
-    if (provider == "graft_evolve")
-      Option(props.get("zonemap.columns")).foreach { zc =>
-        val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
-        zc.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
-          val f = fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"graft catalog: 'zonemap.columns' names unknown column '$c'"))
-          require(f.dataType == org.apache.spark.sql.types.LongType,
-            s"graft catalog: zone-map column '$c' must be BIGINT")
+    if (provider == "graft_evolve") {
+      // both declarative column sets validate against the DECLARED schema
+      val (_, fields) = EvolveSchema.parse(props.get("evolveSchema"))
+      Seq("zonemap.columns" -> "zone-map", "bloom.columns" -> "bloom")
+        .foreach { case (prop, what) =>
+          Option(props.get(prop)).foreach { v =>
+            v.split(",").map(_.trim).filter(_.nonEmpty).foreach { c =>
+              val f = fields.find(_.name == c).getOrElse(
+                throw new IllegalArgumentException(
+                  s"graft catalog: '$prop' names unknown column '$c'"))
+              require(f.dataType == org.apache.spark.sql.types.LongType,
+                s"graft catalog: $what column '$c' must be BIGINT")
+            }
+          }
         }
-      }
-    else Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
-    Option(props.get("bloom.columns")).foreach(DigestSink.parseBloomCols)
+    } else {
+      Option(props.get("zonemap.columns")).foreach(DigestSink.parseZonemapCols)
+      Option(props.get("bloom.columns")).foreach(DigestSink.parseBloomCols)
+    }
     GraftCatalog.planeOf(props) // validates 'format' / 'parquet.rowgroup.bytes'
     GraftCatalog.tables.put(key(ident), props)
     loadTable(ident)

@@ -1243,15 +1243,32 @@ class RollbackProcedure(catalogName: String) extends UnboundProcedure
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("version", org.apache.spark.sql.types.IntegerType)
-        .build(),
-      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build())
+        .defaultValue("-1").build(),
+      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build(),
+      // `tag =>` rolls back to a NAMED pin (q269/q273): the tag supplies
+      // both the version and the ref, so "restore the release we
+      // audited" needs no version arithmetic — and a tagged version is
+      // unexpirable, so the restore target is guaranteed resolvable
+      ProcedureParameter.in("tag", StringType).defaultValue("''").build())
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
-    val target = input.getInt(1)
-    val ref = DigestManifest.checkRef(input.getUTF8String(2).toString)
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "rollback",
       requireDelta = true)
+    val tagArg = Option(input.getUTF8String(3)).map(_.toString)
+      .filter(_.nonEmpty)
+    require(tagArg.isEmpty != (input.getInt(1) == -1),
+      "graft.system.rollback: give version OR tag, not both (and not neither)")
+    val (target, ref) = tagArg match {
+      case Some(t) =>
+        require(input.getUTF8String(2).toString == DigestManifest.MainRef,
+          "graft.system.rollback: a tag names its own ref — give tag OR branch")
+        DigestTags.tagsOf(path).getOrElse(t, throw new IllegalArgumentException(
+          s"graft.system.rollback: no tag '$t' on $tbl (tags: " +
+            s"${DigestTags.tagsOf(path).keys.toSeq.sorted.mkString(", ")})"))
+      case None =>
+        (input.getInt(1), DigestManifest.checkRef(input.getUTF8String(2).toString))
+    }
     val headV = DigestManifest.currentVersion(path, ref)
     require(target >= 1 && target < headV,
       s"graft.system.rollback: version $target of $tbl" +

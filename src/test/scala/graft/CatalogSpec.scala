@@ -1389,6 +1389,24 @@ class CatalogSpec extends SparkSpec {
         "branch rollback must undo exactly the last branch insert")
       assert(DigestManifest.currentVersion(dir.toString) == mainHead,
         "a branch rollback must not move main")
+
+      // rollback to a NAMED PIN: the tag supplies version AND ref
+      spark.sql(s"CALL graft.system.create_tag(table => '$short', " +
+        s"tag => 'good', version => ${bHead - 1}, branch => 'wip')").collect()
+      spark.sql(s"INSERT INTO $tblB VALUES (9, 'ko', 90)")
+      spark.sql(s"CALL graft.system.rollback(table => '$short', tag => 'good')")
+        .collect()
+      assert(spark.table(tblB).filter("doc_id = 9").count() == 0,
+        "tag rollback must restore the pinned branch state")
+      val eBoth = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '$short', " +
+          "version => 1, tag => 'good')").collect()
+      }
+      assert(eBoth.getMessage.contains("not both"), eBoth.getMessage)
+      val eNone = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '$short')").collect()
+      }
+      assert(eNone.getMessage.contains("not neither"), eNone.getMessage)
       spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $tblB")
       spark.sql(s"DROP TABLE $tblP")
     }
