@@ -6,16 +6,18 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line.
   *
   * RATCHET — one rule: on a quiet host at sf0.1 with min-of-3 reps, the
-  * total over the ROUND-18 FINAL QUERY SET (all 275 queries, q1–q278)
-  * must stay ≤ 197 s (1.3 × the 151.22 s round-18 final anchor —
-  * min-of-3 full-set runs of 156.48 / 164.54 / 151.22 s on the FINAL
+  * total over the ROUND-18 FINAL QUERY SET (all 276 queries, q1–q279)
+  * must stay ≤ 191 s (1.3 × the 146.84 s round-18 final anchor —
+  * min-of-3 full-set runs of 154.78 / 154.87 / 146.84 s on the FINAL
   * round-18 build, zero failures, zero flaky — PLANS.md "Round 18
-  * final anchor"; the fastest full-set run of any round, 13.3 s under
-  * the r17 anchor WITH seven more queries). The seven round-18
-  * additions (q272–q278: column pruning, branch tags, declared-schema
-  * lakehouse, rollback, incremental MV, z-order, bloom filters) cost
-  * ~0.9 s together, and the round showed ZERO >1.3× movers vs the r17
-  * driver bench across its compact top-150 — the r17 driver spikes
+  * final anchor (re-take including q279)"; the fastest full-set run of
+  * any round, 17.7 s under the r17 anchor WITH eight more queries. A
+  * mid-round 275-query anchor read 151.22 s min-of-3 of
+  * 156.48/164.54/151.22 before q279 landed). The eight round-18
+  * additions (q272–q279: column pruning, branch tags, declared-schema
+  * lakehouse, rollback, incremental MV, z-order, bloom filters ×2)
+  * cost ~1.0 s together, and the round showed ZERO >1.3× movers vs the
+  * r17 driver bench across its compact top-150 — the r17 driver spikes
   * re-read at quiet values (q138 7.53→4.42, q184 6.99→4.31, q157
   * 6.27→3.80, q198 3.92→1.39, q169 1.30→0.99 — the two r17
   * monitor-flagged drifts resolved ambient). Prior anchors: r17
