@@ -169,18 +169,25 @@ object DigestChanges {
     val dvDeltas = mutated.map { case (pe, e) =>
       val prevDv = DvCodec.decode(pe.attrs.getOrElse("dv", ""))
       val nextDv = DvCodec.decode(e.attrs.getOrElse("dv", ""))
-      val fresh = DvCodec.addedPositions(prevDv, nextDv)
-      // a DV only GROWS in place (un-delete is not a commit the table
-      // can produce; compaction CLEARS DVs but under new file names and
-      // a compaction tag) — refuse the unrepresentable rather than emit
-      // wrong rows; any OTHER in-place entry mutation is equally
-      // unrepresentable
-      require(fresh.nonEmpty && DvCodec.addedPositions(nextDv, prevDv).isEmpty,
+      val grown = DvCodec.addedPositions(prevDv, nextDv)
+      val shrunk = DvCodec.addedPositions(nextDv, prevDv)
+      // a DML commit only GROWS a DV in place; a ROLLBACK (q275) across
+      // a DV growth restores the earlier, smaller bitmap — a pure
+      // SHRINK, whose change rows are the RESURRECTED positions as
+      // inserts (a downstream replica re-adds exactly those rows). A
+      // mutation that both grows and shrinks — or changes anything else
+      // in place — is not a state the commit paths produce; refuse the
+      // unrepresentable rather than emit wrong rows.
+      require(grown.isEmpty != shrunk.isEmpty,
         s"graft_digest changes: version $v mutated the entry of " +
-          s"${e.file} in a way that is not a deletion-vector growth — " +
-          "not representable as changes")
-      ChangesDvPartition(path, e.file, fresh, v,
-        e.attrs.getOrElse("ids", "")): InputPartition
+          s"${e.file} in a way that is neither a deletion-vector growth " +
+          "nor a rollback's pure shrink — not representable as changes")
+      if (grown.nonEmpty)
+        ChangesDvPartition(path, e.file, grown, v,
+          e.attrs.getOrElse("ids", "")): InputPartition
+      else
+        ChangesDvPartition(path, e.file, shrunk, v,
+          e.attrs.getOrElse("ids", ""), "insert"): InputPartition
     }
     // whole-file inserts/deletes read through the entry's OWN mask:
     // rows already deleted by a DV were never live in that state
@@ -258,7 +265,7 @@ case class ChangesDeltaPartition(path: String, file: String, version: Int)
   */
 case class ChangesDvPartition(path: String, file: String,
     positions: Seq[Long], version: Int,
-    ids: String = "") extends InputPartition
+    ids: String = "", changeType: String = "delete") extends InputPartition
 
 class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -292,7 +299,7 @@ class ChangesReaderFactory extends PartitionReaderFactory {
           pos += 1
           if (!want.contains(pos)) null
           else InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
-            UTF8String.fromString("delete"), vp.version.toLong)
+            UTF8String.fromString(vp.changeType), vp.version.toLong)
         }
     }
 

@@ -1012,9 +1012,12 @@ class EvolveChangesReaderFactory(fields: Seq[EvolveField])
         reader(fp.path, fp.file, parseIds(fp.ids),
           fp.dv, _ => true, _ => fp.changeType, fp.version)
       case vp: ChangesDvPartition =>
+        // changeType: "delete" for DV growth, "insert" for a rollback's
+        // pure shrink (the resurrected positions) — same contract as the
+        // digest reader
         val want = vp.positions.toSet
         reader(vp.path, vp.file, parseIds(vp.ids),
-          "", want.contains, _ => "delete", vp.version)
+          "", want.contains, _ => vp.changeType, vp.version)
       case other => throw new IllegalStateException(
         s"graft_evolve changes: unexpected partition $other " +
           "(the evolve flavor has no delta verb logs)")

@@ -1253,8 +1253,12 @@ class RollbackProcedure(catalogName: String) extends UnboundProcedure
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
+    // the DV flavor qualifies: its commits grow bitmaps without deleting
+    // data files, so every restored listing's bytes still exist — and a
+    // rollback ACROSS a growth is a pure DV shrink, which the change
+    // feed emits as the resurrected rows (inserts)
     val (_, path) = ProcedureSupport.resolve(catalogName, tbl, "rollback",
-      requireDelta = true)
+      requireDelta = true, allowDv = true)
     val tagArg = Option(input.getUTF8String(3)).map(_.toString)
       .filter(_.nonEmpty)
     require(tagArg.isEmpty != (input.getInt(1) == -1),

@@ -1100,7 +1100,8 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
 
-  test("q252: the change feed refuses a shrinking deletion vector") {
+  test("q252/q275: the change feed plans a PURE DV shrink as resurrected " +
+      "inserts (rollback's inverse) and still refuses a mixed mutation") {
     val dir = tmp("graft_dv_shrink_")
     java.nio.file.Files.write(dir.resolve("lang_en-part-00000.csv"),
       java.util.List.of("1,en,10", "2,en,20"))
@@ -1108,10 +1109,21 @@ class CatalogSpec extends SparkSpec {
       Seq("lang_en-part-00000.csv,0,dv=0:3"))
     graft.sources.DigestManifest.publish(dir.toString,
       Seq("lang_en-part-00000.csv,1,dv=0:1"))
+    // positions {0,1} -> {0}: position 1 resurrected — one insert row
+    val parts = graft.sources.DigestChanges.plan(dir.toString, 1, 2)
+    assert(parts.length == 1, parts.toSeq.toString)
+    val dv = parts.head.asInstanceOf[graft.sources.ChangesDvPartition]
+    assert(dv.changeType == "insert" && dv.positions == Seq(1L),
+      dv.toString)
+    // a mutation that grows AND shrinks in one commit is no state any
+    // commit path produces — still refused, loudly
+    graft.sources.DigestManifest.publish(dir.toString,
+      Seq("lang_en-part-00000.csv,1,dv=0:2"))
     val e = intercept[IllegalArgumentException] {
-      graft.sources.DigestChanges.plan(dir.toString, 0, 2)
+      graft.sources.DigestChanges.plan(dir.toString, 2, 3)
     }
-    assert(e.getMessage.contains("not a deletion-vector growth"), e.getMessage)
+    assert(e.getMessage.contains("nor a rollback's pure shrink"),
+      e.getMessage)
   }
 
   // ---- branches + write-audit-publish (q255) ------------------------------
@@ -1452,6 +1464,46 @@ class CatalogSpec extends SparkSpec {
       val enFiles = DigestManifest.listingFor(dir.toString, "_MANIFEST")
         .filter(_.nonEmpty).map(_.split(",")(0)).filter(_.startsWith("lang_en-"))
       assert(enFiles.nonEmpty, "the post-call insert must lang-cluster again")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q275 x DV: rolling back across a deletion-vector growth is a pure " +
+      "shrink — the feed emits the RESURRECTED rows as inserts with payload") {
+    withCatalog {
+      val dir = tmp("graft_rbdv_spec_")
+      val tbl = s"graft.ns.rbdv_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'dv'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'en', 20), " +
+        "(3, 'de', 30), (4, 'de', 40)")
+      spark.sql(s"DELETE FROM $tbl WHERE doc_id IN (2, 3)")
+      assert(spark.table(tbl).count() == 2)
+      val r = spark.sql(s"CALL graft.system.rollback(table => '$short', version => 1)")
+        .collect()
+      assert(r.length == 1 && r(0).getLong(1) == 3L, r.toSeq.toString)
+      // the masked rows are live again
+      assert(spark.table(tbl).count() == 4)
+      // the rollback version's change rows are EXACTLY the resurrected
+      // positions, as inserts, with their payload read back from the file
+      val inverse = spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "2").option("changesTo", "3")
+        .load().collect()
+      assert(inverse.length == 2 &&
+        inverse.forall(_.getString(3) == "insert") &&
+        inverse.map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L) &&
+        inverse.map(_.getLong(2)).sorted.toSeq == Seq(20L, 30L),
+        inverse.toSeq.toString)
+      // the whole window reads end-to-end: growth (delete) then shrink
+      // (insert) — no refusal anywhere
+      val all = spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "0").option("changesTo", "3")
+        .load()
+      assert(all.filter("_change_type = 'delete'").count() == 2 &&
+        all.filter("_change_type = 'insert'").count() == 6)
       spark.sql(s"DROP TABLE $tbl")
     }
   }
