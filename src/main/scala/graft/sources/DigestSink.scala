@@ -1785,12 +1785,14 @@ class DigestWrite(path: String, langSplit: Boolean, requireDist: Boolean,
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(langSplit && overwriteFilters.isEmpty,
       "graft_digest streaming writes are append-mode on the lang-split flavor")
-    new DigestStreamingWrite(path, cols, plane)
+    new DigestStreamingWrite(path, cols, plane, zonemapCols, bloomCols)
   }
 }
 
 class DigestStreamingWrite(path: String, cols: Array[Int],
-    plane: DataPlane = DataPlane.Csv)
+    plane: DataPlane = DataPlane.Csv,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -1805,8 +1807,10 @@ class DigestStreamingWrite(path: String, cols: Array[Int],
     // the append leaves one consistent copy of the epoch
     val oldNames = old.map(_.split(",")(0)).toSet
     if (fresh.forall(f => oldNames.contains(f.fileName))) return
+    // streamed epochs carry the declared zone/bloom attrs like any
+    // batch commit — a table fed by writeStream prunes identically
     DigestManifest.publishAppend(path,
-      fresh.map(DigestSink.entryLine(_)).sorted
+      fresh.map(DigestSink.entryLine(_, zonemapCols, bloomCols)).sorted
         .filterNot(l => oldNames.contains(l.split(",")(0))), baseVersion)
   }
 
@@ -2192,13 +2196,16 @@ class DigestDvTable(path: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new DigestDvOperation(path, info.command(), dvRef, dataPlane)
+    () => new DigestDvOperation(path, info.command(), dvRef, dataPlane,
+      zonemapCols, bloomCols)
 }
 
 class DigestDvOperation(path: String,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     ref: String = DigestManifest.MainRef,
-    dataPlane: DataPlane = DataPlane.Csv)
+    dataPlane: DataPlane = DataPlane.Csv,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
@@ -2252,7 +2259,7 @@ class DigestDvOperation(path: String,
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch(): org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new DigestDvBatchWrite(path, baseVersion, fileIdx, posIdx,
-              dataCols, ref, dataPlane)
+              dataCols, ref, dataPlane, zonemapCols, bloomCols)
         }
     }
   }
@@ -2303,7 +2310,9 @@ case class DigestDvWriterFactory(path: String, fileIdx: Int, posIdx: Int,
 class DigestDvBatchWrite(path: String, baseVersion: Int,
     fileIdx: Int, posIdx: Int, dataCols: Array[Int],
     ref: String = DigestManifest.MainRef,
-    plane: DataPlane = DataPlane.Csv)
+    plane: DataPlane = DataPlane.Csv,
+    zonemapCols: Set[String] = DigestSink.zmCols.keySet,
+    bloomCols: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   // one unique tag per job (same contract as DigestBatchWrite): insert
@@ -2373,7 +2382,11 @@ class DigestDvBatchWrite(path: String, baseVersion: Int,
         nl
       }
     }
-    val adds = fresh.map(DigestSink.entryLine(_)).sorted
+    // the insert halves of DELETE/UPDATE/MERGE are real data files —
+    // they carry the table's DECLARED zone/bloom attrs exactly like a
+    // plain INSERT's files, or point-lookup pruning silently degrades
+    // as the table is mutated
+    val adds = fresh.map(DigestSink.entryLine(_, zonemapCols, bloomCols)).sorted
     records ++= adds.map("+" + _)
     DigestManifest.publishReplace(path, mutatedLines ++ adds, baseVersion,
       ref, Some(records.toSeq))
@@ -3318,23 +3331,50 @@ class DigestColumnarFileReader(p: DigestFilePartition)
   * surface under in the physical plan's metrics.
   */
 private[graft] object DigestMetrics {
-  private class Sum(n: String, d: String)
-      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
-  }
   val planned: org.apache.spark.sql.connector.metric.CustomMetric =
-    new Sum("graft_planned_files", "digest files planned after pruning")
+    new PlannedFilesMetric
   val pruned: org.apache.spark.sql.connector.metric.CustomMetric =
-    new Sum("graft_pruned_files", "digest files skipped by lang pruning")
+    new PrunedFilesMetric
   val rows: org.apache.spark.sql.connector.metric.CustomMetric =
-    new Sum("graft_rows_served", "rows served from digest files")
+    new RowsServedMetric
   // the parquet plane's IN-FILE pruning observability (q266): per-task
   // row-group keep/skip counts off the footer-stats layer
   val rowGroupsPlanned: org.apache.spark.sql.connector.metric.CustomMetric =
-    new Sum("graft_rowgroups_planned", "parquet row groups read after pruning")
+    new RowGroupsPlannedMetric
   val rowGroupsPruned: org.apache.spark.sql.connector.metric.CustomMetric =
-    new Sum("graft_rowgroups_pruned", "parquet row groups skipped by footer stats")
+    new RowGroupsPrunedMetric
+}
+
+/* The SQL UI's SQLAppStatusListener re-instantiates each declared
+ * CustomMetric by REFLECTION on the driver to aggregate task values —
+ * the contract is a public top-level class with a zero-arg constructor
+ * (an inner class with ctor args silently breaks driver-side
+ * aggregation with a per-query WARN). Hence five concrete classes,
+ * constant name()/description() each. */
+class PlannedFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_planned_files"
+  override def description(): String = "digest files planned after pruning"
+}
+class PrunedFilesMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_pruned_files"
+  override def description(): String = "digest files skipped by lang pruning"
+}
+class RowsServedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_rows_served"
+  override def description(): String = "rows served from digest files"
+}
+class RowGroupsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_rowgroups_planned"
+  override def description(): String = "parquet row groups read after pruning"
+}
+class RowGroupsPrunedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_rowgroups_pruned"
+  override def description(): String = "parquet row groups skipped by footer stats"
 }
 
 case class DigestMetricValue(metricName: String, metricValue: Long)

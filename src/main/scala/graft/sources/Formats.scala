@@ -2798,6 +2798,20 @@ object Formats {
     }
     val prev = s.conf.getOption("spark.sql.adaptive.enabled")
     s.conf.set("spark.sql.adaptive.enabled", "false")
+    // capture this query's SQL-execution id so the DRIVER-aggregated metric
+    // (SQLAppStatusListener re-instantiates each CustomMetric by reflection
+    // and folds task values through aggregateTaskMetrics) can be read back
+    // from the status store — the engine-side half of the metrics contract
+    val endedExec = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val execListener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case x: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+            endedExec.updateAndGet(p => math.max(p, x.executionId))
+          case _ =>
+        }
+    }
+    s.sparkContext.addSparkListener(execListener)
     try {
       // no ORDER BY here: a global sort's range-partitioner SAMPLING pass
       // executes the scan a second time, double-counting every task-side
@@ -2823,11 +2837,36 @@ object Formats {
       require(v("graft_rows_served") == rows.map(_.getLong(1)).sum,
         s"q245: rows_served ${v("graft_rows_served")} must equal the digest's " +
           s"own row count ${rows.map(_.getLong(1)).sum}")
+      // the ENGINE-side half: SQLAppStatusListener must have aggregated the
+      // task-reported rows_served on the driver (the zero-arg-constructor
+      // CustomMetric contract) — read the folded value out of the SQL
+      // status store for this execution and pin it to the same row count
+      val shared = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sharedState
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      var aggregated: Option[String] = None
+      while (aggregated.isEmpty && System.nanoTime < deadline) {
+        val id = endedExec.get
+        if (id >= 0) {
+          aggregated = shared.statusStore.execution(id).flatMap { ui =>
+            ui.metrics
+              .find(_.metricType.endsWith(classOf[RowsServedMetric].getName))
+              .flatMap(pm => shared.statusStore.executionMetrics(id).get(pm.accumulatorId))
+          }
+        }
+        if (aggregated.isEmpty) Thread.sleep(25)
+      }
+      require(aggregated.contains(rows.map(_.getLong(1)).sum.toString),
+        s"q245: driver-aggregated rows_served must reach the SQL status store " +
+          s"as ${rows.map(_.getLong(1)).sum}, got $aggregated — the CustomMetric " +
+          s"zero-arg reflection contract is broken")
       s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
         .orderBy("lang")
-    } finally prev match {
-      case Some(x) => s.conf.set("spark.sql.adaptive.enabled", x)
-      case None => s.conf.unset("spark.sql.adaptive.enabled")
+    } finally {
+      s.sparkContext.removeSparkListener(execListener)
+      prev match {
+        case Some(x) => s.conf.set("spark.sql.adaptive.enabled", x)
+        case None => s.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 

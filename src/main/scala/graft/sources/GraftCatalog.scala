@@ -137,8 +137,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // files are all parquet and row-level-clean
       case "graft_digest" if props.getOrDefault("delta", "false").toBoolean =>
         val dp = GraftCatalog.planeOf(props)
+        val (zc, bc) = GraftCatalog.declaredCols(props)
         new DigestDeltaTable(props.get("path")) {
           override protected def dataPlane: DataPlane = dp
+          override protected def zonemapCols: Set[String] = zc
+          override protected def bloomCols: Set[String] = bc
         }
       case "graft_digest" if props.getOrDefault("rowlevel", "false").toBoolean =>
         val dp = GraftCatalog.planeOf(props)
@@ -147,11 +150,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       case "graft_digest" if props.getOrDefault("dv", "false").toBoolean =>
         // q264: the DV flavor composes with a branch ref — deletes stage
-        // as grown bitmaps on the branch's log, invisible to main
+        // as grown bitmaps on the branch's log, invisible to main.
+        // declared zone/bloom columns reach the insert halves of
+        // DELETE/UPDATE/MERGE too — mutation must not erode pruning
         val dp = GraftCatalog.planeOf(props)
+        val (zc, bc) = GraftCatalog.declaredCols(props)
         new DigestDvTable(props.get("path"),
           Option(props.get("branch")).getOrElse(DigestManifest.MainRef)) {
           override protected def dataPlane: DataPlane = dp
+          override protected def zonemapCols: Set[String] = zc
+          override protected def bloomCols: Set[String] = bc
         }
       case "graft_digest" if props.containsKey("branch") =>
         val dp = GraftCatalog.planeOf(props)
@@ -167,13 +175,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // q263: the table's DECLARED zone-map column set (default: all
         // zone-mappable columns) — commits record exactly these.
         // q266: `'format'` picks the data plane (csv | parquet).
-        val zc = Option(props.get("zonemap.columns"))
-          .map(DigestSink.parseZonemapCols)
-          .getOrElse(DigestSink.zmCols.keySet)
         // q278: declared per-file bloom filters (opt-in, default none)
-        val bc = Option(props.get("bloom.columns"))
-          .map(DigestSink.parseBloomCols)
-          .getOrElse(Set.empty[String])
+        val (zc, bc) = GraftCatalog.declaredCols(props)
         val dp = GraftCatalog.planeOf(props)
         new DigestSinkTable(props.get("path"), langSplit = true) {
           override protected def zonemapCols: Set[String] = zc
@@ -550,6 +553,19 @@ object GraftCatalog {
     */
   private[sources] def planeOf(props: util.Map[String, String]): DataPlane =
     DataPlane.fromProps(k => Option(props.get(k)))
+
+  /** The table's declared (zonemap, bloom) column sets — shared by every
+    * digest flavor so DML-driven writes keep the same pruning attrs as
+    * plain inserts.
+    */
+  private[sources] def declaredCols(
+      props: util.Map[String, String]): (Set[String], Set[String]) =
+    (Option(props.get("zonemap.columns"))
+      .map(DigestSink.parseZonemapCols)
+      .getOrElse(DigestSink.zmCols.keySet),
+      Option(props.get("bloom.columns"))
+        .map(DigestSink.parseBloomCols)
+        .getOrElse(Set.empty[String]))
 
   // registry-key separator: NUL cannot appear in an identifier part, so
   // joined keys are unambiguous (written as the escape, not a raw byte,

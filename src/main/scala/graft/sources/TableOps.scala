@@ -1291,17 +1291,46 @@ class RollbackProcedure(catalogName: String) extends UnboundProcedure
     require(missing.isEmpty,
       s"graft.system.rollback: data files of version $target are gone " +
         s"(${missing.take(3).mkString(", ")}); cannot restore")
+    // a rollback whose diff REMOVES live delta verb files (row-level
+    // DML committed after the target) would stage a change record the
+    // feed cannot represent — DigestChanges.planVersion refuses any
+    // non-compaction version that drops delta files, so every CDC
+    // consumer crossing the rollback version would throw PERMANENTLY.
+    // Refuse here, before anything is published, with the way out.
+    val restoredFiles = restored.filter(_.nonEmpty)
+      .map(_.split(",")(0)).toSet
+    val droppedDeltas = ProcedureSupport
+      .manifestLines(path, s"${DigestManifest.mName(ref)}.v$headV")
+      .filter(_.nonEmpty).map(_.split(",")(0))
+      .filter(f => f.startsWith("delta-") && !restoredFiles.contains(f))
+    require(droppedDeltas.isEmpty,
+      s"graft.system.rollback: rolling $tbl back to version $target would " +
+        s"drop live delta verb files (${droppedDeltas.take(3).mkString(", ")}) " +
+        "committed after it — not representable in the change feed; run " +
+        "CALL graft.system.compact first (folds the verbs into base files, " +
+        "whose removal the feed CAN emit as deletes), then re-issue")
     // one optimistic replace planned against the CURRENT head: a commit
     // racing this rollback aborts it loudly (re-issue against the new
     // head), and the staged change record is the diff current -> target
     // — exactly the inverse of what the undone commits published
     val newV = DigestManifest.publishReplace(path, restored, headV, ref)
+    // the summary's row count is the LIVE base rows of the restored
+    // listing: each entry's recorded rows minus its deletion-vector
+    // cardinality (masked rows are not live), with delta verb entries
+    // EXCLUDED (a verb line is a mutation, not a row — netting them
+    // would mean reading verb bytes on the driver) and surfaced in
+    // their own column so the caller knows the count is base-only
+    val entries = restored.filter(_.nonEmpty).map(ManifestEntry.parse)
+    val liveRows = entries.filterNot(_.file.startsWith("delta-"))
+      .map(e => e.rows - DvCodec.cardinality(
+        DvCodec.decode(e.attrs.getOrElse("dv", "")))).sum
     val schema = StructType(Seq(
       StructField("restored_version", LongType, nullable = false),
       StructField("new_version", LongType, nullable = false),
-      StructField("table_rows", LongType, nullable = false)))
-    val rows = Array(InternalRow(target.toLong, newV.toLong,
-      restored.filter(_.nonEmpty).map(_.split(",")(1).toLong).sum): InternalRow)
+      StructField("table_rows", LongType, nullable = false),
+      StructField("restored_delta_files", LongType, nullable = false)))
+    val rows = Array(InternalRow(target.toLong, newV.toLong, liveRows,
+      entries.count(_.file.startsWith("delta-")).toLong): InternalRow)
     util.Collections.singletonList(
       ProcedureSupport.localScan(schema, rows)).iterator()
   }
@@ -1379,10 +1408,18 @@ class RewriteZorderProcedure(catalogName: String) extends UnboundProcedure
         val lo = bounds.getLong(2 * i)
         val hi = bounds.getLong(2 * i + 1)
         val span = math.max(1L, hi - lo)
-        // (c - lo) * maxCode / span — the quotient floor-cast back to
-        // long so the bit probes below see exact integral codes
-        ((col(c) - lit(lo)).cast("long") * lit((1L << bitsPer) - 1) /
-          lit(span)).cast("long")
+        // scale (c - lo) into [0, 2^bitsPer): NEVER multiply by the code
+        // range before reducing — span * maxCode overflows Long past
+        // ~2^39 spans, and Spark's `/` on longs routes through Double
+        // (53-bit mantissa), silently corrupting codes. A wide span
+        // right-shifts down to bitsPer bits (exact integral, no
+        // intermediate growth); a narrow span stretches by a
+        // driver-computed factor whose product is bounded by maxCode.
+        val width = 64 - java.lang.Long.numberOfLeadingZeros(span)
+        if (width <= bitsPer)
+          (col(c) - lit(lo)).cast("long") * lit(((1L << bitsPer) - 1) / span)
+        else
+          shiftright((col(c) - lit(lo)).cast("long"), width - bitsPer)
       }
       val z = (0 until bitsPer).foldLeft(lit(0L)) { (acc, b) =>
         scaled.zipWithIndex.foldLeft(acc) { case (a, (s, i)) =>
