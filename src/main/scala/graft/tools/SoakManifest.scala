@@ -39,7 +39,7 @@ object SoakManifest {
     println("entries,langs,commits,tail_commit_bytes,base_bytes," +
       "head_hot_us,head_cold_us,pruned_cold_us,pruned_bytes," +
       "pruned_entries,cdf_plan_us,banded_cold_us,banded_bytes," +
-      "banded_entries")
+      "banded_entries,needle_cold_us,needle_shards,total_shards")
     rungs.foreach { target =>
       val dir = java.nio.file.Files.createTempDirectory(s"soak_manifest_$target-")
       val path = dir.toString
@@ -199,9 +199,58 @@ object SoakManifest {
         }.sum
       }
 
+      // ---- the round-19 needle rung: shard-BLOOM pruning ----------------
+      // A third table whose entries carry per-file blooms over a
+      // CATEGORICAL key (one source id per file, each id spanning ~10k
+      // files — the tenant/source pattern): distinct ids per 16384-entry
+      // shard stay low, so the fold-down union in the `#bloom:` header
+      // passes its density gate, and a cold needle plan reads ONLY the
+      // sub-shards whose summary may hold the id. (A doc_id-dense shard
+      // saturates the union and self-gates to no summary — absent
+      // metadata never skips data; zones are the dense-key answer.)
+      val bdir = java.nio.file.Files.createTempDirectory(s"soak_bloom_$target-")
+      val bpath = bdir.toString
+      var bn = 0
+      while (bn < target) {
+        val batch = (bn until math.min(bn + batchSize, target)).map { i =>
+          val build = graft.sources.BloomCodec.newBuild()
+          graft.sources.BloomCodec.add(build, i / 10000L)
+          s"lang_l${i % 4}-part-$i.csv,${i % 97 + 1}," +
+            s"bf=${graft.sources.BloomCodec.encode(build, i % 97 + 1)}"
+        }
+        DigestManifest.publishAppend(bpath, batch,
+          DigestManifest.currentVersion(bpath))
+        bn += batch.size
+      }
+      DigestManifest.clearHeadCacheForTest()
+      val needleId = (target / 2) / 10000L
+      var needleShards = 0L
+      val needleCold = timeUs {
+        val before = DigestManifest.shardReadEvents.get()
+        DigestManifest.listingForPruned(bpath, "_MANIFEST",
+          None, Map.empty, Map("bf" -> Set(needleId)))
+        needleShards = DigestManifest.shardReadEvents.get() - before
+      }
+      val totalShards = {
+        val bhv = DigestManifest.currentVersion(bpath)
+        val chainBaseV = (bhv to 1 by -1).find { v =>
+          val p = bdir.resolve(s"_MANIFEST.v$v")
+          java.nio.file.Files.exists(p) && !firstLineOf(p).startsWith("#base:")
+        }.getOrElse(1)
+        val p = bdir.resolve(s"_MANIFEST.v$chainBaseV")
+        if (firstLineOf(p) == "#sharded") headerShards(p).size else 1
+      }
+
       println(s"$target,$nLangs,${commits + 1},$tailBytes,$baseBytes," +
         s"$hot,$cold,$prunedCold,$prunedBytes,$prunedEntries,$cdf," +
-        s"$bandedCold,$bandedBytes,$bandedEntries")
+        s"$bandedCold,$bandedBytes,$bandedEntries," +
+        s"$needleCold,$needleShards,$totalShards")
+      locally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(bdir).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        java.nio.file.Files.deleteIfExists(bdir)
+      }
       // sweep the banded rung's directory too
       locally {
         import scala.jdk.CollectionConverters._

@@ -530,8 +530,10 @@ class CatalogSpec extends SparkSpec {
     sb.pushFilters(Array(EqualTo("lang", "de")))
     val pruned = sb.build().asInstanceOf[DigestScan]
     assert(pruned.estimateStatistics().numRows().getAsLong == 3L)
-    // runtime filtering composes with the pushed set (intersection)
-    assert(pruned.filterAttributes().map(_.fieldNames().head).toSeq == Seq("lang"))
+    // runtime filtering composes with the pushed set (intersection);
+    // round-19 adds doc_id (In-set probes zones + per-file blooms, q280)
+    assert(pruned.filterAttributes().map(_.fieldNames().head).toSeq ==
+      Seq("lang", "doc_id"))
     pruned.filter(Array[org.apache.spark.sql.sources.Filter](
       In("lang", Array("de", "en"))))
     assert(pruned.toBatch.planInputPartitions().length == 1)
@@ -1224,6 +1226,42 @@ class CatalogSpec extends SparkSpec {
                    |  older_than_ms => CAST(0 AS BIGINT))""".stripMargin).collect()
       assert(r.length == 1, "procedure must succeed on a healthy post-DML table")
       assert(spark.table(tbl).count() == 1L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("round-19: a crashed rewrite's `_stage-rewrite-*` snapshot dir under " +
+      "the table path is swept by remove_orphan_files once aged; a recent " +
+      "one survives") {
+    withCatalog {
+      val dir = tmp("graft_orph_rw_spec_")
+      val short = s"ns.orphrw_${System.nanoTime()}"
+      val tbl = s"graft.$short"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      // simulate a rewrite that crashed between snapshot and overwrite:
+      // the staged full-table copy is left under the table's own path
+      val dead = dir.resolve("_stage-rewrite-deadbeef")
+      java.nio.file.Files.createDirectories(dead)
+      val leftover = dead.resolve("part-00000.parquet")
+      java.nio.file.Files.writeString(leftover, "stale snapshot bytes")
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L)
+      java.nio.file.Files.setLastModifiedTime(leftover, old)
+      java.nio.file.Files.setLastModifiedTime(dead, old)
+      val fresh = dir.resolve("_stage-rewrite-feedf00d")
+      java.nio.file.Files.createDirectories(fresh)
+      java.nio.file.Files.writeString(fresh.resolve("part-00000.parquet"), "x")
+      spark.sql(s"""CALL graft.system.remove_orphan_files(
+                   |  table => '$short',
+                   |  older_than_ms => CAST(3600000 AS BIGINT))""".stripMargin)
+        .collect()
+      assert(!java.nio.file.Files.exists(dead),
+        "aged crashed-rewrite staging dir must be swept")
+      assert(java.nio.file.Files.exists(fresh),
+        "a recent staging dir (rewrite possibly in flight) must survive")
+      assert(spark.table(tbl).count() == 2L, "table content untouched")
       spark.sql(s"DROP TABLE $tbl")
     }
   }

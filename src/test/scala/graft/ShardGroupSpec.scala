@@ -283,4 +283,93 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
       assert(DigestManifest.head(path) == (1, mixed))
     }
   }
+
+  test("shard BLOOM summaries: a needle plan reads ONLY the sub-shards " +
+      "whose summary may hold the probed id — no false negatives anywhere") {
+    withThreshold(4) {
+      import graft.sources.BloomCodec
+      val dir = tmp("graft_shardbloom_")
+      val path = dir.toString
+      // 3 langs × 3 files; file (g, k) holds ids [base, base+10)
+      def idsOf(g: Int, k: Int): Seq[Long] =
+        (0 until 10).map(i => (g * 100 + k * 10 + i).toLong)
+      val lines = for (g <- 0 until 3; k <- 0 until 3) yield {
+        val b = BloomCodec.newBuild()
+        idsOf(g, k).foreach(BloomCodec.add(b, _))
+        s"lang_l$g-p$k.csv,10,bf=${BloomCodec.encode(b, 10)}"
+      }
+      assert(DigestManifest.publishAppend(path, lines, 0) == 1)
+      assert(firstLine(dir.resolve("_MANIFEST.v1")) == "#sharded")
+      val header = Files.readAllLines(dir.resolve("_MANIFEST.v1"))
+      import scala.jdk.CollectionConverters._
+      val bloomLines = header.asScala.count(_.startsWith("#bloom:"))
+      assert(bloomLines == 3, s"one summary per lang shard, got $bloomLines")
+      def plan(ids: Set[Long]): (Seq[String], Long) = {
+        DigestManifest.clearHeadCacheForTest()
+        val before = DigestManifest.shardReadEvents.get()
+        val got = DigestManifest.listingForPruned(path, "_MANIFEST",
+          None, Map.empty, Map("bf" -> ids))
+        (got, DigestManifest.shardReadEvents.get() - before)
+      }
+      // a needle in lang l2's middle file: only l2's shard is read, and
+      // the returned superset still contains the holding entry
+      val (hit, hitShards) = plan(Set(215L))
+      assert(hitShards == 1, s"needle must read 1 shard, read $hitShards")
+      assert(hit.exists(_.startsWith("lang_l2-p1.csv")), hit.toString)
+      // an absent needle reads NO shards at all
+      val (_, missShards) = plan(Set(999999L))
+      assert(missShards == 0, s"absent needle read $missShards shards")
+      // no false negative for ANY stored id: its entry always survives
+      for (g <- 0 until 3; k <- 0 until 3; id <- idsOf(g, k)) {
+        val got = DigestManifest.listingForPruned(path, "_MANIFEST",
+          None, Map.empty, Map("bf" -> Set(id)))
+        assert(got.exists(_.startsWith(s"lang_l$g-p$k.csv")),
+          s"id $id lost its entry lang_l$g-p$k.csv")
+      }
+      // the unpruned read is unchanged by the summary lines
+      assert(DigestManifest.head(path)._2 == lines)
+    }
+  }
+
+  test("head cache: the incremental (warm) fold is byte-identical to the " +
+      "cold full fold across append, mutate+remove, and sharded-base commits") {
+    withThreshold(64) {
+      val dir = tmp("graft_foldexact_")
+      val path = dir.toString
+      def warmVsCold(): Seq[String] = {
+        val warm = DigestManifest.head(path)._2
+        DigestManifest.clearHeadCacheForTest()
+        val cold = DigestManifest.head(path)._2
+        assert(warm == cold,
+          s"incremental fold diverged from the cold full fold " +
+            s"(${warm.size} vs ${cold.size} lines)")
+        cold
+      }
+      // seed (shards at 64+), warm the cache, then one tiny append: the
+      // warm fold must apply exactly that delta on the cached base
+      val seed = (0 until 300).map(i => s"lang_l${i % 3}-p$i.csv,${i % 7 + 1}")
+      DigestManifest.publishAppend(path, seed, 0)
+      DigestManifest.head(path)
+      DigestManifest.publishAppend(path, Seq("lang_l0-tail.csv,5"),
+        DigestManifest.currentVersion(path))
+      assert(warmVsCold() == seed :+ "lang_l0-tail.csv,5")
+      // a replace that mutates one entry in place and removes another —
+      // the non-append fold path
+      val cur = DigestManifest.head(path)._2
+      val mutated = cur.map(l =>
+        if (l.startsWith("lang_l1-p1.csv")) "lang_l1-p1.csv,99,dv=0:1" else l)
+        .filterNot(_.startsWith("lang_l2-p2.csv"))
+      DigestManifest.publishReplace(path, mutated,
+        DigestManifest.currentVersion(path))
+      assert(warmVsCold() == mutated)
+      // pile on commits past the next periodic FULL base: the warm fold
+      // must stay exact across the delta->base re-anchor
+      (0 until 20).foreach { k =>
+        DigestManifest.publishAppend(path, Seq(s"lang_l0-extra$k.csv,1"),
+          DigestManifest.currentVersion(path))
+      }
+      assert(warmVsCold() ==
+        mutated ++ (0 until 20).map(k => s"lang_l0-extra$k.csv,1"))
+    }
+  }
 }
