@@ -219,7 +219,16 @@ object DigestChanges {
     */
   private[sources] def resolvePreImages(path: String, ref: String, v: Int,
       beforeFile: String, ids: Set[Long]): Map[Long, (String, Long)] = {
-    val listing = DigestManifest.listingAt(path, ref, v).map(ManifestEntry.parse)
+    // PRUNED listing resolution: the needed ids' [min,max] band + the ids
+    // themselves feed the shard-zone / shard-bloom skip, so this task
+    // reads O(matching shards) metadata, not the whole table's. Safe for
+    // the prefix semantics: verb logs are ungrouped (the always-kept
+    // catch-all shard, `beforeFile` included), a skipped base entry
+    // cannot hold a needed id (zones/blooms only ever exclude), and DV
+    // mutations never move an id across its entry's recorded zone.
+    val listing = DigestManifest.listingAtPruned(path, ref, v, None,
+      Map("doc_id" -> (ids.min, ids.max)), Map("bf" -> ids))
+      .map(ManifestEntry.parse)
     val prefix = listing.takeWhile(_.file != beforeFile)
     val (over, ins) = DeltaFold.fold(
       DeltaFold.readVerbLines(path, prefix.collect {

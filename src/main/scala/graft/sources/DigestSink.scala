@@ -406,6 +406,18 @@ private[graft] object BloomCodec {
     }
   }
 
+  /** Encode the fold-down filter, or None when the file has more rows
+    * than the BuildBits ceiling can hold at target density (round-19,
+    * found by the sf1 rung): past ~BuildBits/BitsPerRow rows the folded
+    * filter saturates toward all-ones — it would exclude nothing while
+    * costing manifest bytes on every entry. Omitting it keeps the
+    * always-kept contract honest; large files rely on zones and the
+    * parquet plane's in-file row-group stats instead.
+    */
+  def encodeIfUseful(build: Array[Long], rows: Long): Option[String] =
+    if (rows <= 0 || BitsPerRow * rows > BuildBits) None
+    else Some(encode(build, rows))
+
   /** Fold the fixed-size build down to ≥ BitsPerRow·rows and encode.
     * `bits;word:hex;word:hex…` — empty filters (0 rows) encode as the
     * minimum size with no set words.
@@ -3138,11 +3150,19 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
       // surviving parquet files additionally carry the pushed ranges so
       // their readers prune ROW GROUPS against the footer stats — the
       // in-file layer of the same data-skipping rule (same safety gates:
-      // this branch never runs under merge-on-read)
+      // this branch never runs under merge-on-read). Point sets (pushed
+      // ∩ runtime when both are live) ride along for the row-group
+      // BLOOM layer — the needle answer inside large files (round-19)
+      val pts: Set[Long] = (bloomPoints, runtimeIds) match {
+        case (Some(a), Some(b)) => a intersect b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case _ => Set.empty
+      }
       baseFiles.filter(survives)
         .map(e => DigestFilePartition(path, e.file,
           dv = e.attrs.getOrElse("dv", ""), emitMeta = emitMeta,
-          zm = zmRanges, req = required): InputPartition)
+          zm = zmRanges, req = required, pts = pts): InputPartition)
         .toArray
     } else {
       // MERGE-ON-READ plans METADATA ONLY (round-18, judge item 4): the
@@ -3203,7 +3223,8 @@ case class DigestFilePartition(path: String, file: String,
     dv: String = "", emitMeta: Boolean = false,
     zm: Map[String, (Long, Long)] = Map.empty,
     req: Option[StructType] = None,
-    verbFiles: Seq[String] = Nil)
+    verbFiles: Seq[String] = Nil,
+    pts: Set[Long] = Set.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the lang carried in the file name IS the split's partition key — the
@@ -3292,7 +3313,15 @@ class DigestFileReader(p: DigestFilePartition)
 
   private def keptGroups(file: java.nio.file.Path): Seq[ParquetData.RowGroup] = {
     val groups = ParquetData.rowGroups(file)
-    val kept = ParquetData.survivingGroups(groups, p.zm)
+    // stats (range) layer, then the row-group BLOOM layer for point sets
+    val statKept = ParquetData.survivingGroups(groups, p.zm)
+    val kept =
+      if (p.pts.isEmpty) statKept
+      else {
+        val ex = ParquetData.groupsExcludedByBloom(file,
+          Map("doc_id" -> p.pts))
+        statKept.filterNot(g => ex.contains(g.index))
+      }
     rgPlanned = kept.size.toLong
     rgPruned = (groups.size - kept.size).toLong
     DigestSink.rowGroupReadEvents.addAndGet(rgPlanned)
@@ -3445,7 +3474,14 @@ class DigestColumnarFileReader(p: DigestFilePartition)
   DigestSink.fileReadEvents.incrementAndGet()
   private val file = Paths.get(p.path, p.file)
   private val groups = ParquetData.rowGroups(file)
-  private val kept = ParquetData.survivingGroups(groups, p.zm)
+  private val kept = {
+    val statKept = ParquetData.survivingGroups(groups, p.zm)
+    if (p.pts.isEmpty) statKept
+    else {
+      val ex = ParquetData.groupsExcludedByBloom(file, Map("doc_id" -> p.pts))
+      statKept.filterNot(g => ex.contains(g.index))
+    }
+  }
   DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
   DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)
   private val batches = new ParquetData.BatchIterator(file,
@@ -3647,7 +3683,7 @@ class DigestDataWriter(path: String, partitionId: Int, taskId: Long,
     DigestCommitMessage(Seq(CommittedFile(fin.getFileName.toString, rows,
       if (rows > 0) Some((idLo, idHi)) else None,
       if (rows > 0) Some((ncLo, ncHi)) else None,
-      if (rows > 0) Some(BloomCodec.encode(bloom, rows)) else None)))
+      BloomCodec.encodeIfUseful(bloom, rows))))
   }
 
   override def abort(): Unit = {
@@ -3717,7 +3753,7 @@ class LangSplitDataWriter(path: String, partitionId: Int, taskId: Long,
       CommittedFile(fin.getFileName.toString, f.rows,
         if (f.rows > 0) Some((f.idLo, f.idHi)) else None,
         if (f.rows > 0) Some((f.ncLo, f.ncHi)) else None,
-        if (f.rows > 0) Some(BloomCodec.encode(f.bloom, f.rows)) else None)
+        BloomCodec.encodeIfUseful(f.bloom, f.rows))
     }
     DigestCommitMessage(files)
   }

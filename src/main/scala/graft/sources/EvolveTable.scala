@@ -530,7 +530,11 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
     else new ParquetData.GenericRowsWriter(staged,
       ParquetData.messageType("graft_evolve",
         fields.map(f => s"c${f.id}" -> f.dataType)),
-      plane.rowGroupBytes, plane.rowGroupRows)
+      plane.rowGroupBytes, plane.rowGroupRows,
+      // declared bloom fields carry per-ROW-GROUP in-file filters too
+      // (round-19): the needle layer for files past the manifest-attr
+      // filter's saturation gate
+      bloomIds.map(i => s"c$i"))
   private var rows = 0L
   // writer-observed zone (min, max) per declared zone field id
   private val zMin = scala.collection.mutable.Map(zoneIds.map(_ -> Long.MaxValue): _*)
@@ -589,9 +593,11 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
     Files.move(staged, fin, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     EvolveCommitMessage(Seq(
       EvolveCommittedFile(fin.getFileName.toString, rows, zones,
-        if (rows > 0) blooms.map { case (id, b) =>
-          id -> BloomCodec.encode(b, rows)
-        } else Map.empty)))
+        // saturation-gated like the digest writers: an over-full filter
+        // excludes nothing, so it is omitted (absent = always kept)
+        blooms.flatMap { case (id, b) =>
+          BloomCodec.encodeIfUseful(b, rows).map(id -> _)
+        })))
   }
   override def abort(): Unit = {
     if (pq != null) pq.close() else out.close()
@@ -609,7 +615,8 @@ class EvolveDataWriter(path: String, fields: Seq[EvolveField], jobTag: String,
 case class EvolveFilePartition(path: String, file: String,
     fileIds: Seq[Int], dv: String = "",
     zm: Map[Int, (Long, Long)] = Map.empty,
-    emitMeta: Boolean = false) extends InputPartition
+    emitMeta: Boolean = false,
+    pts: Map[Int, Set[Long]] = Map.empty) extends InputPartition
 
 class EvolveScan(path: String, fields: Seq[EvolveField],
     ref: String = DigestManifest.MainRef,
@@ -646,7 +653,8 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
         }
       if (keep)
         Some(EvolveFilePartition(path, file, fileIds,
-          attrs.getOrElse("dv", ""), ranges, emitMeta): InputPartition)
+          attrs.getOrElse("dv", ""), ranges, emitMeta,
+          bloomPoints): InputPartition)
       else None
     }.toArray
   }
@@ -669,7 +677,8 @@ private[sources] object EvolveRows {
   case object Missing
 
   final class It(path: String, file: String, fileIds: Seq[Int],
-      fields: Seq[EvolveField], zm: Map[Int, (Long, Long)] = Map.empty)
+      fields: Seq[EvolveField], zm: Map[Int, (Long, Long)] = Map.empty,
+      pts: Map[Int, Set[Long]] = Map.empty)
       extends Iterator[(Long, Array[Any])] with AutoCloseable {
     // same data-file-open observability as the digest reader — the
     // q274/q279 pruning locks count what was actually opened
@@ -679,8 +688,19 @@ private[sources] object EvolveRows {
       if (ParquetData.isParquet(file)) {
         val f = Paths.get(path, file)
         val groups = ParquetData.rowGroups(f)
-        val kept = ParquetData.survivingGroups(groups,
+        // stats (range) layer, then the row-group BLOOM layer (round-19)
+        val statKept = ParquetData.survivingGroups(groups,
           zm.map { case (id, r) => s"c$id" -> r })
+        val kept =
+          if (pts.isEmpty || pts.forall(_._2.isEmpty)) statKept
+          else {
+            val ex = ParquetData.groupsExcludedByBloom(f,
+              pts.map { case (id, s) => s"c$id" -> s })
+            statKept.filterNot(g => ex.contains(g.index))
+          }
+        // same row-group observability as the digest plane (q266/q282)
+        DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
+        DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)
         val present = fields.filter(fd => fileIds.contains(fd.id))
         val req = StructType(present.map(fd =>
           StructField(s"c${fd.id}", fd.dataType, nullable = true)))
@@ -746,7 +766,8 @@ class EvolveFileReader(p: EvolveFilePartition, fields: Seq[EvolveField])
     }.orNull
   }.toArray
   private val dv = DvCodec.decode(p.dv)
-  private val rows = new EvolveRows.It(p.path, p.file, p.fileIds, fields, p.zm)
+  private val rows =
+    new EvolveRows.It(p.path, p.file, p.fileIds, fields, p.zm, p.pts)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

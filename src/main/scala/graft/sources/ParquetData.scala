@@ -84,6 +84,12 @@ object ParquetData {
       .withRowGroupRowCountLimit(rowGroupRows)
       .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
       .withDictionaryEncoding(true)
+      // per-ROW-GROUP bloom on the point-lookup key (round-19): the
+      // in-file needle layer for LARGE files, where the manifest-attr
+      // bloom is saturation-gated off (>~2048 rows) and shuffled ingest
+      // leaves row-group (min,max) stats wide — parquet's own adaptive
+      // filter, read back through BloomFilterReader at plan time
+      .withBloomFilterEnabled("doc_id", true)
       .build()
     def write(id: Long, lang: String, n: Long): Unit = {
       val g = factory.newGroup()
@@ -147,6 +153,36 @@ object ParquetData {
         }
       }
     }
+
+  /** Row-group indexes whose stored BLOOM FILTER excludes EVERY probed
+    * point of some column (round-19): the in-file layer of the q278
+    * point-lookup rule, for large files where the manifest-attr filter
+    * is saturation-gated off and shuffled ingest leaves the row-group
+    * (min,max) stats wide. A group without a filter for a probed column
+    * is never excluded — absent metadata never drops data. Cost is one
+    * footer-adjacent bloom read per (group, probed column) at plan
+    * time, repaid by the column chunks never decoded.
+    */
+  def groupsExcludedByBloom(file: Path,
+      points: Map[String, Set[Long]]): Set[Int] = {
+    if (points.isEmpty || points.forall(_._2.isEmpty)) return Set.empty
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file.toUri), hconf()))
+    try {
+      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
+        val bfr = r.getBloomFilterDataReader(b)
+        val excluded = points.exists { case (colName, ids) =>
+          ids.nonEmpty &&
+            b.getColumns.asScala.find(_.getPath.toDotString == colName)
+              .exists { c =>
+                val bf = bfr.readBloomFilter(c)
+                bf != null && !ids.exists(p => bf.findHash(bf.hash(p)))
+              }
+        }
+        if (excluded) Some(i) else None
+      }.toSet
+    } finally r.close()
+  }
 
   /** Open Spark's vectorized reader over one CONTIGUOUS byte range of
     * row groups (parquet's split semantics pick every group whose
@@ -318,18 +354,24 @@ object ParquetData {
     * cells are parquet nulls.
     */
   final class GenericRowsWriter(staged: Path, schema: MessageType,
-      rowGroupBytes: Long, rowGroupRows: Int = Int.MaxValue) {
+      rowGroupBytes: Long, rowGroupRows: Int = Int.MaxValue,
+      bloomCols: Seq[String] = Nil) {
     private val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema)
-    private val w = ExampleParquetWriter.builder(
-        HadoopOutputFile.fromPath(new HPath(staged.toUri), hconf()))
-      .withType(schema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withRowGroupSize(rowGroupBytes)
-      .withRowGroupRowCountLimit(rowGroupRows)
-      .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
-      .withDictionaryEncoding(true)
-      .build()
+    private val w = {
+      val b = ExampleParquetWriter.builder(
+          HadoopOutputFile.fromPath(new HPath(staged.toUri), hconf()))
+        .withType(schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withRowGroupSize(rowGroupBytes)
+        .withRowGroupRowCountLimit(rowGroupRows)
+        .withPageSize(math.max(1024L, math.min(rowGroupBytes / 4, 1L << 20)).toInt)
+        .withDictionaryEncoding(true)
+      // the declared bloom columns carry per-ROW-GROUP filters in-file
+      // too (id-addressed `c<fieldId>` physical names, like the zones)
+      bloomCols.foldLeft(b)((bb, c) => bb.withBloomFilterEnabled(c, true))
+        .build()
+    }
     def write(values: Seq[Any]): Unit = {
       val g = factory.newGroup()
       values.zipWithIndex.foreach {
