@@ -798,7 +798,19 @@ private[graft] object DigestManifest {
         // zone-less entry makes the shard's range unknown, and unknown
         // metadata must never skip data)
         val parsedAttrs = chunk.map { case (_, l) => ManifestEntry.parse(l).attrs }
-        DigestSink.zmCols.foreach { case (c, (aLo, aHi)) =>
+        // summarized zone columns: the digest plane's fixed pairs PLUS
+        // any id-addressed evolve pair (`zmin.c<id>`/`zmax.c<id>`,
+        // round-19) present on the shard's first entry — so the
+        // declared-schema table's banded plans shard-skip too
+        val zonePairs: Seq[(String, (String, String))] =
+          DigestSink.zmCols.toSeq ++
+            parsedAttrs.headOption.toSeq.flatMap(_.keys
+              .filter(_.startsWith("zmin.c"))
+              .map { k =>
+                val id = k.drop(5) // "c<id>"
+                id -> (s"zmin.$id", s"zmax.$id")
+              })
+        zonePairs.foreach { case (c, (aLo, aHi)) =>
           var lo = Long.MaxValue
           var hi = Long.MinValue
           var all = true

@@ -634,7 +634,20 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
        else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
-    DigestManifest.listingFor(path, DigestManifest.mName(ref)).flatMap { line =>
+    // PRUNED metadata resolution (round-19): pushed zone ranges and
+    // bloom points feed the shard-summary skip under their id-addressed
+    // keys (`c<id>` / `bf.c<id>`), so a banded or needle plan on a
+    // shard-summarized declared-schema table reads O(matching shards)
+    // driver metadata — the same contract the digest scan has; the
+    // returned superset is re-filtered per entry below
+    val listing =
+      if (ranges.nonEmpty || bloomPoints.exists(_._2.nonEmpty))
+        DigestManifest.listingForPruned(path, DigestManifest.mName(ref),
+          None,
+          ranges.map { case (id, r) => s"c$id" -> r },
+          bloomPoints.map { case (id, s) => s"bf.c$id" -> s })
+      else DigestManifest.listingFor(path, DigestManifest.mName(ref))
+    listing.flatMap { line =>
       val (file, _, fileIds, attrs) = EvolveEntry.parse(line)
       // zone file skipping: the entry's recorded per-id (min, max) must
       // overlap every pushed range; a file without the attr is kept

@@ -331,6 +331,38 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("round-19: id-addressed evolve zone attrs (zmin.c<id>) get shard " +
+      "summaries too — a banded plan reads only the overlapping sub-shards") {
+    withThreshold(4) {
+      val old = DigestManifest.shardTargetEntries
+      DigestManifest.shardTargetEntries = 4
+      try {
+        val dir = tmp("graft_shardevz_")
+        val path = dir.toString
+        // ordered ingest: entry i covers c1-range [i*100, i*100+99];
+        // 12 untagged entries -> 3 sub-shards of 4
+        val lines = (0 until 12).map(i =>
+          s"ev-p$i.parquet,100,ids=1;2,zmin.c1=${i * 100},zmax.c1=${i * 100 + 99}")
+        assert(DigestManifest.publishAppend(path, lines, 0) == 1)
+        assert(firstLine(dir.resolve("_MANIFEST.v1")) == "#sharded")
+        import scala.jdk.CollectionConverters._
+        val zoneLines = Files.readAllLines(dir.resolve("_MANIFEST.v1"))
+          .asScala.count(_.startsWith("#zones:"))
+        assert(zoneLines == 3, s"one c1 summary per sub-shard, got $zoneLines")
+        DigestManifest.clearHeadCacheForTest()
+        val before = DigestManifest.shardReadEvents.get()
+        val got = DigestManifest.listingForPruned(path, "_MANIFEST",
+          None, Map("c1" -> (450L, 520L)))
+        val read = DigestManifest.shardReadEvents.get() - before
+        assert(read == 1, s"a one-shard band must read 1 sub-shard, read $read")
+        assert(got.exists(_.startsWith("ev-p4.parquet")) &&
+          got.exists(_.startsWith("ev-p5.parquet")), got.toString)
+        // the unpruned fold is unchanged
+        assert(DigestManifest.head(path)._2 == lines)
+      } finally DigestManifest.shardTargetEntries = old
+    }
+  }
+
   test("head cache: the incremental (warm) fold is byte-identical to the " +
       "cold full fold across append, mutate+remove, and sharded-base commits") {
     withThreshold(64) {
