@@ -51,6 +51,11 @@ class DigestChangesTable(path: String, from: Int, to: Option[Int],
 }
 
 object DigestChanges {
+  /** Rows-per-shard threshold for whole-file change emission (round-19);
+    * a var so specs can exercise the sharded path at fixture scale.
+    */
+  private[graft] var fileShardRows: Int = 1 << 16
+
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("lang", StringType, nullable = true),
@@ -194,15 +199,28 @@ object DigestChanges {
     }
     // whole-file inserts/deletes read through the entry's OWN mask:
     // rows already deleted by a DV were never live in that state
-    removed.map(e => ChangesFilePartition(path, e.file, "delete", v,
-        e.attrs.getOrElse("dv", ""),
-        e.attrs.getOrElse("ids", "")): InputPartition) ++
-      added.map { e =>
+    def fileParts(e: ManifestEntry, changeType: String): Seq[InputPartition] = {
+      // SHARDED whole-file emission (round-19): a removed/added parquet
+      // file past the threshold splits into position-range shards — one
+      // task per range, each reading ONLY its overlapping row groups —
+      // so a dropped 1M-row file's deletes emit in parallel instead of
+      // from one task. Planned from MANIFEST metadata alone (entry.rows
+      // sizes the shard count; tasks derive exact ranges from their own
+      // footer read). CSV files stay single-partition: a row-text file
+      // is not seekable by position.
+      val n =
+        if (!ParquetData.isParquet(e.file)) 1
+        else math.min(32L, math.max(1L,
+          e.rows / math.max(1, DigestChanges.fileShardRows))).toInt
+      (0 until n).map(i => ChangesFilePartition(path, e.file, changeType, v,
+        e.attrs.getOrElse("dv", ""), e.attrs.getOrElse("ids", ""),
+        shard = i, nShards = n): InputPartition)
+    }
+    removed.flatMap(fileParts(_, "delete")) ++
+      added.flatMap { e =>
         if (e.file.startsWith("delta-"))
-          ChangesDeltaPartition(path, e.file, v, ref): InputPartition
-        else ChangesFilePartition(path, e.file, "insert", v,
-          e.attrs.getOrElse("dv", ""),
-          e.attrs.getOrElse("ids", "")): InputPartition
+          Seq(ChangesDeltaPartition(path, e.file, v, ref): InputPartition)
+        else fileParts(e, "insert")
       } ++ dvDeltas
   }
 
@@ -326,7 +344,8 @@ class DigestChangesMicroBatchStream(path: String, from: Int,
   */
 case class ChangesFilePartition(path: String, file: String,
     changeType: String, version: Int, dv: String = "",
-    ids: String = "") extends InputPartition
+    ids: String = "", shard: Int = 0, nShards: Int = 1)
+    extends InputPartition
 
 /** One delta-log file committed at `version`: its verbs are the changes,
   * with PRE-IMAGES resolved task-side ([[DigestChanges.resolvePreImages]])
@@ -348,6 +367,37 @@ case class ChangesDvPartition(path: String, file: String,
 class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
+      case fp: ChangesFilePartition if fp.nShards > 1 =>
+        // position-range shard of a LARGE parquet file: this task reads
+        // only the row groups overlapping its range (footer-derived —
+        // physical row count, not the entry's DV-netted figure)
+        val dv = DvCodec.decode(fp.dv)
+        val f = java.nio.file.Paths.get(fp.path, fp.file)
+        val groups = ParquetData.rowGroups(f)
+        val phys = groups.map(_.rows).sum
+        val lo = fp.shard * phys / fp.nShards
+        val hi = (fp.shard + 1) * phys / fp.nShards
+        val sel = groups.filter(g => g.rowStart < hi && g.rowStart + g.rows > lo)
+        val batches = new ParquetData.BatchIterator(f,
+          DigestSink.rowSchema, sel)
+        val rows: Iterator[InternalRow] = batches.flatMap { case (b, start) =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator())
+            .asScala.zipWithIndex.flatMap { case (r, i) =>
+              val pos = start + i
+              if (pos < lo || pos >= hi || DvCodec.contains(dv, pos)) None
+              else Some(InternalRow(r.getLong(0),
+                UTF8String.fromString(r.getUTF8String(1).toString),
+                r.getLong(2),
+                UTF8String.fromString(fp.changeType), fp.version.toLong))
+            }
+        }
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (rows.hasNext) { current = rows.next(); true } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = batches.close()
+        }
       case fp: ChangesFilePartition =>
         val dv = DvCodec.decode(fp.dv)
         var pos = -1L

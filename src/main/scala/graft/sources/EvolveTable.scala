@@ -691,7 +691,8 @@ private[sources] object EvolveRows {
 
   final class It(path: String, file: String, fileIds: Seq[Int],
       fields: Seq[EvolveField], zm: Map[Int, (Long, Long)] = Map.empty,
-      pts: Map[Int, Set[Long]] = Map.empty)
+      pts: Map[Int, Set[Long]] = Map.empty,
+      posRange: Option[(Long, Long)] = None)
       extends Iterator[(Long, Array[Any])] with AutoCloseable {
     // same data-file-open observability as the digest reader — the
     // q274/q279 pruning locks count what was actually opened
@@ -700,7 +701,11 @@ private[sources] object EvolveRows {
     private val rows: Iterator[(Long, Array[Any])] =
       if (ParquetData.isParquet(file)) {
         val f = Paths.get(path, file)
-        val groups = ParquetData.rowGroups(f)
+        val groups0 = ParquetData.rowGroups(f)
+        // a position-range shard reads only its overlapping row groups
+        val groups = posRange.fold(groups0) { case (lo, hi) =>
+          groups0.filter(g => g.rowStart < hi && g.rowStart + g.rows > lo)
+        }
         // stats (range) layer, then the row-group BLOOM layer (round-19)
         val statKept = ParquetData.survivingGroups(groups,
           zm.map { case (id, r) => s"c$id" -> r })
@@ -1022,7 +1027,8 @@ class EvolveChangesReaderFactory(fields: Seq[EvolveField])
     extends PartitionReaderFactory {
   private def reader(path: String, file: String, ids: Seq[Int],
       dv: String, keepPos: Long => Boolean, changeType: Long => String,
-      version: Int): PartitionReader[InternalRow] =
+      version: Int, posRange: Option[(Long, Long)] = None)
+      : PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val mask = DvCodec.decode(dv)
       private val existsDefault: Array[Any] = fields.map { f =>
@@ -1033,7 +1039,8 @@ class EvolveChangesReaderFactory(fields: Seq[EvolveField])
           }
         }.orNull
       }.toArray
-      private val rows = new EvolveRows.It(path, file, ids, fields)
+      private val rows =
+        new EvolveRows.It(path, file, ids, fields, posRange = posRange)
       private var current: InternalRow = _
       override def next(): Boolean = {
         while (rows.hasNext) {
@@ -1061,6 +1068,18 @@ class EvolveChangesReaderFactory(fields: Seq[EvolveField])
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
+      case fp: ChangesFilePartition if fp.nShards > 1 =>
+        // a position-range shard of a large parquet file (round-19):
+        // bounds derive from this task's own footer read; the iterator
+        // prunes to the overlapping row groups
+        val groups = ParquetData.rowGroups(
+          java.nio.file.Paths.get(fp.path, fp.file))
+        val phys = groups.map(_.rows).sum
+        val lo = fp.shard * phys / fp.nShards
+        val hi = (fp.shard + 1) * phys / fp.nShards
+        reader(fp.path, fp.file, parseIds(fp.ids),
+          fp.dv, pos => pos >= lo && pos < hi, _ => fp.changeType,
+          fp.version, Some((lo, hi)))
       case fp: ChangesFilePartition =>
         reader(fp.path, fp.file, parseIds(fp.ids),
           fp.dv, _ => true, _ => fp.changeType, fp.version)

@@ -577,7 +577,7 @@ object GraftCatalog {
   /** A registered table's live properties (queries use this to address a
     * table's serialized evolve schema for the provider-options read path).
     */
-  private[sources] def regKeyProps(catalogName: String,
+  private[graft] def regKeyProps(catalogName: String,
       parts: Seq[String]): util.Map[String, String] = {
     val p = tables.get(regKey(catalogName, parts))
     require(p != null,

@@ -1266,6 +1266,60 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("round-19: sharded whole-file change emission is row-identical to " +
+      "the single-task plan on both table families (parquet plane)") {
+    withCatalog {
+      import graft.sources.DigestChanges
+      def feedRows(dir: String, extra: Map[String, String] = Map.empty)
+          : Seq[String] = {
+        var r = spark.read.format("graft.sources.DigestSink")
+          .option("path", dir).option("changesFrom", "0")
+        extra.foreach { case (k, v) => r = r.option(k, v) }
+        r.load().collect().map(_.toString).toSeq.sorted
+      }
+      // digest delta flavor: a 1000-row parquet file removed by overwrite
+      val dir = tmp("graft_shardfeed_")
+      val tbl = s"graft.ns.shfeed_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir',
+                   |  'delta'='true', 'format'='parquet',
+                   |  'parquet.rowgroup.rows'='64')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl SELECT id, 'en', id * 3 FROM range(1000)")
+      spark.sql(s"INSERT OVERWRITE $tbl VALUES (7777L, 'zh', 1L)")
+      val single = feedRows(dir.toString)
+      val old = DigestChanges.fileShardRows
+      DigestChanges.fileShardRows = 128
+      try {
+        val sharded = feedRows(dir.toString)
+        assert(sharded == single,
+          s"sharded emission diverged: ${sharded.size} vs ${single.size} rows")
+        assert(single.count(_.contains("delete")) == 1000)
+      } finally DigestChanges.fileShardRows = old
+      spark.sql(s"DROP TABLE $tbl")
+      // evolve flavor through its new truncate-overwrite: same contract
+      val edir = tmp("graft_shardfeed_ev_")
+      val etbl = s"graft.ns.shfeedev_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $etbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$edir',
+                   |  'format'='parquet', 'parquet.rowgroup.rows'='64')""".stripMargin)
+      spark.sql(s"INSERT INTO $etbl SELECT id, 'de', id FROM range(900)")
+      spark.sql(s"INSERT OVERWRITE $etbl VALUES (1L, 'fr', 2L)")
+      val evSchema = graft.sources.GraftCatalog.regKeyProps("graft",
+        Seq("ns", etbl.stripPrefix("graft.ns."))).get("evolveSchema")
+      def evRows(): Seq[String] = spark.read
+        .format("graft.sources.EvolveSource")
+        .option("path", edir.toString).option("evolveSchema", evSchema)
+        .option("changesFrom", "0").load()
+        .collect().map(_.toString).toSeq.sorted
+      val evSingle = evRows()
+      DigestChanges.fileShardRows = 128
+      try assert(evRows() == evSingle,
+        "evolve sharded emission diverged from the single-task plan")
+      finally DigestChanges.fileShardRows = old
+      spark.sql(s"DROP TABLE $etbl")
+    }
+  }
+
   test("q254: remove_orphan_files sweeps AGED unregistered CAS claims and " +
       "moved-aside orphan bytes, but keeps recent ones") {
     withCatalog {
