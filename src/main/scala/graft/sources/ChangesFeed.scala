@@ -52,9 +52,25 @@ class DigestChangesTable(path: String, from: Int, to: Option[Int],
 
 object DigestChanges {
   /** Rows-per-shard threshold for whole-file change emission (round-19);
-    * a var so specs can exercise the sharded path at fixture scale.
+    * `@volatile` because it is consulted at PLAN time on whatever thread
+    * plans the scan — specs lower it through [[withFileShardRows]], whose
+    * lock keeps concurrently planned feeds from observing a fixture-scale
+    * threshold mid-test.
     */
-  private[graft] var fileShardRows: Int = 1 << 16
+  @volatile private[graft] var fileShardRows: Int = 1 << 16
+
+  private val shardRowsLock = new Object
+
+  /** Run `f` with the whole-file shard threshold set to `n`, restoring
+    * the default afterward; serialized so parallel specs cannot leak the
+    * fixture threshold into each other's plans.
+    */
+  private[graft] def withFileShardRows[T](n: Int)(f: => T): T =
+    shardRowsLock.synchronized {
+      val old = fileShardRows
+      fileShardRows = n
+      try f finally fileShardRows = old
+    }
 
   val schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -262,7 +278,14 @@ object DigestChanges {
       }
     }
     var remaining = ids -- resolved.keySet -- dead
-    val bases = prefix.filterNot(_.file.startsWith("delta-")).iterator
+    // LATEST-FIRST base scan: if an id has multiple live occurrences
+    // across base files (duplicate-key inserts), the pre-image must be
+    // the CURRENT state, and "current" everywhere else (the q250-style
+    // latest-wins fold) is the latest-applied source — so resolution
+    // walks the prefix's base files in reverse listing order, and within
+    // a file the LAST live occurrence wins (row order is apply order).
+    val bases = prefix.filterNot(_.file.startsWith("delta-"))
+      .reverseIterator
     while (remaining.nonEmpty && bases.hasNext) {
       val e = bases.next()
       val zlo = e.attrs.get("zmin").map(_.toLong)
@@ -274,21 +297,48 @@ object DigestChanges {
       if (mayHold) {
         val dv = DvCodec.decode(e.attrs.getOrElse("dv", ""))
         val p = Paths.get(path, e.file)
-        val rows: Iterator[(Long, String, Long)] =
-          if (ParquetData.isParquet(e.file)) {
-            val r = new ParquetData.RowsReader(p)
-            try r.toIndexedSeq.iterator finally r.close()
-          } else scala.jdk.CollectionConverters.ListHasAsScala(
-            Files.readAllLines(p)).asScala.iterator.filter(_.nonEmpty)
-            .map { l => val a = l.split(","); (a(0).toLong, a(1), a(2).toLong) }
-        var pos = -1L
-        rows.foreach { case (id, lang, n) =>
-          pos += 1
-          if (!DvCodec.contains(dv, pos) && remaining.contains(id)) {
-            resolved(id) = (lang, n)
-            remaining -= id
-          }
+        // within-file hits: last live occurrence of each id wins
+        val hits = scala.collection.mutable.Map.empty[Long, (String, Long)]
+        if (ParquetData.isParquet(e.file)) {
+          // STREAMED + ROW-GROUP-PRUNED read: the remaining ids' band and
+          // points prune groups off the footer's stats and per-group
+          // blooms before any column chunk decodes, then the vectorized
+          // iterator serves only the surviving groups batch-by-batch —
+          // a 1M-row base file never materializes on this task's heap
+          val (groups, ex) = ParquetData.rowGroupsWithBloomExclusions(p,
+            Map("doc_id" -> remaining))
+          val kept = ParquetData.survivingGroups(groups,
+            Map("doc_id" -> (remaining.min, remaining.max)))
+            .filterNot(g => ex.contains(g.index))
+          val batches = new ParquetData.BatchIterator(p,
+            DigestSink.rowSchema, kept)
+          try batches.foreach { case (b, start) =>
+            var i = 0
+            while (i < b.numRows()) {
+              val pos = start + i
+              if (!DvCodec.contains(dv, pos)) {
+                val id = b.column(0).getLong(i)
+                if (remaining.contains(id))
+                  hits(id) = (b.column(1).getUTF8String(i).toString,
+                    b.column(2).getLong(i))
+              }
+              i += 1
+            }
+          } finally batches.close()
+        } else {
+          var pos = -1L
+          scala.jdk.CollectionConverters.ListHasAsScala(Files.readAllLines(p))
+            .asScala.iterator.filter(_.nonEmpty).foreach { l =>
+              pos += 1
+              if (!DvCodec.contains(dv, pos)) {
+                val a = l.split(",")
+                val id = a(0).toLong
+                if (remaining.contains(id)) hits(id) = (a(1), a(2).toLong)
+              }
+            }
         }
+        hits.foreach { case (id, st) => resolved(id) = st }
+        remaining = remaining -- hits.keySet
       }
     }
     resolved.toMap

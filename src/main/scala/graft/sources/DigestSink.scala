@@ -800,16 +800,19 @@ private[graft] object DigestManifest {
         val parsedAttrs = chunk.map { case (_, l) => ManifestEntry.parse(l).attrs }
         // summarized zone columns: the digest plane's fixed pairs PLUS
         // any id-addressed evolve pair (`zmin.c<id>`/`zmax.c<id>`,
-        // round-19) present on the shard's first entry — so the
-        // declared-schema table's banded plans shard-skip too
+        // round-19) present on ANY entry in the shard — candidate keys
+        // union across the whole chunk (mixed-schema / mixed-age entries
+        // must not silently lose a summary just because the FIRST entry
+        // predates the key); the all-present gate below still keeps
+        // emission honest
         val zonePairs: Seq[(String, (String, String))] =
           DigestSink.zmCols.toSeq ++
-            parsedAttrs.headOption.toSeq.flatMap(_.keys
-              .filter(_.startsWith("zmin.c"))
+            parsedAttrs.iterator.flatMap(_.keys.filter(_.startsWith("zmin.c")))
+              .toSeq.distinct.sorted
               .map { k =>
                 val id = k.drop(5) // "c<id>"
                 id -> (s"zmin.$id", s"zmax.$id")
-              })
+              }
         zonePairs.foreach { case (c, (aLo, aHi)) =>
           var lo = Long.MaxValue
           var hi = Long.MinValue
@@ -832,16 +835,19 @@ private[graft] object DigestManifest {
         // filterless entry and the shard has no summary. Keys cover
         // both families ('bf' on the digest table, 'bf.c<fieldId>' on
         // the declared-schema table).
-        parsedAttrs.headOption.foreach { first =>
-          first.keys.filter(k => k == "bf" || k.startsWith("bf.c"))
-            .foreach { key =>
-              if (parsedAttrs.forall(_.contains(key)))
-                BloomCodec.union(parsedAttrs.map(_(key)).toSeq).foreach { enc =>
-                  header.append("#bloom:").append(name).append(':')
-                    .append(key).append(':').append(enc).append('\n')
-                }
-            }
-        }
+        // candidate bloom keys union across the chunk, like the zones —
+        // the forall gate still refuses a summary when any member lacks
+        // the filter (absent metadata never skips data)
+        parsedAttrs.iterator
+          .flatMap(_.keys.filter(k => k == "bf" || k.startsWith("bf.c")))
+          .toSeq.distinct.sorted
+          .foreach { key =>
+            if (parsedAttrs.nonEmpty && parsedAttrs.forall(_.contains(key)))
+              BloomCodec.union(parsedAttrs.map(_(key)).toSeq).foreach { enc =>
+                header.append("#bloom:").append(name).append(':')
+                  .append(key).append(':').append(enc).append('\n')
+              }
+          }
         p
       }
     }.toSeq
@@ -3324,16 +3330,12 @@ class DigestFileReader(p: DigestFilePartition)
       r.fieldNames.toSeq != DigestSink.rowSchema.fieldNames.toSeq)
 
   private def keptGroups(file: java.nio.file.Path): Seq[ParquetData.RowGroup] = {
-    val groups = ParquetData.rowGroups(file)
+    // one footer open serves BOTH the group listing and the bloom probes
+    val (groups, ex) = ParquetData.rowGroupsWithBloomExclusions(file,
+      if (p.pts.isEmpty) Map.empty else Map("doc_id" -> p.pts))
     // stats (range) layer, then the row-group BLOOM layer for point sets
     val statKept = ParquetData.survivingGroups(groups, p.zm)
-    val kept =
-      if (p.pts.isEmpty) statKept
-      else {
-        val ex = ParquetData.groupsExcludedByBloom(file,
-          Map("doc_id" -> p.pts))
-        statKept.filterNot(g => ex.contains(g.index))
-      }
+    val kept = statKept.filterNot(g => ex.contains(g.index))
     rgPlanned = kept.size.toLong
     rgPruned = (groups.size - kept.size).toLong
     DigestSink.rowGroupReadEvents.addAndGet(rgPlanned)
@@ -3485,15 +3487,10 @@ class DigestColumnarFileReader(p: DigestFilePartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   DigestSink.fileReadEvents.incrementAndGet()
   private val file = Paths.get(p.path, p.file)
-  private val groups = ParquetData.rowGroups(file)
-  private val kept = {
-    val statKept = ParquetData.survivingGroups(groups, p.zm)
-    if (p.pts.isEmpty) statKept
-    else {
-      val ex = ParquetData.groupsExcludedByBloom(file, Map("doc_id" -> p.pts))
-      statKept.filterNot(g => ex.contains(g.index))
-    }
-  }
+  private val (groups, bloomEx) = ParquetData.rowGroupsWithBloomExclusions(
+    file, if (p.pts.isEmpty) Map.empty else Map("doc_id" -> p.pts))
+  private val kept = ParquetData.survivingGroups(groups, p.zm)
+    .filterNot(g => bloomEx.contains(g.index))
   DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
   DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)
   private val batches = new ParquetData.BatchIterator(file,

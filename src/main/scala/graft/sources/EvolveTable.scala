@@ -701,21 +701,18 @@ private[sources] object EvolveRows {
     private val rows: Iterator[(Long, Array[Any])] =
       if (ParquetData.isParquet(file)) {
         val f = Paths.get(path, file)
-        val groups0 = ParquetData.rowGroups(f)
+        // one footer open serves the group listing AND the bloom probes
+        val (groups0, ex) = ParquetData.rowGroupsWithBloomExclusions(f,
+          if (pts.isEmpty) Map.empty
+          else pts.map { case (id, s) => s"c$id" -> s })
         // a position-range shard reads only its overlapping row groups
         val groups = posRange.fold(groups0) { case (lo, hi) =>
           groups0.filter(g => g.rowStart < hi && g.rowStart + g.rows > lo)
         }
         // stats (range) layer, then the row-group BLOOM layer (round-19)
-        val statKept = ParquetData.survivingGroups(groups,
+        val kept = ParquetData.survivingGroups(groups,
           zm.map { case (id, r) => s"c$id" -> r })
-        val kept =
-          if (pts.isEmpty || pts.forall(_._2.isEmpty)) statKept
-          else {
-            val ex = ParquetData.groupsExcludedByBloom(f,
-              pts.map { case (id, s) => s"c$id" -> s })
-            statKept.filterNot(g => ex.contains(g.index))
-          }
+          .filterNot(g => ex.contains(g.index))
         // same row-group observability as the digest plane (q266/q282)
         DigestSink.rowGroupReadEvents.addAndGet(kept.size.toLong)
         DigestSink.rowGroupSkipEvents.addAndGet((groups.size - kept.size).toLong)

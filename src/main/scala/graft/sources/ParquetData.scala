@@ -113,29 +113,72 @@ object ParquetData {
   def rowGroups(file: Path): Seq[RowGroup] = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toUri), hconf()))
-    try {
-      var rowStart = 0L
-      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
-        // every INT64 column's (min, max) — generic: the digest plane
-        // prunes on its zone-map columns, the evolve plane on any of its
-        // declared BIGINT zone columns (id-addressed `c<id>` names)
-        val stats = b.getColumns.asScala.flatMap { c =>
-          val name = c.getPath.toDotString
-          val s = c.getStatistics
-          if (s == null || !s.hasNonNullValue) None
-          else (s.genericGetMin, s.genericGetMax) match {
-            case (mn: java.lang.Long, mx: java.lang.Long) =>
-              Some(name -> (mn.longValue(), mx.longValue()))
-            case _ => None
+    try groupsOf(r) finally r.close()
+  }
+
+  private def groupsOf(r: ParquetFileReader): Seq[RowGroup] = {
+    var rowStart = 0L
+    r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+      // every INT64 column's (min, max) — generic: the digest plane
+      // prunes on its zone-map columns, the evolve plane on any of its
+      // declared BIGINT zone columns (id-addressed `c<id>` names)
+      val stats = b.getColumns.asScala.flatMap { c =>
+        val name = c.getPath.toDotString
+        val s = c.getStatistics
+        if (s == null || !s.hasNonNullValue) None
+        else (s.genericGetMin, s.genericGetMax) match {
+          case (mn: java.lang.Long, mx: java.lang.Long) =>
+            Some(name -> (mn.longValue(), mx.longValue()))
+          case _ => None
+        }
+      }.toMap
+      val g = RowGroup(i, rowStart, b.getRowCount, b.getStartingPos,
+        b.getCompressedSize, stats.view.mapValues(_._1).toMap,
+        stats.view.mapValues(_._2).toMap)
+      rowStart += b.getRowCount
+      g
+    }
+  }
+
+  /** Probed-point cap per column for row-group bloom exclusion: past
+    * this, plan-time probing is O(groups × ids) against filters that
+    * exclude almost nothing (a large join-delivered In-set nearly always
+    * hits SOME id per group), so — like Spark's own runtime-filter
+    * thresholds — the bloom layer bows out and the (min,max) stats layer
+    * alone prunes. Declining to probe never drops data; it only declines
+    * an exclusion.
+    */
+  val BloomProbeMaxPoints: Int = 256
+
+  /** Footer read + bloom probing in ONE file open: the row-group listing
+    * and the bloom-excluded indexes come from the same
+    * `ParquetFileReader`, so point-set planning costs one footer
+    * round-trip per file instead of two.
+    */
+  def rowGroupsWithBloomExclusions(file: Path,
+      points: Map[String, Set[Long]]): (Seq[RowGroup], Set[Int]) = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file.toUri), hconf()))
+    try (groupsOf(r), bloomExclusions(r, points)) finally r.close()
+  }
+
+  private def bloomExclusions(r: ParquetFileReader,
+      points: Map[String, Set[Long]]): Set[Int] = {
+    val probed = points.filter { case (_, ids) =>
+      ids.nonEmpty && ids.size <= BloomProbeMaxPoints
+    }
+    if (probed.isEmpty) return Set.empty
+    r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
+      val bfr = r.getBloomFilterDataReader(b)
+      val excluded = probed.exists { case (colName, ids) =>
+        b.getColumns.asScala.find(_.getPath.toDotString == colName)
+          .exists { c =>
+            val bf = bfr.readBloomFilter(c)
+            bf != null && !ids.exists(p => bf.findHash(bf.hash(p)))
           }
-        }.toMap
-        val g = RowGroup(i, rowStart, b.getRowCount, b.getStartingPos,
-          b.getCompressedSize, stats.view.mapValues(_._1).toMap,
-          stats.view.mapValues(_._2).toMap)
-        rowStart += b.getRowCount
-        g
       }
-    } finally r.close()
+      if (excluded) Some(i) else None
+    }.toSet
   }
 
   /** Row groups surviving the pushed closed ranges (`col -> [lo, hi]`):
@@ -159,29 +202,20 @@ object ParquetData {
     * point-lookup rule, for large files where the manifest-attr filter
     * is saturation-gated off and shuffled ingest leaves the row-group
     * (min,max) stats wide. A group without a filter for a probed column
-    * is never excluded — absent metadata never drops data. Cost is one
-    * footer-adjacent bloom read per (group, probed column) at plan
-    * time, repaid by the column chunks never decoded.
+    * is never excluded — absent metadata never drops data; a column
+    * probed with more than [[BloomProbeMaxPoints]] ids is not probed at
+    * all (the exclusion would almost never fire and the probing is
+    * O(groups × ids)). Cost is one footer-adjacent bloom read per
+    * (group, probed column) at plan time, repaid by the column chunks
+    * never decoded. Callers that also need the group listing should use
+    * [[rowGroupsWithBloomExclusions]] — one footer open, not two.
     */
   def groupsExcludedByBloom(file: Path,
       points: Map[String, Set[Long]]): Set[Int] = {
     if (points.isEmpty || points.forall(_._2.isEmpty)) return Set.empty
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toUri), hconf()))
-    try {
-      r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
-        val bfr = r.getBloomFilterDataReader(b)
-        val excluded = points.exists { case (colName, ids) =>
-          ids.nonEmpty &&
-            b.getColumns.asScala.find(_.getPath.toDotString == colName)
-              .exists { c =>
-                val bf = bfr.readBloomFilter(c)
-                bf != null && !ids.exists(p => bf.findHash(bf.hash(p)))
-              }
-        }
-        if (excluded) Some(i) else None
-      }.toSet
-    } finally r.close()
+    try bloomExclusions(r, points) finally r.close()
   }
 
   /** Open Spark's vectorized reader over one CONTIGUOUS byte range of

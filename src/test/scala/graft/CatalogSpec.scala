@@ -1287,14 +1287,12 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"INSERT INTO $tbl SELECT id, 'en', id * 3 FROM range(1000)")
       spark.sql(s"INSERT OVERWRITE $tbl VALUES (7777L, 'zh', 1L)")
       val single = feedRows(dir.toString)
-      val old = DigestChanges.fileShardRows
-      DigestChanges.fileShardRows = 128
-      try {
+      DigestChanges.withFileShardRows(128) {
         val sharded = feedRows(dir.toString)
         assert(sharded == single,
           s"sharded emission diverged: ${sharded.size} vs ${single.size} rows")
         assert(single.count(_.contains("delete")) == 1000)
-      } finally DigestChanges.fileShardRows = old
+      }
       spark.sql(s"DROP TABLE $tbl")
       // evolve flavor through its new truncate-overwrite: same contract
       val edir = tmp("graft_shardfeed_ev_")
@@ -1312,10 +1310,10 @@ class CatalogSpec extends SparkSpec {
         .option("changesFrom", "0").load()
         .collect().map(_.toString).toSeq.sorted
       val evSingle = evRows()
-      DigestChanges.fileShardRows = 128
-      try assert(evRows() == evSingle,
-        "evolve sharded emission diverged from the single-task plan")
-      finally DigestChanges.fileShardRows = old
+      DigestChanges.withFileShardRows(128) {
+        assert(evRows() == evSingle,
+          "evolve sharded emission diverged from the single-task plan")
+      }
       spark.sql(s"DROP TABLE $etbl")
     }
   }
