@@ -176,11 +176,22 @@ object DigestChanges {
           curE.flatMap(e => prev.get(e.file)
             .filter(_ != e).map(pe => (pe, e))))
       }
-    require(!removed.exists(_.file.startsWith("delta-")),
-      s"graft_digest changes: version $v removed delta-log files but " +
-        "is not a tagged compaction — the feed cannot represent an " +
-        "overwrite/truncate that folds away a live delta log; compact " +
-        "first (CALL graft.system.compact) or start the feed after it")
+    // a version that REMOVES live delta verb files (a rollback across
+    // uncompacted row-level DML, round-20 — or any overwrite that folds
+    // a live log away) IS representable: each dropped log's touched ids
+    // emit the NET INVERSE, resolved task-side — pre-state at the
+    // previous registered version, post-state at this one — so a
+    // latest-wins CDC replica converges to the published state with no
+    // special casing (I→delete with the I's payload, D→insert from the
+    // restored listing, U→the inverse update pair). Whole-file and DV
+    // partitions of the SAME version exclude the verb-touched ids so no
+    // id emits twice in one commit (counting replicas stay exact).
+    val droppedDeltas = removed.collect {
+      case e if e.file.startsWith("delta-") => e.file
+    }
+    val inverseParts: Seq[InputPartition] =
+      if (droppedDeltas.isEmpty) Seq.empty
+      else Seq(ChangesInverseDeltaPartition(path, droppedDeltas, v, prevV, ref))
     removed.foreach { e =>
       require(Files.exists(Paths.get(path, e.file)),
         s"graft_digest changes: ${e.file} was removed at v$v and its " +
@@ -208,10 +219,12 @@ object DigestChanges {
           "nor a rollback's pure shrink — not representable as changes")
       if (grown.nonEmpty)
         ChangesDvPartition(path, e.file, grown, v,
-          e.attrs.getOrElse("ids", "")): InputPartition
+          e.attrs.getOrElse("ids", ""),
+          excludeVerbsOf = droppedDeltas): InputPartition
       else
         ChangesDvPartition(path, e.file, shrunk, v,
-          e.attrs.getOrElse("ids", ""), "insert"): InputPartition
+          e.attrs.getOrElse("ids", ""), "insert",
+          excludeVerbsOf = droppedDeltas): InputPartition
     }
     // whole-file inserts/deletes read through the entry's OWN mask:
     // rows already deleted by a DV were never live in that state
@@ -230,14 +243,16 @@ object DigestChanges {
           e.rows / math.max(1, DigestChanges.fileShardRows))).toInt
       (0 until n).map(i => ChangesFilePartition(path, e.file, changeType, v,
         e.attrs.getOrElse("dv", ""), e.attrs.getOrElse("ids", ""),
-        shard = i, nShards = n): InputPartition)
+        shard = i, nShards = n,
+        excludeVerbsOf = droppedDeltas): InputPartition)
     }
-    removed.flatMap(fileParts(_, "delete")) ++
+    removed.filterNot(_.file.startsWith("delta-"))
+      .flatMap(fileParts(_, "delete")) ++
       added.flatMap { e =>
         if (e.file.startsWith("delta-"))
           Seq(ChangesDeltaPartition(path, e.file, v, ref): InputPartition)
         else fileParts(e, "insert")
-      } ++ dvDeltas
+      } ++ dvDeltas ++ inverseParts
   }
 
   /** PRE-IMAGE RESOLUTION for delta verbs (round-19, judge item 2): the
@@ -343,6 +358,29 @@ object DigestChanges {
     }
     resolved.toMap
   }
+
+  /** Full merge-on-read state of `ids` at version `v` — the pre-image
+    * resolution run over the ENTIRE listing (the sentinel never names a
+    * file, so the "prefix" is the whole apply chain). Live ids map to
+    * their payload; absent ids are dead at `v`.
+    */
+  private[sources] def resolveStateAt(path: String, ref: String, v: Int,
+      ids: Set[Long]): Map[Long, (String, Long)] =
+    if (ids.isEmpty) Map.empty
+    else resolvePreImages(path, ref, v, beforeFile = "", ids)
+
+  /** Every id a set of delta verb logs touches (I/U/D alike) — the
+    * exclusion set whole-file and DV partitions apply when the same
+    * version also drops those logs, so no id's change emits twice in
+    * one commit. O(changes) per task: verb logs are the small side.
+    */
+  private[sources] def verbTouchedIds(path: String,
+      files: Seq[String]): Set[Long] =
+    files.iterator.flatMap { f =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(Paths.get(path, f))).asScala.iterator
+        .filter(_.nonEmpty).map(_.split(",")(1).toLong)
+    }.toSet
 }
 
 class DigestChangesScan(path: String, from: Int, to: Int,
@@ -394,7 +432,8 @@ class DigestChangesMicroBatchStream(path: String, from: Int,
   */
 case class ChangesFilePartition(path: String, file: String,
     changeType: String, version: Int, dv: String = "",
-    ids: String = "", shard: Int = 0, nShards: Int = 1)
+    ids: String = "", shard: Int = 0, nShards: Int = 1,
+    excludeVerbsOf: Seq[String] = Nil)
     extends InputPartition
 
 /** One delta-log file committed at `version`: its verbs are the changes,
@@ -412,7 +451,21 @@ case class ChangesDeltaPartition(path: String, file: String, version: Int,
   */
 case class ChangesDvPartition(path: String, file: String,
     positions: Seq[Long], version: Int,
-    ids: String = "", changeType: String = "delete") extends InputPartition
+    ids: String = "", changeType: String = "delete",
+    excludeVerbsOf: Seq[String] = Nil) extends InputPartition
+
+/** Delta verb logs DROPPED from the listing at `version` (a rollback
+  * across uncompacted row-level DML, round-20): this one partition emits
+  * the NET INVERSE for every id those logs touched — pre-state resolved
+  * at `prevV` (the last registered version before the drop), post-state
+  * at `version` (the published listing), both through the task-side
+  * pruned pre-image machinery. Ids whose state did not change emit
+  * nothing; same-version whole-file/DV partitions exclude these ids, so
+  * each id's transition appears exactly once in the commit's batch.
+  */
+case class ChangesInverseDeltaPartition(path: String, files: Seq[String],
+    version: Int, prevV: Int, ref: String = DigestManifest.MainRef)
+    extends InputPartition
 
 class ChangesReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -422,6 +475,7 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         // only the row groups overlapping its range (footer-derived —
         // physical row count, not the entry's DV-netted figure)
         val dv = DvCodec.decode(fp.dv)
+        val excl = DigestChanges.verbTouchedIds(fp.path, fp.excludeVerbsOf)
         val f = java.nio.file.Paths.get(fp.path, fp.file)
         val groups = ParquetData.rowGroups(f)
         val phys = groups.map(_.rows).sum
@@ -434,7 +488,8 @@ class ChangesReaderFactory extends PartitionReaderFactory {
           scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator())
             .asScala.zipWithIndex.flatMap { case (r, i) =>
               val pos = start + i
-              if (pos < lo || pos >= hi || DvCodec.contains(dv, pos)) None
+              if (pos < lo || pos >= hi || DvCodec.contains(dv, pos) ||
+                  excl.contains(r.getLong(0))) None
               else Some(InternalRow(r.getLong(0),
                 UTF8String.fromString(r.getUTF8String(1).toString),
                 r.getLong(2),
@@ -450,10 +505,11 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         }
       case fp: ChangesFilePartition =>
         val dv = DvCodec.decode(fp.dv)
+        val excl = DigestChanges.verbTouchedIds(fp.path, fp.excludeVerbsOf)
         var pos = -1L
         lineReader(fp.path, fp.file) { a =>
           pos += 1
-          if (DvCodec.contains(dv, pos)) null
+          if (DvCodec.contains(dv, pos) || excl.contains(a(0).toLong)) null
           else InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
             UTF8String.fromString(fp.changeType), fp.version.toLong)
         }
@@ -516,12 +572,54 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         }
       case vp: ChangesDvPartition =>
         val want = vp.positions.toSet
+        val excl = DigestChanges.verbTouchedIds(vp.path, vp.excludeVerbsOf)
         var pos = -1L
         lineReader(vp.path, vp.file) { a =>
           pos += 1
-          if (!want.contains(pos)) null
+          if (!want.contains(pos) || excl.contains(a(0).toLong)) null
           else InternalRow(a(0).toLong, UTF8String.fromString(a(1)), a(2).toLong,
             UTF8String.fromString(vp.changeType), vp.version.toLong)
+        }
+      case ip: ChangesInverseDeltaPartition =>
+        // NET INVERSE of dropped verb logs (round-20): for every id the
+        // logs touched, the transition prevV-state → version-state is
+        // the change — I→delete (the I's own payload is the pre-state),
+        // D→insert (payload from the restored listing), U→the inverse
+        // update pair. Both resolutions are task-side and zone/bloom-
+        // pruned; an id whose state is unchanged emits nothing.
+        val ids = DigestChanges.verbTouchedIds(ip.path, ip.files)
+        val before = DigestChanges.resolveStateAt(ip.path, ip.ref,
+          ip.prevV, ids)
+        val after = DigestChanges.resolveStateAt(ip.path, ip.ref,
+          ip.version, ids)
+        def payload(st: (String, Long)): (UTF8String, java.lang.Long) =
+          (UTF8String.fromString(st._1), Long.box(st._2))
+        val out = ids.toSeq.sorted.iterator.flatMap { id =>
+          (before.get(id), after.get(id)) match {
+            case (Some(b), None) =>
+              val (l, n) = payload(b)
+              Seq(InternalRow(id, l, n, UTF8String.fromString("delete"),
+                ip.version.toLong))
+            case (None, Some(a)) =>
+              val (l, n) = payload(a)
+              Seq(InternalRow(id, l, n, UTF8String.fromString("insert"),
+                ip.version.toLong))
+            case (Some(b), Some(a)) if b != a =>
+              val (bl, bn) = payload(b)
+              val (al, an) = payload(a)
+              Seq(InternalRow(id, bl, bn,
+                  UTF8String.fromString("update_preimage"), ip.version.toLong),
+                InternalRow(id, al, an,
+                  UTF8String.fromString("update_postimage"), ip.version.toLong))
+            case _ => Nil // unchanged (or never live): no change row
+          }
+        }
+        new PartitionReader[InternalRow] {
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (out.hasNext) { current = out.next(); true } else false
+          override def get(): InternalRow = current
+          override def close(): Unit = ()
         }
     }
 

@@ -1344,23 +1344,12 @@ class RollbackProcedure(catalogName: String) extends UnboundProcedure
       s"graft.system.rollback: data files of version $target are gone " +
         s"(${missing.take(3).mkString(", ")}); cannot restore")
     // a rollback whose diff REMOVES live delta verb files (row-level
-    // DML committed after the target) would stage a change record the
-    // feed cannot represent — DigestChanges.planVersion refuses any
-    // non-compaction version that drops delta files, so every CDC
-    // consumer crossing the rollback version would throw PERMANENTLY.
-    // Refuse here, before anything is published, with the way out.
-    val restoredFiles = restored.filter(_.nonEmpty)
-      .map(_.split(",")(0)).toSet
-    val droppedDeltas = ProcedureSupport
-      .manifestLines(path, s"${DigestManifest.mName(ref)}.v$headV")
-      .filter(_.nonEmpty).map(_.split(",")(0))
-      .filter(f => f.startsWith("delta-") && !restoredFiles.contains(f))
-    require(droppedDeltas.isEmpty,
-      s"graft.system.rollback: rolling $tbl back to version $target would " +
-        s"drop live delta verb files (${droppedDeltas.take(3).mkString(", ")}) " +
-        "committed after it — not representable in the change feed; run " +
-        "CALL graft.system.compact first (folds the verbs into base files, " +
-        "whose removal the feed CAN emit as deletes), then re-issue")
+    // DML committed after the target) is fully representable in the
+    // change feed (round-20): the dropped logs' touched ids emit the NET
+    // INVERSE — I→delete with the I's payload, D→insert resolved from
+    // the restored listing, U→the inverse update pair
+    // ([[ChangesInverseDeltaPartition]]) — so undoing one bad MERGE
+    // costs O(changes), never an O(table) compact-first rewrite.
     // one optimistic replace planned against the CURRENT head: a commit
     // racing this rollback aborts it loudly (re-issue against the new
     // head), and the staged change record is the diff current -> target

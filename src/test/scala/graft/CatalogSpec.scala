@@ -1597,4 +1597,65 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
     }
   }
+
+  test("q283: rollback across an UNCOMPACTED MERGE emits the net inverse " +
+      "verbs — no refusal, and a latest-wins replica converges to the " +
+      "restored state") {
+    withCatalog {
+      val dir = tmp("graft_rbdml_spec_")
+      val tbl = s"graft.ns.rbdml_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1,'en',10),(2,'en',20),(3,'de',30),(4,'de',40)")
+      // the bad DML to undo: one MERGE = one live verb log (U, D, I)
+      spark.sql(
+        s"""MERGE INTO $tbl t USING (SELECT * FROM VALUES
+           |  (2L,'en',999L), (3L,'de',0L), (9L,'fr',90L)
+           |  AS s(doc_id, lang, n_chars)) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.n_chars = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+      assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq ==
+        Seq("[1,en,10]", "[2,en,999]", "[4,de,40]", "[9,fr,90]"))
+      // rollback ACROSS the live verb log: no refusal, no compact first
+      val r = spark.sql(s"CALL graft.system.rollback(table => '$short', " +
+        "version => 1)").collect()
+      assert(r.length == 1 && r(0).getLong(1) == 3L, r.toSeq.toString)
+      assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq ==
+        Seq("[1,en,10]", "[2,en,20]", "[3,de,30]", "[4,de,40]"),
+        "rollback must restore the pre-MERGE state")
+      // the rollback version's batch is the MERGE's exact net inverse:
+      // I(9)→delete with the I's payload, D(3)→insert from the restored
+      // listing, U(2)→the inverse update pair; untouched ids (1, 4) are
+      // NOT re-emitted (no whole-file noise — the commit is O(changes))
+      val inv = spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "2").option("changesTo", "3")
+        .load().collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(inv == Seq(
+        (2L, "en", 20L, "update_postimage"),
+        (2L, "en", 999L, "update_preimage"),
+        (3L, "de", 30L, "insert"),
+        (9L, "fr", 90L, "delete")), inv.toString)
+      // latest-wins replica over the full window converges to the table
+      spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "0").option("changesTo", "3")
+        .load().createOrReplaceTempView("rbdml_feed")
+      val replica = spark.sql(
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |    ORDER BY _commit_version DESC) AS rn
+          |  FROM rbdml_feed WHERE _change_type <> 'update_preimage') x
+          |WHERE rn = 1 AND _change_type <> 'delete'""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      assert(replica == spark.table(tbl).collect().map(_.toString).sorted.toSeq,
+        "the latest-wins replica must converge to the restored state")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
