@@ -5830,6 +5830,133 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q284: WRITE-AUDIT-PUBLISH for the evolve REPLACE path ---------------
+  // Round-19 left the declared-schema flavor's truncate-overwrite
+  // unguarded: any writer could land a bad rewrite on main directly,
+  // while the digest flavor staged risky writes on a branch behind an
+  // audited fast_forward (q255/q259). Round-20 closes it: the clustering
+  // rewrites accept a BRANCH-PROPPED evolve table and stage their
+  // truncate-overwrite on the branch ref (tag, publish, and post-checks
+  // all ref-qualified); `fast_forward` gains the AGGREGATE audit a row
+  // predicate cannot express (`unique_key` — a dupe-poisoned rewrite is
+  // per-row indistinguishable from the real thing) and PROPAGATES
+  // content-preservation: a branch whose every commit since the fork is
+  // a tagged rewrite publishes as ONE content-preserving main commit,
+  // invisible to the change feed. Locks: the poisoned rewrite is BLOCKED
+  // at audit with main byte-identical; the clean one publishes as one
+  // commit, restores pruning on main, and leaves the CDF unchanged.
+  def q284EvolveWapRewrite(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val short = s"ns.evwap_$h"
+    val tbl = s"graft.$short"
+    graft.TempDirs.staged(s"dsv2_evolve_wap:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl
+               |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'format'='parquet',
+               |  'zonemap.columns'='doc_id')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q284")
+      // shuffled ingest: interleaved slices leave every file's zone wide
+      (0 until 2).foreach(k => s.sql(
+        s"""INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q284
+           |WHERE lang IN ('en', 'de') AND doc_id % 2 = $k""".stripMargin))
+      val b = s.sql("SELECT MIN(doc_id), MAX(doc_id) FROM docs_q284 " +
+        "WHERE lang IN ('en', 'de')").collect()(0)
+      val band = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+      def files(): Int = DigestManifest.listingFor(sink, "_MANIFEST")
+        .count(_.nonEmpty)
+      def opened(pred: String): Long = {
+        val before = DigestSink.fileReadEvents.get()
+        s.sql(s"SELECT SUM(n_chars) FROM $tbl WHERE $pred").collect()
+        DigestSink.fileReadEvents.get() - before
+      }
+      def changesDigest(): Seq[String] = {
+        val evSchema = GraftCatalog.regKeyProps("graft",
+          Seq("ns", short.split("\\.").last)).get("evolveSchema")
+        s.read.format("graft.sources.EvolveSource")
+          .option("path", sink).option("evolveSchema", evSchema)
+          .option("changesFrom", "0").load()
+          .groupBy("_change_type").count().collect()
+          .map(_.toString).toSeq.sorted
+      }
+      require(opened(s"doc_id < $band") == files(),
+        "q284: shuffled ingest must leave the doc_id zones wide")
+      // ---- WAP attempt 1: the POISONED rewrite -------------------------
+      s.sql(s"CALL graft.system.create_branch(table => '$short', " +
+        "branch => 'maint')").collect()
+      val tblM = s"${tbl}_maint"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblM
+               |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'branch'='maint',
+               |  'format'='parquet', 'zonemap.columns'='doc_id')""".stripMargin)
+      s.sql(s"CALL graft.system.rewrite_sorted(table => '${short}_maint', " +
+        "cols => 'doc_id', buckets => 4)").collect()
+      // the poison: a doubled row — per-row audits cannot see it
+      s.sql(s"""INSERT INTO $tblM SELECT MIN(doc_id), 'xx', 1
+               |FROM docs_q284 WHERE lang = 'en'""".stripMargin)
+      val mainHead = DigestManifest.currentVersion(sink)
+      val mainListing = DigestManifest.listingFor(sink, "_MANIFEST")
+      val blocked =
+        try {
+          s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+                   |  branch => 'maint', audit => 'n_chars >= 0',
+                   |  unique_key => 'doc_id')""".stripMargin).collect()
+          false
+        } catch { case e: Exception => e.getMessage.contains("unique_key") }
+      require(blocked,
+        "q284: the dupe-poisoned rewrite must be BLOCKED at audit")
+      require(DigestManifest.currentVersion(sink) == mainHead &&
+          DigestManifest.listingFor(sink, "_MANIFEST") == mainListing,
+        "q284: a blocked publish must leave main byte-identical")
+      s.sql(s"CALL graft.system.drop_branch(table => '$short', " +
+        "branch => 'maint')").collect()
+      // ---- WAP attempt 2: the clean rewrite ----------------------------
+      val cdfPre = changesDigest()
+      s.sql(s"CALL graft.system.create_branch(table => '$short', " +
+        "branch => 'maint2')").collect()
+      val tblM2 = s"${tbl}_maint2"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tblM2
+               |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'branch'='maint2',
+               |  'format'='parquet', 'zonemap.columns'='doc_id')""".stripMargin)
+      s.sql(s"CALL graft.system.rewrite_sorted(table => '${short}_maint2', " +
+        "cols => 'doc_id', buckets => 4)").collect()
+      require(opened(s"doc_id < $band") == files(),
+        "q284: a staged rewrite must stay invisible to main readers")
+      val ff = s.sql(s"""CALL graft.system.fast_forward(table => '$short',
+               |  branch => 'maint2', audit => 'n_chars >= 0',
+               |  unique_key => 'doc_id')""".stripMargin).collect()
+      require(ff.length == 1 &&
+          DigestManifest.currentVersion(sink) == mainHead + 1,
+        s"q284: the publish must land as ONE main commit (${ff.toSeq})")
+      require(opened(s"doc_id < $band") < files(),
+        "q284: the published rewrite must restore doc_id pruning on main")
+      require(changesDigest() == cdfPre,
+        "q284: an all-content-preserving branch must publish " +
+          "CDF-invisibly (propagated tag)")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $tbl
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q284Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('en', 'de')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -5916,6 +6043,7 @@ object Formats {
     "q281_evolve_zorder" -> q281EvolveZorder _,
     "q282_rowgroup_bloom" -> q282RowGroupBloom _,
     "q283_rollback_inverse" -> q283RollbackInverse _,
+    "q284_evolve_wap_rewrite" -> q284EvolveWapRewrite _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -6004,5 +6132,6 @@ object Formats {
     "q281_evolve_zorder" -> q281Sql,
     "q282_rowgroup_bloom" -> q282Sql,
     "q283_rollback_inverse" -> q283Sql,
+    "q284_evolve_wap_rewrite" -> q284Sql,
   )
 }

@@ -975,8 +975,9 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("ADVICE r14: the change feed refuses an UNTAGGED delta-removing " +
-      "commit instead of silently emitting zero changes") {
+  test("ADVICE r14 → round-20: an UNTAGGED delta-removing commit (an " +
+      "overwrite over a live log) emits its NET changes — verb-touched " +
+      "ids via the inverse partition, exactly once each") {
     withCatalog {
       val dir = tmp("graft_cdfrefuse_spec_")
       val tbl = s"graft.ns.cdfref_${System.nanoTime()}"
@@ -987,21 +988,32 @@ class CatalogSpec extends SparkSpec {
                    |ON t.doc_id = u.doc_id
                    |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin)
       // an overwrite committed OVER the live log: genuinely changes data
-      // while also retiring delta files — not a compaction, not tagged
+      // while also retiring delta files — not a compaction, not tagged.
+      // Round-19 refused this; round-20 represents it: the dropped log's
+      // ids emit their net transition (pre-state merged at v2, post at
+      // v3), and the removed base file's whole-file deletes EXCLUDE them
       spark.sql(s"INSERT OVERWRITE $tbl VALUES (7L, 'zh', 70L)")
-      val e = intercept[Exception] {
-        spark.read.format("graft.sources.DigestSink")
-          .option("path", dir.toString).option("changesFrom", "0").load()
-          .collect()
-      }
-      assert(e.getMessage.contains("not a tagged compaction"), e.getMessage)
-      // tagging the same version makes the feed readable again (the
-      // compaction-skip path), proving the refusal keyed on the tag alone
-      DigestManifest.markCompaction(dir.toString,
-        DigestManifest.currentVersion(dir.toString))
-      assert(spark.read.format("graft.sources.DigestSink")
+      val v3 = spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "2").option("changesTo", "3").load()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(v3 == Seq(
+        (1L, "en", 99L, "delete"), // the MERGED pre-image, not the base's
+        (2L, "de", 20L, "delete"),
+        (7L, "zh", 70L, "insert")), v3.toString)
+      // the full window replays to the live state under latest-wins
+      spark.read.format("graft.sources.DigestSink")
         .option("path", dir.toString).option("changesFrom", "0").load()
-        .filter("_change_type = 'update_postimage'").count() == 1L)
+        .createOrReplaceTempView("cdfref_feed")
+      val replica = spark.sql(
+        """SELECT doc_id, lang, n_chars FROM (
+          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |    ORDER BY _commit_version DESC) AS rn
+          |  FROM cdfref_feed WHERE _change_type <> 'update_preimage') x
+          |WHERE rn = 1 AND _change_type <> 'delete'""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq
+      assert(replica == spark.table(tbl).collect().map(_.toString).sorted.toSeq)
       spark.sql(s"DROP TABLE $tbl")
     }
   }
@@ -1595,6 +1607,59 @@ class CatalogSpec extends SparkSpec {
       assert(all.filter("_change_type = 'delete'").count() == 2 &&
         all.filter("_change_type = 'insert'").count() == 6)
       spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("q284: a branch-propped DIGEST table refuses the clustering " +
+      "rewrites (only the evolve flavor stages WAP rewrites); the evolve " +
+      "branch rewrite tags its own ref, never main's") {
+    withCatalog {
+      val dir = tmp("graft_wapref_spec_")
+      val tbl = s"graft.ns.wapref_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      spark.sql(s"CALL graft.system.create_branch(table => '$short', " +
+        "branch => 'wip')").collect()
+      val tblB = s"${tbl}_wip"
+      spark.sql(s"""CREATE TABLE $tblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir',
+                   |  'delta'='true', 'branch'='wip')""".stripMargin)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.rewrite_sorted(table => '${short}_wip', " +
+          "cols => 'doc_id', buckets => 2)").collect()
+      }
+      assert(e.getMessage.contains("branch view"), e.getMessage)
+      // evolve branch rewrite: the content-preserving tag lands on the
+      // BRANCH ref — main's next replace must not inherit it
+      val edir = tmp("graft_waptag_spec_")
+      val etbl = s"graft.ns.waptag_${System.nanoTime()}"
+      val eshort = etbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $etbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$edir',
+                   |  'zonemap.columns'='doc_id')""".stripMargin)
+      spark.sql(s"INSERT INTO $etbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      spark.sql(s"CALL graft.system.create_branch(table => '$eshort', " +
+        "branch => 'm')").collect()
+      val etblB = s"${etbl}_m"
+      spark.sql(s"""CREATE TABLE $etblB (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$edir',
+                   |  'branch'='m', 'zonemap.columns'='doc_id')""".stripMargin)
+      spark.sql(s"CALL graft.system.rewrite_sorted(table => '${eshort}_m', " +
+        "cols => 'doc_id', buckets => 2)").collect()
+      val bv = DigestManifest.currentVersion(edir.toString, "m")
+      assert(DigestManifest.isCompaction(edir.toString, bv, "m"),
+        "the staged rewrite must be tagged on the BRANCH ref")
+      // main untouched, and main's next commit is NOT content-preserving
+      val mv0 = DigestManifest.currentVersion(edir.toString)
+      spark.sql(s"INSERT INTO $etbl VALUES (3, 'fr', 30)")
+      val mv1 = DigestManifest.currentVersion(edir.toString)
+      assert(mv1 == mv0 + 1 &&
+        !DigestManifest.isCompaction(edir.toString, mv1),
+        "a main commit after a branch rewrite must not inherit the tag")
+      spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $tblB")
+      spark.sql(s"DROP TABLE $etbl"); spark.sql(s"DROP TABLE $etblB")
     }
   }
 
