@@ -186,12 +186,23 @@ object DigestChanges {
     // restored listing, U→the inverse update pair). Whole-file and DV
     // partitions of the SAME version exclude the verb-touched ids so no
     // id emits twice in one commit (counting replicas stay exact).
-    val droppedDeltas = removed.collect {
-      case e if e.file.startsWith("delta-") => e.file
-    }
+    val droppedDeltaEntries = removed.filter(_.file.startsWith("delta-"))
+    val droppedDeltas = droppedDeltaEntries.map(_.file)
     val inverseParts: Seq[InputPartition] =
       if (droppedDeltas.isEmpty) Seq.empty
-      else Seq(ChangesInverseDeltaPartition(path, droppedDeltas, v, prevV, ref))
+      else {
+        // SHARDED inverse emission: a rollback across a huge MERGE must
+        // not resolve every touched id on one task — the entries' own
+        // recorded verb counts size the shard count (manifest metadata,
+        // no bytes read at plan time), and each task takes a contiguous
+        // slice of the SORTED touched-id space, so its pre/post-state
+        // resolution zone/bloom-prunes to its own id band
+        val verbRows = droppedDeltaEntries.map(_.rows).sum
+        val n = math.min(32L, math.max(1L,
+          verbRows / math.max(1, fileShardRows))).toInt
+        (0 until n).map(i => ChangesInverseDeltaPartition(path, droppedDeltas,
+          v, prevV, ref, shard = i, nShards = n): InputPartition)
+      }
     removed.foreach { e =>
       require(Files.exists(Paths.get(path, e.file)),
         s"graft_digest changes: ${e.file} was removed at v$v and its " +
@@ -464,7 +475,8 @@ case class ChangesDvPartition(path: String, file: String,
   * each id's transition appears exactly once in the commit's batch.
   */
 case class ChangesInverseDeltaPartition(path: String, files: Seq[String],
-    version: Int, prevV: Int, ref: String = DigestManifest.MainRef)
+    version: Int, prevV: Int, ref: String = DigestManifest.MainRef,
+    shard: Int = 0, nShards: Int = 1)
     extends InputPartition
 
 class ChangesReaderFactory extends PartitionReaderFactory {
@@ -586,8 +598,20 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         // the change — I→delete (the I's own payload is the pre-state),
         // D→insert (payload from the restored listing), U→the inverse
         // update pair. Both resolutions are task-side and zone/bloom-
-        // pruned; an id whose state is unchanged emits nothing.
-        val ids = DigestChanges.verbTouchedIds(ip.path, ip.files)
+        // pruned; an id whose state is unchanged emits nothing. Under
+        // sharding, this task takes its contiguous slice of the SORTED
+        // id space (re-derived from the O(changes) verb logs), so its
+        // resolution prunes to its own id band.
+        val ids = {
+          val all = DigestChanges.verbTouchedIds(ip.path, ip.files)
+          if (ip.nShards <= 1) all
+          else {
+            val sorted = all.toSeq.sorted
+            val lo = ip.shard * sorted.size / ip.nShards
+            val hi = (ip.shard + 1) * sorted.size / ip.nShards
+            sorted.slice(lo, hi).toSet
+          }
+        }
         val before = DigestChanges.resolveStateAt(ip.path, ip.ref,
           ip.prevV, ids)
         val after = DigestChanges.resolveStateAt(ip.path, ip.ref,

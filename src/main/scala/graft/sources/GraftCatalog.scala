@@ -217,10 +217,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def timeTravelPath(ident: Identifier): String = {
     val props = GraftCatalog.tables.get(key(ident))
     if (props == null) throw new NoSuchTableException(ident)
+    // the DV flavor qualifies too (round-20): its commits grow bitmaps
+    // and overwrite under retainHistory — no file an older manifest
+    // names is ever deleted, so every snapshot stays readable
     require(props.getOrDefault("provider", "graft_seq") == "graft_digest" &&
-      props.getOrDefault("delta", "false").toBoolean,
+      (props.getOrDefault("delta", "false").toBoolean ||
+        props.getOrDefault("dv", "false").toBoolean),
       s"graft catalog: time travel on ${ident.name()} — only the " +
-        "history-retaining delta flavor ('delta'='true') keeps old versions readable")
+        "history-retaining flavors ('delta'='true' or 'dv'='true') keep " +
+        "old versions readable")
     props.get("path")
   }
 
@@ -519,7 +524,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array("compact", "history", "expire_snapshots", "remove_orphan_files",
       "create_branch", "fast_forward", "branches", "drop_branch",
-      "rewrite_sorted", "rewrite_zorder", "rollback")
+      "rewrite_sorted", "rewrite_zorder", "rewrite_plane", "rollback",
+      "probe_key")
       .map(Identifier.of(Array("system"), _))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
@@ -535,6 +541,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "drop_branch" if known => new DropBranchProcedure(catalogName)
       case "rewrite_sorted" if known => new RewriteSortedProcedure(catalogName)
       case "rewrite_zorder" if known => new RewriteZorderProcedure(catalogName)
+      case "rewrite_plane" if known => new RewritePlaneProcedure(catalogName)
+      case "probe_key" if known => new ProbeKeyProcedure(catalogName)
       case "rollback" if known => new RollbackProcedure(catalogName)
       case "create_tag" if known => new CreateTagProcedure(catalogName)
       case "drop_tag" if known => new DropTagProcedure(catalogName)

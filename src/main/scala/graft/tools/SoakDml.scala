@@ -98,6 +98,23 @@ object SoakDml {
       timed("delta_scan_unc") {
         spark.sql(s"SELECT COUNT(*) c, SUM(n_chars) s FROM $dlt").collect()
       }
+      // ROLLBACK ACROSS THE LIVE VERB LOG (round-20): the O(changes)
+      // undo — publish the restored listing (v3 = v1) and read the
+      // rollback version's NET-INVERSE change batch; both must track the
+      // verb count, never the table
+      timed("rollback_inverse") {
+        spark.sql(s"CALL graft.system.rollback(table => 'ns.soakdelta_$tag', " +
+          "version => 1)").collect()
+      }
+      timed("rollback_feed") {
+        val n = spark.read.format("graft.sources.DigestSink")
+          .option("path", dDir.toString)
+          .option("changesFrom", "2").option("changesTo", "3")
+          .load().count()
+        require(n > 0, "the rollback inverse batch must carry rows")
+      }
+      // restore a live log so compact below has verbs to retire
+      spark.sql(mergeSql(dlt))
       timed("compact") {
         val r = spark.sql(s"CALL graft.system.compact(table => 'ns.soakdelta_$tag')")
           .head()
@@ -136,6 +153,16 @@ object SoakDml {
       timed("pq_scan") {
         spark.sql(s"SELECT lang, COUNT(*), SUM(n_chars) FROM $pq GROUP BY lang")
           .collect()
+      }
+      // RUNTIME id-set FILE SKIPPING (q280 shape, round-20 rung): a
+      // broadcast join delivers an In(doc_id) set at runtime; the scan's
+      // cost must track the id set (zone/bloom-pruned file opens), not
+      // the table
+      timed("runtime_id_skip") {
+        spark.sql(
+          s"""SELECT COUNT(*) c, SUM(t.n_chars) s FROM $pq t
+             |JOIN (SELECT doc_id FROM soak_docs WHERE doc_id % 5000 = 17) d
+             |ON t.doc_id = d.doc_id""".stripMargin).collect()
       }
       spark.sql(s"DROP TABLE $pq")
 

@@ -39,7 +39,8 @@ object SoakManifest {
     println("entries,langs,commits,tail_commit_bytes,base_bytes," +
       "head_hot_us,head_cold_us,pruned_cold_us,pruned_bytes," +
       "pruned_entries,cdf_plan_us,banded_cold_us,banded_bytes," +
-      "banded_entries,needle_cold_us,needle_shards,total_shards")
+      "banded_entries,needle_cold_us,needle_shards,total_shards," +
+      "probe_us,probe_shards")
     rungs.foreach { target =>
       val dir = java.nio.file.Files.createTempDirectory(s"soak_manifest_$target-")
       val path = dir.toString
@@ -240,11 +241,22 @@ object SoakManifest {
         val p = bdir.resolve(s"_MANIFEST.v$chainBaseV")
         if (firstLineOf(p) == "#sharded") headerShards(p).size else 1
       }
+      // the round-20 EXISTS probe: weighted cheapest-first short-circuit
+      // — a hit must read FEWER base shards than the needle plan's full
+      // candidate set (usually one)
+      var probeHit = false
+      var probeShards = 0L
+      val probeUs = timeUs {
+        val (may, n) = DigestManifest.probeKey(bpath,
+          DigestManifest.MainRef, "bf", needleId)
+        probeHit = may; probeShards = n
+      }
+      require(probeHit, "the present needle id must probe true")
 
       println(s"$target,$nLangs,${commits + 1},$tailBytes,$baseBytes," +
         s"$hot,$cold,$prunedCold,$prunedBytes,$prunedEntries,$cdf," +
         s"$bandedCold,$bandedBytes,$bandedEntries," +
-        s"$needleCold,$needleShards,$totalShards")
+        s"$needleCold,$needleShards,$totalShards,$probeUs,$probeShards")
       locally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(bdir).iterator().asScala.toSeq

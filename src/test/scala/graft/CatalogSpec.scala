@@ -1663,6 +1663,41 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("probe_key: metadata-only existence — a present key probes true " +
+      "(no false negatives), a far-off key proves absence, and the " +
+      "evolve flavor refuses with a pointer to its own scan") {
+    withCatalog {
+      val dir = tmp("graft_probe_spec_")
+      val tbl = s"graft.ns.probe_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir',
+                   |  'bloom.columns'='doc_id')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 'en', 10), (2, 'de', 20)")
+      spark.sql(s"INSERT INTO $tbl VALUES (77, 'fr', 30)")
+      val hit = spark.sql(s"CALL graft.system.probe_key(table => '$short', " +
+        "key => CAST(77 AS BIGINT))").collect()
+      assert(hit.length == 1 && hit(0).getBoolean(0),
+        s"a present key must probe true: ${hit.toSeq}")
+      // every committed file is under the bloom saturation gate, so each
+      // entry carries its filter and a far-off key is PROVABLY absent
+      val miss = spark.sql(s"CALL graft.system.probe_key(table => '$short', " +
+        "key => CAST(987654321099 AS BIGINT))").collect()
+      assert(miss.length == 1 && !miss(0).getBoolean(0),
+        s"a never-inserted key must prove absence: ${miss.toSeq}")
+      val edir = tmp("graft_probe_ev_")
+      val etbl = s"graft.ns.probev_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE $etbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$edir')""".stripMargin)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.probe_key(table => " +
+          s"'${etbl.stripPrefix("graft.")}', key => CAST(1 AS BIGINT))").collect()
+      }
+      assert(e.getMessage.contains("not a graft_digest"), e.getMessage)
+      spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $etbl")
+    }
+  }
+
   test("q283: rollback across an UNCOMPACTED MERGE emits the net inverse " +
       "verbs — no refusal, and a latest-wins replica converges to the " +
       "restored state") {
@@ -1706,6 +1741,17 @@ class CatalogSpec extends SparkSpec {
         (2L, "en", 999L, "update_preimage"),
         (3L, "de", 30L, "insert"),
         (9L, "fr", 90L, "delete")), inv.toString)
+      // the SHARDED inverse plan (one slice of the sorted id space per
+      // task) emits the identical row set
+      graft.sources.DigestChanges.withFileShardRows(1) {
+        val sharded = spark.read.format("graft.sources.DigestSink")
+          .option("path", dir.toString)
+          .option("changesFrom", "2").option("changesTo", "3")
+          .load().collect().map(r => (r.getLong(0), r.getString(1),
+            r.getLong(2), r.getString(3))).sortBy(t => (t._1, t._4)).toSeq
+        assert(sharded == inv,
+          "sharded inverse emission must match the single-task plan")
+      }
       // latest-wins replica over the full window converges to the table
       spark.read.format("graft.sources.DigestSink")
         .option("path", dir.toString)

@@ -284,6 +284,49 @@ class ShardGroupSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("round-20: the fold sidecar equals shard reassembly byte-for-byte, " +
+      "serves the cold unpruned plan, survives GC while referenced, and " +
+      "its loss falls back to shards") {
+    withThreshold(4) {
+      val dir = tmp("graft_fold_sidecar_")
+      val path = dir.toString
+      mixed.foreach { l =>
+        Files.write(dir.resolve(l.split(",")(0)), "1,aa,1\n".getBytes("UTF-8"))
+      }
+      DigestManifest.publishAppend(path, mixed, 0)
+      import scala.jdk.CollectionConverters._
+      def folds(): Seq[java.nio.file.Path] = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".fold._MANIFEST")).toSeq
+      val fold = folds()
+      assert(fold.size == 1, s"a sharded base must write ONE fold sidecar: $fold")
+      // fold-exactness: the sidecar IS the listing, order included —
+      // byte-identical to what shard reassembly folds
+      assert(Files.readAllLines(fold.head).asScala.toSeq == mixed)
+      DigestManifest.clearHeadCacheForTest()
+      assert(DigestManifest.head(path) == (1, mixed),
+        "the cold unpruned plan must resolve through the sidecar exactly")
+      // referenced sidecar survives GC however old
+      val epoch = java.nio.file.attribute.FileTime.fromMillis(1000L)
+      Files.setLastModifiedTime(fold.head, epoch)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      val tbl = s"foldgc_${System.nanoTime()}"
+      spark.sql(s"""CREATE TABLE graft.ns.$tbl
+                   |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$path')"""
+        .stripMargin)
+      spark.sql(s"CALL graft.system.remove_orphan_files(table => 'ns.$tbl', " +
+        "older_than_ms => CAST(3600000 AS BIGINT))").collect()
+      spark.sql(s"DROP TABLE graft.ns.$tbl")
+      assert(Files.exists(fold.head),
+        "a referenced fold sidecar must survive GC regardless of age")
+      // legacy shape / swept sidecar: shard reassembly resolves identically
+      Files.delete(fold.head)
+      DigestManifest.clearHeadCacheForTest()
+      assert(DigestManifest.head(path) == (1, mixed),
+        "a missing sidecar must fall back to shard reassembly")
+    }
+  }
+
   test("shard BLOOM summaries: a needle plan reads ONLY the sub-shards " +
       "whose summary may hold the probed id — no false negatives anywhere") {
     withThreshold(4) {
