@@ -351,7 +351,11 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
   // column pruning reaches the reader: an evolved table accretes columns
   // over its life, and a projection must not parse cells it never serves
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EvolveScanBuilder(path, fields, ref, zoneIds, bloomIds)
+    new EvolveScanBuilder(path, fields, ref, zoneIds, bloomIds,
+      // `maxVersionsPerTrigger` — the streaming-read admission option
+      // (q243's contract on the declared schema, round-20)
+      streamMaxVersions =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 /** Scan builder: column pruning (q223) + zone-range file skipping over
@@ -364,7 +368,8 @@ class EvolveTable(path: String, fields: Seq[EvolveField],
   */
 class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
     ref: String, zoneIds: Seq[Int], bloomIds: Seq[Int] = Nil,
-    emitMeta: Boolean = false)
+    emitMeta: Boolean = false,
+    streamMaxVersions: Option[Int] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
@@ -437,7 +442,7 @@ class EvolveScanBuilder(path: String, fields: Seq[EvolveField],
       .map(id => id -> (zLo(id), zHi(id))).toMap
 
   override def build(): Scan = new EvolveScan(path, current, ref, ranges,
-    emitMeta, bloomPoints)
+    emitMeta, bloomPoints, streamMaxVersions)
 }
 
 /** One committed evolve file: name, rows, and the writer-observed
@@ -695,7 +700,8 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
     ref: String = DigestManifest.MainRef,
     ranges: Map[Int, (Long, Long)] = Map.empty,
     emitMeta: Boolean = false,
-    bloomPoints: Map[Int, Set[Long]] = Map.empty) extends Scan with Batch {
+    bloomPoints: Map[Int, Set[Long]] = Map.empty,
+    streamMaxVersions: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType =
     if (emitMeta) StructType(EvolveSchema.struct(fields).fields ++
       DigestDv.metaFields)
@@ -753,7 +759,7 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
   // STREAMING READ of the evolve table (round-20, judge item 6): the
   // q242 "table as queue" capability on the declared schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new EvolveMicroBatchStream(path, fields, ref)
+    new EvolveMicroBatchStream(path, fields, ref, streamMaxVersions)
 }
 
 /** Micro-batch stream over the DECLARED-SCHEMA table (round-20): offsets
@@ -770,11 +776,43 @@ class EvolveScan(path: String, fields: Seq[EvolveField],
   * refuses (consume the change feed instead).
   */
 class EvolveMicroBatchStream(path: String, fields: Seq[EvolveField],
-    ref: String = DigestManifest.MainRef) extends MicroBatchStream {
+    ref: String = DigestManifest.MainRef,
+    maxVersionsPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
   private def offset(v: Int) = DigestVersionOffset(v)
+
+  // ADMISSION CONTROL (the q243 contract on the declared schema,
+  // round-20): `maxVersionsPerTrigger` caps how many commits one
+  // micro-batch absorbs; under Trigger.AvailableNow the drain target is
+  // pinned before batch one, so a months-deep backfill processes its
+  // pinned backlog in bounded checkpointed slices and terminates even
+  // while new commits keep landing
+  @volatile private var pinned: Option[Int] = None
+  private def live: Int =
+    pinned.getOrElse(DigestManifest.currentVersion(path, ref))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(DigestManifest.currentVersion(path, ref))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(n => ReadLimit.maxFiles(n))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DigestVersionOffset].v
+    val step = limit match {
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => math.max(live - s, 0)
+    }
+    offset(math.min(s + math.max(step, 1), live))
+  }
+
+  override def reportLatestOffset(): Offset = offset(live)
+
   override def initialOffset(): Offset = offset(0)
-  override def latestOffset(): Offset =
-    offset(DigestManifest.currentVersion(path, ref))
+  override def latestOffset(): Offset = offset(live)
   override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1145,7 +1183,8 @@ class EvolveChangesTable(path: String, fields: Seq[EvolveField],
     s"graft_evolve_changes($path@$ref @($from,${to.getOrElse("latest")}])"
   override def schema(): StructType = EvolveChanges.schema(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new EvolveChangesScan(path, fields, from,
       to.getOrElse(DigestManifest.currentVersion(path, ref)), ref)
@@ -1166,6 +1205,35 @@ class EvolveChangesScan(path: String, fields: Seq[EvolveField],
     s"graft_evolve_changes($path@$ref) ($from,$to]"
   override def planInputPartitions(): Array[InputPartition] =
     DigestChanges.plan(path, from, to, ref).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EvolveChangesReaderFactory(fields)
+
+  // STREAMING CDC on the declared schema (round-20): the q244 shape —
+  // offsets are manifest versions, each micro-batch carries its range's
+  // CHANGE rows (deletes and compaction skips included), cells resolved
+  // by field id
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new EvolveChangesMicroBatchStream(path, fields, from, ref)
+}
+
+/** Streaming form of the evolve change feed (round-20): the declared
+  * schema's twin of [[DigestChangesMicroBatchStream]] — downstream CDC
+  * consumers tail the table's commit log, paying O(changes) per trigger.
+  */
+class EvolveChangesMicroBatchStream(path: String, fields: Seq[EvolveField],
+    from: Int, ref: String = DigestManifest.MainRef)
+    extends MicroBatchStream {
+  private def offset(v: Int) = DigestVersionOffset(v)
+  override def initialOffset(): Offset = offset(from)
+  override def latestOffset(): Offset =
+    offset(DigestManifest.currentVersion(path, ref))
+  override def deserializeOffset(json: String): Offset = offset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    DigestChanges.plan(path,
+      start.asInstanceOf[DigestVersionOffset].v,
+      end.asInstanceOf[DigestVersionOffset].v, ref).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new EvolveChangesReaderFactory(fields)
 }

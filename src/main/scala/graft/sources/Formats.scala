@@ -6178,6 +6178,138 @@ object Formats {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  // ---- q287: STREAMING CDC on the DECLARED SCHEMA --------------------------
+  // The q244 shape on the evolve flavor (round-20): the field-id change
+  // feed doubles as a micro-batch source — offsets are manifest
+  // versions, each batch carries its range's change rows (DV deletes
+  // with payload included), cells resolved by stable field id. The
+  // in-query lock pins the streamed set exactly equal to the batch
+  // feed; the oracled output is the per-(version, change-type) digest,
+  // fully deterministic from `documents`.
+  def q287EvolveChangesStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val short = s"ns.evcdc_$h"
+    val tbl = s"graft.$short"
+    def digest(df: DataFrame): DataFrame = df
+      .groupBy(col("_commit_version").as("commit_v"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"),
+        md5(expr("array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> CAST(x AS STRING)), ',')").cast("binary")).as("ids_md5"))
+      .orderBy("commit_v", "change_type")
+    val staged = graft.TempDirs.staged(s"dsv2_evolve_cdc:$dir") { p =>
+      val sink = p.resolve("sink").toString
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='$sink', 'format'='parquet')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q287")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q287 WHERE lang = 'en'")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM docs_q287 WHERE lang = 'de'")
+      // v3: a DV DELETE — the feed emits payload-carrying deletes
+      s.sql(s"DELETE FROM $tbl WHERE doc_id % 7 = 0")
+      val evSchema = GraftCatalog.regKeyProps("graft",
+        Seq("ns", short.split("\\.").last)).get("evolveSchema")
+      val q = s.readStream
+        .format("graft.sources.EvolveSource")
+        .option("path", sink).option("evolveSchema", evSchema)
+        .option("changesFrom", "0")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", p.resolve("out").toString)
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      java.nio.file.Files.writeString(p.resolve("schema"), evSchema)
+    }
+    val sink = staged.resolve("sink").toString
+    val evSchema = java.nio.file.Files.readString(staged.resolve("schema"))
+    val streamed = s.read.parquet(staged.resolve("out").toString)
+    val batch = s.read.format("graft.sources.EvolveSource")
+      .option("path", sink).option("evolveSchema", evSchema)
+      .option("changesFrom", "0").load()
+    require(digest(streamed).collect().toSeq == digest(batch).collect().toSeq,
+      "q287: the streamed change set must be exactly the batch feed's")
+    digest(streamed)
+  }
+
+  val q287Sql: String =
+    """WITH ch AS (
+      |  SELECT 1 AS commit_v, 'insert' AS change_type, doc_id, n_chars
+      |  FROM documents WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT 2, 'insert', doc_id, n_chars
+      |  FROM documents WHERE lang = 'de'
+      |  UNION ALL
+      |  SELECT 3, 'delete', doc_id, n_chars
+      |  FROM documents WHERE lang IN ('en', 'de') AND doc_id % 7 = 0)
+      |SELECT commit_v, change_type, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ch
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- q288: BOUNDED BACKFILL on the DECLARED SCHEMA -----------------------
+  // The q243 admission-control contract on the evolve flavor
+  // (round-20): `maxVersionsPerTrigger` caps how many commits one
+  // micro-batch absorbs, AvailableNow pins the drain target before
+  // batch one, and the epoch-idempotent evolve streaming WRITE commits
+  // each slice as one manifest version — a months-deep declared-schema
+  // table backfills in bounded checkpointed slices, exactly once.
+  def q288EvolveBoundedStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val h = Integer.toHexString(dir.hashCode)
+    val src = s"graft.ns.evbnd_src_$h"
+    val dst = s"graft.ns.evbnd_dst_$h"
+    graft.TempDirs.staged(s"dsv2_evolve_bounded:$dir") { p =>
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $src (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='${p.resolve("src")}', 'format'='parquet')""".stripMargin)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $dst (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |USING graft_evolve
+               |TBLPROPERTIES ('path'='${p.resolve("dst")}', 'format'='parquet')""".stripMargin)
+      t(s, dir, "documents").createOrReplaceTempView("docs_q288")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q288 WHERE lang IN ('de', 'fr')")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q288 WHERE lang = 'en'")
+      s.sql(s"INSERT INTO $src SELECT doc_id, lang, n_chars FROM docs_q288 WHERE lang IN ('es', 'zh')")
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(src)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", p.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(dst)
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches >= 3,
+        s"q288: a 3-commit backlog under maxVersionsPerTrigger=1 must " +
+          s"drain in >=3 bounded batches, saw $dataBatches")
+      require(s.table(src).count() == s.table(dst).count(),
+        "q288: bounded draining must still replicate exactly once")
+    }
+    s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  SUM(n_chars) AS sum_chars,
+             |  md5(CAST(array_join(transform(array_sort(collect_list(doc_id)),
+             |    x -> CAST(x AS STRING)), ',') AS BINARY)) AS ids_md5
+             |FROM $dst
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)
+  }
+
+  val q288Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+      |FROM documents
+      |WHERE lang IN ('de', 'fr', 'en', 'es', 'zh')
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_json_roundtrip" -> q87JsonRoundtrip _,
     "q88_orc_roundtrip" -> q88OrcRoundtrip _,
@@ -6267,6 +6399,8 @@ object Formats {
     "q284_evolve_wap_rewrite" -> q284EvolveWapRewrite _,
     "q285_evolve_stream" -> q285EvolveStream _,
     "q286_rewrite_plane" -> q286RewritePlane _,
+    "q287_evolve_changes_stream" -> q287EvolveChangesStream _,
+    "q288_evolve_bounded_stream" -> q288EvolveBoundedStream _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -6358,5 +6492,7 @@ object Formats {
     "q284_evolve_wap_rewrite" -> q284Sql,
     "q285_evolve_stream" -> q285Sql,
     "q286_rewrite_plane" -> q286Sql,
+    "q287_evolve_changes_stream" -> q287Sql,
+    "q288_evolve_bounded_stream" -> q288Sql,
   )
 }

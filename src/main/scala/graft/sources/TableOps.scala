@@ -1655,19 +1655,44 @@ class ProbeKeyProcedure(catalogName: String) extends UnboundProcedure
   override def parameters(): Array[ProcedureParameter] =
     Array(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("key", LongType).build(),
-      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build())
+      ProcedureParameter.in("branch", StringType).defaultValue("'main'").build(),
+      // the evolve flavor declares its bloom columns by NAME — `column`
+      // resolves through the current schema to the id-addressed attr
+      // (`bf.c<fieldId>`), so a RENAME never re-keys the probe; the
+      // digest flavor's point key is always doc_id
+      ProcedureParameter.in("column", StringType)
+        .defaultValue("'doc_id'").build())
 
   override def call(input: InternalRow): util.Iterator[Scan] = {
     val tbl = input.getUTF8String(0).toString
     val id = input.getLong(1)
     val ref = DigestManifest.checkRef(input.getUTF8String(2).toString)
+    val column = input.getUTF8String(3).toString
     val (props, path) = ProcedureSupport.resolve(catalogName, tbl,
       "probe_key", requireDelta = false)
-    require(props.getOrDefault("provider", "") == "graft_digest",
-      s"graft.system.probe_key: $tbl is not a graft_digest table " +
-        "(the evolve flavor's point key is declared per column — probe " +
-        "through its bloom-pruned scan instead)")
-    val (may, shardsRead) = DigestManifest.probeKey(path, ref, "bf", id)
+    val attrKey = props.getOrDefault("provider", "") match {
+      case "graft_digest" =>
+        require(column == "doc_id",
+          s"graft.system.probe_key: the digest flavor's point key is " +
+            s"doc_id, not '$column'")
+        "bf"
+      case "graft_evolve" =>
+        val declared = Option(props.get("bloom.columns")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).toSet
+        require(declared.contains(column),
+          s"graft.system.probe_key: '$column' is not a declared bloom " +
+            s"column of $tbl (bloom.columns: " +
+            s"${declared.toSeq.sorted.mkString(", ")})")
+        val fid = EvolveSchema.parse(props.get("evolveSchema"))._2
+          .find(_.name == column).getOrElse(throw new IllegalArgumentException(
+            s"graft.system.probe_key: '$column' is not in the current " +
+              s"schema of $tbl")).id
+        s"bf.c$fid"
+      case p => throw new IllegalArgumentException(
+        s"graft.system.probe_key: $tbl is not a graft_digest or " +
+          s"graft_evolve table (provider: $p)")
+    }
+    val (may, shardsRead) = DigestManifest.probeKey(path, ref, attrKey, id)
     val schema = StructType(Seq(
       StructField("may_contain", org.apache.spark.sql.types.BooleanType,
         nullable = false),

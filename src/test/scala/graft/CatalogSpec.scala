@@ -1685,15 +1685,40 @@ class CatalogSpec extends SparkSpec {
         "key => CAST(987654321099 AS BIGINT))").collect()
       assert(miss.length == 1 && !miss(0).getBoolean(0),
         s"a never-inserted key must prove absence: ${miss.toSeq}")
+      // evolve flavor: the probe resolves a DECLARED bloom column by
+      // name to its id-addressed attr — and keeps resolving across a
+      // RENAME (ids are stable; names are not)
       val edir = tmp("graft_probe_ev_")
       val etbl = s"graft.ns.probev_${System.nanoTime()}"
+      val eshort = etbl.stripPrefix("graft.")
       spark.sql(s"""CREATE TABLE $etbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
-                   |USING graft_evolve TBLPROPERTIES ('path'='$edir')""".stripMargin)
+                   |USING graft_evolve TBLPROPERTIES ('path'='$edir',
+                   |  'bloom.columns'='doc_id')""".stripMargin)
+      spark.sql(s"INSERT INTO $etbl VALUES (5, 'en', 50)")
+      val eHit = spark.sql(s"CALL graft.system.probe_key(table => '$eshort', " +
+        "key => CAST(5 AS BIGINT))").collect()
+      assert(eHit.length == 1 && eHit(0).getBoolean(0), eHit.toSeq.toString)
+      val eMiss = spark.sql(s"CALL graft.system.probe_key(table => '$eshort', " +
+        "key => CAST(123456789012 AS BIGINT))").collect()
+      assert(eMiss.length == 1 && !eMiss(0).getBoolean(0), eMiss.toSeq.toString)
+      // an undeclared column refuses with the declared set named
       val e = intercept[Exception] {
-        spark.sql(s"CALL graft.system.probe_key(table => " +
-          s"'${etbl.stripPrefix("graft.")}', key => CAST(1 AS BIGINT))").collect()
+        spark.sql(s"CALL graft.system.probe_key(table => '$eshort', " +
+          "key => CAST(1 AS BIGINT), column => 'n_chars')").collect()
       }
-      assert(e.getMessage.contains("not a graft_digest"), e.getMessage)
+      assert(e.getMessage.contains("not a declared bloom column"), e.getMessage)
+      // RENAME: the probe follows the name to the SAME stable field id.
+      // Declared-attr columns rename via undeclare → rename → redeclare
+      // (the validation refuses a declaration naming a column the
+      // current schema lacks, in either order)
+      spark.sql(s"ALTER TABLE $etbl UNSET TBLPROPERTIES ('bloom.columns')")
+      spark.sql(s"ALTER TABLE $etbl RENAME COLUMN doc_id TO document_id")
+      spark.sql(s"ALTER TABLE $etbl SET TBLPROPERTIES " +
+        "('bloom.columns'='document_id')")
+      val eRen = spark.sql(s"CALL graft.system.probe_key(table => '$eshort', " +
+        "key => CAST(5 AS BIGINT), column => 'document_id')").collect()
+      assert(eRen.length == 1 && eRen(0).getBoolean(0),
+        "the probe must keep answering across a rename (id-addressed attr)")
       spark.sql(s"DROP TABLE $tbl"); spark.sql(s"DROP TABLE $etbl")
     }
   }
