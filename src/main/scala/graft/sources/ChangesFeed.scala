@@ -607,8 +607,11 @@ class ChangesReaderFactory extends PartitionReaderFactory {
           if (ip.nShards <= 1) all
           else {
             val sorted = all.toSeq.sorted
-            val lo = ip.shard * sorted.size / ip.nShards
-            val hi = (ip.shard + 1) * sorted.size / ip.nShards
+            // Long arithmetic: `shard * size` wraps Int past ~69M ids,
+            // and a wrapped slice would silently drop whole id bands
+            // from the inverse emission
+            val lo = (ip.shard.toLong * sorted.size / ip.nShards).toInt
+            val hi = ((ip.shard + 1).toLong * sorted.size / ip.nShards).toInt
             sorted.slice(lo, hi).toSet
           }
         }
@@ -749,9 +752,13 @@ class DigestMicroBatchStream(path: String,
     // an orphaned claim from a crashed committer leaves a snapshot file
     // whose content was never committed — diffing against it would serve
     // phantom rows
-    val versions = DigestChanges.registeredVersions(path)
-      .filter(v => v > s && v <= e)
-    var prevV = s
+    val registered = DigestChanges.registeredVersions(path)
+    val versions = registered.filter(v => v > s && v <= e)
+    // snap the diff base to the last REGISTERED version <= s: an
+    // admission-control step can checkpoint an offset that lands exactly
+    // on an orphaned claim, and diffing against that phantom listing
+    // would wedge the stream at that checkpoint forever
+    var prevV = registered.filter(_ <= s).lastOption.getOrElse(0)
     versions.flatMap { v =>
       val prevE = DigestChanges.manifestEntries(path, prevV)
       val curE = DigestChanges.manifestEntries(path, v)

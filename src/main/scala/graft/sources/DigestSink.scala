@@ -907,6 +907,31 @@ private[graft] object DigestManifest {
     }.groupBy(_._1).view
       .mapValues(_.map { case (_, c, r) => c -> r }.toMap).toMap
 
+  /** Per-shard bloom summaries of a `#sharded` header:
+    * shardName -> attrKey -> encodedFilter. The ONE owner of the
+    * `#bloom:<name>:<key>:<enc>` grammar — the pruned reader and the
+    * existence probe both parse through here.
+    */
+  private def shardBlooms(headerLines: Seq[String])
+      : Map[String, Map[String, String]] =
+    headerLines.filter(_.startsWith("#bloom:")).map { l =>
+      val body = l.drop(7)
+      val i1 = body.indexOf(':')
+      val i2 = body.indexOf(':', i1 + 1)
+      (body.take(i1), body.substring(i1 + 1, i2), body.drop(i2 + 1))
+    }.groupBy(_._1).view
+      .mapValues(_.map { case (_, k, e) => k -> e }.toMap).toMap
+
+  /** Per-shard `#rows:` entry-count weights (round-20): shardName ->
+    * entries — the cheapest-first ordering key for existence probes.
+    */
+  private def shardWeights(headerLines: Seq[String]): Map[String, Long] =
+    headerLines.filter(_.startsWith("#rows:")).map { l =>
+      val b = l.drop(6)
+      val i = b.lastIndexOf(':')
+      b.take(i) -> b.drop(i + 1).toLong
+    }.toMap
+
   /** Reassemble a sharded base: all shards (`groups` = None, `ranges`
     * empty), or only the shards matching `groups` (plus the ungrouped
     * catch-all) whose recorded zone summaries overlap every pushed
@@ -924,13 +949,7 @@ private[graft] object DigestManifest {
       else shardZones(headerLines)
     // per-shard BLOOM summaries (round-19): shardName -> attrKey -> enc
     val blooms = if (points.isEmpty) Map.empty[String, Map[String, String]]
-      else headerLines.filter(_.startsWith("#bloom:")).map { l =>
-        val body = l.drop(7)
-        val i1 = body.indexOf(':')
-        val i2 = body.indexOf(':', i1 + 1)
-        (body.take(i1), body.substring(i1 + 1, i2), body.drop(i2 + 1))
-      }.groupBy(_._1).view
-        .mapValues(_.map { case (_, k, e) => k -> e }.toMap).toMap
+      else shardBlooms(headerLines)
     val wanted = shardRefs(headerLines).filter { case (name, g) =>
       groups.forall(gs => g.isEmpty || gs.contains(g)) &&
         ranges.forall { case (c, (lo, hi)) =>
@@ -1263,31 +1282,27 @@ private[graft] object DigestManifest {
           cur = h.drop(6).toInt
           if (cur == 0) return (false, shardsRead)
         case Some("#sharded") =>
-          val blooms = lines.filter(_.startsWith("#bloom:")).flatMap { l =>
-            val b = l.drop(7)
-            val i1 = b.indexOf(':'); val i2 = b.indexOf(':', i1 + 1)
-            if (b.substring(i1 + 1, i2) == key)
-              Some(b.take(i1) -> b.drop(i2 + 1))
-            else None
-          }.toMap
-          val weights = lines.filter(_.startsWith("#rows:")).map { l =>
-            val b = l.drop(6)
-            val i = b.lastIndexOf(':')
-            b.take(i) -> b.drop(i + 1).toLong
-          }.toMap
+          val blooms = shardBlooms(lines)
+          val weights = shardWeights(lines)
           val candidates = shardRefs(lines).map(_._1).filter { n =>
-            blooms.get(n).forall(enc => BloomCodec.mayContain(enc, id))
+            blooms.getOrElse(n, Map.empty).get(key)
+              .forall(enc => BloomCodec.mayContain(enc, id))
           }.sortBy(n => weights.getOrElse(n, Long.MaxValue))
           candidates.foreach { n =>
             val sf = Paths.get(path, n)
-            if (Files.exists(sf)) {
-              shardsRead += 1
-              shardReadEvents.incrementAndGet()
-              val hit = readLines(sf).exists { l =>
-                admits(ManifestEntry.parse(l.drop(l.indexOf(':') + 1)).attrs)
-              }
-              if (hit) return (true, shardsRead)
+            // a missing referenced shard is corruption, not exclusion:
+            // skipping it silently could return false — which the probe
+            // CONTRACT defines as proof of absence. Refuse loudly like
+            // the base reader.
+            require(Files.exists(sf),
+              s"graft_digest probe: referenced base shard $n is missing " +
+                s"at $path — metadata corrupted or swept while referenced")
+            shardsRead += 1
+            shardReadEvents.incrementAndGet()
+            val hit = readLines(sf).exists { l =>
+              admits(ManifestEntry.parse(l.drop(l.indexOf(':') + 1)).attrs)
             }
+            if (hit) return (true, shardsRead)
           }
           return (false, shardsRead)
         case _ =>

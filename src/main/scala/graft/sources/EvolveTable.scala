@@ -822,8 +822,8 @@ class EvolveMicroBatchStream(path: String, fields: Seq[EvolveField],
     val e = end.asInstanceOf[DigestVersionOffset].v
     // REGISTERED versions only, like every metadata consumer — an
     // orphaned claim from a crashed committer must not serve phantom rows
-    val versions = DigestChanges.registeredVersions(path, ref)
-      .filter(v => v > s && v <= e)
+    val registered = DigestChanges.registeredVersions(path, ref)
+    val versions = registered.filter(v => v > s && v <= e)
     // (file, ids, dv) per entry of one version — EvolveEntry.parse, so
     // legacy positional-id lines resolve the same as attr-form ones
     def entriesAt(v: Int): Seq[(String, Seq[Int], String)] =
@@ -838,7 +838,12 @@ class EvolveMicroBatchStream(path: String, fields: Seq[EvolveField],
           (file, ids, attrs.getOrElse("dv", ""))
         }
       }
-    var prevV = s
+    // the diff base is the last REGISTERED version <= s, never the raw
+    // checkpointed offset: under admission-control stepping an offset
+    // can land exactly on an orphaned (claimed-but-unregistered)
+    // version, and diffing against that phantom listing would wedge the
+    // stream permanently at that checkpoint
+    var prevV = registered.filter(_ <= s).lastOption.getOrElse(0)
     versions.flatMap { v =>
       val prevE = entriesAt(prevV)
       val curE = entriesAt(v)

@@ -229,6 +229,22 @@ private[sources] object ProcedureSupport {
       override def rows(): Array[InternalRow] = data
     }
 
+  /** The rewrite procedures' shared summary row — (rewritten_files,
+    * table_rows, committed_version) off the ref's CURRENT listing; one
+    * owner so a future change (e.g. DV-netting the row count) cannot
+    * drift between rewrite_sorted / rewrite_zorder / rewrite_plane.
+    */
+  def rewriteSummary(path: String, ref: String): Scan = {
+    val after = manifestLines(path, DigestManifest.mName(ref))
+      .map(ManifestEntry.parse)
+    val version = DigestManifest.currentVersion(path, ref).toLong
+    localScan(StructType(Seq(
+      StructField("rewritten_files", LongType, nullable = false),
+      StructField("table_rows", LongType, nullable = false),
+      StructField("committed_version", LongType, nullable = false))),
+      Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version)))
+  }
+
   /** Validate a clustering rewrite's target flavor + columns; returns
     * true for the declared-schema (evolve) flavor. Digest tables cluster
     * on the fixed zone-mappable columns; evolve tables on their OWN
@@ -632,10 +648,13 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
     // branch ref — one shuffle on the key, short-circuited at the first
     // duplicate; the per-row predicate cannot see doubled rows, this can
     uniqueKey.foreach { k =>
+      import org.apache.spark.sql.functions.{col, count, lit}
       val keyCols = k.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      val dupes = branchRows.groupBy(keyCols.map(
-          org.apache.spark.sql.functions.col): _*)
-        .count().filter("count > 1").limit(1).count()
+      // aliased aggregate, NOT groupBy().count(): a key column itself
+      // named 'count' would make the filter reference ambiguous
+      val dupes = branchRows.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__ff_cnt"))
+        .filter(col("__ff_cnt") > 1).limit(1).count()
       require(dupes == 0L,
         s"graft.system.fast_forward: unique_key '$k' audit failed on " +
           s"branch '$branch' (duplicate keys) — main left untouched")
@@ -1297,19 +1316,8 @@ class RewriteSortedProcedure(catalogName: String) extends UnboundProcedure
         DigestManifest.currentVersion(path, ref), ref),
       "graft.system.rewrite_sorted: the rewrite commit did not carry its " +
         "content-preserving tag")
-
-    val after = ProcedureSupport.manifestLines(path, DigestManifest.mName(ref))
-      .map(ManifestEntry.parse)
-    val version = DigestManifest.currentVersion(path, ref).toLong
-    val summary: Scan = new LocalScan {
-      override def readSchema(): StructType = StructType(Seq(
-        StructField("rewritten_files", LongType, nullable = false),
-        StructField("table_rows", LongType, nullable = false),
-        StructField("committed_version", LongType, nullable = false)))
-      override def rows(): Array[InternalRow] =
-        Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version))
-    }
-    util.Collections.singletonList(summary).iterator()
+    util.Collections.singletonList(
+      ProcedureSupport.rewriteSummary(path, ref)).iterator()
   }
 }
 
@@ -1526,19 +1534,8 @@ class RewriteZorderProcedure(catalogName: String) extends UnboundProcedure
         DigestManifest.currentVersion(path, ref), ref),
       "graft.system.rewrite_zorder: the rewrite commit did not carry its " +
         "content-preserving tag")
-
-    val after = ProcedureSupport.manifestLines(path, DigestManifest.mName(ref))
-      .map(ManifestEntry.parse)
-    val version = DigestManifest.currentVersion(path, ref).toLong
-    val summary: Scan = new LocalScan {
-      override def readSchema(): StructType = StructType(Seq(
-        StructField("rewritten_files", LongType, nullable = false),
-        StructField("table_rows", LongType, nullable = false),
-        StructField("committed_version", LongType, nullable = false)))
-      override def rows(): Array[InternalRow] =
-        Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version))
-    }
-    util.Collections.singletonList(summary).iterator()
+    util.Collections.singletonList(
+      ProcedureSupport.rewriteSummary(path, ref)).iterator()
   }
 }
 
@@ -1620,17 +1617,8 @@ class RewritePlaneProcedure(catalogName: String) extends UnboundProcedure
     require(offPlane.isEmpty,
       s"graft.system.rewrite_plane: migrated listing still holds " +
         s"off-plane files: ${offPlane.map(_.file).take(3).mkString(", ")}")
-
-    val version = DigestManifest.currentVersion(path).toLong
-    val summary: Scan = new LocalScan {
-      override def readSchema(): StructType = StructType(Seq(
-        StructField("rewritten_files", LongType, nullable = false),
-        StructField("table_rows", LongType, nullable = false),
-        StructField("committed_version", LongType, nullable = false)))
-      override def rows(): Array[InternalRow] =
-        Array(InternalRow(after.size.toLong, after.map(_.rows).sum, version))
-    }
-    util.Collections.singletonList(summary).iterator()
+    util.Collections.singletonList(ProcedureSupport.rewriteSummary(path,
+      DigestManifest.MainRef)).iterator()
   }
 }
 
