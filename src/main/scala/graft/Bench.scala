@@ -60,6 +60,16 @@ object Bench {
       // ns files, harmless for µs ones.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark 4.1 writes + verifies a checksum COMPANION FILE for every
+      // streaming-checkpoint file (offset/commit logs, every state-store
+      // delta of every partition of every batch) through a per-manager
+      // thread pool. For this bench's run-to-completion streams that
+      // doubles tiny-file checkpoint I/O, and the pool construction runs
+      // inside the global state-store provider-load lock — thread dumps
+      // during q208 show 31/32 task threads serialized behind it and 600+
+      // live ChecksumCheckpointFileManager threads. Scale-independent to
+      // disable: HDFS/S3 already checksum at the filesystem layer (r21).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -73,10 +73,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<int>` columns — the PQ
+  * assign/LUT hot loop (q121/q122 and the index-serve family): the
+  * built-in `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0, _+_)`
+  * allocates an intermediate array and runs interpreted lambda calls per
+  * element, and higher-order functions do not participate in whole-stage
+  * codegen. Null semantics MATCH that composition exactly: null if
+  * either array is null, if lengths differ (zip_with null-pads and the
+  * null element poisons the sum), or if any element is null. Arithmetic
+  * is 32-bit int like the composition (inputs are int8-quantized
+  * subvectors, far from overflow), so results are bit-identical.
+  */
+case class IntSqL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val d = xs.getInt(i) - ys.getInt(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (xs, ys) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $xs.numElements();
+         |if ($n != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    int $d = $xs.getInt($i) - $ys.getInt($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayMath {
   /** Column API: dot product of two array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
     exprToColumn(DotProduct(colToExpr(a), colToExpr(b)))
+
+  /** Column API: squared L2 distance of two array<int> columns (int
+    * arithmetic, null semantics of the zip_with/aggregate composition).
+    */
+  def int_sq_l2(a: Column, b: Column): Column =
+    exprToColumn(IntSqL2(colToExpr(a), colToExpr(b)))
 
   /** Cosine similarity from precomputed squared norms:
     * dot(a,b)/sqrt(na·nb). Exact when inputs are integer-quantized.

@@ -63,8 +63,10 @@ case class HllAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String].toString
-      val (b, rho) = HllAgg.bucketRho(key)
+      // UTF8String already holds the UTF-8 bytes md5 needs — hash them
+      // directly instead of decoding to String and re-encoding (one
+      // String + one byte[] allocation per row on the hot path).
+      val (b, rho) = HllAgg.bucketRhoBytes(v.asInstanceOf[UTF8String].getBytes)
       if (rho > buf(b)) buf(b) = rho
     }
     buf
@@ -119,8 +121,15 @@ object HllAgg {
   /** (bucket, rho) of a key — the JVM twin of the SQL hex-string walk.
     * Uses the shared per-thread digest (one md5 per input row).
     */
-  def bucketRho(key: String): (Int, Long) = {
-    val h = CountMinAgg.tlMd5.get().digest(key.getBytes(StandardCharsets.UTF_8))
+  def bucketRho(key: String): (Int, Long) =
+    bucketRhoBytes(key.getBytes(StandardCharsets.UTF_8))
+
+  /** [[bucketRho]] over the key's UTF-8 bytes — the allocation-free form
+    * the aggregate's update path uses (UTF8String exposes its bytes
+    * directly; md5 of those bytes ≡ md5 of the decoded string re-encoded).
+    */
+  def bucketRhoBytes(key: Array[Byte]): (Int, Long) = {
+    val h = CountMinAgg.tlMd5.get().digest(key)
     // bucket = first two hex chars = both nibbles of byte 0
     val b = ((h(0) >> 4) & 0xf) * 16 + (h(0) & 0xf)
     // rho over hex chars 3..17 = 15 nibbles = bytes 1..7 + high nibble of 8

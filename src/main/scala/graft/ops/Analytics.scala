@@ -196,16 +196,28 @@ object Analytics {
     val li = t(s, dir, "lineitem")
       .select(col("l_returnflag").as("flag"),
         col("l_orderkey").cast("string").as("k"))
-    val grouped = li.groupBy("flag")
+    // ONE corpus scan: collapse to the distinct (flag, key) relation first.
+    // Registers are multiplicity-invariant (merge = max), per-flag
+    // exact_keys = COUNT over the distinct pairs, and the ALL row's exact
+    // count = COUNT DISTINCT key over the same relation — so every
+    // downstream consumer derives from this one deduplicated leaf instead
+    // of two lineitem scans. It also keeps the mixed distinct+imperative
+    // aggregate out of the plan: groupBy(flag).agg(hll, count_distinct)
+    // rewrites to a (flag, k)-keyed partial aggregate that materializes a
+    // 2 KB register buffer PER DISTINCT PAIR (hundreds of MB in flight at
+    // sf0.1); with the dedup split out, the sketch sees 3 groups only and
+    // md5 runs once per distinct pair, not once per raw row.
+    val pairs = li.distinct().localCheckpoint(true)
+    val grouped = pairs.groupBy("flag")
       .agg(HllAgg.hll_registers(col("k")).as("regs"),
-        count_distinct(col("k")).as("exact_keys"))
+        count(lit(1)).as("exact_keys"))
       .localCheckpoint(true) // 3 rows; reused by the union AND the rollup
     val allRegs = grouped
       .select(posexplode(col("regs")).as(Seq("pos", "reg")))
       .groupBy("pos").agg(max("reg").as("reg"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, reg))), x -> x.reg)")
         .as("regs"))
-    val allExact = li.agg(count_distinct(col("k")).as("exact_keys"))
+    val allExact = pairs.agg(count_distinct(col("k")).as("exact_keys"))
     val all = allRegs.crossJoin(allExact)
       .select(lit("ALL").as("flag"), col("regs"), col("exact_keys"))
     val out = grouped.select(col("flag"), col("regs"), col("exact_keys"))

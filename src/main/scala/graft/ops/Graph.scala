@@ -255,6 +255,12 @@ object Graph {
       .union(b.select(col("v").as("u"), col("u").as("v")))
       .union(nodes.select(col("node").as("u"), col("node").as("v")))
       .distinct() // one vote per undirected neighbor, whatever the input orientation
+      // pre-partition on the per-round join key: distinct() leaves adj
+      // hash-partitioned on (u, v), so every round's adj⋈lab join on v
+      // would re-exchange the FULL adjacency; checkpointing it already
+      // keyed by v makes the per-round shuffle the |nodes|-row label
+      // relation only (the checkpoint preserves output partitioning)
+      .repartition(col("v"))
       .localCheckpoint(true)
     var lab = nodes.select(col("node"), col("node").as("lab"))
       .localCheckpoint(true)
@@ -379,6 +385,11 @@ object Graph {
     val sym = edgesIn.select(col("u"), col("v"))
       .union(edgesIn.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v")).distinct()
+      // pre-partition on the per-round join key (distinct leaves sym keyed
+      // by (u, v); the frontier join probes on u) so a sort-merge round
+      // never re-exchanges the full edge set — the checkpoint preserves
+      // output partitioning
+      .repartition(col("u"))
       .localCheckpoint(true)
     var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)
     var frontier = dist
@@ -392,7 +403,10 @@ object Graph {
         .withColumn("dist", lit(round))
         .localCheckpoint(true)
       frontierSize = next.count()
-      if (frontierSize > 0) dist = dist.unionByName(next).localCheckpoint(true)
+      // dist accumulates as a union of ALREADY-checkpointed frontier
+      // leaves — no per-round re-materialization of the whole settled set
+      // (the union plan grows by one leaf per round, bounded by maxRounds)
+      if (frontierSize > 0) dist = dist.unionByName(next)
       frontier = next
     }
     require(frontierSize == 0,

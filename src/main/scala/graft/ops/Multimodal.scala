@@ -606,14 +606,16 @@ object Multimodal {
     val h = 32 + (docId % 24).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val rgb = ((docId % 256).toInt << 16) | ((nChars % 256).toInt << 8) |
-      ((docId + nChars) % 256).toInt
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    // fill the raster's backing byte buffer directly (B,G,R order for
+    // TYPE_3BYTE_BGR) — same pixels as the per-pixel setRGB walk without
+    // its per-call color-model conversion (w·h calls per document)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    val r = (docId % 256).toByte
+    val g = (nChars % 256).toByte
+    val b = ((docId + nChars) % 256).toByte
+    var i = 0
+    while (i < data.length) { data(i) = b; data(i + 1) = g; data(i + 2) = r; i += 3 }
     val bos = new java.io.ByteArrayOutputStream()
     require(javax.imageio.ImageIO.write(img, "jpg", bos),
       s"doc $docId: no JPEG writer available")
@@ -641,11 +643,16 @@ object Multimodal {
     val decoded = t(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
+      // one fused pass (the intermediate MediaRow Dataset would pay a
+      // serialize/deserialize round of the JPEG payload between the two
+      // operators), materialized ONCE: both the fidelity gate below and
+      // the returned projection read this leaf, instead of each re-running
+      // the encode+decode over the corpus
       .mapPartitions(_.map { case (id, n) =>
-        MediaRow(id, encodeJpeg(id, n), "image/jpeg")
+        decodeJpeg(MediaRow(id, encodeJpeg(id, n), "image/jpeg"))
       })
-      .mapPartitions(_.map(decodeJpeg))
       .toDF()
+      .localCheckpoint(true)
     // fidelity gate on the oracled path: lossy channels within tolerance
     // of the encoded solid color (solid fields survive JPEG nearly exact;
     // 12/255 is far beyond any compliant codec's drift on them)

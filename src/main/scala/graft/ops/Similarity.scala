@@ -530,10 +530,14 @@ object Similarity {
   private def pqCodebook(s: SparkSession, dir: String): DataFrame =
     pqCodebookFor(s, dir, None)
 
-  /** Integer squared L2 between two int subvector arrays. */
+  /** Integer squared L2 between two int subvector arrays — the native
+    * codegen expression (bit-identical to the interpreted
+    * `aggregate(zip_with(...))` composition, which FunctionsSpec pins;
+    * higher-order functions do not codegen and this runs once per
+    * (vector, sub, codebook-entry) triple on the PQ hot path).
+    */
   private def pqSqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0), (acc, x) => acc + x).cast("long")
+    graft.functions.ArrayMath.int_sq_l2(a, b).cast("long")
 
   /** PQ-encode `vecs` (vec_id, q) against `codebook` — the assign pass
     * shared by the in-session q121, the index build, and the q143

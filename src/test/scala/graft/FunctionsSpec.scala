@@ -86,6 +86,32 @@ class FunctionsSpec extends SparkSpec {
     assert(viaExpr.filter(col("d") > 0).count() == 1000)
   }
 
+  test("int_sq_l2 matches the zip_with/aggregate composition, nulls included") {
+    // value rows + every null edge: null array, length mismatch, null
+    // element — the composition yields NULL on all three; IntSqL2 must
+    // agree bit-for-bit (it replaced the composition on the PQ hot path)
+    val df = Seq(
+      (Some(Seq(Some(1), Some(2), Some(3))), Some(Seq(Some(4), Some(6), Some(9)))),
+      (Some(Seq(Some(-5), Some(0))), Some(Seq(Some(5), Some(0)))),
+      (Some(Seq.empty[Option[Int]]), Some(Seq.empty[Option[Int]])),
+      (Some(Seq(Some(1), Some(2))), None: Option[Seq[Option[Int]]]),
+      (Some(Seq(Some(1), Some(2), Some(9))), Some(Seq(Some(3), Some(4)))),
+      (Some(Seq(Some(1), None)), Some(Seq(Some(3), Some(4)))))
+      .toDF("a", "b")
+    val rows = df.select(
+      ArrayMath.int_sq_l2(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0), (acc, x) => acc + x).as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null divergence: $r")
+      if (!r.isNullAt(0)) assert(r.getInt(0) == r.getInt(1), r.toString)
+    }
+    assert(rows(0).getInt(0) == 9 + 16 + 36 && rows(1).getInt(0) == 100 &&
+      rows(2).getInt(0) == 0)
+    assert(rows(3).isNullAt(0) && rows(4).isNullAt(0) && rows(5).isNullAt(0))
+  }
+
   test("dot_product is registered for SQL text") {
     ArrayMath.register(spark)
     val one = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")

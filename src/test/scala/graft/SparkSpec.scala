@@ -19,6 +19,9 @@ trait SparkSpec extends AnyFunSuite {
       // (ns/µs); the loader adapts (Tables.events). nanosAsLong stays on:
       // required for ns files, harmless for µs ones.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: 4.1's checkpoint checksum companion files double
+      // tiny-file checkpoint I/O and serialize provider loads (r21)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
