@@ -261,7 +261,14 @@ object DigestChanges {
       .flatMap(fileParts(_, "delete")) ++
       added.flatMap { e =>
         if (e.file.startsWith("delta-"))
-          Seq(ChangesDeltaPartition(path, e.file, v, ref): InputPartition)
+          // a re-ADDED verb log (a rollback restoring a pre-compaction
+          // log while dropping the live one) must not re-emit verbs for
+          // ids the same commit's inverse partitions already represent —
+          // the inverse transition's post-state at v INCLUDES this log's
+          // effect, so emitting both would double an id's change rows in
+          // one commit (ADVICE r20 medium)
+          Seq(ChangesDeltaPartition(path, e.file, v, ref,
+            excludeVerbsOf = droppedDeltas): InputPartition)
         else fileParts(e, "insert")
       } ++ dvDeltas ++ inverseParts
   }
@@ -453,7 +460,8 @@ case class ChangesFilePartition(path: String, file: String,
   * `delete` (the Iceberg/Delta CDF shape; consumers drop the as-of join).
   */
 case class ChangesDeltaPartition(path: String, file: String, version: Int,
-    ref: String = DigestManifest.MainRef)
+    ref: String = DigestManifest.MainRef,
+    excludeVerbsOf: Seq[String] = Nil)
     extends InputPartition
 
 /** A deletion-vector growth on a surviving file at `version` (q252): the
@@ -533,12 +541,16 @@ class ChangesReaderFactory extends PartitionReaderFactory {
           java.nio.file.Files.readAllLines(
             java.nio.file.Paths.get(dp.path, dp.file))).asScala
           .filter(_.nonEmpty).map(_.split(",")).toSeq
+        // ids covered by the commit's inverse partitions (dropped verb
+        // logs) emit their net transition THERE; this log's verbs for
+        // them are suppressed so no id emits twice in one commit
+        val excl = DigestChanges.verbTouchedIds(dp.path, dp.excludeVerbsOf)
         val needs = scala.collection.mutable.LinkedHashSet.empty[Long]
         locally {
           val defined = scala.collection.mutable.Set.empty[Long]
           verbs.foreach { a =>
             val id = a(1).toLong
-            if (a(0) != "I" && !defined(id)) needs += id
+            if (a(0) != "I" && !defined(id) && !excl.contains(id)) needs += id
             defined += id
           }
         }
@@ -559,16 +571,19 @@ class ChangesReaderFactory extends PartitionReaderFactory {
         val out = Seq.newBuilder[InternalRow]
         verbs.foreach { a =>
           val id = a(1).toLong
+          val emit = !excl.contains(id)
           a(0) match {
             case "I" =>
-              out += row(id, Some((a(2), a(3).toLong)), "insert")
+              if (emit) out += row(id, Some((a(2), a(3).toLong)), "insert")
               state(id) = Some((a(2), a(3).toLong))
             case "U" =>
-              out += row(id, pre(id), "update_preimage")
-              out += row(id, Some((a(2), a(3).toLong)), "update_postimage")
+              if (emit) {
+                out += row(id, pre(id), "update_preimage")
+                out += row(id, Some((a(2), a(3).toLong)), "update_postimage")
+              }
               state(id) = Some((a(2), a(3).toLong))
             case "D" =>
-              out += row(id, pre(id), "delete")
+              if (emit) out += row(id, pre(id), "delete")
               state(id) = None
             case v => throw new IllegalStateException(
               s"graft_digest changes: unknown verb '$v' in ${dp.file}")

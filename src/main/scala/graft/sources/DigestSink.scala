@@ -264,6 +264,15 @@ object DigestSink {
   private[graft] val rowGroupSkipEvents =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Counts the times row-group BLOOM probing declined to engage because
+    * a runtime In-set exceeded [[ParquetData.BloomProbeMaxPoints]] — the
+    * bow-out never drops data (it only declines an exclusion), but
+    * without this signal a pruning regression surfaces only as a slow
+    * scan (ADVICE r20); soak rungs pin when the needle layer disengaged.
+    */
+  private[graft] val bloomProbeSkippedEvents =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Counts parquet COLUMN CHUNKS decoded (row groups read × columns
     * requested) — the loud proof of in-file COLUMN pruning (q272): a
     * single-column projection over a 3-column table must decode one

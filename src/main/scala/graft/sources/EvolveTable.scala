@@ -528,9 +528,15 @@ class EvolveStreamingWrite(path: String, fields: Seq[EvolveField],
     val fresh = messages.collect { case m: EvolveCommitMessage => m.files }.flatten
     val ids = fields.map(_.id)
     val (baseVersion, old) = DigestManifest.head(path, ref)
-    val oldNames = old.map(l => l.split(",")(0)).toSet
     // replay idempotency: entries the manifest already holds win — the
-    // replayed attempt rewrote the same final names
+    // replayed attempt rewrote the same final names. Only THIS epoch's
+    // own prefix can collide (final names carry `ev-je<epochId>-`), so
+    // the dedup probe scans O(epoch files), not the whole folded listing
+    // — the O(changes)-per-commit discipline at 10⁶+ entry tables
+    // (ADVICE r20)
+    val epochPrefix = s"ev-je$epochId-"
+    val oldNames = old.iterator.map(l => l.split(",")(0))
+      .filter(_.startsWith(epochPrefix)).toSet
     val lines = fresh.map(f => EvolveEntry.render(f.fileName, f.rows, ids,
         EvolveWriterFactory.zoneAttrs(f.zones) ++
           EvolveWriterFactory.bloomAttrs(f.blooms)))

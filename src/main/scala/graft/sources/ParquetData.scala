@@ -167,6 +167,12 @@ object ParquetData {
     val probed = points.filter { case (_, ids) =>
       ids.nonEmpty && ids.size <= BloomProbeMaxPoints
     }
+    // the bow-out must be OBSERVABLE: a pruning regression from an
+    // oversized In-set otherwise surfaces only as a slow scan (ADVICE r20)
+    points.foreach { case (_, ids) =>
+      if (ids.size > BloomProbeMaxPoints)
+        DigestSink.bloomProbeSkippedEvents.incrementAndGet()
+    }
     if (probed.isEmpty) return Set.empty
     r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
       val bfr = r.getBloomFilterDataReader(b)

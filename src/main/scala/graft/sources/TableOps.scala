@@ -666,8 +666,14 @@ class FastForwardProcedure(catalogName: String) extends UnboundProcedure
     // so the change feed must not see the publish as data churn. Any
     // untagged branch commit (real data changes) publishes untagged and
     // the feed emits the branch's net changes, as before.
-    val preserving = bv >= 1 && (2 to bv).forall(v =>
-      DigestManifest.isCompaction(path, v, branch))
+    // iterate REGISTERED branch commits only: an orphaned/abandoned
+    // claim leaves a raw version-number gap whose isCompaction is false,
+    // which would publish an all-rewrites branch UNTAGGED and make the
+    // change feed emit full remove+add churn for a content-identical
+    // publish (ADVICE r20)
+    val preserving = bv >= 1 && DigestChanges
+      .registeredVersions(path, branch).filter(_ >= 2)
+      .forall(v => DigestManifest.isCompaction(path, v, branch))
     if (preserving) DigestManifest.tagNextReplaceAsCompaction(path)
     val published =
       try DigestManifest.publishReplace(path, blines, mainV).toLong
@@ -1554,6 +1560,16 @@ class RewriteZorderProcedure(catalogName: String) extends UnboundProcedure
   * CSV bytes, and reads dispatch per FILE byte format, so even a
   * mid-history reader of the mixed state resolves every file.
   */
+object RewritePlaneProcedure {
+  /** Per-table-path monitor serializing plane migrations (the flip /
+    * overwrite / restore sequence mutates the live registry props map).
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def lockFor(path: String): Object =
+    tableLocks.computeIfAbsent(path, _ => new Object)
+}
+
 class RewritePlaneProcedure(catalogName: String) extends UnboundProcedure
     with BoundProcedure {
   override def name(): String = "rewrite_plane"
@@ -1580,31 +1596,39 @@ class RewritePlaneProcedure(catalogName: String) extends UnboundProcedure
     require(!props.containsKey("branch"),
       s"graft.system.rewrite_plane: $tbl is a branch view — migrate the " +
         "main table (branches publish through fast_forward)")
-    val current = props.getOrDefault("format", "csv")
-    require(current != target,
-      s"graft.system.rewrite_plane: $tbl is already on the $target plane")
-
     val spark = org.apache.spark.sql.SparkSession.active
     val full = (catalogName +: tbl.split("\\.").toSeq).map(p => s"`$p`").mkString(".")
-    // flip the DECLARED plane first: loadTable reads the registry fresh,
-    // so the overwrite below (and every later write) binds to the target
-    // plane. Nothing on disk changes until the overwrite COMMITS — a
-    // crash between flip and commit leaves the old files fully readable
-    // (reads dispatch per file), with future writes simply on the new
-    // plane, which mixed-plane history supports by design.
-    props.put("format", target)
-    try {
-      ProcedureSupport.withStagedSnapshot(spark, path, full,
-        "rewrite_plane") { df =>
-        DigestManifest.tagNextReplaceAsCompaction(path)
-        try df.writeTo(full)
-          .overwrite(org.apache.spark.sql.functions.lit(true))
-        finally DigestManifest.clearCompactionTag(path)
+    // the flip+overwrite+restore below mutates the SHARED live registry
+    // props map — serialize racing rewrite_plane calls per table, and
+    // make both the flip and the failure restore CAS-shaped so a
+    // concurrent ALTER TABLE SET TBLPROPERTIES between flip and a failed
+    // migration is never clobbered (ADVICE r20)
+    RewritePlaneProcedure.lockFor(path).synchronized {
+      val current = props.getOrDefault("format", "csv")
+      require(current != target,
+        s"graft.system.rewrite_plane: $tbl is already on the $target plane")
+      // flip the DECLARED plane first: loadTable reads the registry fresh,
+      // so the overwrite below (and every later write) binds to the target
+      // plane. Nothing on disk changes until the overwrite COMMITS — a
+      // crash between flip and commit leaves the old files fully readable
+      // (reads dispatch per file), with future writes simply on the new
+      // plane, which mixed-plane history supports by design.
+      props.put("format", target)
+      try {
+        ProcedureSupport.withStagedSnapshot(spark, path, full,
+          "rewrite_plane") { df =>
+          DigestManifest.tagNextReplaceAsCompaction(path)
+          try df.writeTo(full)
+            .overwrite(org.apache.spark.sql.functions.lit(true))
+          finally DigestManifest.clearCompactionTag(path)
+        }
+      } catch { case t: Throwable =>
+        // a failed overwrite never committed: restore the declared plane
+        // — but only if OUR flip is still the current value (a concurrent
+        // property write wins otherwise)
+        props.replace("format", target, current)
+        throw t
       }
-    } catch { case t: Throwable =>
-      // a failed overwrite never committed: restore the declared plane
-      props.put("format", current)
-      throw t
     }
     require(DigestManifest.isCompaction(path,
         DigestManifest.currentVersion(path)),

@@ -1794,4 +1794,56 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
     }
   }
+
+  test("ADVICE r20: rollback ACROSS a compaction — a commit that both " +
+      "drops a live verb log and RE-ADDS a pre-compact one emits each " +
+      "touched id exactly once (inverse covers it; the re-added log's " +
+      "replay is suppressed for those ids)") {
+    withCatalog {
+      val dir = tmp("graft_rbxc_spec_")
+      val tbl = s"graft.ns.rbxc_${System.nanoTime()}"
+      val short = tbl.stripPrefix("graft.")
+      spark.sql(s"""CREATE TABLE $tbl (doc_id BIGINT, lang STRING, n_chars BIGINT)
+                   |USING graft_digest TBLPROPERTIES ('path'='$dir', 'delta'='true')""".stripMargin)
+      spark.sql(s"INSERT INTO $tbl VALUES (1,'en',10),(2,'de',20)") // v1
+      spark.sql(s"""MERGE INTO $tbl t USING (SELECT 1L AS doc_id, 99L AS n_chars) u
+                   |ON t.doc_id = u.doc_id
+                   |WHEN MATCHED THEN UPDATE SET n_chars = u.n_chars""".stripMargin) // v2: log A (U 1→99)
+      spark.sql(s"CALL graft.system.compact(table => '$short')") // v3: folds base+A
+      spark.sql(
+        s"""MERGE INTO $tbl t USING (SELECT * FROM VALUES
+           |  (1L,'en',77L), (5L,'fr',50L) AS s(doc_id, lang, n_chars)) s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, n_chars)
+           |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin) // v4: log B (U 1→77, I 5)
+      // rollback to v2: the new version drops log B AND the compacted
+      // base while RE-ADDING the pre-compact base and log A — the shape
+      // the ADVICE r20 medium flagged (id 1 is touched by BOTH logs)
+      spark.sql(s"CALL graft.system.rollback(table => '$short', version => 2)")
+      assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq ==
+        Seq("[1,en,99]", "[2,de,20]"), "rollback must restore the v2 state")
+      val batch = spark.read.format("graft.sources.DigestSink")
+        .option("path", dir.toString)
+        .option("changesFrom", "4").option("changesTo", "5")
+        .load().collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3))).toSeq
+      // id 1's transition (77→99) appears EXACTLY once — via the inverse
+      // partition; log A's re-added replay must not emit it again
+      val id1 = batch.filter(_._1 == 1L).sortBy(_._4)
+      assert(id1 == Seq(
+        (1L, "en", 99L, "update_postimage"),
+        (1L, "en", 77L, "update_preimage")),
+        s"id 1 must emit one net inverse transition, got $id1")
+      // id 5 (the I in the dropped log) inverts to exactly one delete
+      val id5 = batch.filter(_._1 == 5L)
+      assert(id5 == Seq((5L, "fr", 50L, "delete")), id5.toString)
+      // counting-replica exactness: no id may emit two non-preimage rows
+      // of the same type in one commit
+      val dupes = batch.filter(_._4 != "update_preimage")
+        .groupBy(t => (t._1, t._4)).filter(_._2.size > 1)
+      assert(dupes.isEmpty, s"duplicate per-id emissions in one commit: $dupes")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
