@@ -152,6 +152,11 @@ object Actuarial {
     val par = try policies.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       catch { case _: Throwable => policies.sparkSession.sparkContext.defaultParallelism }
     val valid = policies.filter(col("term") > 0).repartition(par)
+    // NOTE (r21): a broadcast-range nested-loop join was tried in place
+    // of this generator (to remove the per-policy nSims-element sequence
+    // array) and measured 1.5× MORE task CPU — BNLJ's per-output-row
+    // join machinery costs more than the generator's array churn. The
+    // explode stays.
     val trials = valid.withColumn("sim", explode(sequence(lit(1), lit(nSims))))
     // n ~ floor(Exp(rate 365/term)) (main.rs:67,70): either the native
     // Catalyst sampler or its built-in inverse-CDF rewrite — statistically
