@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   * does not accumulate stale plans.
   */
 final class SessionCache[V] {
+  SessionCache.register(this)
+
   private val bySession =
     Collections.synchronizedMap(new WeakHashMap[SparkSession, ConcurrentHashMap[String, V]]())
 
@@ -29,4 +31,24 @@ final class SessionCache[V] {
     }
     m.computeIfAbsent(key, _ => f)
   }
+
+  private[graft] def drop(s: SparkSession): Unit = bySession.remove(s)
+}
+
+object SessionCache {
+  // Registry of every cache instance, so the bench can invalidate ALL
+  // memos between timed reps (see Bench): min-of-N must time the build a
+  // query consumes, not a memo read left behind by an earlier rep or an
+  // earlier query sharing the build (q41/q44/q45/q54/q55/q56/q107 family).
+  private val all =
+    new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]()
+
+  private def register(c: SessionCache[_]): Unit = all.add(c)
+
+  /** Drop every memoized entry bound to `s`, across all caches. The builds
+    * are deterministic, so results are unchanged — only who pays for the
+    * build. Dropped localCheckpoint blocks are reclaimed by the
+    * ContextCleaner once the DataFrames become unreachable.
+    */
+  def invalidate(s: SparkSession): Unit = all.forEach(_.drop(s))
 }

@@ -209,8 +209,12 @@ object Analytics {
     // md5 runs once per distinct pair, not once per raw row.
     val pairs = li.distinct().localCheckpoint(true)
     val grouped = pairs.groupBy("flag")
+      // count(col) not count(lit(1)): over the dedup'd pairs they are equal
+      // only because l_orderkey is non-null — count(k) preserves the
+      // original count_distinct(k) NULL semantics at identical cost (r21
+      // ADVICE)
       .agg(HllAgg.hll_registers(col("k")).as("regs"),
-        count(lit(1)).as("exact_keys"))
+        count(col("k")).as("exact_keys"))
       .localCheckpoint(true) // 3 rows; reused by the union AND the rollup
     val allRegs = grouped
       .select(posexplode(col("regs")).as(Seq("pos", "reg")))

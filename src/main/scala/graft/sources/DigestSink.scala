@@ -3286,7 +3286,8 @@ class DigestScan(path: String, mergeDeltas: Boolean = false,
   // query, without log archaeology.
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(DigestMetrics.planned, DigestMetrics.pruned, DigestMetrics.rows,
-      DigestMetrics.rowGroupsPlanned, DigestMetrics.rowGroupsPruned)
+      DigestMetrics.rowGroupsPlanned, DigestMetrics.rowGroupsPruned,
+      DigestMetrics.bloomProbeSkips)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     val all = plannedEntries().filterNot(_.file.startsWith("delta-"))
@@ -3466,6 +3467,7 @@ class DigestFileReader(p: DigestFilePartition)
   private var served = 0L
   private var rgPlanned = 0L
   private var rgPruned = 0L
+  private var rgBloomSkips = 0L
   private var batches: ParquetData.BatchIterator = _
 
   // COLUMN pruning (q272): a pushed projection narrower than the table
@@ -3480,6 +3482,7 @@ class DigestFileReader(p: DigestFilePartition)
 
   private def keptGroups(file: java.nio.file.Path): Seq[ParquetData.RowGroup] = {
     // one footer open serves BOTH the group listing and the bloom probes
+    if (p.pts.size > ParquetData.BloomProbeMaxPoints) rgBloomSkips += 1
     val (groups, ex) = ParquetData.rowGroupsWithBloomExclusions(file,
       if (p.pts.isEmpty) Map.empty else Map("doc_id" -> p.pts))
     // stats (range) layer, then the row-group BLOOM layer for point sets
@@ -3582,7 +3585,8 @@ class DigestFileReader(p: DigestFilePartition)
   override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(DigestMetricValue("graft_rows_served", served),
       DigestMetricValue("graft_rowgroups_planned", rgPlanned),
-      DigestMetricValue("graft_rowgroups_pruned", rgPruned))
+      DigestMetricValue("graft_rowgroups_pruned", rgPruned),
+      DigestMetricValue("graft_bloom_probe_skips", rgBloomSkips))
 
   private def emit(id: Long, lang: UTF8String, n: Long, pos: Long): Boolean = {
     // the row-level-operation scan (q252) asks for each row's physical
@@ -3679,6 +3683,11 @@ private[graft] object DigestMetrics {
     new RowGroupsPlannedMetric
   val rowGroupsPruned: org.apache.spark.sql.connector.metric.CustomMetric =
     new RowGroupsPrunedMetric
+  // the row-group BLOOM layer's bow-out (oversized In-set declined the
+  // probe) — write-only before r22; now surfaced next to the row-group
+  // keep/skip counts so a disengaged needle layer is visible per query
+  val bloomProbeSkips: org.apache.spark.sql.connector.metric.CustomMetric =
+    new BloomProbeSkipsMetric
 }
 
 /* The SQL UI's SQLAppStatusListener re-instantiates each declared
@@ -3711,6 +3720,12 @@ class RowGroupsPrunedMetric
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "graft_rowgroups_pruned"
   override def description(): String = "parquet row groups skipped by footer stats"
+}
+class BloomProbeSkipsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graft_bloom_probe_skips"
+  override def description(): String =
+    "row-group bloom probes declined (In-set over BloomProbeMaxPoints)"
 }
 
 case class DigestMetricValue(metricName: String, metricValue: Long)

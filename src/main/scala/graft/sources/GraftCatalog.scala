@@ -270,7 +270,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(ident.namespace())
     if (GraftCatalog.tables.containsKey(key(ident)))
       throw new TableAlreadyExistsException(ident)
-    val props = new util.HashMap[String, String](properties)
+    // ConcurrentHashMap, not HashMap: this map becomes the LIVE registry
+    // value, mutated in place by ALTER TABLE property writers and read /
+    // CAS-restored by rewrite_plane's flip — the conditional restore
+    // (props.replace) is only atomic against concurrent writers on a
+    // concurrent map (r21 ADVICE)
+    val props: util.Map[String, String] =
+      new java.util.concurrent.ConcurrentHashMap[String, String](properties)
     val provider = props.getOrDefault("provider", "graft_seq")
     if (partitions.nonEmpty) {
       // the one partitioned layout the connector owns: identity(lang) on

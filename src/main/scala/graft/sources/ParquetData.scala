@@ -164,15 +164,16 @@ object ParquetData {
 
   private def bloomExclusions(r: ParquetFileReader,
       points: Map[String, Set[Long]]): Set[Int] = {
-    val probed = points.filter { case (_, ids) =>
-      ids.nonEmpty && ids.size <= BloomProbeMaxPoints
-    }
     // the bow-out must be OBSERVABLE: a pruning regression from an
-    // oversized In-set otherwise surfaces only as a slow scan (ADVICE r20)
-    points.foreach { case (_, ids) =>
-      if (ids.size > BloomProbeMaxPoints)
-        DigestSink.bloomProbeSkippedEvents.incrementAndGet()
+    // oversized In-set otherwise surfaces only as a slow scan (ADVICE
+    // r20); counted in the same partitioning pass (ADVICE r21), and also
+    // reported per task as the graft_bloom_probe_skips custom metric
+    var oversized = 0L
+    val probed = points.filter { case (_, ids) =>
+      if (ids.size > BloomProbeMaxPoints) { oversized += 1; false }
+      else ids.nonEmpty
     }
+    if (oversized > 0) DigestSink.bloomProbeSkippedEvents.addAndGet(oversized)
     if (probed.isEmpty) return Set.empty
     r.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
       val bfr = r.getBloomFilterDataReader(b)

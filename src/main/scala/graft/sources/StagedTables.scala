@@ -68,7 +68,10 @@ class GraftStagedTable(catalogName: String, ident: Identifier,
   override def commitStagedChanges(): Unit = {
     val key = GraftCatalog.regKey(catalogName,
       ident.namespace().toSeq :+ ident.name())
-    val props = new util.HashMap[String, String](tblProps)
+    // concurrent map — becomes the live registry value (see
+    // GraftCatalog.createTable)
+    val props: util.Map[String, String] =
+      new java.util.concurrent.ConcurrentHashMap[String, String](tblProps)
     props.put("provider", "graft_digest")
     props.put("path", stagedDir.toString)
     props.put("stageRoot", root)
