@@ -255,12 +255,19 @@ object Graph {
       .union(b.select(col("v").as("u"), col("u").as("v")))
       .union(nodes.select(col("node").as("u"), col("node").as("v")))
       .distinct() // one vote per undirected neighbor, whatever the input orientation
-      // pre-partition on the per-round join key: distinct() leaves adj
-      // hash-partitioned on (u, v), so every round's adj⋈lab join on v
-      // would re-exchange the FULL adjacency; checkpointing it already
-      // keyed by v makes the per-round shuffle the |nodes|-row label
-      // relation only (the checkpoint preserves output partitioning)
-      .repartition(col("v"))
+      // NO pre-partitioning before the checkpoint (r22): an eager
+      // localCheckpoint reports UnknownPartitioning(0) — tools/GraphProbe
+      // probe evidence — so the r21 repartition(v) layout never reached
+      // the per-round join and was one dead full-adjacency exchange per
+      // build. The per-round plan needs none: the adj⋈lab join broadcasts
+      // the label side, and the one exchange each round is the FUNDAMENTAL
+      // vote shuffle (partial-agged (u, lab) counts — LPA's per-round
+      // floor). A persist()-based layout that DOES survive
+      // (InMemoryTableScan keeps HashPartitioning) was implemented and
+      // measured adjacently: shuffle bytes 21.2→11.6 MB but task CPU
+      // 5.4→8.0 s (columnar cache decode per round) — net local loss,
+      // reverted; at 100 TB the join side belongs to table-layer
+      // bucketing, not a per-query cache.
       .localCheckpoint(true)
     var lab = nodes.select(col("node"), col("node").as("lab"))
       .localCheckpoint(true)
@@ -385,11 +392,14 @@ object Graph {
     val sym = edgesIn.select(col("u"), col("v"))
       .union(edgesIn.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v")).distinct()
-      // pre-partition on the per-round join key (distinct leaves sym keyed
-      // by (u, v); the frontier join probes on u) so a sort-merge round
-      // never re-exchanges the full edge set — the checkpoint preserves
-      // output partitioning
-      .repartition(col("u"))
+      // NO pre-partitioning before the checkpoint (r22): the eager
+      // localCheckpoint reports UnknownPartitioning(0) (tools/GraphProbe),
+      // so the r21 repartition(u) never survived to the per-round join —
+      // it was one dead 10.4 MB full-edge exchange per build at sf0.1.
+      // The rounds need none: the frontier side broadcasts, and the one
+      // big exchange per round is the FUNDAMENTAL frontier-expansion
+      // dedup (distinct on the join output). See labelPropagation for the
+      // measured persist() alternative and why it lost.
       .localCheckpoint(true)
     var dist = Seq((src, 0)).toDF("node", "dist").localCheckpoint(true)
     var frontier = dist
