@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.{colToExpr, exprToColumn, registerFunction, AbstractDataType}
@@ -136,6 +136,108 @@ case class IntSqL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused IVF cell routing: argmin over k literal centroids of
+  * d(c) = ‖c‖² − 2·v·c, ties to the LOWEST cell id — ONE generated loop
+  * nest over one pass of the input vector, replacing k separate
+  * [[DotProduct]] expressions plus a k-struct array + array_min per row
+  * (the Lloyd-assignment hot path: k×dim multiply-adds stay, the k
+  * struct/array allocations and the interpreted struct-min comparator go).
+  * The centroid matrix rides along as a codegen reference object — the
+  * [[HyperplaneSignatures]] pattern.
+  *
+  * Arithmetic is IDENTICAL to the composition
+  * `array_min(array(struct(cnorm − 2.0·dot(v, cv), cell)…)).cell`: each
+  * dot accumulates left-to-right in f64 (and inputs are integer-quantized,
+  * so sums are exact regardless), the distance is `cnorm − 2.0·acc`, and
+  * the (d, cell) comparison is strict-less-then-lowest-id — order
+  * invariant, like the struct min. Null semantics: null if the vector is
+  * null, its length mismatches the centroids, or any element is null —
+  * exactly the inputs for which every per-cell d would be null; the
+  * composition then resolves the struct-min to the SMALLEST cell id
+  * (null d sorts first), so call sites wrap this expression in
+  * `coalesce(_, lit(minCellId))` to reproduce it (pinned by
+  * FunctionsSpec equivalence over value and null edges).
+  */
+case class CellArgmin(child: Expression, cellIds: Array[Int],
+    cnorms: Array[Double], cents: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  require(cellIds.nonEmpty && cellIds.length == cnorms.length &&
+    cellIds.length == cents.length, "cellIds/cnorms/cents must align")
+
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def nullable: Boolean = true
+
+  private val dim = cents(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var bestIdx = -1
+    var bestD = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var acc = 0.0
+      i = 0
+      while (i < dim) { acc += v.getDouble(i) * cv(i); i += 1 }
+      val d = cnorms(c) - 2.0 * acc
+      if (bestIdx < 0 || d < bestD ||
+        (d == bestD && cellIds(c) < cellIds(bestIdx))) {
+        bestIdx = c; bestD = d
+      }
+      c += 1
+    }
+    cellIds(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("graftCellIds", cellIds, "int[]")
+    val cnRef = ctx.addReferenceObj("graftCnorms", cnorms, "double[]")
+    val cvRef = ctx.addReferenceObj("graftCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val cv = ctx.freshName("cv")
+      val bestIdx = ctx.freshName("bestIdx")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() != $dim) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $dim; $i++) {
+         |  if ($v.isNullAt($i)) { ${ev.isNull} = true; }
+         |}
+         |if (!${ev.isNull}) {
+         |  int $bestIdx = -1;
+         |  double $bestD = 0.0;
+         |  for (int $c = 0; $c < ${cents.length}; $c++) {
+         |    double[] $cv = $cvRef[$c];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $acc += $v.getDouble($i) * $cv[$i];
+         |    }
+         |    double $d = $cnRef[$c] - 2.0 * $acc;
+         |    if ($bestIdx < 0 || $d < $bestD ||
+         |        ($d == $bestD && $idsRef[$c] < $idsRef[$bestIdx])) {
+         |      $bestIdx = $c; $bestD = $d;
+         |    }
+         |  }
+         |  ${ev.value} = $idsRef[$bestIdx];
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellArgmin =
+    copy(child = newChild)
+}
+
 object ArrayMath {
   /** Column API: dot product of two array<double> columns. */
   def dot_product(a: Column, b: Column): Column =
@@ -146,6 +248,16 @@ object ArrayMath {
     */
   def int_sq_l2(a: Column, b: Column): Column =
     exprToColumn(IntSqL2(colToExpr(a), colToExpr(b)))
+
+  /** Column API: fused IVF cell argmin over literal centroids — null on
+    * null/degenerate vectors; wrap in coalesce(_, lit(min cell id)) to
+    * match the struct-min composition (see [[CellArgmin]]).
+    */
+  def cell_argmin(v: Column, cents: Seq[(Int, Array[Double])]): Column =
+    exprToColumn(CellArgmin(colToExpr(v),
+      cents.map(_._1).toArray,
+      cents.map(_._2.map(x => x * x).sum).toArray,
+      cents.map(_._2).toArray))
 
   /** Cosine similarity from precomputed squared norms:
     * dot(a,b)/sqrt(na·nb). Exact when inputs are integer-quantized.

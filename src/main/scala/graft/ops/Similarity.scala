@@ -198,9 +198,21 @@ object Similarity {
         lit(cellId).as("cell"))
     }
 
-  /** One Lloyd assignment as a narrow map: cell = argmin of [[cellOptions]]. */
+  /** One Lloyd assignment as a narrow map: cell = argmin of [[cellOptions]],
+    * fused into the native [[graft.functions.CellArgmin]] loop (r22): one
+    * generated k×dim loop nest per row instead of k DotProduct expressions
+    * plus a k-struct array + interpreted struct-min — same arithmetic, same
+    * tie-break, bit-identical cells (FunctionsSpec pins the equivalence,
+    * null edges included: the coalesce reproduces the struct-min's
+    * smallest-cell-id resolution when every distance is null). The probe
+    * paths that need the full RANKED cell list (q55/q141 nProbe slices)
+    * stay on the [[cellOptions]] composition — they run per query vector,
+    * not per corpus row.
+    */
   private def assignCells(emb: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
-    emb.withColumn("cell", array_min(array(cellOptions(cents): _*)).getField("cell"))
+    emb.withColumn("cell",
+      coalesce(graft.functions.ArrayMath.cell_argmin(col("qv"), cents),
+        lit(cents.map(_._1).min)))
 
   // The build is deterministic, so its result is memoized per (session,
   // dir, k, iters) — q54 and q55 share one build instead of each paying
@@ -233,18 +245,32 @@ object Similarity {
         .collect()
       var cents: Seq[(Int, Array[Double])] =
         seeds.zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](2).toArray }.toSeq
+      // Per-dimension sum columns instead of posexplode: the explode
+      // multiplied every vector into `dim` (cell, pos, v) rows per
+      // iteration — dim×|corpus| generated rows through the hash
+      // aggregate, the dominant cost of the build (r22: q54 task CPU
+      // 35.9 s → 9.5 s adjacent A/B). `dim` sum aggregates over the
+      // un-exploded rows compute the SAME exact-integer sums (quantized
+      // values are integers; f64 integer sums are order-independent), so
+      // centroids — and the oracle hash — are bit-identical.
+      val dim = cents.head._2.length
+      val sumCols = (0 until dim).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"s$i"))
       var it = 1
       var converged = false
       while (it < iters && !converged) {
         val rows = assignCells(emb, cents)
-          .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(floor(sum(col("v")) / count(lit(1))).as("cv"))
-          .collect() // ≤ k·dim rows — constant-size, corpus-independent
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), sumCols: _*)
+          .collect() // ≤ k rows — constant-size, corpus-independent
         val next: Seq[(Int, Array[Double])] =
-          rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cell, rs) =>
-            cell -> rs.sortBy(_.getInt(1)).map(_.getLong(2).toDouble).toArray
-          }
+          rows.map { r =>
+            val n = r.getLong(1)
+            // floor(sum / n) over exact-integer doubles — identical to the
+            // previous floor(sum(v) / count(1)) per (cell, pos) group
+            r.getInt(0) -> Array.tabulate(dim)(i =>
+              math.floor(r.getDouble(2 + i) / n))
+          }.toSeq.sortBy(_._1)
         // Early stop at a fixed point — semantics-preserving versus the
         // kmIters-unrolled oracle: identical centroids ⇒ identical
         // assignment ⇒ every remaining iteration is a no-op.
@@ -263,15 +289,26 @@ object Similarity {
       (cents, assigned)
     }
 
-  def q54IvfCentroids(s: SparkSession, dir: String): DataFrame =
-    kmeans(s, dir)._2
-      .select(col("cell"), posexplode_outer(col("qv")).as(Seq("pos", "v")))
-      .filter(col("v").isNotNull)
-      .groupBy("cell", "pos")
-      .agg(
-        (sum(col("v")) / count(lit(1))).as("centroid"),
-        count(lit(1)).as("n_vectors"))
+  def q54IvfCentroids(s: SparkSession, dir: String): DataFrame = {
+    val (cents, assigned) = kmeans(s, dir)
+    // Per-dimension sums over the un-exploded assignment, then a tiny
+    // k-row explode — the corpus-sized posexplode (dim×|corpus| generated
+    // rows through the aggregate) was the query's dominant cost (r22; see
+    // kmeans). Sums are exact-integer f64, so centroid = s_i / n and
+    // n_vectors are bit-identical to the per-(cell, pos) aggregation.
+    val dim = cents.head._2.length
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col("qv"), i + 1)).as(s"s$i"))
+    assigned
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("cell"), col("n"),
+        posexplode(array((0 until dim).map(i => col(s"s$i")): _*))
+          .as(Seq("pos", "v")))
+      .select(col("cell"), col("pos"),
+        (col("v") / col("n")).as("centroid"), col("n").as("n_vectors"))
       .orderBy("cell", "pos")
+  }
 
   /** The seeded-Lloyd chain as plain SQL CTEs: c0 = hash-sample seeds,
     * then kmIters−1 × (assign → floored means), then a final assign

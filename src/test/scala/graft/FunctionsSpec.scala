@@ -112,6 +112,45 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(3).isNullAt(0) && rows(4).isNullAt(0) && rows(5).isNullAt(0))
   }
 
+  test("cell_argmin + coalesce matches the struct-min composition, nulls and ties included") {
+    // The composition it replaced on the Lloyd hot path:
+    // array_min(array(struct(cnorm - 2.0*dot(v, cv), cell)...)).cell —
+    // including a deliberate TIE (two identical centroids, distinct ids →
+    // lowest id must win) and every null edge (null vector, null element,
+    // wrong length → every per-cell d is null, and the struct-min resolves
+    // to the SMALLEST cell id because a null field sorts first).
+    val cents: Seq[(Int, Array[Double])] = Seq(
+      3 -> Array(1.0, 2.0, 3.0),
+      5 -> Array(-4.0, 0.0, 2.0),
+      7 -> Array(1.0, 2.0, 3.0)) // tie twin of cell 3
+    val composition = {
+      val opts = cents.map { case (cellId, cv) =>
+        val cnorm = cv.map(x => x * x).sum
+        struct(
+          (lit(cnorm) - lit(2.0) * ArrayMath.dot_product(col("v"), typedLit(cv.toSeq))).as("d"),
+          lit(cellId).as("cell"))
+      }
+      array_min(array(opts: _*)).getField("cell")
+    }
+    val fused = coalesce(ArrayMath.cell_argmin(col("v"), cents),
+      lit(cents.map(_._1).min))
+    val vecs: Seq[Option[Seq[Option[Double]]]] = Seq(
+      Some(Seq(Some(1.0), Some(2.0), Some(3.0))), // exact hit on the tie pair
+      Some(Seq(Some(-9.0), Some(1.0), Some(4.0))),
+      Some(Seq(Some(0.0), Some(0.0), Some(0.0))), // all d = cnorm: min cnorm wins
+      None, // null vector
+      Some(Seq(Some(1.0), None, Some(3.0))), // null element
+      Some(Seq(Some(1.0), Some(2.0)))) // wrong length
+    val rows = vecs.toDF("v").select(composition.as("comp"), fused.as("fus")).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1), s"unexpected null: $r")
+      assert(r.getInt(0) == r.getInt(1), s"divergence: $r")
+    }
+    assert(rows(0).getInt(1) == 3, "tie must break to the lowest cell id")
+    assert(rows(3).getInt(1) == 3 && rows(4).getInt(1) == 3 && rows(5).getInt(1) == 3,
+      "null edges must resolve to the smallest cell id")
+  }
+
   test("dot_product is registered for SQL text") {
     ArrayMath.register(spark)
     val one = spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
