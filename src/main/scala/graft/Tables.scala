@@ -15,6 +15,24 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exchange barrier PINNED to the session's shuffle parallelism.
+    *
+    * The ops modules place a keyed repartition before 1→k generators
+    * (explodes of shingles/tokens/salts/spans) for two reasons: it stops
+    * CollapseProject from re-inlining the expensive array-building
+    * expression per element, and it spreads the k-fold generated span
+    * across tasks. A BARE `repartition(col)` silently defeats the second
+    * purpose: AQE coalesces the exchange to 1-2 partitions at fixture
+    * sizes (the pre-explode side is small by construction), so the whole
+    * generated span — the expensive stage — runs on one or two of the
+    * session's cores (r22 per-job evidence: q77's shingle explode ran 2
+    * of 32 tasks). An explicit count (REPARTITION_BY_NUM) is exempt from
+    * coalescing; the session conf keeps it scale-adaptive, never a local
+    * constant.
+    */
+  def barrier(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   /** `events.parquet` has shipped with `ts` as either TIMESTAMP(NANOS) or
     * TIMESTAMP(MICROS) across testdata generations, so the loader adapts to
     * the unit actually on disk instead of assuming one:

@@ -800,7 +800,7 @@ object Analytics {
         .withColumn("cum", sum(col("n_chars")).over(w))
         .withColumn("bin", expr("(cum - n_chars) DIV 16384"))
         .drop("cum")
-        .repartition(col("source"), col("bin"))
+        .transform(graft.Tables.barrier(_, col("source"), col("bin")))
         .write.mode("overwrite").partitionBy("source", "bin")
         .parquet(p.resolve("documents_compact").toString)
     }

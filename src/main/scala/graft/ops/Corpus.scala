@@ -43,7 +43,7 @@ object Corpus {
     val segs = t(s, dir, "documents")
       .filter(nonBlank)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once (see Dedup.shingles)
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once (see Dedup.shingles)
       .select(col("doc_id"), col("ws"),
         explode_outer(sequence(lit(1), size(col("ws")), lit(segTokens))).as("start"))
       .filter(col("start").isNotNull)
@@ -192,7 +192,7 @@ object Corpus {
     val grams = t(s, dir, "documents")
       .filter(nonBlank)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once
       .select(col("doc_id"),
         explode_outer(array_distinct(
           when(size(col("ws")) >= contamN,
@@ -341,7 +341,7 @@ object Corpus {
     val docs = t(s, dir, "documents")
       .filter(nonBlank)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once
     val unigrams = docs
       .select(explode_outer(col("ws")).as("a"))
       .filter(col("a").isNotNull)
@@ -406,7 +406,7 @@ object Corpus {
     val docs = t(s, dir, "documents")
       .filter(nonBlank)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once
     val docBigrams = docs
       .select(col("doc_id"), explode_outer(
         when(size(col("ws")) >= 2,

@@ -35,7 +35,7 @@ object Dedup {
       // re-runs the regex split PER ELEMENT (≈3·|doc| regex evals per doc).
       // Post-shuffle, `ws` is a materialized attribute — split runs once
       // per doc, and every downstream consumer reuses this one exchange.
-      .repartition(col("doc_id"))
+      .transform(graft.Tables.barrier(_, col("doc_id")))
       .select(col("doc_id"),
         array_distinct(
           when(size(col("ws")) >= 3,
@@ -685,7 +685,7 @@ object Dedup {
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once (see shingles)
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once (see shingles)
       .select(col("doc_id"),
         graft.functions.WinnowFingerprints
           .winnow_fingerprints(col("ws"), winK, winW).as("fps"))
@@ -701,7 +701,7 @@ object Dedup {
     docs
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once (see shingles)
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once (see shingles)
       .select(col("doc_id"),
         when(size(col("ws")) >= winK + winW - 1,
           array_distinct(transform(sequence(lit(1), size(col("ws")) - (winK + winW - 2)),

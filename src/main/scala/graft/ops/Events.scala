@@ -407,7 +407,7 @@ object Events {
       .agg(sum("cents").as("cents"))
     val bounds = daily.agg(min("d").as("mn"), max("d").as("mx"))
     val spine = daily.select(col("user_id")).distinct()
-      .repartition(col("user_id")) // the 1→k explode note: spread the span
+      .transform(graft.Tables.barrier(_, col("user_id"))) // the 1→k explode note: spread the span
       .crossJoin(broadcast(bounds))
       .select(col("user_id"),
         explode(expr("sequence(mn, mx, interval 1 day)")).as("d"))

@@ -92,7 +92,7 @@ object Pipeline {
     val docs = t(s, dir, "documents")
       .filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), ws.as("ws"))
-      .repartition(col("doc_id")) // materialize split once (see Dedup.shingles)
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize split once (see Dedup.shingles)
     val words = docs
       .select(col("doc_id"), explode_outer(col("ws")).as("w"))
       .filter(col("w").isNotNull)

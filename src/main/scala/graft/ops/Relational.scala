@@ -844,7 +844,7 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderpriority"))
       // pre-explode repartition: the 1→nSalts generator multiplies rows
       // past what scan-split planning sees (see the q36 explode note)
-      .repartition(col("o_orderkey"))
+      .transform(graft.Tables.barrier(_, col("o_orderkey")))
       .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
     fact.join(dim,
         fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))

@@ -96,7 +96,7 @@ object Similarity {
     // barrier: qv/qnorm become attributes, otherwise the quantization
     // transform is re-inlined into every one of the 48 signature planes
     val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
-      .repartition(col("vec_id"))
+      .transform(graft.Tables.barrier(_, col("vec_id")))
 
     // all 48 hyperplane projections fused into ONE custom expression (one
     // generated loop nest, one pass over qv); planes are deterministic
@@ -105,7 +105,7 @@ object Similarity {
       Array.tabulate(nTables, bitsPerTable, dim)((tb, p, i) => planeSign(tb, p, i))
     val withSigs = emb.select(col("vec_id"),
       graft.functions.HyperplaneSignatures.hyperplane_signatures(col("qv"), planes).as("sigs"))
-      .repartition(col("vec_id")) // materialize signatures pre-explode
+      .transform(graft.Tables.barrier(_, col("vec_id"))) // materialize signatures pre-explode
     val buckets = withSigs.select(col("vec_id"),
       posexplode_outer(col("sigs")).as(Seq("tbl", "sig")))
       .filter(col("sig").isNotNull)
@@ -140,7 +140,7 @@ object Similarity {
     val bitsPerTable = 4
     val dim = 64
     val emb = quantized(t(s, dir, "embeddings")).filter(col("qnorm") > 0)
-      .repartition(col("vec_id"))
+      .transform(graft.Tables.barrier(_, col("vec_id")))
     val planes: Array[Array[Array[Double]]] =
       Array.tabulate(nTables, bitsPerTable, dim)((tb, p, i) => planeSign(1000 + tb, p, i))
     val buckets = emb.select(col("vec_id"),
@@ -234,7 +234,7 @@ object Similarity {
       val emb = base.foldLeft(quantized(t(s, dir, "embeddings"))) {
           case (df, (pred, _)) => df.filter(pred)
         }
-        .repartition(col("vec_id")) // materialize qv once (see q52)
+        .transform(graft.Tables.barrier(_, col("vec_id"))) // materialize qv once (see q52)
         .select(col("vec_id"), col("qv"), col("qnorm"))
         .persist() // re-read every Lloyd iteration; k-means is the one
                    // legitimately iterative operator in the library

@@ -64,7 +64,7 @@ object TextOps {
     t(s, dir, "documents")
       .filter(!isBlank)
       .select(col("doc_id"), toks(lower(col("text"))).as("toks"))
-      .repartition(col("doc_id")) // materialize the token array pre-explode
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize the token array pre-explode
       .select(col("doc_id"), explode_outer(col("toks")).as("token"))
       .filter(col("token").isNotNull)
       .groupBy("token")
@@ -177,7 +177,7 @@ object TextOps {
     t(s, dir, "documents")
       .filter(!isBlank)
       .select(col("doc_id"), toks(lower(col("text"))).as("ws"))
-      .repartition(col("doc_id")) // materialize the token array pre-explode
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize the token array pre-explode
       .select(col("doc_id"), col("ws"),
         explode_outer(sequence(lit(1), size(col("ws")), lit(chunkStride))).as("start"))
       .filter(col("start").isNotNull)
@@ -338,7 +338,7 @@ object TextOps {
     t(s, dir, "documents")
       .filter(!isBlank)
       .select(col("doc_id"), toks(lower(col("text"))).as("ws"))
-      .repartition(col("doc_id")) // materialize ws before per-element lambdas
+      .transform(graft.Tables.barrier(_, col("doc_id"))) // materialize ws before per-element lambdas
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n"),
         size(array_distinct(col("ws"))).cast("long").as("nd"),
