@@ -931,7 +931,10 @@ class PlanSpec extends SparkSpec {
     // hashpartitioning exchange would mean a groupBy/join crept in
     val p = planOf("q148_repetition_filter")
     val hashEx = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(hashEx.size == 1 && hashEx.head.contains("REPARTITION_BY_COL"),
+    // REPARTITION_BY_NUM since r22: the barrier pins the session's shuffle
+    // parallelism so AQE cannot coalesce the pre-explode exchange to one
+    // task (Tables.barrier)
+    assert(hashEx.size == 1 && hashEx.head.contains("REPARTITION_BY_NUM"),
       s"expected only the explicit barrier exchange, got: $hashEx")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin")
       && !p.contains("BroadcastHashJoin"), "q148 must be join-free")
